@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator family from SURVEY.md §2 (or a
+data-pipeline extension) expressed through the sakura_spark engine; the
+matching ``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs on
+the same parquet tables. Column names/aliases match on both sides; money
+aggregates route through exact decimal arithmetic so the value hashes are
+bit-identical despite double inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +13,677 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from sakura_spark import algebra
+from sakura_spark.functions import dedup, multimodal, similarity, text
+from sakura_spark.hashing import tuple_hash_expr
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from sakura_spark.session import load_table
+
+    return load_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# Exact-decimal money helpers (see module docstring).
+def _dec_money(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _dec_factor(expr):
+    return expr.cast("decimal(18,8)")
+
+
+# ---------------------------------------------------------------------------
+# Core relational algebra (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_rel_select(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return algebra.project(
+        algebra.select(li, (F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05)),
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
+def q_rel_project(spark, sf_dir):
+    return algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey", "c_mktsegment"])
+
+
+def q_rel_rename(spark, sf_dir):
+    return algebra.rename(
+        _t(spark, sf_dir, "nation"),
+        {"n_nationkey": "nation_id", "n_name": "nation_name", "n_regionkey": "region_id"},
+    )
+
+
+def q_rel_equijoin(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = algebra.rename(_t(spark, sf_dir, "region"), {"r_regionkey": "n_regionkey"})
+    return algebra.project(
+        algebra.equijoin(nation, region, ["n_regionkey"]),
+        ["n_nationkey", "n_name", "r_name"],
+    )
+
+
+def q_rel_cartesian(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    r2 = algebra.rename(region, {"r_regionkey": "r2_regionkey", "r_name": "r2_name"})
+    return algebra.cartesian(region, r2)
+
+
+def q_rel_semijoin(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "orders"), ["o_custkey"]), {"o_custkey": "c_custkey"}
+    )
+    return algebra.project(algebra.semijoin(orders, customer), ["c_custkey", "c_name"])
+
+
+def q_rel_antijoin(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "orders"), ["o_custkey"]), {"o_custkey": "c_custkey"}
+    )
+    return algebra.project(algebra.antijoin(orders, customer), ["c_custkey", "c_name"])
+
+
+def q_rel_union_bag(spark, sf_dir):
+    o = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "orders"), ["o_custkey"]), {"o_custkey": "custkey"}
+    )
+    c = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey"]), {"c_custkey": "custkey"}
+    )
+    return algebra.union(o, c)
+
+
+def q_rel_union_set(spark, sf_dir):
+    o = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "orders"), ["o_custkey"]), {"o_custkey": "custkey"}
+    )
+    c = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey"]), {"c_custkey": "custkey"}
+    )
+    return algebra.union_set(o, c)
+
+
+def q_rel_diff(spark, sf_dir):
+    c = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey"]), {"c_custkey": "custkey"}
+    )
+    o = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "orders"), ["o_custkey"]), {"o_custkey": "custkey"}
+    )
+    return algebra.diff(c, o)
+
+
+def q_rel_intersect(spark, sf_dir):
+    c = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey"]), {"c_custkey": "custkey"}
+    )
+    o = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "orders"), ["o_custkey"]), {"o_custkey": "custkey"}
+    )
+    return algebra.intersect(c, o)
+
+
+def q_rel_take_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return algebra.project(
+        algebra.take(orders, 10, order_by=[F.desc("o_totalprice"), F.col("o_orderkey")]),
+        ["o_orderkey", "o_totalprice"],
+    )
+
+
+def q_rel_const(spark, sf_dir):
+    return algebra.const_relation(spark, {"id": 1, "name": "sakura"}, schema="id long, name string")
+
+
+def q_tuple_hash(spark, sf_dir):
+    cust = algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_mktsegment"])
+    return cust.withColumn(
+        "tuple_hash", tuple_hash_expr(["c_custkey", "c_name", "c_mktsegment"], "customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / sort / window (Spark-native extensions, SURVEY §2.1 note)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    charge = _dec_factor((F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec_money("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec_money("l_extendedprice") * charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_group_having(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+def q_agg_distinct_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(_dec_money("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+def q_sort_orderby(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.select("s_suppkey", "s_name", "s_acctbal").orderBy(
+        F.desc("s_acctbal"), F.col("s_suppkey")
+    )
+
+
+def q_window_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_window_running_sum(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec_money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_agg_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_filled"),
+        )
+    )
+
+
+def q_flagship_revenue(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(F.sum(_dec_money("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Constraint-style validation queries (ICL, SURVEY §2.4 — violations form)
+# ---------------------------------------------------------------------------
+
+
+def q_icl_fk_violations(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    cust = algebra.rename(
+        algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey"]), {"c_custkey": "user_id"}
+    )
+    return algebra.project(algebra.antijoin(cust, events), ["event_id", "user_id"])
+
+
+def q_icl_range_violations(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return events.filter((F.col("value") < 0) | (F.col("value") > 1000)).select(
+        "event_id", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-bucketed aggregation + sessionization
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = 30
+    with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap_min * 60),
+            1,
+        ).otherwise(0),
+    )
+    with_sess = with_gap.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity / multimodal (pipeline extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.char_count(F.col("text")).alias("n_chars_m"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_flags(docs).select(
+        "doc_id",
+        "n_tokens",
+        "digit_ratio",
+        "space_ratio",
+        "mean_token_len",
+        "stopword_ratio",
+        "quality_ok",
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id")
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs, "doc_id")
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", group_col="source", threshold=0.05)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs, "doc_id", prefix_bits=12)
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ann_lsh_topk(emb, [float(x) for x in qvec], k=10)
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    docs = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_metadata(docs)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rel_select": q_rel_select,
+        "rel_project": q_rel_project,
+        "rel_rename": q_rel_rename,
+        "rel_equijoin": q_rel_equijoin,
+        "rel_cartesian": q_rel_cartesian,
+        "rel_semijoin": q_rel_semijoin,
+        "rel_antijoin": q_rel_antijoin,
+        "rel_union_bag": q_rel_union_bag,
+        "rel_union_set": q_rel_union_set,
+        "rel_diff": q_rel_diff,
+        "rel_intersect": q_rel_intersect,
+        "rel_take_topk": q_rel_take_topk,
+        "rel_const": q_rel_const,
+        "tuple_hash": q_tuple_hash,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "agg_group_having": q_agg_group_having,
+        "agg_distinct_stats": q_agg_distinct_stats,
+        "agg_rollup": q_agg_rollup,
+        "agg_pivot": q_agg_pivot,
+        "sort_orderby": q_sort_orderby,
+        "window_topk_per_group": q_window_topk_per_group,
+        "window_running_sum": q_window_running_sum,
+        "flagship_revenue": q_flagship_revenue,
+        "icl_fk_violations": q_icl_fk_violations,
+        "icl_range_violations": q_icl_range_violations,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "multimodal_bytes": q_multimodal_bytes,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_MONEY = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DISC = "CAST((1.0 - l_discount) AS DECIMAL(18,8))"
+_CHARGE = "CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,8))"
+
+_SHINGLES = (
+    "CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) < 3 THEN []::VARCHAR[] "
+    "ELSE list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1), "
+    "i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' || "
+    "regexp_split_to_array(trim(lower(text)), '\\s+')[i+1] || ' ' || "
+    "regexp_split_to_array(trim(lower(text)), '\\s+')[i+2])) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = {
+        lang: " + ".join(
+            f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        for lang, words in text.LANG_MARKERS.items()
+    }
+    stop_list = ", ".join(f"'{w}'" for w in text._EN_STOPWORDS)
+    return {
+        "rel_select": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity > 45 AND l_discount < 0.05"
+        ),
+        "rel_project": "SELECT c_custkey, c_mktsegment FROM customer",
+        "rel_rename": (
+            "SELECT n_nationkey AS nation_id, n_name AS nation_name, "
+            "n_regionkey AS region_id FROM nation"
+        ),
+        "rel_equijoin": (
+            "SELECT n_nationkey, n_name, r_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "rel_cartesian": (
+            "SELECT a.r_regionkey, a.r_name, b.r_regionkey AS r2_regionkey, "
+            "b.r_name AS r2_name FROM region a CROSS JOIN region b"
+        ),
+        "rel_semijoin": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "rel_antijoin": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "rel_union_bag": (
+            "SELECT o_custkey AS custkey FROM orders "
+            "UNION ALL SELECT c_custkey AS custkey FROM customer"
+        ),
+        "rel_union_set": (
+            "SELECT o_custkey AS custkey FROM orders "
+            "UNION SELECT c_custkey AS custkey FROM customer"
+        ),
+        "rel_diff": (
+            "SELECT c_custkey AS custkey FROM customer "
+            "EXCEPT SELECT o_custkey AS custkey FROM orders"
+        ),
+        "rel_intersect": (
+            "SELECT c_custkey AS custkey FROM customer "
+            "INTERSECT SELECT o_custkey AS custkey FROM orders"
+        ),
+        "rel_take_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "rel_const": "SELECT CAST(1 AS BIGINT) AS id, 'sakura' AS name",
+        "tuple_hash": (
+            "SELECT c_custkey, c_name, c_mktsegment, "
+            "sha256(concat_ws(chr(31), 'customer', "
+            "concat_ws(chr(30), 'c_custkey', CAST(c_custkey AS VARCHAR)), "
+            "concat_ws(chr(30), 'c_mktsegment', c_mktsegment), "
+            "concat_ws(chr(30), 'c_name', c_name))) AS tuple_hash FROM customer"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            f"CAST(sum({_MONEY}) AS DOUBLE) AS sum_base_price, "
+            f"CAST(sum({_MONEY} * {_DISC}) AS DOUBLE) AS sum_disc_price, "
+            f"CAST(sum({_MONEY} * {_CHARGE}) AS DOUBLE) AS sum_charge, "
+            "sum(l_quantity) / count(*) AS avg_qty, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_group_having": (
+            "SELECT o_custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey HAVING count(*) >= 10"
+        ),
+        "agg_distinct_stats": (
+            "SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders, "
+            "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
+            f"CAST(sum({_MONEY}) AS DOUBLE) AS sum_price FROM lineitem"
+        ),
+        "agg_rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS linestatus, "
+            "sum(l_quantity) AS sum_qty, count(*) AS n "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "agg_pivot": (
+            "SELECT l_returnflag, "
+            "coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0) AS qty_open, "
+            "coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0) AS qty_filled "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "sort_orderby": (
+            "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+            "ORDER BY s_acctbal DESC, s_suppkey"
+        ),
+        "window_topk_per_group": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3"
+        ),
+        "window_running_sum": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            "AS running_spend FROM orders"
+        ),
+        "flagship_revenue": (
+            "SELECT c_custkey, c_name, "
+            f"CAST(sum({_MONEY} * {_DISC}) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10"
+        ),
+        "icl_fk_violations": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE user_id NOT IN (SELECT c_custkey FROM customer)"
+        ),
+        "icl_range_violations": (
+            "SELECT event_id, value FROM events WHERE value < 0 OR value > 1000"
+        ),
+        "events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events), m AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM g), s AS ("
+            "SELECT user_id, CAST(sum(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS session_id FROM m) "
+            "SELECT user_id, session_id, count(*) AS n_events FROM s "
+            "GROUP BY user_id, session_id"
+        ),
+        "text_token_stats": (
+            "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_m FROM documents"
+        ),
+        "text_quality": (
+            "WITH base AS (SELECT doc_id, text, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, "
+            "length(text) AS n, "
+            "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd, "
+            "length(text) - length(replace(text, ' ', '')) AS ns, "
+            "length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 "
+            f"ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"x -> x IN ({stop_list}))) END AS nstop "
+            "FROM documents) "
+            "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, "
+            "CASE WHEN n = 0 THEN 0.0 ELSE CAST(nd AS DOUBLE) / n END AS digit_ratio, "
+            "CASE WHEN n = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / n END AS space_ratio, "
+            "CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nonspace AS DOUBLE) / nt END AS mean_token_len, "
+            "CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / nt END AS stopword_ratio, "
+            "(nt >= 5 AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(nd AS DOUBLE) / n END) < 0.3 "
+            "AND (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nonspace AS DOUBLE) / nt END) > 1.0) "
+            "AS quality_ok FROM base"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+            "FROM documents"
+        ),
+        "text_langid": (
+            "WITH s AS (SELECT doc_id, text, "
+            + ", ".join(f"{expr} AS s_{lang}" for lang, expr in lang_scores.items())
+            + " FROM documents) SELECT doc_id, "
+            "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+            "WHEN s_es > greatest(0, s_en, s_de, s_fr) THEN 'es' "
+            "WHEN s_fr > greatest(0, s_en, s_de) THEN 'fr' "
+            "WHEN s_de > greatest(0, s_en) THEN 'de' "
+            "WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_pred FROM s"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, fp FROM ("
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+            "FROM documents) GROUP BY fp"
+        ),
+        "dedup_jaccard_pairs": (
+            f"WITH t AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.sh, b.sh)) AS inter, "
+            "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni "
+            "FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, CASE WHEN uni = 0 THEN 0.0 "
+            "ELSE CAST(inter AS DOUBLE) / uni END AS jaccard FROM p "
+            "WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.05"
+        ),
+        "sim_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "base AS (SELECT vec_id, "
+            "list_sum(list_transform(range(1, 65), i -> "
+            "CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS dp, "
+            "sqrt(list_sum(list_transform(range(1, 65), i -> "
+            "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS na, "
+            "sqrt(list_sum(list_transform(range(1, 65), i -> "
+            "CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) AS nb "
+            "FROM embeddings, q) "
+            "SELECT vec_id, CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END "
+            "AS cosine_sim FROM base ORDER BY cosine_sim DESC, vec_id LIMIT 10"
+        ),
+        "multimodal_bytes": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS content_md5, 'application/octet-stream' AS mime FROM documents"
+        ),
+        # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
+        # internals (xxhash64 permutations / hyperplane LSH) are not
+        # expressible in portable SQL — driver records rows-only checks;
+        # exactness is covered by pytest oracles instead.
+    }

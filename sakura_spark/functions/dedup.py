@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Scale notes (the reason each operator is shaped the way it is):
+
+* exact dedup      — one hash-aggregate on the canonical fingerprint; fully
+                     map-side-combinable, one shuffle on a 16-byte key.
+* MinHash + LSH    — the classic shingle→minhash→band→bucket-join pipeline.
+                     Signatures are computed in ONE codegen'd projection
+                     (array expressions over xxhash64 — no UDF, no explode
+                     of shingles); candidate pairs come from a self-join on
+                     (band_id, band_hash), i.e. a shuffle keyed on the
+                     bucket, never an all-pairs product. At 100 TB the only
+                     quadratic term is within-bucket, bounded by bucket size.
+* SimHash          — 64-bit signature via per-bit majority vote, again pure
+                     array expressions; near-dups = Hamming distance on
+                     bucketed prefixes.
+* n-gram Jaccard   — exact verification for candidate pairs (the re-rank
+                     step after LSH recall).
+* embedding cosine — see functions/similarity.py; near-dup = cosine > tau
+                     on LSH-bucketed candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sakura_spark.functions.text import fingerprint_md5, tokens
+
+# Mersenne prime 2^31-1: modulus for the universal hash family
+# h_i(x) = (a_i * x + b_i) mod p. 31-bit values keep a*h < 2^62, safely
+# inside a signed long under ANSI overflow checking. Parameters derive
+# deterministically from the permutation index via splitmix64-style mixing
+# (no RNG state needed — every executor computes the same family).
+_P = (1 << 31) - 1
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    def mix(z: int) -> int:
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    a = mix(2 * i) % (_P - 1) + 1
+    b = mix(2 * i + 1) % _P
+    return a, b
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of lowercased text (distinct), as an array —
+    built with sequence/transform, no explode."""
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document minhash signature columns m0..m{n-1}.
+
+    Shape chosen for scale: explode shingles once, hash once, then ONE
+    hash-aggregate computes all permutations as `min((a_i*h+b_i) mod p)`
+    columns — map-side combinable, a single shuffle keyed on the doc id,
+    and the shingle hash is computed exactly once (not once per
+    permutation). Documents with fewer than `shingle_n` tokens get the
+    sentinel signature p (matches only other empty docs, which exact-dedup
+    already groups).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select("id", F.pmod(F.xxhash64("sh"), F.lit(_P)).alias("h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _perm_params(i)
+        aggs.append(
+            F.coalesce(
+                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))), F.lit(_P)
+            ).alias(f"m{i}")
+        )
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of content-identical documents (canonical fingerprint match).
+    Returns fp, representative doc id (min), and copy count."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies", "fp")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per content fingerprint."""
+    keep = exact_duplicates(df, id_col, text_col).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate near-duplicate pairs (id_a < id_b).
+
+    Pipeline: signature projection (no shuffle) -> explode bands ->
+    self-join on (band_id, band_hash) -> distinct pairs. The join key
+    includes band_id so buckets from different bands never mix; AQE handles
+    skewed buckets (e.g. boilerplate documents).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("band")).select(
+        "id", "band.band_id", "band.band_hash"
+    )
+    left = banded.withColumnRenamed("id", "id_a")
+    right = banded.withColumnRenamed("id", "id_b")
+    pairs = (
+        left.join(right, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    group_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    With ``group_col`` the self-join is restricted to equal group values
+    (the verification step after blocking); without it this is all-pairs —
+    only for small inputs or post-LSH candidate sets.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        *( [F.col("grp")] if group_col else [] ),
+        F.col("sh").alias("sh_a"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        *( [F.col("grp")] if group_col else [] ),
+        F.col("sh").alias("sh_b"),
+    )
+    joined = a.join(b, on=(["grp"] if group_col else None) or None, how="inner") if group_col else a.crossJoin(b)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(uni == 0, F.lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """Per-document 64-bit SimHash (signed long column ``sim``).
+
+    Per-bit majority vote over shingle xxhash64s, shaped for scale like
+    minhash: explode shingles once, then one hash-aggregate with 64
+    conditional-sum columns (bit j contributes +1/-1), map-side combinable.
+    The signature is assembled from the 64 sums in a final projection.
+    Documents with no shingles get signature 0.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("h"))
+    sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), 0)
+                .when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    # bit j of the signature = (sums[j] > 0); -2^63 is the j=63 bit value.
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        bit_val = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+        sig = sig.bitwiseXOR(
+            F.when(F.col(f"s{j}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("id", sig.alias("sim"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str = "text", prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: equal high `prefix_bits` of the simhash (one
+    block of a rotate-and-block scheme), then exact Hamming distance."""
+    sig = simhash_signatures(df, id_col, text_col)
+    blocked = sig.withColumn("blk", F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits))
+    a = blocked.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "blk")
+    b = blocked.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "blk")
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .select("id_a", "id_b", "hamming")
+    )

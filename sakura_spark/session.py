@@ -1,0 +1,96 @@
+"""SparkSession factory.
+
+Local testing runs a single JVM (local[N]); the configuration is written so
+the same code lands well on a 1000-executor cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), shuffle partitions
+sized to the parallelism actually available, Arrow enabled for the few
+Pandas-UDF paths, and UTC timezone pinned so results compare bit-for-bit
+against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sakura-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all cores. Shuffle
+    partitions default to the core count — at cluster scale this knob is
+    replaced by AQE's coalescing, which is enabled.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else n_cores
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Some sources write TIMESTAMP(NANOS) which Spark's vectorized reader
+        # rejects; read them as raw nanos longs and convert in load_table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, path: str):
+    """Read a parquet table, normalizing TIMESTAMP(NANOS) columns.
+
+    With nanosAsLong enabled, nanos columns arrive as raw longs; convert
+    them back to proper timestamps (integer DIV — no double round-trip,
+    nanos exceed 2^53). Footer inspection is driver-side and O(1).
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        schema = pq.read_schema(path)
+        nanos = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        nanos = []
+    for c in nanos:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver's parquet tables as a dict name -> DataFrame."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    return {n: load_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
