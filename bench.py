@@ -1,0 +1,84 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query time = best of BENCH_RUNS (default 2) executions of the full
+pipeline including the action (count/collect-to-driver of the result), after
+one warm-up query to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from sakura_spark import get_spark
+
+HEADLINE = [
+    "flagship_revenue",
+    "agg_pricing_summary",
+    "rel_equijoin",
+    "rel_semijoin",
+    "rel_diff",
+    "window_topk_per_group",
+    "events_sessionize",
+    "events_hourly",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "sim_cosine_topk",
+    "tuple_hash",
+]
+
+
+def run_query(fn, spark, sf_dir) -> int:
+    df = fn(spark, sf_dir)
+    # Force full execution and result transfer without driver-side blowup.
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("sakura-bench")
+    qs = entrymod.queries()
+
+    # Warm-up: JVM, parquet footer caches, codegen paths.
+    run_query(qs["rel_equijoin"], spark, sf_dir)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            run_query(fn, spark, sf_dir)
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,463 @@
+"""The versioned Database — DDL, DML, constraints, catalog, history.
+
+Capability-parity with the reference's management/manipulation layer
+(lib/management/database.ml, lib/manipulation.ml), re-architected for Spark:
+
+* a relation's extension is a DataFrame with set semantics enforced on the
+  write path (duplicate rejection via tuple-hash anti-join, not per-tuple
+  Merkle lookups);
+* every committed state is a content-addressed snapshot: relation parquet
+  keyed by relation hash, database manifest keyed by the Merkle-root
+  database hash — giving time travel, branches, diff and 3-way merge
+  (management/*);
+* constraint enforcement is whole-batch: each ICL constraint compiles to a
+  violations-DataFrame (icl/compiler), with polarity-driven cascade
+  narrowing (SURVEY §4.3) instead of the reference's per-tuple focused
+  re-checks;
+* mutations are validate-then-apply: the new state is only installed after
+  every immediate constraint passes, which has the same observable
+  semantics as the reference's apply-then-rollback CAS loop.
+
+History depth is capped at 128 states (lib/management/database.ml:45).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from sakura_spark import errors
+from sakura_spark.domains import Domain, DomainRegistry, domain_violations, schema_to_struct
+from sakura_spark.hashing import (
+    TUPLE_HASH_COL,
+    database_hash,
+    relation_hash,
+    schema_signature,
+    with_tuple_hash,
+)
+from sakura_spark.icl import ast as icl_ast
+from sakura_spark.icl import compiler as icl_compiler
+from sakura_spark.management.store import SnapshotStore
+
+HISTORY_CAP = 128
+
+IMMEDIATE = "immediate"
+DEFERRED = "deferred"
+
+
+@dataclass
+class Constraint:
+    name: str
+    relation: str
+    body: icl_ast.Body
+    timing: str = IMMEDIATE
+
+
+@dataclass
+class Relation:
+    name: str
+    schema_pairs: list[tuple[str, str]]  # (attr, domain)
+    df: DataFrame
+    hash: str | None = None  # computed lazily on snapshot
+
+    @property
+    def attrs(self) -> list[str]:
+        return [a for a, _ in self.schema_pairs]
+
+
+@dataclass
+class _State:
+    """One immutable database state (what a db hash points to)."""
+
+    relations: dict[str, Relation] = field(default_factory=dict)
+    constraints: dict[str, Constraint] = field(default_factory=dict)
+
+
+class Database:
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        store: SnapshotStore | None = None,
+        snapshot_on_mutation: bool = True,
+    ):
+        self.spark = spark
+        self.name = name
+        self.store = store or SnapshotStore()
+        self.registry = DomainRegistry()
+        self.state = _State()
+        self.history: list[str] = []  # most recent first, <= HISTORY_CAP
+        self.hash: str | None = None
+        self.deferred_pending: set[str] = set()
+        # Per-mutation snapshotting mirrors the reference (every write is a
+        # new persisted state). At data scale you snapshot on commit()
+        # boundaries instead; tests run with the faithful default.
+        self.snapshot_on_mutation = snapshot_on_mutation
+        if snapshot_on_mutation:
+            self._snapshot()
+
+    # ------------------------------------------------------------------ DDL
+
+    def create_relation(self, name: str, schema_pairs: list[tuple[str, str]]) -> None:
+        if name in self.state.relations:
+            raise errors.RelationExists(name)
+        for _, dom in schema_pairs:
+            if dom not in self.registry:
+                raise errors.UnknownDomain(dom)
+        struct = schema_to_struct(schema_pairs, self.registry)
+        empty = self.spark.createDataFrame([], schema=struct)
+        self.state.relations[name] = Relation(name, list(schema_pairs), empty)
+        self._mutated(name)
+
+    def retract_relation(self, name: str) -> None:
+        self._rel(name)
+        del self.state.relations[name]
+        self.state.constraints = {
+            cn: c for cn, c in self.state.constraints.items() if c.relation != name
+        }
+        self._mutated(None)
+
+    def clear_relation(self, name: str) -> None:
+        rel = self._rel(name)
+        rel.df = self.spark.createDataFrame([], schema=rel.df.schema)
+        self._mutated(name)
+
+    def register_domain(self, domain: Domain) -> None:
+        self.registry.register(domain)
+
+    # ------------------------------------------------------------------ ICL
+
+    def register_constraint(
+        self,
+        name: str,
+        relation: str,
+        body: icl_ast.Body,
+        timing: str = IMMEDIATE,
+        validate_existing: bool = True,
+    ) -> None:
+        rel = self._rel(relation)
+        c = Constraint(name, relation, body, timing)
+        if validate_existing and timing == IMMEDIATE:
+            n = icl_compiler.violations(rel.df, body, self.resolver).count()
+            if n:
+                raise errors.ConstraintViolation(name, relation, f"{n} existing rows violate")
+        self.state.constraints[name] = c
+        self._mutated(None)
+
+    # ------------------------------------------------------------------ DML
+
+    def insert_tuples(self, relation: str, rows: list[dict] | DataFrame) -> int:
+        """InsertTuple(s) (lib/dml/executor.ml:59-70). Whole-batch:
+        domain checks, duplicate rejection, immediate constraints, cascade."""
+        rel = self._rel(relation)
+        batch = self._as_batch(rel, rows)
+        n = batch.count()
+        if not n:
+            return 0
+        # Set semantics (lib/manipulation.ml:539-540): duplicates within the
+        # batch or against the stored extension are rejected.
+        if batch.dropDuplicates().count() != n:
+            raise errors.DuplicateTuple(f"duplicate rows within insert batch for {relation}")
+        hashed_existing = with_tuple_hash(rel.df, relation)
+        hashed_batch = with_tuple_hash(batch, relation)
+        dup = hashed_batch.join(
+            hashed_existing.select(TUPLE_HASH_COL), on=TUPLE_HASH_COL, how="left_semi"
+        ).count()
+        if dup:
+            raise errors.DuplicateTuple(f"{dup} rows already present in {relation}")
+        self._check_domains(rel, batch)
+
+        new_df = rel.df.unionByName(batch)
+        resolver = self._resolver_with(relation, new_df)
+        # Immediate constraints on the mutated relation: the new rows.
+        for c in self._constraints_for(relation):
+            if c.timing == DEFERRED:
+                self.deferred_pending.add(c.name)
+                continue
+            bad = icl_compiler.violations(batch, c.body, resolver).count()
+            if bad:
+                raise errors.ConstraintViolation(c.name, relation, f"{bad} inserted rows violate")
+        # Cascade: constraints referencing this relation with insert-triggered
+        # polarity re-check their own relation's rows (narrowed).
+        self._cascade(relation, batch, event="insert", resolver=resolver)
+        rel.df = new_df
+        self._mutated(relation)
+        return n
+
+    def delete_tuples(self, relation: str, rows: list[dict] | DataFrame) -> int:
+        """DeleteTuple (lib/dml/executor.ml:71-78): delete by full-tuple
+        match; missing tuples are an error (retract_tuple semantics)."""
+        rel = self._rel(relation)
+        batch = self._as_batch(rel, rows).dropDuplicates()
+        n = batch.count()
+        present = batch.join(rel.df, on=rel.attrs, how="left_semi").count()
+        if present != n:
+            raise errors.UnknownRelation(
+                f"delete_tuples: {n - present} tuples not present in {relation}"
+            )
+        new_df = rel.df.join(batch, on=rel.attrs, how="left_anti")
+        resolver = self._resolver_with(relation, new_df)
+        self._cascade(relation, batch, event="delete", resolver=resolver)
+        rel.df = new_df
+        self._mutated(relation)
+        return n
+
+    def assign(self, relation: str, df: DataFrame) -> int:
+        """Assign (lib/dml/executor.ml:79-88): materialize a query and
+        replace the target's contents (clear + insert)."""
+        rel = self._rel(relation)
+        batch = df.select(*rel.attrs).dropDuplicates()
+        self._check_domains(rel, batch)
+        resolver = self._resolver_with(relation, batch)
+        for c in self._constraints_for(relation):
+            if c.timing == DEFERRED:
+                self.deferred_pending.add(c.name)
+                continue
+            bad = icl_compiler.violations(batch, c.body, resolver).count()
+            if bad:
+                raise errors.ConstraintViolation(c.name, relation, f"{bad} rows violate")
+        self._cascade(relation, batch, event="insert", resolver=resolver)
+        old = rel.df
+        rel.df = batch
+        # Deletions caused by overwrite also cascade (positive polarity).
+        removed = old.join(batch, on=rel.attrs, how="left_anti")
+        self._cascade(relation, removed, event="delete", resolver=resolver)
+        n = rel.df.count()
+        self._mutated(relation)
+        return n
+
+    def insert_from(self, relation: str, df: DataFrame) -> int:
+        """InsertFrom — INSERT ... SELECT (lib/dml/executor.ml:89-97)."""
+        return self.insert_tuples(relation, df)
+
+    def delete_where(self, relation: str, predicate_rel: DataFrame) -> int:
+        """DeleteWhere (lib/dml/executor.ml:98-126): delete rows matching a
+        predicate relation on their common attributes (semijoin form)."""
+        rel = self._rel(relation)
+        common = [c for c in rel.attrs if c in predicate_rel.columns]
+        if not common:
+            return 0
+        doomed = rel.df.join(
+            predicate_rel.select(*common).dropDuplicates(), on=common, how="left_semi"
+        )
+        if not doomed.take(1):
+            return 0
+        return self.delete_tuples(relation, doomed)
+
+    # ------------------------------------------------------------ queries
+
+    @property
+    def resolver(self):
+        def resolve(name: str) -> DataFrame:
+            if name in self.state.relations:
+                return self.state.relations[name].df
+            cat = self._catalog_frames()
+            if name in cat:
+                return cat[name]
+            raise errors.UnknownRelation(name)
+
+        return resolve
+
+    def relation(self, name: str) -> DataFrame:
+        return self.resolver(name)
+
+    def drl(self, text: str, gate: bool = True) -> DataFrame:
+        from sakura_spark.drl import compile_query, parse
+
+        return compile_query(self.spark, parse(text), self.resolver, gate=gate)
+
+    # ------------------------------------------------------------ catalog
+
+    def _catalog_frames(self) -> dict[str, DataFrame]:
+        """The six self-describing catalog relations
+        (lib/prelude/catalog.ml:10-55), queryable like user tables."""
+        spark = self.spark
+        rels = [Row(name=n) for n in sorted(self.state.relations)]
+        doms = [Row(name=n) for n in self.registry.names()]
+        attrs = [
+            Row(relation_name=r.name, attr_name=a, domain_name=d)
+            for r in self.state.relations.values()
+            for a, d in r.schema_pairs
+        ]
+        cons = [
+            Row(name=c.name, relation_name=c.relation)
+            for c in self.state.constraints.values()
+        ]
+        return {
+            "sakura:relation": spark.createDataFrame(rels or [], "name string"),
+            "sakura:domain": spark.createDataFrame(doms or [], "name string"),
+            "sakura:attribute": spark.createDataFrame(
+                attrs or [], "relation_name string, attr_name string, domain_name string"
+            ),
+            "sakura:constraint": spark.createDataFrame(
+                cons or [], "name string, relation_name string"
+            ),
+            "sakura:on": spark.createDataFrame(
+                [Row(event=e) for e in ("insert", "update", "delete")], "event string"
+            ),
+            "sakura:timing": spark.createDataFrame(
+                [Row(timing=t) for t in (IMMEDIATE, DEFERRED)], "timing string"
+            ),
+        }
+
+    # ------------------------------------------------------------ commit
+
+    def commit(self) -> str:
+        """Check deferred constraints (lib/manipulation.ml:965-1027), then
+        snapshot; returns the new database hash."""
+        for cname in sorted(self.deferred_pending):
+            c = self.state.constraints.get(cname)
+            if c is None:
+                continue
+            rel = self._rel(c.relation)
+            bad = icl_compiler.violations(rel.df, c.body, self.resolver).count()
+            if bad:
+                raise errors.ConstraintViolation(c.name, c.relation, f"{bad} rows violate at commit")
+        self.deferred_pending.clear()
+        return self._snapshot()
+
+    # ------------------------------------------------------------ snapshots
+
+    def _snapshot(self) -> str:
+        manifest: dict = {"name": self.name, "relations": {}, "constraints": {}}
+        for rname, rel in sorted(self.state.relations.items()):
+            sig = schema_signature(rel.schema_pairs)
+            if rel.hash is None:
+                rel.hash = relation_hash(rel.df, rname, sig)
+            self.store.put_relation(rel.hash, rel.df)
+            manifest["relations"][rname] = {
+                "hash": rel.hash,
+                "schema": rel.schema_pairs,
+            }
+        for cname, c in sorted(self.state.constraints.items()):
+            manifest["constraints"][cname] = {
+                "relation": c.relation,
+                "timing": c.timing,
+                "body": icl_ast.body_to_json(c.body),
+            }
+        manifest["history"] = self.history[: HISTORY_CAP - 1]
+        new_hash = database_hash(
+            {n: e["hash"] for n, e in manifest["relations"].items()}
+        )
+        manifest["hash"] = new_hash
+        self.store.put_manifest(new_hash, manifest)
+        if not self.history or self.history[0] != new_hash:
+            self.history = [new_hash] + self.history
+            self.history = self.history[:HISTORY_CAP]
+        self.hash = new_hash
+        return new_hash
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, db_hash: str, store: SnapshotStore, name: str | None = None
+    ) -> "Database":
+        """Time travel / checkout: rebuild a Database from any manifest
+        (lib/management/database.ml load-from-hash)."""
+        manifest = store.get_manifest(db_hash)
+        db = cls.__new__(cls)
+        db.spark = spark
+        db.name = name or manifest["name"]
+        db.store = store
+        db.registry = DomainRegistry()
+        db.state = _State()
+        db.deferred_pending = set()
+        db.snapshot_on_mutation = True
+        for rname, entry in manifest["relations"].items():
+            pairs = [tuple(p) for p in entry["schema"]]
+            df = store.get_relation(spark, entry["hash"])
+            db.state.relations[rname] = Relation(rname, pairs, df, hash=entry["hash"])
+        for cname, centry in manifest.get("constraints", {}).items():
+            db.state.constraints[cname] = Constraint(
+                cname, centry["relation"], icl_ast.body_from_json(centry["body"]), centry["timing"]
+            )
+        db.history = [db_hash] + manifest.get("history", [])
+        db.hash = db_hash
+        return db
+
+    # ------------------------------------------------------------ internals
+
+    def _rel(self, name: str) -> Relation:
+        try:
+            return self.state.relations[name]
+        except KeyError:
+            raise errors.UnknownRelation(name) from None
+
+    def _as_batch(self, rel: Relation, rows: list[dict] | DataFrame) -> DataFrame:
+        struct = schema_to_struct(rel.schema_pairs, self.registry)
+        if isinstance(rows, DataFrame):
+            return rows.select(*rel.attrs)
+        return self.spark.createDataFrame([Row(**r) for r in rows], schema=struct)
+
+    def _check_domains(self, rel: Relation, batch: DataFrame) -> None:
+        bad = domain_violations(batch, rel.schema_pairs, self.registry).count()
+        if bad:
+            raise errors.DomainViolation(
+                f"{bad} rows violate domain checks on {rel.name}"
+            )
+
+    def _constraints_for(self, relation: str) -> list[Constraint]:
+        return [c for c in self.state.constraints.values() if c.relation == relation]
+
+    def _resolver_with(self, relation: str, df: DataFrame):
+        def resolve(name: str) -> DataFrame:
+            if name == relation:
+                return df
+            return self.resolver(name)
+
+        return resolve
+
+    def _cascade(self, mutated: str, changed_rows: DataFrame, event: str, resolver) -> None:
+        """Polarity-driven re-check (SURVEY §4.3, lib/manipulation.ml:479-521).
+
+        After mutating `mutated`, re-validate constraints on other relations
+        that reference it with the triggered polarity, narrowing the
+        re-checked rows via focused filters (semi-join against the changed
+        rows on the bound attributes) whenever the constraint's shape allows.
+        """
+        trigger = (
+            {icl_compiler.NEGATIVE, icl_compiler.BOTH}
+            if event == "insert"
+            else {icl_compiler.POSITIVE, icl_compiler.BOTH}
+        )
+        for c in self.state.constraints.values():
+            pol = icl_compiler.polarity(c.body).get(mutated)
+            if pol not in trigger:
+                continue
+            if c.timing == DEFERRED:
+                self.deferred_pending.add(c.name)
+                continue
+            target_rel = self.state.relations.get(c.relation)
+            if target_rel is None:
+                continue
+            rows = resolver(c.relation) if c.relation == mutated else target_rel.df
+            # Focused filter: only constrained tuples whose bound attrs
+            # intersect the changed values need re-checking.
+            focus = [
+                (attr, var)
+                for tgt, attr, var in icl_compiler.focused_values(c.body)
+                if tgt == mutated
+            ]
+            if focus:
+                keys = changed_rows.select(
+                    *[F.col(attr).alias(f"__f_{i}") for i, (attr, _) in enumerate(focus)]
+                ).dropDuplicates()
+                cond = None
+                for i, (_, var) in enumerate(focus):
+                    cc = rows[f"`{var}`"] == keys[f"__f_{i}"]
+                    cond = cc if cond is None else (cond | cc)
+                narrowed = rows.join(keys, on=cond, how="left_semi")
+            else:
+                narrowed = rows
+            bad = icl_compiler.violations(narrowed, c.body, resolver).count()
+            if bad:
+                raise errors.ConstraintViolation(
+                    c.name, c.relation, f"{bad} rows violate after {event} on {mutated}"
+                )
+
+    def _mutated(self, relation: str | None) -> None:
+        if relation is not None and relation in self.state.relations:
+            self.state.relations[relation].hash = None
+        if self.snapshot_on_mutation:
+            self._snapshot()

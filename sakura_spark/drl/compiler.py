@@ -81,9 +81,15 @@ def _compile(spark: SparkSession, q: ast.Query, resolver: Resolver) -> DataFrame
             concrete = _compile(spark, q.right if lint else q.left, resolver)
             rel_name = (q.left if lint else q.right).name
             rel = prelude.PRELUDE[rel_name]
+            missing = [a for a in q.attrs if a not in concrete.columns]
+            if missing:
+                raise ValueError(
+                    f"join attributes {missing} not present on the concrete side "
+                    f"of the intensional join against {rel_name!r}"
+                )
             # Join attrs bind; remaining intensional attrs become computed
             # columns under their own names (the reference's merged schema).
-            attr_map = {a: a for a in rel.attrs if a in q.attrs or a in concrete.columns}
+            attr_map = {a: a for a in rel.attrs if a in concrete.columns}
             return prelude.rewrite_join(concrete, rel_name, attr_map)
         left = _compile(spark, q.left, resolver)
         right = _compile(spark, q.right, resolver)

@@ -1,0 +1,220 @@
+"""Constraint body -> satisfied/violations DataFrames + polarity analysis.
+
+``satisfied_rows(df, body, resolver)`` returns the subset of df's rows
+satisfying the body; ``violations`` is the complement. Everything compiles
+to joins/filters on DataFrames:
+
+    MemberOf       -> left-semi join on the bindings (FK check)
+    Not            -> set difference against the satisfied subset
+    And / Or       -> intersect / union of satisfied subsets
+    Exists         -> semi-join against the quantifier with the body as the
+                      join condition (namespaced "var.attr" columns)
+    Forall         -> no-counterexample: diff against Exists(var, Not(body))
+    Cmp / Between  -> Column predicates (the intensional-relation rewrite)
+
+The reference evaluates these per-tuple with nested scans
+(lib/constraint.ml:166-251); compiled as joins the whole-batch check is one
+Catalyst plan — anti-joins broadcast when the target is small, and the
+quantifier cross-products the optimizer would warn about in SQL are the
+same ones the reference hides in its nested loops.
+
+Polarity analysis (lib/constraint.ml:279-328) drives cascade narrowing:
+which relations' mutations can violate this constraint, and in which
+direction (insert vs delete).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sakura_spark import prelude
+from sakura_spark.icl import ast
+
+Resolver = Union[Callable[[str], DataFrame], dict]
+
+POSITIVE = "positive"  # a DELETE from the relation can violate
+NEGATIVE = "negative"  # an INSERT into the relation can violate
+BOTH = "both"
+
+
+def _resolve(resolver: Resolver, name: str) -> DataFrame:
+    if isinstance(resolver, dict):
+        return resolver[name]
+    return resolver(name)
+
+
+def _binding_col(b: ast.Binding) -> Column:
+    """Column for a binding evaluated against the constrained frame (Var
+    names, incl. namespaced "q.attr", are plain — backticked — columns)."""
+    if isinstance(b, ast.Var):
+        return F.col(f"`{b.name}`")
+    return F.lit(b.value)
+
+
+_CMP = {
+    "lt": lambda l, r: l < r,
+    "lte": lambda l, r: l <= r,
+    "gt": lambda l, r: l > r,
+    "gte": lambda l, r: l >= r,
+    "eq": lambda l, r: l == r,
+    "neq": lambda l, r: l != r,
+}
+
+
+def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFrame:
+    """Rows of df satisfying body. df's schema is preserved exactly."""
+    if isinstance(body, ast.Cmp):
+        return df.filter(_CMP[body.op](_binding_col(body.left), _binding_col(body.right)))
+
+    if isinstance(body, ast.Between):
+        v = _binding_col(body.value)
+        return df.filter((v >= _binding_col(body.low)) & (v <= _binding_col(body.high)))
+
+    if isinstance(body, ast.MemberOf):
+        # Intensional target (comparison/arithmetic relations): membership is
+        # the predicate itself (lib/manipulation.ml:120-147 intensional path).
+        if prelude.is_intensional(body.target):
+            rel = prelude.PRELUDE[body.target]
+            bound = {a: _binding_col(b) for a, b in body.bindings}
+            missing = [a for a in rel.attrs if a not in bound]
+            if missing:
+                raise ValueError(
+                    f"MemberOf {body.target}: all attributes must be bound, missing {missing}"
+                )
+            cond = rel.predicate(bound)
+            if rel.guard is not None:
+                cond = cond & rel.guard(bound)
+            return df.filter(cond)
+        target = _resolve(resolver, body.target)
+        # Build the join: target attr == Var column / Const literal.
+        tgt = target
+        conds = []
+        for attr, b in body.bindings:
+            if isinstance(b, ast.ConstVal):
+                tgt = tgt.filter(F.col(attr) == F.lit(b.value))
+            else:
+                conds.append((b.name, attr))
+        if not conds:
+            # Pure-constant binding: satisfied iff a matching row exists at all.
+            marker = tgt.limit(1).select(F.lit(1).alias("__m"))
+            return df.join(F.broadcast(marker), how="cross").drop("__m") if marker.take(1) else df.limit(0)
+        proj = tgt.select(
+            *[F.col(attr).alias(f"__icl_{var}") for var, attr in conds]
+        ).dropDuplicates()
+        cond = None
+        for var, _ in conds:
+            c = df[f"`{var}`"] == proj[f"__icl_{var}"]
+            cond = c if cond is None else (cond & c)
+        return df.join(proj, on=cond, how="left_semi")
+
+    if isinstance(body, ast.Not):
+        return df.exceptAll(satisfied_rows(df, body.body, resolver))
+
+    if isinstance(body, ast.And):
+        left = satisfied_rows(df, body.left, resolver)
+        return satisfied_rows(left, body.right, resolver)
+
+    if isinstance(body, ast.Or):
+        # Positional union: both sides preserve df's schema exactly, and
+        # name-based ops would misparse namespaced "var.attr" columns.
+        l = satisfied_rows(df, body.left, resolver)
+        r = satisfied_rows(df, body.right, resolver)
+        return l.union(r).dropDuplicates()
+
+    if isinstance(body, (ast.Exists, ast.Forall)):
+        q = _resolve(resolver, body.quantifier)
+        prefixed = q.select(
+            *[F.col(c).alias(f"{body.var}.{c}") for c in q.columns]
+        ).dropDuplicates()
+        if isinstance(body, ast.Exists):
+            inner = body.body
+        else:
+            inner = ast.Not(body.body)
+        # Witness search: cross the candidate rows with the quantifier and
+        # keep df-rows having >= 1 (counter)example. Columns "var.attr" are
+        # visible to nested Vars; projected away (positionally — names may
+        # contain dots) before the final set op.
+        crossed = df.crossJoin(F.broadcast(prefixed))
+        hits = (
+            satisfied_rows(crossed, inner, resolver)
+            .select(*[F.col(f"`{c}`") for c in df.columns])
+            .dropDuplicates()
+        )
+        if isinstance(body, ast.Exists):
+            return df.intersect(hits)
+        return df.exceptAll(hits).dropDuplicates()
+
+    raise ValueError(f"unknown constraint body: {body!r}")
+
+
+def violations(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFrame:
+    """Rows of df violating body (empty == constraint holds)."""
+    return df.exceptAll(satisfied_rows(df, body, resolver))
+
+
+# --- polarity analysis (lib/constraint.ml:279-328) --------------------------
+
+
+def _merge(a: dict[str, str], b: dict[str, str]) -> dict[str, str]:
+    out = dict(a)
+    for rel, pol in b.items():
+        if rel in out and out[rel] != pol:
+            out[rel] = BOTH
+        else:
+            out[rel] = pol
+    return out
+
+
+def _flip(p: dict[str, str]) -> dict[str, str]:
+    flip = {POSITIVE: NEGATIVE, NEGATIVE: POSITIVE, BOTH: BOTH}
+    return {rel: flip[pol] for rel, pol in p.items()}
+
+
+def polarity(body: ast.Body) -> dict[str, str]:
+    """relation -> polarity: POSITIVE if deleting from it can violate the
+    constraint, NEGATIVE if inserting into it can, BOTH if either."""
+    if isinstance(body, ast.MemberOf):
+        if prelude.is_intensional(body.target):
+            return {}
+        return {body.target: POSITIVE}
+    if isinstance(body, (ast.Cmp, ast.Between)):
+        return {}
+    if isinstance(body, ast.Not):
+        return _flip(polarity(body.body))
+    if isinstance(body, (ast.And, ast.Or)):
+        return _merge(polarity(body.left), polarity(body.right))
+    if isinstance(body, ast.Exists):
+        # Deleting a witness can break Exists -> quantifier is Positive.
+        return _merge({body.quantifier: POSITIVE}, polarity(body.body))
+    if isinstance(body, ast.Forall):
+        # Inserting a new quantified tuple can break Forall -> Negative.
+        return _merge({body.quantifier: NEGATIVE}, polarity(body.body))
+    raise ValueError(f"unknown constraint body: {body!r}")
+
+
+def focused_values(body: ast.Body) -> list[tuple[str, str, str]]:
+    """(target_relation, target_attr, var_name) triples linking mutated
+    relations to constrained-tuple attributes — the focused-filter basis
+    (lib/constraint.ml:355-383): after a mutation of `target`, only
+    constrained tuples whose `var_name` equals a mutated row's
+    `target_attr` need re-checking."""
+    if isinstance(body, ast.MemberOf):
+        if prelude.is_intensional(body.target):
+            return []
+        return [
+            (body.target, attr, b.name)
+            for attr, b in body.bindings
+            if isinstance(b, ast.Var) and "." not in b.name
+        ]
+    if isinstance(body, (ast.Cmp, ast.Between)):
+        return []
+    if isinstance(body, ast.Not):
+        return focused_values(body.body)
+    if isinstance(body, (ast.And, ast.Or)):
+        return focused_values(body.left) + focused_values(body.right)
+    if isinstance(body, (ast.Exists, ast.Forall)):
+        return focused_values(body.body)
+    raise ValueError(f"unknown constraint body: {body!r}")

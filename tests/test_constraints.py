@@ -1,0 +1,222 @@
+"""Constraint engine scenarios — ports of the reference's constraint
+scenario tests (FIXTURES.md §2-9, test/test_relational_engine.ml
+constraint:/cascade:/commit: groups)."""
+
+import pytest
+
+from sakura_spark import errors
+from sakura_spark.database import DEFERRED, Database
+from sakura_spark.icl import (
+    Between,
+    Cmp,
+    ConstVal,
+    Exists,
+    Forall,
+    MemberOf,
+    Not,
+    Var,
+    polarity,
+    violations,
+)
+from sakura_spark.icl.compiler import BOTH, NEGATIVE, POSITIVE
+
+
+@pytest.fixture()
+def fk_db(spark, store):
+    """FIXTURES §2: Department/Employee with fk_employee_dept."""
+    db = Database(spark, "fk_db", store=store, snapshot_on_mutation=False)
+    db.create_relation("Department", [("dept_id", "integer")])
+    db.create_relation("Employee", [("emp_id", "integer"), ("dept_id", "integer")])
+    db.insert_tuples("Department", [{"dept_id": 1}, {"dept_id": 2}])
+    db.register_constraint(
+        "fk_employee_dept",
+        "Employee",
+        MemberOf("Department", (("dept_id", Var("dept_id")),)),
+    )
+    db.insert_tuples("Employee", [{"emp_id": 10, "dept_id": 1}])
+    return db
+
+
+def test_fk_insert_ok_and_reject(fk_db):
+    fk_db.insert_tuples("Employee", [{"emp_id": 11, "dept_id": 2}])
+    with pytest.raises(errors.ConstraintViolation):
+        fk_db.insert_tuples("Employee", [{"emp_id": 12, "dept_id": 999}])
+    assert fk_db.relation("Employee").count() == 2
+
+
+def test_fk_delete_cascade_rejected(fk_db):
+    """Deleting a referenced Department violates via Positive-polarity
+    cascade (cascade: tests, test/test_relational_engine.ml:3894+)."""
+    with pytest.raises(errors.ConstraintViolation):
+        fk_db.delete_tuples("Department", [{"dept_id": 1}])
+    # unreferenced department deletes fine
+    fk_db.delete_tuples("Department", [{"dept_id": 2}])
+
+
+def test_deferred_fk_checked_at_commit(spark, store):
+    db = Database(spark, "dfk", store=store, snapshot_on_mutation=False)
+    db.create_relation("Department", [("dept_id", "integer")])
+    db.create_relation("Employee", [("emp_id", "integer"), ("dept_id", "integer")])
+    db.register_constraint(
+        "fk_deferred",
+        "Employee",
+        MemberOf("Department", (("dept_id", Var("dept_id")),)),
+        timing=DEFERRED,
+    )
+    # insert out of order: Employee first — allowed until commit
+    db.insert_tuples("Employee", [{"emp_id": 1, "dept_id": 7}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.commit()
+    db.insert_tuples("Department", [{"dept_id": 7}])
+    db.deferred_pending.add("fk_deferred")
+    db.commit()  # now passes
+
+
+def test_self_reference_neq(spark, store):
+    """FIXTURES §4: reports_to(emp_id, mgr_id) with emp_id != mgr_id."""
+    db = Database(spark, "neq", store=store, snapshot_on_mutation=False)
+    db.create_relation("reports_to", [("emp_id", "integer"), ("mgr_id", "integer")])
+    db.register_constraint(
+        "no_self_manage", "reports_to", Cmp("neq", Var("emp_id"), Var("mgr_id"))
+    )
+    db.insert_tuples("reports_to", [{"emp_id": 1, "mgr_id": 2}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("reports_to", [{"emp_id": 3, "mgr_id": 3}])
+
+
+def test_range_check_between(spark, store):
+    """FIXTURES §6: Result(student_id, score) with between(score, 0, 100)."""
+    db = Database(spark, "rng", store=store, snapshot_on_mutation=False)
+    db.create_relation("Result", [("student_id", "integer"), ("score", "integer")])
+    db.register_constraint(
+        "score_range", "Result", Between(Var("score"), ConstVal(0), ConstVal(100))
+    )
+    db.insert_tuples("Result", [{"student_id": 1, "score": 100}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("Result", [{"student_id": 2, "score": 101}])
+
+
+def test_mutual_exclusion_not_memberof(spark, store):
+    """FIXTURES §5: open_ticket/closed_ticket mutual exclusion via Not."""
+    db = Database(spark, "mx", store=store, snapshot_on_mutation=False)
+    db.create_relation("open_ticket", [("ticket_id", "integer")])
+    db.create_relation("closed_ticket", [("ticket_id", "integer")])
+    db.register_constraint(
+        "not_both",
+        "open_ticket",
+        Not(MemberOf("closed_ticket", (("ticket_id", Var("ticket_id")),))),
+    )
+    db.insert_tuples("closed_ticket", [{"ticket_id": 7}])
+    db.insert_tuples("open_ticket", [{"ticket_id": 8}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("open_ticket", [{"ticket_id": 7}])
+
+
+def test_blacklist_negative_cascade(spark, store):
+    """FIXTURES §7: inserting into blacklist an id present in the
+    constrained relation triggers the Negative-polarity cascade."""
+    db = Database(spark, "bl", store=store, snapshot_on_mutation=False)
+    db.create_relation("Employee", [("emp_id", "integer")])
+    db.create_relation("blacklist", [("emp_id", "integer")])
+    db.register_constraint(
+        "not_blacklisted",
+        "Employee",
+        Not(MemberOf("blacklist", (("emp_id", Var("emp_id")),))),
+    )
+    db.insert_tuples("Employee", [{"emp_id": 1}, {"emp_id": 2}])
+    db.insert_tuples("blacklist", [{"emp_id": 99}])  # unrelated: fine
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("blacklist", [{"emp_id": 2}])  # cascade catches it
+    # blacklisted id can't be inserted into Employee either
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("Employee", [{"emp_id": 99}])
+
+
+def test_weak_entity_exists(spark, store):
+    """FIXTURES §9: child requires parent via Exists+MemberOf binding."""
+    db = Database(spark, "weak", store=store, snapshot_on_mutation=False)
+    db.create_relation("parent", [("parent_id", "integer")])
+    db.create_relation("child", [("dep_id", "integer"), ("parent_id", "integer")])
+    db.insert_tuples("parent", [{"parent_id": 1}])
+    db.register_constraint(
+        "child_has_parent",
+        "child",
+        Exists("p", "parent", Cmp("eq", Var("p.parent_id"), Var("parent_id"))),
+    )
+    db.insert_tuples("child", [{"dep_id": 10, "parent_id": 1}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("child", [{"dep_id": 11, "parent_id": 42}])
+    # deleting the witness parent breaks Exists -> rejected via cascade
+    with pytest.raises(errors.ConstraintViolation):
+        db.delete_tuples("parent", [{"parent_id": 1}])
+
+
+def test_forall_quantified(spark, store):
+    """Forall: every room's floor must be <= its building's floor count
+    (FIXTURES §8 flavour, n-way binding)."""
+    db = Database(spark, "bld", store=store, snapshot_on_mutation=False)
+    db.create_relation("Building", [("building_id", "integer"), ("floors", "integer")])
+    db.create_relation("Room", [("room_id", "integer"), ("building_id", "integer"), ("floor", "integer")])
+    db.insert_tuples("Building", [{"building_id": 1, "floors": 3}])
+    db.register_constraint(
+        "room_floor_exists",
+        "Room",
+        Exists(
+            "b",
+            "Building",
+            # same building AND floor within range
+            Cmp("eq", Var("b.building_id"), Var("building_id")),
+        ),
+    )
+    db.register_constraint(
+        "floor_in_range",
+        "Room",
+        Forall(
+            "b",
+            "Building",
+            # for every building: not same id OR floor <= floors
+            # (material implication via Or/Not is exercised here)
+            _implies(
+                Cmp("eq", Var("b.building_id"), Var("building_id")),
+                Cmp("lte", Var("floor"), Var("b.floors")),
+            ),
+        ),
+    )
+    db.insert_tuples("Room", [{"room_id": 1, "building_id": 1, "floor": 3}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("Room", [{"room_id": 2, "building_id": 1, "floor": 4}])
+
+
+def _implies(a, b):
+    from sakura_spark.icl import Not, Or
+
+    return Or(Not(a), b)
+
+
+def test_polarity_analysis():
+    fk = MemberOf("Department", (("dept_id", Var("dept_id")),))
+    assert polarity(fk) == {"Department": POSITIVE}
+    assert polarity(Not(fk)) == {"Department": NEGATIVE}
+    ex = Exists("p", "parent", Cmp("eq", Var("p.id"), Var("pid")))
+    assert polarity(ex) == {"parent": POSITIVE}
+    fa = Forall("b", "Building", Cmp("lte", Var("floor"), Var("b.floors")))
+    assert polarity(fa) == {"Building": NEGATIVE}
+    both = _And(
+        MemberOf("parent", (("id", Var("pid")),)),
+        Not(MemberOf("parent", (("other", Var("oid")),))),
+    )
+    assert polarity(both) == {"parent": BOTH}
+
+
+def _And(a, b):
+    from sakura_spark.icl import And
+
+    return And(a, b)
+
+
+def test_violations_direct(spark):
+    emp = spark.createDataFrame([(1, 1), (2, 9)], "emp_id long, dept_id long")
+    dept = spark.createDataFrame([(1,)], "dept_id long")
+    body = MemberOf("Department", (("dept_id", Var("dept_id")),))
+    bad = violations(emp, body, {"Department": dept})
+    assert [r.emp_id for r in bad.collect()] == [2]

@@ -1,0 +1,63 @@
+"""SCL cursor semantics (reference lib/scl/, lib/session.ml)."""
+
+import pytest
+
+from sakura_spark import errors
+from sakura_spark.scl import SessionRegistry
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.range(0, 120).toDF("n")
+
+
+def test_begin_fetch_close(nums):
+    reg = SessionRegistry()
+    cid, first = reg.begin(nums.orderBy("n"), query="(Base nums)", limit=50)
+    assert len(first) == 50 and first[0].n == 0
+    batch2 = reg.fetch(cid, 50)
+    assert len(batch2) == 50 and batch2[0].n == 50
+    batch3 = reg.fetch(cid, 50)
+    assert len(batch3) == 20  # exhausted -> auto-closed
+    with pytest.raises(errors.CursorError):
+        reg.fetch(cid, 1)
+
+
+def test_default_batch_is_50(nums):
+    reg = SessionRegistry()
+    cid, first = reg.begin(nums.orderBy("n"))
+    assert len(first) == 50  # lib/scl/executor.ml:1
+
+
+def test_close_and_registry(nums):
+    reg = SessionRegistry(max_cursors=2)
+    c1, _ = reg.begin(nums.limit(5))
+    c2, _ = reg.begin(nums.limit(5))
+    assert len(reg.open_cursors()) <= 2
+    reg.close(c2)
+    assert c2 not in reg.open_cursors()
+
+
+def test_lru_eviction(nums):
+    reg = SessionRegistry(max_cursors=2)
+    c1, _ = reg.begin(nums.orderBy("n"), limit=10)
+    c2, _ = reg.begin(nums.orderBy("n"), limit=10)
+    c3, _ = reg.begin(nums.orderBy("n"), limit=10)  # evicts c1
+    with pytest.raises(errors.CursorError):
+        reg.fetch(c1, 1)
+    assert len(reg.fetch(c2, 5)) == 5
+
+
+def test_cursor_snapshot_isolation(spark, store):
+    """Cursor pins the db state at Begin (lib/session.ml:11)."""
+    from sakura_spark.database import Database
+
+    db = Database(spark, "curdb", store=store, snapshot_on_mutation=False)
+    db.create_relation("t", [("v", "integer")])
+    db.insert_tuples("t", [{"v": 1}, {"v": 2}, {"v": 3}])
+    reg = SessionRegistry()
+    snapshot_df = db.relation("t").orderBy("v")
+    cid, first = reg.begin(snapshot_df, limit=1)
+    db.insert_tuples("t", [{"v": 99}])
+    rest = [r.v for r in reg.fetch(cid, 10)]
+    assert 99 not in rest  # iterator walks the pinned plan, not the new state
