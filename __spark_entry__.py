@@ -164,9 +164,9 @@ def q_agg_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(_dec_money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec_money("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
-            F.sum(_dec_money("l_extendedprice") * charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec_money("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec_money("l_extendedprice") * disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec_money("l_extendedprice") * charge), 2).cast("double").alias("sum_charge"),
             (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -189,7 +189,7 @@ def q_agg_distinct_stats(spark, sf_dir):
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.sum(_dec_money("l_extendedprice")).cast("double").alias("sum_price"),
+        F.round(F.sum(_dec_money("l_extendedprice")), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -262,9 +262,53 @@ def q_flagship_revenue(spark, sf_dir):
     )
     return (
         joined.groupBy("c_custkey", "c_name")
-        .agg(F.sum(_dec_money("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_dec_money("l_extendedprice") * disc), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.col("c_custkey"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DRL front-end: sexp -> AST -> gate -> DataFrame (SURVEY §2.2, §3.1)
+# ---------------------------------------------------------------------------
+
+
+def _drl(spark, sf_dir, text_query, gate=True):
+    from sakura_spark.drl import compile_query, parse
+
+    tables = {
+        n: _t(spark, sf_dir, n)
+        for n in ("region", "nation", "customer", "supplier", "orders")
+    }
+    return compile_query(spark, parse(text_query), tables, gate=gate)
+
+
+def q_drl_fk_join(spark, sf_dir):
+    """The reference's Employee⋈Department idiom through the full wire
+    pipeline (parse -> finiteness gate -> compile)."""
+    return _drl(
+        spark,
+        sf_dir,
+        '(Project (c_custkey c_name n_name) (Join (n_nationkey) '
+        '(Rename ((c_nationkey n_nationkey)) (Base "customer")) (Base "nation")))',
+    )
+
+
+def q_drl_point_select(spark, sf_dir):
+    """Select+Const point lookup (the reference's test idiom)."""
+    return _drl(spark, sf_dir, '(Select (Const (("n_regionkey" (Int 0)))) (Base "nation"))')
+
+
+def q_drl_intensional_plus(spark, sf_dir):
+    """Join against the infinite natural_plus relation, rewritten to an
+    expression (SURVEY §7 risk 1). gate=False: the completion makes the
+    result finite where the reference's gate could not prove it."""
+    return _drl(
+        spark,
+        sf_dir,
+        '(Join (a b) (Rename ((o_orderkey a) (o_custkey b)) '
+        '(Project (o_orderkey o_custkey) (Base "orders"))) (Base "natural_plus"))',
+        gate=False,
     )
 
 
@@ -274,11 +318,22 @@ def q_flagship_revenue(spark, sf_dir):
 
 
 def q_icl_fk_violations(spark, sf_dir):
+    """FK check compiled by the ICL constraint engine (MemberOf -> anti-join)."""
+    from sakura_spark.icl import MemberOf, Var, violations
+
     events = _t(spark, sf_dir, "events")
-    cust = algebra.rename(
-        algebra.project(_t(spark, sf_dir, "customer"), ["c_custkey"]), {"c_custkey": "user_id"}
-    )
-    return algebra.project(algebra.antijoin(cust, events), ["event_id", "user_id"])
+    customer = _t(spark, sf_dir, "customer")
+    body = MemberOf("customer", (("c_custkey", Var("user_id")),))
+    return violations(events, body, {"customer": customer}).select("event_id", "user_id")
+
+
+def q_icl_between_violations(spark, sf_dir):
+    """Range constraint compiled by the ICL engine (Between -> predicate)."""
+    from sakura_spark.icl import Between, ConstVal, Var, violations
+
+    events = _t(spark, sf_dir, "events")
+    body = Between(Var("value"), ConstVal(0.0), ConstVal(500.0))
+    return violations(events, body, {}).select("event_id", "value")
 
 
 def q_icl_range_violations(spark, sf_dir):
@@ -286,6 +341,33 @@ def q_icl_range_violations(spark, sf_dir):
     return events.filter((F.col("value") < 0) | (F.col("value") > 1000)).select(
         "event_id", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog relations (SURVEY §2.6) over a Database mounting the test tables
+# ---------------------------------------------------------------------------
+
+_ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _mounted_db(spark, sf_dir):
+    from sakura_spark.database import Database
+
+    db = Database(spark, "graft", snapshot_on_mutation=False)
+    for n in _ALL_TABLES:
+        db.register_external(n, _t(spark, sf_dir, n))
+    return db
+
+
+def q_catalog_relations(spark, sf_dir):
+    return _mounted_db(spark, sf_dir).relation("sakura:relation")
+
+
+def q_catalog_attributes(spark, sf_dir):
+    return _mounted_db(spark, sf_dir).relation("sakura:attribute")
 
 
 # ---------------------------------------------------------------------------
@@ -437,8 +519,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_per_group": q_window_topk_per_group,
         "window_running_sum": q_window_running_sum,
         "flagship_revenue": q_flagship_revenue,
+        "drl_fk_join": q_drl_fk_join,
+        "drl_point_select": q_drl_point_select,
+        "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
+        "icl_between_violations": q_icl_between_violations,
         "icl_range_violations": q_icl_range_violations,
+        "catalog_relations": q_catalog_relations,
+        "catalog_attributes": q_catalog_attributes,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "text_token_stats": q_text_token_stats,
@@ -454,6 +542,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
     }
 
+
+# Expected catalog rows for the mounted test tables (domain mapping per
+# sakura_spark.domains.domain_for_spark_type).
+_CATALOG_ATTRS = [
+    ("region", "r_regionkey", "integer"), ("region", "r_name", "string"),
+    ("nation", "n_nationkey", "integer"), ("nation", "n_name", "string"),
+    ("nation", "n_regionkey", "integer"),
+    ("customer", "c_custkey", "integer"), ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "integer"), ("customer", "c_acctbal", "float"),
+    ("customer", "c_mktsegment", "string"),
+    ("supplier", "s_suppkey", "integer"), ("supplier", "s_name", "string"),
+    ("supplier", "s_nationkey", "integer"), ("supplier", "s_acctbal", "float"),
+    ("part", "p_partkey", "integer"), ("part", "p_name", "string"),
+    ("part", "p_brand", "string"), ("part", "p_type", "string"),
+    ("part", "p_size", "integer"), ("part", "p_retailprice", "float"),
+    ("orders", "o_orderkey", "integer"), ("orders", "o_custkey", "integer"),
+    ("orders", "o_orderstatus", "string"), ("orders", "o_totalprice", "float"),
+    ("orders", "o_orderdate", "timestamp"), ("orders", "o_orderpriority", "string"),
+    ("lineitem", "l_orderkey", "integer"), ("lineitem", "l_partkey", "integer"),
+    ("lineitem", "l_suppkey", "integer"), ("lineitem", "l_linenumber", "integer"),
+    ("lineitem", "l_quantity", "float"), ("lineitem", "l_extendedprice", "float"),
+    ("lineitem", "l_discount", "float"), ("lineitem", "l_tax", "float"),
+    ("lineitem", "l_returnflag", "string"), ("lineitem", "l_linestatus", "string"),
+    ("lineitem", "l_shipdate", "timestamp"),
+    ("events", "event_id", "integer"), ("events", "ts", "timestamp"),
+    ("events", "user_id", "integer"), ("events", "event_type", "string"),
+    ("events", "value", "float"), ("events", "props", "string"),
+    ("documents", "doc_id", "integer"), ("documents", "text", "string"),
+    ("documents", "lang", "string"), ("documents", "source", "string"),
+    ("documents", "n_chars", "integer"),
+    ("embeddings", "vec_id", "integer"), ("embeddings", "embedding", "float_vector"),
+    ("embeddings", "label", "integer"),
+]
 
 _MONEY = "CAST(l_extendedprice AS DECIMAL(18,2))"
 _DISC = "CAST((1.0 - l_discount) AS DECIMAL(18,8))"
@@ -533,9 +654,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-            f"CAST(sum({_MONEY}) AS DOUBLE) AS sum_base_price, "
-            f"CAST(sum({_MONEY} * {_DISC}) AS DOUBLE) AS sum_disc_price, "
-            f"CAST(sum({_MONEY} * {_CHARGE}) AS DOUBLE) AS sum_charge, "
+            f"CAST(ROUND(sum({_MONEY}), 2) AS DOUBLE) AS sum_base_price, "
+            f"CAST(ROUND(sum({_MONEY} * {_DISC}), 2) AS DOUBLE) AS sum_disc_price, "
+            f"CAST(ROUND(sum({_MONEY} * {_CHARGE}), 2) AS DOUBLE) AS sum_charge, "
             "sum(l_quantity) / count(*) AS avg_qty, count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
@@ -547,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_distinct_stats": (
             "SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders, "
             "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
-            f"CAST(sum({_MONEY}) AS DOUBLE) AS sum_price FROM lineitem"
+            f"CAST(ROUND(sum({_MONEY}), 2) AS DOUBLE) AS sum_price FROM lineitem"
         ),
         "agg_rollup": (
             "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
@@ -580,14 +701,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "flagship_revenue": (
             "SELECT c_custkey, c_name, "
-            f"CAST(sum({_MONEY} * {_DISC}) AS DOUBLE) AS revenue "
+            f"CAST(ROUND(sum({_MONEY} * {_DISC}), 2) AS DOUBLE) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10"
         ),
+        "drl_fk_join": (
+            "SELECT c_custkey, c_name, n_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "drl_point_select": "SELECT * FROM nation WHERE n_regionkey = 0",
+        "drl_intensional_plus": (
+            "SELECT o_orderkey AS a, o_custkey AS b, o_orderkey + o_custkey AS sum "
+            "FROM orders"
+        ),
         "icl_fk_violations": (
             "SELECT event_id, user_id FROM events "
             "WHERE user_id NOT IN (SELECT c_custkey FROM customer)"
+        ),
+        "icl_between_violations": (
+            "SELECT event_id, value FROM events WHERE NOT (value >= 0.0 AND value <= 500.0)"
+        ),
+        "catalog_relations": (
+            "SELECT name FROM (VALUES "
+            + ", ".join(f"('{t}')" for t in sorted(_ALL_TABLES))
+            + ") AS t(name)"
+        ),
+        "catalog_attributes": (
+            "SELECT relation_name, attr_name, domain_name FROM (VALUES "
+            + ", ".join(
+                f"('{r}', '{a}', '{d}')" for r, a, d in _CATALOG_ATTRS
+            )
+            + ") AS t(relation_name, attr_name, domain_name)"
         ),
         "icl_range_violations": (
             "SELECT event_id, value FROM events WHERE value < 0 OR value > 1000"

@@ -127,6 +127,19 @@ class Database:
     def register_domain(self, domain: Domain) -> None:
         self.registry.register(domain)
 
+    def register_external(self, name: str, df: DataFrame) -> None:
+        """Mount an existing DataFrame (e.g. a parquet table) as a relation:
+        schema derived from the Spark types, contents read-through (not
+        snapshotted until a mutation touches it). The Spark-native analogue
+        of the reference's immutable generator-backed relations
+        (lib/manipulation.ml:815-837)."""
+        from sakura_spark.domains import domain_for_spark_type
+
+        if name in self.state.relations:
+            raise errors.RelationExists(name)
+        pairs = [(f.name, domain_for_spark_type(f.dataType)) for f in df.schema.fields]
+        self.state.relations[name] = Relation(name, pairs, df)
+
     # ------------------------------------------------------------------ ICL
 
     def register_constraint(

@@ -83,6 +83,7 @@ def domain_for_spark_type(dt: T.DataType) -> str:
         T.FloatType(): "float",
         T.BooleanType(): "boolean",
         T.TimestampType(): "timestamp",
+        T.TimestampNTZType(): "timestamp",
         T.DateType(): "date",
         T.BinaryType(): "binary",
     }

@@ -122,21 +122,32 @@ def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
     seed: int = 42,
-    multiprobe: bool = True,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: filter to the query's bucket (± Hamming-1 probes),
-    exact cosine re-rank. The bucket filter is a plain int predicate pushed
-    into the scan of a bucket-partitioned layout at scale."""
+    """Approximate top-k: filter to the query's bucket (± probes within
+    `probe_hamming` bit flips), exact cosine re-rank. The bucket filter is a
+    plain int predicate pushed into the scan of a bucket-partitioned layout
+    at scale.
+
+    Recall/cost tradeoff: more planes = smaller buckets = faster but lower
+    recall when the similarity gap between neighbours and background is
+    small (e.g. near-uniform embeddings); scale n_planes with corpus size
+    and raise probe_hamming to buy recall back.
+    """
     planes = _hyperplanes(n_planes, len(query_vec), seed)
     qsig = 0
     for i, plane in enumerate(planes):
         if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
             qsig |= 1 << i
-    probes = [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+    probes = [
+        s
+        for s in range(1 << n_planes)
+        if bin(s ^ qsig).count("1") <= probe_hamming
+    ]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = df.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
     return (

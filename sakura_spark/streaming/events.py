@@ -1,0 +1,140 @@
+"""Streaming transformations for the events schema
+(event_id, ts, user_id, event_type, value, props).
+
+Each builder takes a streaming (or batch — the transformations are
+identical, which is how the batch oracle queries validate them) DataFrame
+and returns the transformed DataFrame; callers attach the sink. Watermarks
+bound state so a 100 TB/day stream holds only the late-data horizon in the
+state store; aggregations are keyed on (window, event_type)-style compound
+keys that hash-partition evenly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a parquet directory (swap for Kafka in prod:
+    same downstream plan)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation per event_type."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows per user (gap-based), the streaming twin of
+    the batch sessionize query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- custom stateful operator ----------------------------------------------
+
+_STATE_SCHEMA = "count long, total double"
+_OUT_SCHEMA = "user_id long, n_events long, total double, mean double"
+
+
+def _running_stats(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-user running count/sum/mean with explicit state — the
+    applyInPandasWithState template for operators Spark lacks natively."""
+    (user_id,) = key
+    if state.exists:
+        count, total = state.get
+    else:
+        count, total = 0, 0.0
+    for pdf in pdf_iter:
+        count += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((count, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [count], "total": [total], "mean": [total / count if count else 0.0]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful aggregation: exact running stats per user across
+    micro-batches (update mode)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_stats,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
+    """Drive a streaming frame to completion against a memory sink (local
+    smoke harness): returns the StreamingQuery after processing all
+    available input."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,162 @@
+"""Text / dedup / similarity / multimodal function semantics on controlled
+inputs (the pipeline-extension operators, BASELINE.json north-star)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sakura_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "a"),  # near dup
+        (4, "completely different content about spark engines", "b"),
+        (5, "", "b"),
+        (6, "  The  QUICK   brown fox jumps over the lazy dog  ", "b"),  # canon dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_count(docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 9 and got[5] == 0 and got[6] == 9
+
+
+def test_quality_flags(docs):
+    out = {r.doc_id: r for r in text.quality_flags(docs).collect()}
+    assert out[1].quality_ok and not out[5].quality_ok
+    assert out[5].digit_ratio == 0.0 and out[5].mean_token_len == 0.0
+    assert 0 < out[1].stopword_ratio < 1
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze ist hier"),
+        (3, "le chat et les chiens est ici"),
+        (4, "xyzzy plugh"),
+        (5, "这是 中文 文本"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und", 5: "zh"}
+
+
+def test_fingerprint_canonicalization(docs):
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[6]  # case/whitespace-insensitive
+    assert fps[1] != fps[3]
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicates(docs, "doc_id").collect()
+    by_rep = {r.doc_id: r.n_copies for r in groups}
+    assert by_rep[1] == 3  # docs 1, 2, 6 collapse
+    kept = dedup.dedup_exact(docs, "doc_id")
+    assert kept.count() == 4 and kept.filter("doc_id = 2").count() == 0
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_candidate_pairs(docs, "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # 1-word edit: high jaccard
+    assert not any(4 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_jaccard_pairs_exact_value(docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "doc_id", group_col="source", threshold=0.01).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    # 9 tokens -> 7 distinct 3-shingles; only the final shingle ("the lazy
+    # dog" vs "the lazy cat") differs -> inter=6, union=8.
+    assert math.isclose(out[(1, 3)], 6 / 8)
+
+
+def test_simhash_hamming(docs):
+    cands = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_candidates(docs, "doc_id", prefix_bits=8).collect()
+    }
+    assert cands.get((1, 2)) == 0  # identical -> same signature
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r.vec_id for r in similarity.cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()]
+    assert got == [0, 1, 2]
+    sims = {r.vec_id: r.cosine_sim for r in similarity.cosine_topk(df, [1.0, 0.0, 0.0], k=4).collect()}
+    assert math.isclose(sims[0], 1.0) and math.isclose(sims[3], -1.0)
+
+
+def test_ann_lsh_recall_on_clusters(spark):
+    from sakura_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, [float(x) for x in q], k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ann_lsh_topk(emb, [float(x) for x in q], k=10).collect()
+    ]
+    # multiprobe LSH should recover a majority of the true top-10
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(df, dim=2, threshold=0.99).collect()}
+    assert (0, 1) in pairs and not any(2 in p for p in pairs)
+
+
+def test_multimodal_metadata_and_features(docs):
+    with_bin = multimodal.with_binary_payload(docs)
+    meta = {r.doc_id: r for r in multimodal.extract_metadata(with_bin).collect()}
+    assert meta[1].n_bytes == len("the quick brown fox jumps over the lazy dog".encode())
+    assert meta[1].content_md5 == meta[2].content_md5
+    assert meta[5].n_bytes == 0
+    feats = multimodal.fake_image_features(with_bin).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    # deterministic: same payload -> same features
+    by_id = {r.doc_id: tuple(r.features) for r in feats}
+    assert by_id[1] == by_id[2]
+
+
+def test_multimodal_decode_stub_raises(docs, spark):
+    import pyspark.errors
+
+    with_bin = multimodal.with_binary_payload(docs)
+    plan = multimodal.decode_image(with_bin)
+    assert plan.schema.simpleString().startswith("struct<doc_id")
+    with pytest.raises(pyspark.errors.PySparkException):
+        plan.collect()  # DecodeUnavailable surfaces at execution
+
+
+def test_frame_sample_plan(docs):
+    with_bin = multimodal.with_binary_payload(docs)
+    out = multimodal.frame_sample_plan(with_bin, every_n=10)
+    # doc 1 is 43 bytes -> 1 fake frame -> only index 0 sampled
+    assert [r.frame_index for r in out.filter("doc_id = 1").collect()] == [0]
+
+
+def test_winnowing_fingerprint(docs):
+    out = docs.select("doc_id", text.winnowing_fingerprint(F.col("text")).alias("wf")).collect()
+    by_id = {r.doc_id: tuple(r.wf) for r in out}
+    # 9 tokens, window 8 -> 2 rolling hashes; keep=4 keeps both
+    assert by_id[1] == by_id[2] and len(by_id[1]) == 2
+    assert by_id[5] == ()
