@@ -105,6 +105,36 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def _bucket_pairs(bucketed: DataFrame, bucket_cols: list[str], max_bucket_size: int) -> DataFrame:
+    """(id_a < id_b) pairs of ids sharing a bucket, WITHOUT a self-join:
+    one groupBy collects each bucket's ids, pairs expand in-bucket via
+    array expressions. Exactly one shuffle (keyed on the bucket), and the
+    upstream pipeline is computed once — a self-join would recompute it for
+    both sides. Buckets above `max_bucket_size` are dropped: they are
+    low-information boilerplate clusters whose quadratic pair expansion
+    dominates cost (standard LSH-at-scale guard; exact dedup catches their
+    identical members anyway)."""
+    grouped = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -112,13 +142,13 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """LSH candidate near-duplicate pairs (id_a < id_b).
 
-    Pipeline: signature projection (no shuffle) -> explode bands ->
-    self-join on (band_id, band_hash) -> distinct pairs. The join key
-    includes band_id so buckets from different bands never mix; AQE handles
-    skewed buckets (e.g. boilerplate documents).
+    Pipeline: signatures (one explode + one agg) -> band hashes -> bucket
+    groupBy -> in-bucket pair expansion (see _bucket_pairs). The bucket key
+    includes band_id so buckets from different bands never mix.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -136,15 +166,7 @@ def minhash_candidate_pairs(
     banded = sig.select("id", F.explode(band_structs).alias("band")).select(
         "id", "band.band_id", "band.band_hash"
     )
-    left = banded.withColumnRenamed("id", "id_a")
-    right = banded.withColumnRenamed("id", "id_b")
-    pairs = (
-        left.join(right, on=["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
-    return pairs
+    return _bucket_pairs(banded, ["band_id", "band_hash"], max_bucket_size)
 
 
 def jaccard_pairs(
@@ -224,17 +246,40 @@ def simhash_signatures(
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str = "text", prefix_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    prefix_bits: int = 16,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup candidates: equal high `prefix_bits` of the simhash (one
-    block of a rotate-and-block scheme), then exact Hamming distance."""
+    block of a rotate-and-block scheme), then exact Hamming distance.
+
+    Same no-self-join shape as minhash: one groupBy on the block collects
+    (id, sim) structs, pairs + Hamming expand in-bucket.
+    """
     sig = simhash_signatures(df, id_col, text_col)
     blocked = sig.withColumn("blk", F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits))
-    a = blocked.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "blk")
-    b = blocked.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "blk")
+    grouped = (
+        blocked.groupBy("blk")
+        .agg(F.sort_array(F.collect_set(F.struct("id", "sim"))).alias("xs"))
+        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket_size))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, on="blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .select("id_a", "id_b", "hamming")
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -1,0 +1,307 @@
+"""Wire protocol: the six-sublanguage S-expression command surface.
+
+The reference's listener reads one tagged S-expression per command and
+dispatches on the envelope tag to a sublanguage module
+(lib/listener.ml:17-28, lib/envelope.ml). This module provides the same
+surface as a library: ``Server.execute("(dml (InsertTuple ...))")`` parses
+the statement (same record-sexp spelling as the OCaml [@@deriving sexp]
+encoders, verified against the reference's own parse tests), executes it
+against the versioned Database, and returns the listener's response shape —
+relations serialize at most 16 tuples with a truncated flag
+(lib/listener.ml:64,111-123), and every successful mutation advances the
+HEAD branch tip (lib/listener.ml:47-51).
+
+A TCP front-end would wrap Server 1:1; the library boundary is where the
+engine's semantics live, so that's what we test.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from sakura_spark import errors
+from sakura_spark.database import Database
+from sakura_spark.drl import compile_query
+from sakura_spark.drl import parser as drl_parser
+from sakura_spark.drl.parser import ParseError, _atom_str, _build, _value, read_sexp
+from sakura_spark.icl import ast as icl_ast
+from sakura_spark.management.branches import BranchManager
+from sakura_spark.management.merge import PREFER_LEFT, PREFER_RIGHT, REVERT_TO_ANCESTOR
+from sakura_spark.scl import DEFAULT_BATCH, SessionRegistry
+
+RESULT_LIMIT = 16  # lib/listener.ml:64
+
+
+def _fields(items: list, start: int = 1) -> dict[str, Any]:
+    """Record-sexp fields: (Tag (field1 v1) (field2 v2) ...) -> dict."""
+    out = {}
+    for it in items[start:]:
+        if not (isinstance(it, list) and len(it) >= 1 and isinstance(it[0], str)):
+            raise ParseError(f"expected (field value), got {it!r}")
+        out[_atom_str(it[0])] = it[1] if len(it) == 2 else it[1:]
+    return out
+
+
+def _attr_values(x) -> dict:
+    """((name (Str "Alice")) (age (Int 30))) -> {"name": "Alice", "age": 30}"""
+    return {_atom_str(p[0]): _value(p[1]) for p in x}
+
+
+# --- ICL wire AST -> icl.ast (And/Or are n-ary lists in the wire form) ------
+
+
+def _binding(x) -> icl_ast.Binding:
+    if isinstance(x, list) and len(x) == 2 and x[0] == "Var":
+        return icl_ast.Var(_atom_str(x[1]))
+    if isinstance(x, list) and len(x) == 2 and x[0] == "Const":
+        return icl_ast.ConstVal(_value(x[1]))
+    raise ParseError(f"bad binding expr: {x!r}")
+
+
+def parse_constraint_body(x) -> icl_ast.Body:
+    tag = x[0]
+    if tag == "MemberOf":
+        f = _fields(x)
+        return icl_ast.MemberOf(
+            _atom_str(f["target"]),
+            tuple((_atom_str(p[0]), _binding(p[1])) for p in f["binding"]),
+        )
+    if tag == "Not":
+        f = _fields(x)
+        # The wire form carries a universe relation; violations-compilation
+        # makes the closed world implicit (SURVEY §2.4).
+        return icl_ast.Not(parse_constraint_body(f["body"]))
+    if tag in ("And", "Or"):
+        parts = [parse_constraint_body(p) for p in x[1]]
+        if not parts:
+            raise ParseError(f"empty {tag}")
+        cls = icl_ast.And if tag == "And" else icl_ast.Or
+        out = parts[0]
+        for p in parts[1:]:
+            out = cls(out, p)
+        return out
+    if tag in ("Exists", "Forall"):
+        f = _fields(x)
+        cls = icl_ast.Exists if tag == "Exists" else icl_ast.Forall
+        return cls(
+            _atom_str(f["variable"]), _atom_str(f["quantifier"]), parse_constraint_body(f["body"])
+        )
+    raise ParseError(f"unknown constraint body: {tag!r}")
+
+
+_STRATEGIES = {
+    "PreferLeft": PREFER_LEFT,
+    "PreferRight": PREFER_RIGHT,
+    "RevertToAncestor": REVERT_TO_ANCESTOR,
+}
+
+
+class Server:
+    """The engine assembled the way lib/system.ml wires the reference:
+    database + branch registry + cursor sessions behind one dispatcher."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str = "db",
+        store=None,
+        snapshot_on_mutation: bool = True,
+    ):
+        self.spark = spark
+        self.db = Database(spark, name, store=store, snapshot_on_mutation=snapshot_on_mutation)
+        self.branches = BranchManager(self.db.store)
+        self.sessions = SessionRegistry()
+        self.result_limit = RESULT_LIMIT
+
+    # --- public API --------------------------------------------------------
+
+    def execute(self, text: str) -> dict:
+        """One wire command: '(tag statement)'."""
+        sexp = read_sexp(text)
+        if not (isinstance(sexp, list) and len(sexp) == 2 and isinstance(sexp[0], str)):
+            raise ParseError("expected (tag statement)")
+        tag, stmt = sexp
+        handler = getattr(self, f"_exec_{tag}", None)
+        if handler is None:
+            raise ParseError(f"unknown sublanguage tag: {tag!r}")  # lib/listener.ml:41-45
+        result = handler(stmt)
+        self._advance_head()
+        return result
+
+    # --- DRL ---------------------------------------------------------------
+
+    def _relation_response(self, df, name: str = "derived") -> dict:
+        rows = df.limit(self.result_limit + 1).collect()
+        truncated = len(rows) > self.result_limit
+        return {
+            "relation": name,
+            "schema": df.columns,
+            "rows": [list(r) for r in rows[: self.result_limit]],
+            "truncated": truncated,
+            "db_hash": self.db.hash,
+        }
+
+    def _exec_drl(self, stmt) -> dict:
+        q = _build(stmt)
+        df = compile_query(self.spark, q, self.db.resolver, gate=True)
+        return self._relation_response(df)
+
+    # --- DDL ---------------------------------------------------------------
+
+    def _exec_ddl(self, stmt) -> dict:
+        tag = stmt[0]
+        if tag == "CreateDatabase":
+            # One database per server in this assembly; recreate = reset.
+            self.db = Database(
+                self.spark, _atom_str(stmt[1]), store=self.db.store,
+                snapshot_on_mutation=self.db.snapshot_on_mutation,
+            )
+            return self._ok()
+        if tag == "CreateRelation":
+            f = _fields(stmt)
+            schema = [(_atom_str(p[0]), _atom_str(p[1])) for p in f["schema"]]
+            self.db.create_relation(_atom_str(f["name"]), schema)
+            return self._ok()
+        if tag == "RetractRelation":
+            self.db.retract_relation(_atom_str(stmt[1]))
+            return self._ok()
+        if tag == "ClearRelation":
+            self.db.clear_relation(_atom_str(stmt[1]))
+            return self._ok()
+        if tag == "RegisterDomain":
+            from sakura_spark.domains import Domain
+            from pyspark.sql import types as T
+
+            f = _fields(stmt)
+            card = f["cardinality"]
+            card_name = card if isinstance(card, str) else card[0]
+            # Opaque user domains accept any value (shallow checking,
+            # lib/manipulation.ml:20-33); stored as strings.
+            self.db.register_domain(
+                Domain(_atom_str(f["name"]), T.StringType(), cardinality=card_name.lower())
+            )
+            return self._ok()
+        raise ParseError(f"unknown ddl statement: {tag!r}")
+
+    # --- DML ---------------------------------------------------------------
+
+    def _exec_dml(self, stmt) -> dict:
+        tag = stmt[0]
+        if tag == "InsertTuple":
+            f = _fields(stmt)
+            self.db.insert_tuples(_atom_str(f["relation"]), [_attr_values(f["attributes"])])
+            return self._ok()
+        if tag == "InsertTuples":
+            f = _fields(stmt)
+            rows = [_attr_values(t) for t in f["tuples"]]
+            self.db.insert_tuples(_atom_str(f["relation"]), rows)
+            return self._ok()
+        if tag == "DeleteTuple":
+            f = _fields(stmt)
+            self.db.delete_tuples(_atom_str(f["relation"]), [_attr_values(f["attributes"])])
+            return self._ok()
+        if tag == "Assign":
+            f = _fields(stmt)
+            df = compile_query(self.spark, _build(f["body"]), self.db.resolver)
+            self.db.assign(_atom_str(f["target"]), df)
+            return self._ok()
+        if tag == "InsertFrom":
+            f = _fields(stmt)
+            df = compile_query(self.spark, _build(f["source"]), self.db.resolver)
+            self.db.insert_from(_atom_str(f["target"]), df)
+            return self._ok()
+        if tag == "DeleteWhere":
+            f = _fields(stmt)
+            df = compile_query(self.spark, _build(f["predicate"]), self.db.resolver)
+            self.db.delete_where(_atom_str(f["target"]), df)
+            return self._ok()
+        raise ParseError(f"unknown dml statement: {tag!r}")
+
+    # --- ICL ---------------------------------------------------------------
+
+    def _exec_icl(self, stmt) -> dict:
+        if stmt[0] != "RegisterConstraint":
+            raise ParseError(f"unknown icl statement: {stmt[0]!r}")
+        f = _fields(stmt)
+        self.db.register_constraint(
+            _atom_str(f["constraint_name"]),
+            _atom_str(f["relation_name"]),
+            parse_constraint_body(f["body"]),
+        )
+        return self._ok()
+
+    # --- DCL ---------------------------------------------------------------
+
+    def _exec_dcl(self, stmt) -> dict:
+        tag = stmt[0]
+        if tag == "CreateBranch":
+            f = _fields(stmt)
+            h = _atom_str(f["hash"]) if "hash" in f else self.db.hash or self.db.commit()
+            self.branches.create_branch(_atom_str(f["name"]), h)
+            return self._ok()
+        if tag == "Checkout":
+            self.db = self.branches.checkout(self.spark, _atom_str(stmt[1]))
+            return self._ok()
+        if tag == "GetHead":
+            return {"head": self.branches.get_head(), "db_hash": self.db.hash}
+        if tag == "GetBranchTip":
+            return {"tip": self.branches.get_branch_tip(_atom_str(stmt[1]))}
+        if tag == "UpdateBranchTip":
+            f = _fields(stmt)
+            self.branches.update_branch_tip(_atom_str(f["name"]), _atom_str(f["hash"]))
+            return self._ok()
+        if tag == "Merge":
+            f = _fields(stmt)
+            strategy = _STRATEGIES[
+                f["strategy"] if isinstance(f["strategy"], str) else f["strategy"][0]
+            ]
+            merged, conflicts = self.branches.merge(
+                self.spark, _atom_str(f["left"]), _atom_str(f["right"]), strategy
+            )
+            if self.branches.get_head() == _atom_str(f["left"]):
+                self.db = merged
+            return {"conflicts": conflicts, "db_hash": merged.hash}
+        raise ParseError(f"unknown dcl statement: {tag!r}")
+
+    # --- SCL ---------------------------------------------------------------
+
+    def _exec_scl(self, stmt) -> dict:
+        tag = stmt[0]
+        if tag == "Begin":
+            f = _fields(stmt)
+            q = _build(f["query"])
+            limit = int(_atom_str(f["limit"])) if "limit" in f else DEFAULT_BATCH
+            df = compile_query(self.spark, q, self.db.resolver)
+            cid, batch = self.sessions.begin(
+                df, query=str(f["query"]), db_hash=self.db.hash, limit=limit
+            )
+            return {"cursor": cid, "rows": [list(r) for r in batch], "schema": df.columns}
+        if tag == "Fetch":
+            f = _fields(stmt)
+            limit = int(_atom_str(f["limit"])) if "limit" in f else DEFAULT_BATCH
+            batch = self.sessions.fetch(_atom_str(f["cursor"]), limit)
+            return {"rows": [list(r) for r in batch]}
+        if tag == "Close":
+            f = _fields(stmt)
+            self.sessions.close(_atom_str(f["cursor"]))
+            return self._ok()
+        raise ParseError(f"unknown scl statement: {tag!r}")
+
+    # --- internals ---------------------------------------------------------
+
+    def _ok(self) -> dict:
+        return {"ok": True, "db_hash": self.db.hash}
+
+    def _advance_head(self) -> None:
+        """HEAD branch tip follows the database head (lib/listener.ml:47-51)."""
+        try:
+            head = self.branches.get_head()
+        except errors.UnknownBranch:
+            return
+        if self.db.hash and self.branches.get_branch_tip(head) != self.db.hash:
+            try:
+                self.branches.update_branch_tip(head, self.db.hash)
+            except errors.UnknownBranch:
+                pass

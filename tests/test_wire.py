@@ -1,0 +1,111 @@
+"""Wire-protocol round trips — the reference's own ddl:/dml:/icl:/dcl:
+parse+execute tests re-expressed against the Server dispatcher."""
+
+import pytest
+
+from sakura_spark import errors
+from sakura_spark.wire import ParseError, Server
+
+
+@pytest.fixture()
+def server(spark, store):
+    s = Server(spark, "shop", store=store, snapshot_on_mutation=True)
+    return s
+
+
+def test_ddl_create_insert_query(server):
+    server.execute('(ddl (CreateRelation (name "users") (schema (("name" "string") ("age" "natural")))))')
+    server.execute('(dml (InsertTuple (relation "users") (attributes (("name" (Str "Alice")) ("age" (Int 30))))))')
+    server.execute(
+        '(dml (InsertTuples (relation "users") (tuples ('
+        '(("name" (Str "Bob")) ("age" (Int 25))) '
+        '(("name" (Str "Cara")) ("age" (Int 41)))))))'
+    )
+    out = server.execute('(drl (Base "users"))')
+    assert len(out["rows"]) == 3 and not out["truncated"]
+    assert set(out["schema"]) == {"name", "age"}
+
+
+def test_drl_response_truncates_at_16(server, spark):
+    server.execute('(ddl (CreateRelation (name "nums") (schema (("n" "integer")))))')
+    rows = " ".join(f'((\"n\" (Int {i})))' for i in range(20))
+    server.execute(f'(dml (InsertTuples (relation "nums") (tuples ({rows}))))')
+    out = server.execute('(drl (Base "nums"))')
+    assert len(out["rows"]) == 16 and out["truncated"]  # lib/listener.ml:64
+
+
+def test_dml_delete_and_assign(server):
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuples (relation "t") (tuples ((("v" (Int 1))) (("v" (Int 2)))))))')
+    server.execute('(dml (DeleteTuple (relation "t") (attributes (("v" (Int 1))))))')
+    out = server.execute('(drl (Base "t"))')
+    assert out["rows"] == [[2]]
+    # Assign: overwrite t with a projection of itself unioned with itself
+    server.execute('(dml (Assign (target "t") (body (Union (Base "t") (Base "t")))))')
+    out = server.execute('(drl (Base "t"))')
+    assert out["rows"] == [[2]]  # set semantics collapse the bag union
+
+
+def test_icl_fk_through_wire(server):
+    server.execute('(ddl (CreateRelation (name "Department") (schema (("dept_id" "integer")))))')
+    server.execute('(ddl (CreateRelation (name "Employee") (schema (("emp_id" "integer") ("dept_id" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "Department") (attributes (("dept_id" (Int 1))))))')
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "fk") (relation_name "Employee") '
+        '(body (MemberOf (target "Department") (binding (("dept_id" (Var "dept_id"))))))))'
+    )
+    server.execute('(dml (InsertTuple (relation "Employee") (attributes (("emp_id" (Int 10)) ("dept_id" (Int 1))))))')
+    with pytest.raises(errors.ConstraintViolation):
+        server.execute('(dml (InsertTuple (relation "Employee") (attributes (("emp_id" (Int 11)) ("dept_id" (Int 9))))))')
+    cat = server.execute('(drl (Base "sakura:constraint"))')
+    assert ["fk", "Employee"] in cat["rows"]
+
+
+def test_dcl_branch_head_follows(server):
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dcl (CreateBranch (name "main")))')
+    h0 = server.execute("(dcl (GetHead))")
+    assert h0["head"] == "main"
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    tip = server.execute('(dcl (GetBranchTip "main"))')["tip"]
+    assert tip == server.db.hash  # HEAD advanced with the mutation
+
+
+def test_dcl_branch_merge_workflow(server):
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    server.execute('(dcl (CreateBranch (name "main")))')
+    server.execute('(dcl (CreateBranch (name "feature")))')
+    server.execute('(dcl (Checkout "feature"))')
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 5))))))')
+    server.execute('(dcl (Checkout "main"))')
+    out = server.execute('(dcl (Merge (left "main") (right "feature") (strategy PreferLeft)))')
+    assert out["conflicts"] == []
+    rows = server.execute('(drl (Base "t"))')["rows"]
+    assert sorted(v for (v,) in [tuple(r) for r in rows]) == [1, 5]
+
+
+def test_scl_cursor_wire(server):
+    server.execute('(ddl (CreateRelation (name "nums") (schema (("n" "integer")))))')
+    rows = " ".join(f'((\"n\" (Int {i})))' for i in range(7))
+    server.execute(f'(dml (InsertTuples (relation "nums") (tuples ({rows}))))')
+    out = server.execute('(scl (Begin (query (Base "nums")) (limit 3)))')
+    assert len(out["rows"]) == 3
+    cid = out["cursor"]
+    out2 = server.execute(f'(scl (Fetch (cursor "{cid}") (limit 10)))')
+    assert len(out2["rows"]) == 4  # exhausted
+    server.execute(f'(scl (Close (cursor "{cid}")))')
+
+
+def test_unknown_tag_and_bad_sexp(server):
+    with pytest.raises(ParseError):
+        server.execute("(tcl (Whatever))")
+    with pytest.raises(ParseError):
+        server.execute("(drl (Base ")
+
+
+def test_register_domain_wire(server):
+    server.execute('(ddl (RegisterDomain (name "color") (cardinality ConstrainedFinite)))')
+    server.execute('(ddl (CreateRelation (name "paint") (schema (("c" "color")))))')
+    server.execute('(dml (InsertTuple (relation "paint") (attributes (("c" (Str "red"))))))')
+    assert server.execute('(drl (Base "paint"))')["rows"] == [["red"]]
