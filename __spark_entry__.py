@@ -389,6 +389,23 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured column handling: parse the JSON props column and
+    aggregate on an extracted field (from_json stays in codegen)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -528,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_relations": q_catalog_relations,
         "catalog_attributes": q_catalog_attributes,
         "events_hourly": q_events_hourly,
+        "events_json_props": q_events_json_props,
         "events_sessionize": q_events_sessionize,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -742,6 +760,13 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_json_props": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
+            "CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS min_k, "
+            "CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k "
+            "FROM events GROUP BY event_type"
         ),
         "events_sessionize": (
             "WITH g AS (SELECT user_id, event_id, ts, "

@@ -1,0 +1,103 @@
+"""Property-based algebra laws and hash invariants (hypothesis), extending
+the reference's example-based suite as planned in SURVEY §5."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sakura_spark import algebra
+from sakura_spark.hashing import TUPLE_HASH_COL, with_tuple_hash
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+    min_size=0,
+    max_size=12,
+)
+
+_SETTINGS = dict(
+    max_examples=8,  # each example runs Spark jobs; keep the budget tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [], "k long, g long, s string")
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_select_project_commute(spark, rows):
+    df = _df(spark, rows)
+    a = algebra.project(algebra.select(df, F.col("k") > 10), ["k"])
+    b = algebra.select(algebra.project(df, ["k"]), F.col("k") > 10)
+    assert sorted(r.k for r in a.collect()) == sorted(r.k for r in b.collect())
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_union_bag_counts_add(spark, rows):
+    df = _df(spark, rows)
+    assert algebra.union(df, df).count() == 2 * df.count()
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_diff_self_is_empty_and_diff_empty_is_identity(spark, rows):
+    df = _df(spark, rows)
+    empty = _df(spark, [])
+    assert algebra.diff(df, df).count() == 0
+    assert sorted(map(tuple, algebra.diff(df, empty).collect())) == sorted(
+        map(tuple, df.dropDuplicates().collect())
+    )
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_semijoin_subset_and_idempotent(spark, rows):
+    df = _df(spark, rows)
+    filt = df.filter(F.col("g") >= 2).select("g")
+    once = algebra.semijoin(filt, df)
+    twice = algebra.semijoin(filt, once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() <= df.count()
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_tuple_hash_column_order_invariant(spark, rows):
+    """Hash covers sorted attrs: reordering columns must not change it
+    (lib/hashing.ml:29-45 parity)."""
+    df = _df(spark, rows)
+    h1 = sorted(r[TUPLE_HASH_COL] for r in with_tuple_hash(df, "t").collect())
+    h2 = sorted(
+        r[TUPLE_HASH_COL] for r in with_tuple_hash(df.select("s", "k", "g"), "t").collect()
+    )
+    assert h1 == h2
+
+
+def test_relation_hash_insertion_order_invariant(spark):
+    from sakura_spark.hashing import relation_hash, schema_signature
+
+    rows = [(1, 1, "a"), (2, 2, "b"), (3, 0, "c")]
+    sig = schema_signature([("k", "integer"), ("g", "integer"), ("s", "string")])
+    h1 = relation_hash(_df(spark, rows), "t", sig)
+    h2 = relation_hash(_df(spark, list(reversed(rows))).repartition(3), "t", sig)
+    assert h1 == h2
+
+
+def test_sources_api(spark, tmp_path):
+    from sakura_spark import sources
+
+    df = _df(spark, [(1, 2, "a"), (3, 4, "b")])
+    out = str(tmp_path / "p")
+    sources.write_parquet(df, out, partition_by=["s"])
+    back = sources.read_parquet(spark, out)
+    assert back.count() == 2 and set(back.columns) == {"k", "g", "s"}
+    csv_path = str(tmp_path / "c")
+    df.write.option("header", True).csv(csv_path)
+    back_csv = sources.read_csv(spark, csv_path, "k long, g long, s string")
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, df.collect()))
+    with pytest.raises(sources.ConnectorUnavailable):
+        sources.read_delta(spark, "/tmp/nope")
