@@ -252,6 +252,42 @@ def q_agg_pivot(spark, sf_dir):
     )
 
 
+def q_agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+def q_scalar_string_funcs(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("c_name")).cast("long").alias("name_len"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("name_masked"),
+    )
+
+
+def q_scalar_date_funcs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
 def q_flagship_revenue(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -531,6 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_group_having": q_agg_group_having,
         "agg_distinct_stats": q_agg_distinct_stats,
         "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "scalar_string_funcs": q_scalar_string_funcs,
+        "scalar_date_funcs": q_scalar_date_funcs,
         "agg_pivot": q_agg_pivot,
         "sort_orderby": q_sort_orderby,
         "window_topk_per_group": q_window_topk_per_group,
@@ -693,6 +732,25 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(l_linestatus, 'ALL') AS linestatus, "
             "sum(l_quantity) AS sum_qty, count(*) AS n "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "agg_cube": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "scalar_string_funcs": (
+            "SELECT c_custkey, upper(c_name) AS name_upper, "
+            "substring(c_name, 1, 8) AS name_prefix, "
+            "CAST(length(c_name) AS BIGINT) AS name_len, "
+            "concat_ws('|', c_mktsegment, c_name) AS seg_name, "
+            "regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked "
+            "FROM customer"
+        ),
+        "scalar_date_funcs": (
+            "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, "
+            "CAST(month(o_orderdate) AS BIGINT) AS m, "
+            "CAST(day(o_orderdate) AS BIGINT) AS d, "
+            "strftime(o_orderdate, '%Y-%m') AS ym FROM orders"
         ),
         "agg_pivot": (
             "SELECT l_returnflag, "

@@ -98,6 +98,26 @@ _STRATEGIES = {
 }
 
 
+def _sexp_atom(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "()"
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return str(v)
+
+
+def render_sexp(value) -> str:
+    """Render a response value as an S-expression (dicts as (key value)
+    pairs, lists as proper lists) — the wire output format."""
+    if isinstance(value, dict):
+        return "(" + " ".join(f"({k} {render_sexp(v)})" for k, v in value.items()) + ")"
+    if isinstance(value, (list, tuple)):
+        return "(" + " ".join(render_sexp(v) for v in value) + ")"
+    return _sexp_atom(value)
+
+
 class Server:
     """The engine assembled the way lib/system.ml wires the reference:
     database + branch registry + cursor sessions behind one dispatcher."""
@@ -293,6 +313,11 @@ class Server:
 
     def _ok(self) -> dict:
         return {"ok": True, "db_hash": self.db.hash}
+
+    def execute_sexp(self, text: str) -> str:
+        """Full listener parity: execute and render the response as an
+        S-expression string (lib/listener.ml:111-123 shape)."""
+        return render_sexp(self.execute(text))
 
     def _advance_head(self) -> None:
         """HEAD branch tip follows the database head (lib/listener.ml:47-51)."""
