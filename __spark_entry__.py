@@ -463,6 +463,42 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each event gets the customer's most recent order at event
+    time (union-and-window shape, sakura_spark.operators.asof_join)."""
+    from sakura_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))  # dedupe day-grain ties
+    )
+    out = asof_join(ev, orders, on="user_id", left_time="ts", right_time="o_orderdate")
+    return out.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Range join: error events paired with same-user purchases within
+    ±5 minutes (equi-bucketed, sakura_spark.operators.range_join)."""
+    from sakura_spark.operators import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors_df = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    out = range_join(
+        errors_df, purchases, on="user_id", left_time="ts", right_time="ts",
+        lower=-300, upper=300, bucket_seconds=200,
+    )
+    return out.select("event_id", F.col("event_id_r").alias("purchase_event_id"), "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup / similarity / multimodal (pipeline extensions)
 # ---------------------------------------------------------------------------
@@ -585,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_attributes": q_catalog_attributes,
         "events_hourly": q_events_hourly,
         "events_json_props": q_events_json_props,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "events_sessionize": q_events_sessionize,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -837,6 +875,20 @@ def oracle_sql() -> dict[str, str]:
             "AS session_id FROM m) "
             "SELECT user_id, session_id, count(*) AS n_events FROM s "
             "GROUP BY user_id, session_id"
+        ),
+        "asof_join": (
+            "WITH o AS (SELECT o_custkey AS user_id, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, o.o_orderkey, "
+            "strftime(o.o_orderdate, '%Y-%m-%d') AS order_day "
+            "FROM events e ASOF LEFT JOIN o "
+            "ON e.user_id = o.user_id AND e.ts >= o.o_orderdate"
+        ),
+        "range_join": (
+            "SELECT a.event_id, b.event_id AS purchase_event_id, a.user_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND a.event_type = 'error' AND b.event_type = 'purchase' "
+            "AND epoch(b.ts) - epoch(a.ts) BETWEEN -300 AND 300"
         ),
         "text_token_stats": (
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -1,0 +1,123 @@
+"""Composite operators Spark lacks natively: as-of join, range join.
+
+Both are built from DataFrame primitives (SURVEY §7's preference order:
+compose built-ins before reaching for Pandas UDFs), with shapes chosen for
+100 TB:
+
+* as-of join — the union-and-window trick: interleave left (probe) and
+  right (reference) rows on (key, time), one window sort per key carries
+  the latest reference payload forward, then keep probe rows. ONE shuffle
+  on the key, no per-group pandas, no row explosion — versus the naive
+  inequality join (quadratic) or merge_asof-per-group (Python).
+* range join — equi-bucketize the range dimension, join on (key, bucket)
+  including neighbour buckets, then apply the exact range predicate.
+  Turns an inequality join into an equi-join Catalyst can hash-partition;
+  bucket width trades shuffle fan-out (each left row lands in
+  ceil(range/width)+1 buckets) against in-bucket filter selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time`` <= ``left_time`` (direction='backward'; 'forward' takes
+    the smallest >=) within the same ``on`` key. Right payload columns are
+    suffixed on collision. Left rows with no match keep NULL payloads
+    (left-outer asof semantics, matching pandas.merge_asof / ASOF JOIN).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    payload = [c for c in right.columns if c not in (on, right_time)]
+    renames = {c: (c + suffix if c in left.columns else c) for c in payload + [right_time]}
+
+    lt = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        *[F.col(c).alias(renames[c]) for c in payload],
+        F.col(right_time).alias(renames[right_time]),
+    ).withColumn("__is_left", F.lit(0))
+
+    combined = lt.unionByName(rt, allowMissingColumns=True)
+    if direction == "backward":
+        # Reference rows sort before probe rows at equal time (<= semantics).
+        w = W.partitionBy(on).orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        carried = [
+            F.last(F.col(renames[c]), ignorenulls=True).over(w).alias(renames[c])
+            for c in payload + [right_time]
+        ]
+    else:
+        w = W.partitionBy(on).orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        carried = [
+            F.last(F.col(renames[c]), ignorenulls=True).over(w).alias(renames[c])
+            for c in payload + [right_time]
+        ]
+    out = combined.select(
+        *[F.col(c) for c in lt.columns if c not in ("__t", "__is_left")],
+        F.col("__is_left"),
+        *carried,
+    )
+    return out.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower: Column | int,
+    upper: Column | int,
+    bucket_seconds: int,
+    time_unit_to_seconds=F.unix_timestamp,
+) -> DataFrame:
+    """Inner join of left and right rows sharing ``on`` with
+    ``right_time - left_time`` in [lower, upper] seconds, via equi-bucketing.
+
+    Left rows are replicated into every bucket their window overlaps
+    (sequence over the bucket span — bounded by (upper-lower)/bucket + 2),
+    right rows land in exactly one bucket, then a hash join on
+    (key, bucket) + the exact predicate. No inequality-join nested loop.
+    """
+    lsec = time_unit_to_seconds(F.col(left_time))
+    rsec = time_unit_to_seconds(F.col(right_time))
+    lo = F.lit(lower) if isinstance(lower, int) else lower
+    hi = F.lit(upper) if isinstance(upper, int) else upper
+
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lsec + lo) / bucket_seconds).cast("long"),
+                F.floor((lsec + hi) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn("__bucket", F.floor(rsec / bucket_seconds).cast("long"))
+    collisions = (set(left.columns) & set(right.columns)) - {on}
+    rb = rb.select(
+        F.col(on),
+        "__bucket",
+        *[F.col(c).alias(c + "_r" if c in collisions else c) for c in right.columns if c != on],
+    )
+    rsec_joined = time_unit_to_seconds(
+        F.col(right_time + "_r" if right_time in collisions else right_time)
+    )
+    joined = lb.join(rb, on=[on, "__bucket"]).drop("__bucket")
+    delta = rsec_joined - time_unit_to_seconds(F.col(left_time))
+    return joined.filter((delta >= lo) & (delta <= hi)).dropDuplicates()

@@ -1,0 +1,91 @@
+"""as-of join and range join semantics on controlled inputs."""
+
+import datetime as dt
+
+import pytest
+
+from sakura_spark.operators import asof_join, range_join
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(10), 11.0), (2, ts(5), 99.0)],
+        "sym long, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(5), 100), (1, ts(10), 200), (1, ts(20), 300), (2, ts(0), 400), (3, ts(1), 500)],
+        "sym long, tts timestamp, qty long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="sym", left_time="tts", right_time="qts")
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got[(1, 100)] == 10.0   # t=5 -> quote at t=0
+    assert got[(1, 200)] == 11.0   # t=10 -> quote at t=10 (<= inclusive)
+    assert got[(1, 300)] == 11.0   # t=20 -> latest quote
+    assert got[(2, 400)] is None   # no quote yet at t=0
+    assert got[(3, 500)] is None   # key never quoted -> left-outer NULL
+    assert out.count() == trades.count()
+
+
+def test_asof_forward(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="sym", left_time="tts", right_time="qts", direction="forward")
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got[(1, 100)] == 11.0   # next quote at t=10
+    assert got[(1, 300)] is None   # nothing after t=20
+    assert got[(2, 400)] == 99.0
+
+
+def test_asof_suffix_collision(spark):
+    left = spark.createDataFrame([(1, ts(5), 1.0)], "k long, t timestamp, v double")
+    right = spark.createDataFrame([(1, ts(0), 2.0)], "k long, t timestamp, v double")
+    out = asof_join(left, right, on="k", left_time="t", right_time="t")
+    row = out.collect()[0]
+    assert row.v == 1.0 and row.v_r == 2.0 and row.t_r == ts(0)
+
+
+def test_range_join(spark):
+    probes = spark.createDataFrame(
+        [(1, ts(30)), (1, ts(50)), (2, ts(30))], "k long, pt timestamp"
+    )
+    refs = spark.createDataFrame(
+        [(1, ts(25), "a"), (1, ts(35), "b"), (1, ts(59), "c"), (2, ts(45), "d")],
+        "k long, rt timestamp, tag string",
+    )
+    # matches where rt - pt in [-10, +10] seconds, same k
+    out = range_join(probes, refs, on="k", left_time="pt", right_time="rt",
+                     lower=-10, upper=10, bucket_seconds=7)
+    got = sorted((r.k, r.pt.second, r.tag) for r in out.collect())
+    assert got == [(1, 30, "a"), (1, 30, "b"), (1, 50, "c")]
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    probes = spark.createDataFrame(
+        [(rnd.randint(1, 3), ts(rnd.randint(0, 59))) for _ in range(25)],
+        "k long, pt timestamp",
+    ).dropDuplicates()
+    refs = spark.createDataFrame(
+        [(rnd.randint(1, 3), ts(rnd.randint(0, 59)), i) for i in range(25)],
+        "k long, rt timestamp, rid long",
+    )
+    fast = range_join(probes, refs, on="k", left_time="pt", right_time="rt",
+                      lower=-5, upper=5, bucket_seconds=4)
+    naive = (
+        probes.join(refs, on="k")
+        .filter("unix_timestamp(rt) - unix_timestamp(pt) BETWEEN -5 AND 5")
+    )
+    assert sorted(map(tuple, fast.select("k", "pt", "rt", "rid").collect())) == sorted(
+        map(tuple, naive.select("k", "pt", "rt", "rid").collect())
+    )
