@@ -568,6 +568,19 @@ def q_sim_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ann_ivf_topk(
+        emb, [float(x) for x in qvec], k=10, n_centroids=8, n_probe=3
+    )
+
+
+def q_sim_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.95)
+
+
 def q_multimodal_bytes(spark, sf_dir):
     docs = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_metadata(docs)
@@ -634,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_embedding_near_dup": q_sim_embedding_near_dup,
         "multimodal_bytes": q_multimodal_bytes,
     }
 

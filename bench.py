@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "sim_cosine_topk",
     "tuple_hash",
+    "asof_join",
+    "range_join",
+    "text_langid",
 ]
 
 

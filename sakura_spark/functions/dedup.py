@@ -65,27 +65,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document minhash signature columns m0..m{n-1}.
 
-    Shape chosen for scale: explode shingles once, hash once, then ONE
-    hash-aggregate computes all permutations as `min((a_i*h+b_i) mod p)`
-    columns — map-side combinable, a single shuffle keyed on the doc id,
-    and the shingle hash is computed exactly once (not once per
-    permutation). Documents with fewer than `shingle_n` tokens get the
-    sentinel signature p (matches only other empty docs, which exact-dedup
-    already groups).
-    """
-    exploded = df.select(
+    Shape chosen for scale: ZERO shuffles. Shingle hashes are one array
+    projection (computed once per document); each permutation is an
+    `array_min(transform(hs, h -> (a_i*h+b_i) mod p))` expression over that
+    array. The two selects stay separate projections (CollapseProject
+    declines to inline `hs` into 32 consumers), so the whole signature is
+    a map-only pipeline — no exploded doc×shingle intermediate, which at
+    100 TB is the difference between a full-corpus shuffle and none.
+    Documents with fewer than `shingle_n` tokens get the sentinel
+    signature p (matches only other empty docs, which exact-dedup already
+    groups)."""
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).select("id", F.pmod(F.xxhash64("sh"), F.lit(_P)).alias("h"))
-    aggs = []
+        F.transform(
+            shingles(F.col(text_col), shingle_n),
+            lambda sh: F.pmod(F.xxhash64(sh), F.lit(_P)),
+        ).alias("hs"),
+    )
+    mins = []
     for i in range(num_hashes):
         a, b = _perm_params(i)
-        aggs.append(
+        mins.append(
             F.coalesce(
-                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))), F.lit(_P)
+                F.array_min(
+                    F.transform(
+                        F.col("hs"),
+                        lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)),
+                    )
+                ),
+                F.lit(_P),
             ).alias(f"m{i}")
         )
-    return exploded.groupBy("id").agg(*aggs)
+    return hashed.select("id", *mins)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -216,24 +227,31 @@ def simhash_signatures(
     """Per-document 64-bit SimHash (signed long column ``sim``).
 
     Per-bit majority vote over shingle xxhash64s, shaped for scale like
-    minhash: explode shingles once, then one hash-aggregate with 64
-    conditional-sum columns (bit j contributes +1/-1), map-side combinable.
-    The signature is assembled from the 64 sums in a final projection.
-    Documents with no shingles get signature 0.
+    minhash: ZERO shuffles. One projection computes the shingle-hash array
+    per document; 64 `aggregate(hs, ...)` expressions compute the
+    conditional sums (bit j contributes +1/-1); the signature assembles
+    from the sums in a final projection. No exploded doc×shingle
+    intermediate, no groupBy. Documents with no shingles get signature 0.
     """
-    exploded = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).select("id", F.xxhash64("sh").alias("h"))
-    sums = exploded.groupBy("id").agg(
+        F.transform(
+            shingles(F.col(text_col), shingle_n), lambda sh: F.xxhash64(sh)
+        ).alias("hs"),
+    )
+    sums = hashed.select(
+        "id",
         *[
-            F.sum(
-                F.when(F.col("h").isNull(), 0)
-                .when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+            F.aggregate(
+                F.col("hs"),
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)).cast("long"),
             ).alias(f"s{j}")
             for j in range(64)
-        ]
+        ],
     )
     # bit j of the signature = (sums[j] > 0); -2^63 is the j=63 bit value.
     sig = F.lit(0).cast("long")

@@ -93,6 +93,10 @@ def range_join(
     (sequence over the bucket span — bounded by (upper-lower)/bucket + 2),
     right rows land in exactly one bucket, then a hash join on
     (key, bucket) + the exact predicate. No inequality-join nested loop.
+
+    No dedup pass is needed: a right row has exactly ONE bucket, so each
+    qualifying (left, right) pair forms exactly once — inner-join bag
+    semantics, and no post-join shuffle.
     """
     lsec = time_unit_to_seconds(F.col(left_time))
     rsec = time_unit_to_seconds(F.col(right_time))
@@ -120,4 +124,4 @@ def range_join(
     )
     joined = lb.join(rb, on=[on, "__bucket"]).drop("__bucket")
     delta = rsec_joined - time_unit_to_seconds(F.col(left_time))
-    return joined.filter((delta >= lo) & (delta <= hi)).dropDuplicates()
+    return joined.filter((delta >= lo) & (delta <= hi))

@@ -115,6 +115,37 @@ def test_ann_lsh_recall_on_clusters(spark):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ann_ivf_recall_on_clusters(spark):
+    from sakura_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = [float(x) for x in q]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ann_ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=3).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 5
+    # determinism: same seeding/iteration → identical result set
+    again = [
+        r.vec_id
+        for r in similarity.ann_ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=3).collect()
+    ]
+    assert approx == again
+
+
+def test_ivf_assign_partitions_every_vector(spark):
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train(df, n_centroids=3, iters=2)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+    assigned = similarity.ivf_assign(df, cents)
+    assert assigned.count() == 30
+    ids = {r.cluster_id for r in assigned.select("cluster_id").distinct().collect()}
+    assert ids <= {0, 1, 2}
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0]),
