@@ -224,6 +224,41 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
+def q_window_lead_lag(spark, sf_dir):
+    """lead/lag analytics: per customer, each order with its neighbours in
+    date order and days since the previous order. One shuffle on o_custkey;
+    all three functions share the same window frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (by returnflag, by linestatus, grand total) —
+    one pass, partial aggregation per set, no rollup lattice blowup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
 def q_agg_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -623,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_orderby": q_sort_orderby,
         "window_topk_per_group": q_window_topk_per_group,
         "window_running_sum": q_window_running_sum,
+        "window_lead_lag": q_window_lead_lag,
+        "agg_grouping_sets": q_agg_grouping_sets,
         "flagship_revenue": q_flagship_revenue,
         "drl_fk_join": q_drl_fk_join,
         "drl_point_select": q_drl_point_select,
@@ -790,6 +827,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
             "coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n "
             "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "agg_grouping_sets": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS linestatus, "
+            "sum(l_quantity) AS sum_qty, count(*) AS n "
+            "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+        ),
+        "window_lead_lag": (
+            "SELECT o_custkey, o_orderkey, "
+            "lag(o_orderkey, 1) OVER w AS prev_orderkey, "
+            "lead(o_orderkey, 1) OVER w AS next_orderkey, "
+            "date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
         ),
         "scalar_string_funcs": (
             "SELECT c_custkey, upper(c_name) AS name_upper, "
