@@ -224,6 +224,20 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-resistant fact-to-dim join (sakura_spark.operators.salted_join):
+    lineitem salted over 8 buckets, orders replicated per salt. Result is
+    identical to the plain equi-join — the oracle is the plain join."""
+    from sakura_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderstatus")
+    )
+    return salted_join(li, orders, on=["l_orderkey"], n_salts=8)
+
+
 def q_window_lead_lag(spark, sf_dir):
     """lead/lag analytics: per customer, each order with its neighbours in
     date order and days since the previous order. One shuffle on o_custkey;
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "window_lead_lag": q_window_lead_lag,
         "agg_grouping_sets": q_agg_grouping_sets,
+        "skew_salted_join": q_skew_salted_join,
         "flagship_revenue": q_flagship_revenue,
         "drl_fk_join": q_drl_fk_join,
         "drl_point_select": q_drl_point_select,
@@ -833,6 +848,11 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(l_linestatus, 'ALL') AS linestatus, "
             "sum(l_quantity) AS sum_qty, count(*) AS n "
             "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+        ),
+        "skew_salted_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
+            "o.o_custkey, o.o_orderstatus "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "window_lead_lag": (
             "SELECT o_custkey, o_orderkey, "

@@ -23,6 +23,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key of ``left`` (the big,
+    skewed side) over ``n_salts`` shuffle partitions by joining on
+    (keys + salt), with ``right`` replicated once per salt value.
+
+    The salt is deterministic — pmod(xxhash64(salt_from ?: all left
+    columns), n_salts) — so results are reproducible run-to-run. Rows of a
+    hot key scatter across n_salts reducers instead of one straggler;
+    the cost is a bounded n_salts× fan-out of the right side (use only
+    when right is small relative to the skew, and how ∈ inner/left —
+    semantics are identical to the plain join because every left row
+    still meets every right row of its key exactly once, in exactly one
+    salt bucket).
+
+    AQE's skew-join split (on by default in our sessions) handles most
+    sort-merge skew at runtime; explicit salting remains the tool when
+    AQE can't help — skewed broadcast-ineligible joins inside a single
+    stage, or engines/configs without AQE. Exposed for parity with the
+    100 TB playbook in SCALE.md.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    src = salt_from or [c for c in left.columns]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in src]), F.lit(n_salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+        ),
+    )
+    return l.join(r, on=list(on) + ["__salt"], how=how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -89,3 +89,39 @@ def test_range_join_matches_naive(spark):
     assert sorted(map(tuple, fast.select("k", "pt", "rt", "rid").collect())) == sorted(
         map(tuple, naive.select("k", "pt", "rt", "rid").collect())
     )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sakura_spark.operators import salted_join
+
+    # skewed left: key 1 dominates
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901)], "k long, lv long"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k long, rv string")
+    plain = left.join(right, on="k")
+    salted = salted_join(left, right, on=["k"], n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left-outer variant preserves unmatched left rows
+    plain_l = left.join(right, on="k", how="left")
+    salted_l = salted_join(left, right, on=["k"], n_salts=8, how="left")
+    assert sorted(map(tuple, salted_l.collect())) == sorted(
+        map(tuple, plain_l.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from sakura_spark.operators import salted_join
+
+    left = spark.createDataFrame([(1, i) for i in range(64)], "k long, lv long")
+    right = spark.createDataFrame([(1, "a")], "k long, rv string")
+    out = salted_join(left, right, on=["k"], n_salts=8)
+    # the deterministic salt actually uses multiple buckets for one hot key
+    import pyspark.sql.functions as F
+
+    salts = (
+        left.select(F.pmod(F.xxhash64("k", "lv"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts > 1 and out.count() == 64
