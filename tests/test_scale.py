@@ -1,0 +1,84 @@
+"""Physical-plan assertions backing SCALE.md's claims: these tests fail if
+a code change silently reintroduces a shuffle, loses filter pushdown, or
+stops broadcasting dimension joins."""
+
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Two tables bucketed on the join key co-locate: the sort-merge join
+    runs without any Exchange. The same join on plain tables shuffles both
+    sides — bucketing at write time is how repeated 100 TB fact joins drop
+    their shuffle."""
+    from sakura_spark import sources
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    spark.sql("DROP TABLE IF EXISTS bj_left")
+    spark.sql("DROP TABLE IF EXISTS bj_right")
+    sources.write_bucketed_table(left, "bj_left", ["k"], num_buckets=8)
+    sources.write_bucketed_table(right, "bj_right", ["k"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table("bj_left").join(spark.table("bj_right"), on="k")
+        plain = left.join(right.hint("merge"), on="k")
+        assert "Exchange" not in _physical(bucketed)
+        assert "Exchange" in _physical(plain)
+        assert bucketed.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_left")
+        spark.sql("DROP TABLE IF EXISTS bj_right")
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """rel_select's predicate and column pruning must appear in the scan
+    node (PushedFilters + ReadSchema) — I/O proportional to referenced
+    rows/columns only."""
+    import __spark_entry__ as e
+
+    df = e.queries()["rel_select"](spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+    # only the three selected columns (plus filter columns) are read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_extendedprice" not in read_schema[0]
+
+
+def test_flagship_broadcasts_dimensions(spark):
+    """customer (dimension) must broadcast in the flagship 3-way join —
+    the fact side never shuffles for it."""
+    import __spark_entry__ as e
+
+    df = e.queries()["flagship_revenue"](spark, "/root/testdata/sf0.001")
+    assert "BroadcastHashJoin" in _physical(df)
+
+
+def test_minhash_signature_pipeline_is_map_only(spark):
+    """The minhash signature job must stay shuffle-free (no Exchange): the
+    signature is array expressions over one projection, not an
+    explode+groupBy."""
+    from sakura_spark.functions import dedup
+    from sakura_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    sig = dedup.minhash_signatures(docs, "doc_id")
+    assert "Exchange" not in _physical(sig)
+    sim = dedup.simhash_signatures(docs, "doc_id")
+    assert "Exchange" not in _physical(sim)
