@@ -224,6 +224,21 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
+def q_agg_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p90) of extended price per return flag.
+    Spark's `percentile` and DuckDB's `quantile_cont` both use linear
+    interpolation on the sorted values; results rounded to 4 decimals to
+    absorb float representation noise. At scale swap for
+    `percentile_approx` (t-digest sketch, map-side combinable) — exact
+    percentile needs the group's values collected per key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-resistant fact-to-dim join (sakura_spark.operators.salted_join):
     lineitem salted over 8 buckets, orders replicated per salt. Result is
@@ -675,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": q_window_lead_lag,
         "agg_grouping_sets": q_agg_grouping_sets,
         "skew_salted_join": q_skew_salted_join,
+        "agg_percentiles": q_agg_percentiles,
         "flagship_revenue": q_flagship_revenue,
         "drl_fk_join": q_drl_fk_join,
         "drl_point_select": q_drl_point_select,
@@ -853,6 +869,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
             "o.o_custkey, o.o_orderstatus "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "agg_percentiles": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, "
+            "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag"
         ),
         "window_lead_lag": (
             "SELECT o_custkey, o_orderkey, "
