@@ -93,6 +93,79 @@ def fake_image_features(df: DataFrame, id_col: str = "doc_id", n_features: int =
     )
 
 
+def resize_image(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image resize -> new payload + dims. STUB for the pixel work (raises
+    DecodeUnavailable at execution until PIL exists), but the Spark shape is
+    the real one: mapInPandas over (id, payload) only, target dims folded
+    into the closure, output schema carrying the resized blob so downstream
+    stages keep streaming Arrow batches without a driver round-trip."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise DecodeUnavailable("image codecs not available in this environment")
+        yield  # pragma: no cover
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, payload binary, width int, height int"
+    )
+
+
+def fake_resize_image(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic stand-in for resize_image: 'resizes' by hashing the
+    payload down to width*height bytes (repeating the md5 stream) so
+    pipeline tests exercise the exact schema/batch shape of the real op."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                digest = hashlib.md5(bytes(b)).digest()
+                out.append((digest * (n // len(digest) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, payload binary, width int, height int"
+    )
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    chunk_ms: int = 10_000,
+    bytes_per_ms: int = 16,
+) -> DataFrame:
+    """Audio chunking *plan*: emits (doc_id, chunk_index, start_ms, end_ms)
+    rows a resampler/ASR stage would consume. Duration derives from the
+    payload length (deterministic fake for container headers); the split is
+    JVM-side so the expensive decode fans out over chunks, not whole files —
+    the audio analogue of frame_sample_plan."""
+    dur_ms = (F.length(F.col("payload")) / bytes_per_ms).cast("long") + 1
+    idx = F.sequence(F.lit(0).cast("long"), ((dur_ms - 1) / chunk_ms).cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.explode(idx).alias("chunk_index"),
+        dur_ms.alias("__dur"),
+    ).select(
+        id_col,
+        "chunk_index",
+        (F.col("chunk_index") * chunk_ms).alias("start_ms"),
+        F.least(F.col("chunk_index") * chunk_ms + chunk_ms, F.col("__dur")).alias(
+            "end_ms"
+        ),
+    )
+
+
 def frame_sample_plan(df: DataFrame, id_col: str = "doc_id", every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: emits (doc_id, frame_index) rows the
     decoder would fill. Sampling indices are computed JVM-side from the fake

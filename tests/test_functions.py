@@ -185,6 +185,32 @@ def test_frame_sample_plan(docs):
     assert [r.frame_index for r in out.filter("doc_id = 1").collect()] == [0]
 
 
+def test_resize_stub_and_fake(docs, spark):
+    import pyspark.errors
+
+    with_bin = multimodal.with_binary_payload(docs)
+    real = multimodal.resize_image(with_bin, 4, 4)
+    fake = multimodal.fake_resize_image(with_bin, 4, 4)
+    # identical schema between the stub and its deterministic stand-in
+    assert real.schema == fake.schema
+    with pytest.raises(pyspark.errors.PySparkException):
+        real.collect()
+    rows = {r.doc_id: r for r in fake.collect()}
+    assert all(len(r.payload) == 16 and r.width == 4 for r in rows.values())
+    assert bytes(rows[1].payload) == bytes(rows[2].payload)  # same content
+
+
+def test_audio_chunk_plan(docs):
+    with_bin = multimodal.with_binary_payload(docs)
+    out = multimodal.audio_chunk_plan(with_bin, chunk_ms=2, bytes_per_ms=16)
+    # doc 1 is 43 bytes -> ceil fake duration 3ms -> chunks [0,2) [2,3)
+    got = sorted(
+        (r.chunk_index, r.start_ms, r.end_ms)
+        for r in out.filter("doc_id = 1").collect()
+    )
+    assert got == [(0, 0, 2), (1, 2, 3)]
+
+
 def test_winnowing_fingerprint(docs):
     out = docs.select("doc_id", text.winnowing_fingerprint(F.col("text")).alias("wf")).collect()
     by_id = {r.doc_id: tuple(r.wf) for r in out}
