@@ -368,6 +368,65 @@ def q_flagship_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top unshipped orders by revenue for one market
+    segment. Dimension filter pushed below the joins; customer broadcasts;
+    one partial-aggregated exchange on the group key; top-10 via
+    TakeOrderedAndProject."""
+    cutoff = "1998-06-15"
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(_dec_money("l_extendedprice") * disc), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation for one region and year, where
+    supplier and customer share the nation. region/nation/supplier/customer
+    all broadcast; lineitem⋈orders is the only big join."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_dec_money("l_extendedprice") * disc), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("n_name"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DRL front-end: sexp -> AST -> gate -> DataFrame (SURVEY §2.2, §3.1)
 # ---------------------------------------------------------------------------
@@ -692,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "agg_percentiles": q_agg_percentiles,
         "flagship_revenue": q_flagship_revenue,
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "drl_fk_join": q_drl_fk_join,
         "drl_point_select": q_drl_point_select,
         "drl_intensional_plus": q_drl_intensional_plus,
@@ -927,6 +988,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10"
+        ),
+        "tpch_q3_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            f"CAST(ROUND(sum({_MONEY} * {_DISC}), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "tpch_q5_local_supplier_volume": (
+            "SELECT n_name, "
+            f"CAST(ROUND(sum({_MONEY} * {_DISC}), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
         "drl_fk_join": (
             "SELECT c_custkey, c_name, n_name FROM customer "

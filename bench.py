@@ -38,6 +38,8 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "text_langid",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 
