@@ -86,6 +86,21 @@ def session_windows(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Streaming exact dedup: emit each key once, dropping any duplicate
+    that arrives within the watermark horizon (at-least-once upstream →
+    effectively-once downstream). State holds one entry per key seen inside
+    the horizon and is evicted by the watermark — bounded by arrival rate ×
+    horizon, not by stream length. The streaming twin of dedup_exact."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 # --- custom stateful operator ----------------------------------------------
 
 _STATE_SCHEMA = "count long, total double"

@@ -77,3 +77,24 @@ def test_running_user_stats_stateful(spark, stream):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_deduped_stream_drops_redelivered_events(spark, tmp_path):
+    # two identical file deliveries of the same events = at-least-once input
+    src = load_table(spark, f"{SF_DIR}/events.parquet").limit(200)
+    path = str(tmp_path / "dup_stream")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    src.coalesce(1).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 400
+
+    q = ev.run_to_memory(
+        ev.deduped_stream(ev.read_event_stream(spark, path)),
+        "dedup_stream",
+        output_mode="append",
+    )
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0].n
+        ids = spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_stream").collect()[0].n
+        assert n == 200 and ids == 200  # every event exactly once
+    finally:
+        q.stop()
