@@ -70,6 +70,39 @@ def test_flagship_broadcasts_dimensions(spark):
     assert "BroadcastHashJoin" in _physical(df)
 
 
+def test_asof_join_is_single_key_shuffle(spark):
+    """The union-and-window as-of join must cost exactly one hash exchange
+    of the combined stream (plus in-partition sort) — never a range/theta
+    join fallback. Probed on the bare operator; entry queries may add
+    their own upstream shuffles."""
+    from sakura_spark.operators import asof_join
+    from sakura_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    orders = load_table(spark, "/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    df = asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="o_orderdate"
+    )
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join(spark):
+    """Equi-bucketing must turn the interval predicate into a hash join:
+    no nested-loop/cartesian node anywhere in the plan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["range_join"](spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
 def test_minhash_signature_pipeline_is_map_only(spark):
     """The minhash signature job must stay shuffle-free (no Exchange): the
     signature is array expressions over one projection, not an
