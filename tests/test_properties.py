@@ -101,3 +101,21 @@ def test_sources_api(spark, tmp_path):
     assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, df.collect()))
     with pytest.raises(sources.ConnectorUnavailable):
         sources.read_delta(spark, "/tmp/nope")
+
+
+def test_sketch_aggregates_track_exact(spark):
+    """The sketch-based scale path (HLL distinct counts, t-digest
+    percentiles) must track exact answers within documented tolerance —
+    these are what replace exact distinct/percentile at 100 TB."""
+    import pyspark.sql.functions as F
+    from sakura_spark.session import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.01
