@@ -357,8 +357,11 @@ def q_flagship_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    # No broadcast hint on customer: it grows with SF, so the hint would
+    # force a multi-GB broadcast at 100x scale. The 64 MB threshold + AQE
+    # still auto-broadcast it at bench SF.
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     )
     return (
         joined.groupBy("c_custkey", "c_name")
@@ -370,7 +373,9 @@ def q_flagship_revenue(spark, sf_dir):
 
 def q_tpch_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: top unshipped orders by revenue for one market
-    segment. Dimension filter pushed below the joins; customer broadcasts;
+    segment. Dimension filter pushed below the joins; customer auto-broadcasts
+    under the threshold at bench SF (no explicit hint — customer grows with
+    SF, so a hint would force-broadcast multi-GB tables at 100x scale);
     one partial-aggregated exchange on the group key; top-10 via
     TakeOrderedAndProject."""
     cutoff = "1998-06-15"
@@ -382,7 +387,7 @@ def q_tpch_q3_shipping_priority(spark, sf_dir):
     disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(_dec_money("l_extendedprice") * disc), 2)
@@ -396,8 +401,10 @@ def q_tpch_q3_shipping_priority(spark, sf_dir):
 
 def q_tpch_q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: revenue by nation for one region and year, where
-    supplier and customer share the nation. region/nation/supplier/customer
-    all broadcast; lineitem⋈orders is the only big join."""
+    supplier and customer share the nation. region/nation broadcast by hint
+    (fixed-size dims); supplier/customer are left unhinted — they grow with
+    SF, so the 64 MB threshold + AQE decide (auto-broadcast at bench SF,
+    shuffle join at 100x). lineitem⋈orders is the only guaranteed big join."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     supplier = _t(spark, sf_dir, "supplier")
@@ -409,9 +416,9 @@ def q_tpch_q5_local_supplier_volume(spark, sf_dir):
     disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(
-            F.broadcast(customer),
+            customer,
             (orders.o_custkey == customer.c_custkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )

@@ -104,9 +104,14 @@ def union_set(left: DataFrame, right: DataFrame) -> DataFrame:
 
 def diff(left: DataFrame, right: DataFrame) -> DataFrame:
     """− — tuples of left absent from right, whole-tuple equality, set
-    semantics (lib/algebra.ml:264-303). Hash left-anti join under the hood —
-    the distributed upgrade of the reference's linear scan per tuple."""
-    return left.exceptAll(right).dropDuplicates()
+    semantics (lib/algebra.ml:264-303). EXCEPT DISTINCT (hash left-anti
+    join under the hood — the distributed upgrade of the reference's linear
+    scan per tuple). Note: ``exceptAll(right).dropDuplicates()`` would be
+    wrong — a tuple present in BOTH sides survives whenever its left
+    multiplicity exceeds its right multiplicity (reachable via wire DRL,
+    e.g. Diff(Union(t, t), t)); ``subtract`` removes every left copy of any
+    tuple that appears in right."""
+    return left.subtract(right)
 
 
 def intersect(left: DataFrame, right: DataFrame) -> DataFrame:

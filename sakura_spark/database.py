@@ -231,12 +231,14 @@ class Database:
             bad = icl_compiler.violations(batch, c.body, resolver).count()
             if bad:
                 raise errors.ConstraintViolation(c.name, relation, f"{bad} rows violate")
+        # Validate-then-apply: BOTH cascades (insert polarity on the new
+        # contents, delete polarity on the rows the overwrite removes) run
+        # before the relation is touched, so a ConstraintViolation leaves
+        # the old extension intact — same atomicity as insert/delete paths.
+        removed = rel.df.join(batch, on=rel.attrs, how="left_anti")
         self._cascade(relation, batch, event="insert", resolver=resolver)
-        old = rel.df
-        rel.df = batch
-        # Deletions caused by overwrite also cascade (positive polarity).
-        removed = old.join(batch, on=rel.attrs, how="left_anti")
         self._cascade(relation, removed, event="delete", resolver=resolver)
+        rel.df = batch
         n = rel.df.count()
         self._mutated(relation)
         return n

@@ -40,26 +40,20 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas metadata extractor over the binary payload.
+    """Metadata over the binary payload — pure Column expressions.
 
-    Demonstrates the real plumbing: Arrow batches in, pandas out, schema
-    declared up front. Byte length + md5 are computed in Python exactly as a
-    codec sniffer would read container headers.
+    Byte length and md5 are JVM built-ins (`F.length` / `F.md5` work
+    directly on binary), so this hot path stays inside whole-stage codegen
+    with zero Python in the plan; mapInPandas is reserved for the genuine
+    codec stages (decode_image / resize_image and their fakes) where a
+    Python library would actually parse the container bytes.
     """
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "content_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "mime": "application/octet-stream",
-                }
-            )
-
-    return df.select(id_col, "payload").mapInPandas(op, schema=METADATA_SCHEMA)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -49,27 +49,43 @@ def with_tuple_hash(
     return df.withColumn(col_name, tuple_hash_expr(df.columns, relation_name))
 
 
-def relation_hash(df: DataFrame, relation_name: str, schema_sig: str) -> str:
-    """Order-independent content hash of a whole relation.
+# Modulus for the commutative relation-hash reduction: the largest 89-bit
+# prime keeps each summed word well inside decimal(38,0) headroom.
+_HASH_PRIME = (1 << 89) - 1
 
-    Reduces per-tuple SHA-256s with XOR over 4 x 64-bit words — commutative
-    and associative, so it runs as a map-side-combinable aggregate with no
-    sort/shuffle of the data itself. Combined with the schema signature and
-    tuple count, collisions require forging SHA-256 preimages.
+
+def relation_hash(df: DataFrame, relation_name: str, schema_sig: str) -> str:
+    """Order-independent content hash of a whole relation (set semantics).
+
+    Tuple hashes are first deduplicated (a relation's extension is a SET —
+    SURVEY §1.4 — so equal-count multisets must not collide), then reduced
+    with a commutative, associative SUM over 4 x 60-bit hash words — a
+    map-side-combinable aggregate with no sort/shuffle of the data itself;
+    the modulus is applied once driver-side. Unlike XOR (where duplicate
+    tuples cancel pairwise and {a,a,b} vs {c,c,b} collide at h(b)), a sum of
+    independent SHA-256-derived words modulo a large prime is
+    collision-resistant in the random-oracle model for any realistic
+    cardinality; the distinct count and schema signature are folded in as
+    well.
     """
-    hashed = with_tuple_hash(df, relation_name)
-    # 60 bits x 4 words (15 hex chars each, so conv() stays within a long)
-    # + tuple count + schema signature is ample identity.
+    hashed = with_tuple_hash(df, relation_name).select(TUPLE_HASH_COL).dropDuplicates()
+    # 60 bits x 4 words (15 hex chars each, so conv() stays within a long);
+    # sums accumulate in decimal(38,0) — overflow needs ~1e20 distinct rows.
     agg = hashed.select(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.bit_xor(F.conv(F.substring(F.col(TUPLE_HASH_COL), 1 + 16 * i, 15), 16, 10).cast("long")).alias(f"w{i}")
+            F.sum(
+                F.conv(F.substring(F.col(TUPLE_HASH_COL), 1 + 16 * i, 15), 16, 10)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias(f"w{i}")
             for i in range(4)
         ],
     )
     row = agg.collect()[0]
+    words = [int(row[f"w{i}"] or 0) % _HASH_PRIME for i in range(4)]
     payload = f"{relation_name}{_FS}{schema_sig}{_FS}{row['n']}" + "".join(
-        f"{_FS}{row[f'w{i}']}" for i in range(4)
+        f"{_FS}{w}" for w in words
     )
     return hashlib.sha256(payload.encode()).hexdigest()
 

@@ -64,6 +64,25 @@ _CMP = {
 }
 
 
+def _value_match(df: DataFrame, keep: DataFrame, how: str) -> DataFrame:
+    """Null-safe semi/anti join of df against keep on ALL columns.
+
+    Set operators (intersect/exceptAll) have multiset semantics, which would
+    flag surplus duplicate copies of a satisfying row as violations when the
+    checked frame is a bag (possible for register_external-mounted frames).
+    A value-based semi/anti join preserves per-row semantics instead: every
+    copy of a satisfying value is satisfied, every copy of a violating value
+    is a violation. Aliased to dodge self-join ambiguity (keep derives from
+    df); backticks because namespaced "var.attr" columns contain dots.
+    """
+    left, right = df.alias("__vl"), keep.dropDuplicates().alias("__vr")
+    cond = None
+    for c in df.columns:
+        cc = F.col(f"__vl.`{c}`").eqNullSafe(F.col(f"__vr.`{c}`"))
+        cond = cc if cond is None else cond & cc
+    return left.join(right, on=cond, how=how)
+
+
 def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFrame:
     """Rows of df satisfying body. df's schema is preserved exactly."""
     if isinstance(body, ast.Cmp):
@@ -111,7 +130,7 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
         return df.join(proj, on=cond, how="left_semi")
 
     if isinstance(body, ast.Not):
-        return df.exceptAll(satisfied_rows(df, body.body, resolver))
+        return _value_match(df, satisfied_rows(df, body.body, resolver), "left_anti")
 
     if isinstance(body, ast.And):
         left = satisfied_rows(df, body.left, resolver)
@@ -119,10 +138,11 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
 
     if isinstance(body, ast.Or):
         # Positional union: both sides preserve df's schema exactly, and
-        # name-based ops would misparse namespaced "var.attr" columns.
+        # name-based ops would misparse namespaced "var.attr" columns. The
+        # value-based semi-join keeps each df copy satisfying either side.
         l = satisfied_rows(df, body.left, resolver)
         r = satisfied_rows(df, body.right, resolver)
-        return l.union(r).dropDuplicates()
+        return _value_match(df, l.union(r), "left_semi")
 
     if isinstance(body, (ast.Exists, ast.Forall)):
         q = _resolve(resolver, body.quantifier)
@@ -144,15 +164,17 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
             .dropDuplicates()
         )
         if isinstance(body, ast.Exists):
-            return df.intersect(hits)
-        return df.exceptAll(hits).dropDuplicates()
+            return _value_match(df, hits, "left_semi")
+        return _value_match(df, hits, "left_anti")
 
     raise ValueError(f"unknown constraint body: {body!r}")
 
 
 def violations(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFrame:
-    """Rows of df violating body (empty == constraint holds)."""
-    return df.exceptAll(satisfied_rows(df, body, resolver))
+    """Rows of df violating body (empty == constraint holds). Value-based:
+    every copy of a violating value appears; copies of satisfying values
+    never do (per-row semantics even on bag inputs)."""
+    return _value_match(df, satisfied_rows(df, body, resolver), "left_anti")
 
 
 # --- polarity analysis (lib/constraint.ml:279-328) --------------------------

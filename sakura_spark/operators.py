@@ -85,35 +85,38 @@ def asof_join(
     renames = {c: (c + suffix if c in left.columns else c) for c in payload + [right_time]}
 
     lt = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
+    # All payload columns ride in ONE struct so the carried values always
+    # come from the SAME matched right row: carrying each column
+    # independently with last(ignorenulls) would back-fill a NULL payload
+    # value from an older right row, stitching columns across rows
+    # (pandas.merge_asof / ASOF JOIN keep the matched row's NULL).
     rt = right.select(
         F.col(on),
         F.col(right_time).alias("__t"),
-        *[F.col(c).alias(renames[c]) for c in payload],
-        F.col(right_time).alias(renames[right_time]),
+        F.struct(
+            *[F.col(c).alias(renames[c]) for c in payload],
+            F.col(right_time).alias(renames[right_time]),
+        ).alias("__rpay"),
     ).withColumn("__is_left", F.lit(0))
 
-    combined = lt.unionByName(rt, allowMissingColumns=True)
+    combined = lt.unionByName(rt, allowMissingColumns=True)  # left rows: __rpay NULL
     if direction == "backward":
         # Reference rows sort before probe rows at equal time (<= semantics).
         w = W.partitionBy(on).orderBy(F.col("__t").asc(), F.col("__is_left").asc())
-        w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        carried = [
-            F.last(F.col(renames[c]), ignorenulls=True).over(w).alias(renames[c])
-            for c in payload + [right_time]
-        ]
     else:
         w = W.partitionBy(on).orderBy(F.col("__t").desc(), F.col("__is_left").asc())
-        w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        carried = [
-            F.last(F.col(renames[c]), ignorenulls=True).over(w).alias(renames[c])
-            for c in payload + [right_time]
-        ]
+    w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    carried = F.last(F.col("__rpay"), ignorenulls=True).over(w).alias("__carried")
     out = combined.select(
         *[F.col(c) for c in lt.columns if c not in ("__t", "__is_left")],
         F.col("__is_left"),
-        *carried,
+        carried,
+    ).filter(F.col("__is_left") == 1)
+    # Unpack: field access on a NULL struct yields NULL (no-match rows).
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__carried")[renames[c]].alias(renames[c]) for c in payload + [right_time]],
     )
-    return out.filter(F.col("__is_left") == 1).drop("__is_left")
 
 
 def range_join(

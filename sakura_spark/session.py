@@ -61,19 +61,26 @@ def get_spark(
 def load_table(spark: SparkSession, path: str):
     """Read a parquet table, normalizing TIMESTAMP(NANOS) columns.
 
-    With nanosAsLong enabled, nanos columns arrive as raw longs; convert
-    them back to proper timestamps (integer DIV — no double round-trip,
-    nanos exceed 2^53). Footer inspection is driver-side and O(1).
+    Self-sufficient on ANY session (the caller may pass a session built
+    without :func:`get_spark`): when the footer shows a timestamp[ns]
+    column, ``spark.sql.legacy.parquet.nanosAsLong`` — a runtime SQL conf —
+    is set on the passed session before the read, so Spark surfaces the
+    column as a raw nanos long instead of rejecting the file
+    (PARQUET_TYPE_ILLEGAL). The long is then converted back to a proper
+    timestamp (integer DIV — no double round-trip, nanos exceed 2^53).
+    Footer inspection is driver-side and O(1).
     """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
     try:
         schema = pq.read_schema(path)
         nanos = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
     except Exception:
         nanos = []
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
     return df

@@ -19,7 +19,6 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod
-from sakura_spark import get_spark
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -76,7 +75,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("sakura-check")
+    # Deliberately a VANILLA session, not get_spark(): the driver harness
+    # builds its own SparkSession, so queries() must be self-sufficient on
+    # any session (round 1's 10 red queries were exactly a get_spark-only
+    # conf being assumed — the replica masked it).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sakura-check")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -103,6 +103,20 @@ def test_range_join_is_equi_join(spark):
     assert "Join" in plan
 
 
+def test_extract_metadata_has_no_python_in_plan(spark):
+    """Metadata over binary payloads (length/md5) must be pure Column
+    expressions — no MapInPandas/Python-UDF node; mapInPandas is reserved
+    for genuine codec stages."""
+    from sakura_spark.functions import multimodal
+    from sakura_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    meta = multimodal.extract_metadata(multimodal.with_binary_payload(docs))
+    plan = _physical(meta)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only: scan -> project
+
+
 def test_minhash_signature_pipeline_is_map_only(spark):
     """The minhash signature job must stay shuffle-free (no Exchange): the
     signature is array expressions over one projection, not an
