@@ -423,19 +423,36 @@ class Database:
 
         return resolve
 
+    # Above this many changed rows the cascade falls back to the general
+    # (unsubstituted) whole-batch recheck: per-transition substitution is a
+    # single-tuple technique (the reference mutates one tuple at a time).
+    SUBSTITUTE_MAX_ROWS = 32
+
     def _cascade(self, mutated: str, changed_rows: DataFrame, event: str, resolver) -> None:
         """Polarity-driven re-check (SURVEY §4.3, lib/manipulation.ml:479-521).
 
         After mutating `mutated`, re-validate constraints on other relations
-        that reference it with the triggered polarity, narrowing the
-        re-checked rows via focused filters (semi-join against the changed
-        rows on the bound attributes) whenever the constraint's shape allows.
+        that reference it with the triggered polarity. Three narrowing
+        techniques, mirroring the reference's cascade:
+
+        1. trigger-constant early bail (lib/constraint.ml:390-412): Const
+           bindings targeting `mutated` are fixed-value preconditions — if
+           no changed row carries those values, skip the constraint without
+           scanning anything;
+        2. focused filters (lib/constraint.ml:355-383): only constrained
+           tuples whose bound attrs intersect the changed values re-check;
+        3. transition substitution (lib/constraint.ml:428-546): for small
+           batches, quantifiers over `mutated` have "var.attr" references
+           replaced by the transition tuple's constants, so the recheck
+           plan never crossJoins the full quantifier (the compiler's
+           degenerate-quantifier path takes over).
         """
         trigger = (
             {icl_compiler.NEGATIVE, icl_compiler.BOTH}
             if event == "insert"
             else {icl_compiler.POSITIVE, icl_compiler.BOTH}
         )
+        transitions_cache: list | None = None  # collected once, shared
         for c in self.state.constraints.values():
             pol = icl_compiler.polarity(c.body).get(mutated)
             if pol not in trigger:
@@ -446,6 +463,22 @@ class Database:
             target_rel = self.state.relations.get(c.relation)
             if target_rel is None:
                 continue
+            # Trigger-constant early bail: the mutation can only affect this
+            # constraint through rows matching ALL const preconditions.
+            consts = [
+                (a, v)
+                for a, v in icl_compiler.trigger_constants(c.body, mutated)
+                if a in changed_rows.columns
+            ]
+            focus_rows = changed_rows
+            if consts:
+                cond = None
+                for a, v in consts:
+                    cc = F.col(a) == F.lit(v)
+                    cond = cc if cond is None else (cond & cc)
+                focus_rows = changed_rows.filter(cond)
+                if not focus_rows.take(1):
+                    continue  # early exit: no changed row can trigger it
             rows = resolver(c.relation) if c.relation == mutated else target_rel.df
             # Focused filter: only constrained tuples whose bound attrs
             # intersect the changed values need re-checking.
@@ -455,7 +488,7 @@ class Database:
                 if tgt == mutated
             ]
             if focus:
-                keys = changed_rows.select(
+                keys = focus_rows.select(
                     *[F.col(attr).alias(f"__f_{i}") for i, (attr, _) in enumerate(focus)]
                 ).dropDuplicates()
                 cond = None
@@ -465,11 +498,30 @@ class Database:
                 narrowed = rows.join(keys, on=cond, how="left_semi")
             else:
                 narrowed = rows
-            bad = icl_compiler.violations(narrowed, c.body, resolver).count()
-            if bad:
-                raise errors.ConstraintViolation(
-                    c.name, c.relation, f"{bad} rows violate after {event} on {mutated}"
+            # Transition substitution: small batches recheck a substituted
+            # body per changed row instead of crossJoining the quantifier.
+            bodies = [c.body]
+            if icl_compiler.has_quantifier_over(c.body, mutated):
+                if transitions_cache is None and not consts:
+                    transitions_cache = changed_rows.limit(
+                        self.SUBSTITUTE_MAX_ROWS + 1
+                    ).collect()
+                transitions = (
+                    transitions_cache
+                    if transitions_cache is not None and not consts
+                    else focus_rows.limit(self.SUBSTITUTE_MAX_ROWS + 1).collect()
                 )
+                if len(transitions) <= self.SUBSTITUTE_MAX_ROWS:
+                    bodies = [
+                        icl_compiler.substitute_transition(c.body, mutated, r.asDict())
+                        for r in transitions
+                    ]
+            for body in bodies:
+                bad = icl_compiler.violations(narrowed, body, resolver).count()
+                if bad:
+                    raise errors.ConstraintViolation(
+                        c.name, c.relation, f"{bad} rows violate after {event} on {mutated}"
+                    )
 
     def _mutated(self, relation: str | None) -> None:
         if relation is not None and relation in self.state.relations:

@@ -50,5 +50,19 @@ class UnknownBranch(SakuraError):
     pass
 
 
+class Conflict(SakuraError):
+    """Optimistic-concurrency failure: a mutation's base database hash is
+    stale — another writer advanced the head since the client read it
+    (lib/listener.ml:53-59 `Atomic.compare_and_set` returning
+    `Error (Conflict {old_db; new_db})`)."""
+
+    def __init__(self, expected: str | None, actual: str | None):
+        self.expected = expected  # the base hash the writer executed against
+        self.actual = actual  # the head that is actually current
+        super().__init__(
+            f"conflict: head advanced to {actual!r} since base {expected!r} was read"
+        )
+
+
 class CursorError(SakuraError):
     pass

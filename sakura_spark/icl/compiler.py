@@ -125,7 +125,10 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
         ).dropDuplicates()
         cond = None
         for var, _ in conds:
-            c = df[f"`{var}`"] == proj[f"__icl_{var}"]
+            # Backticks on both sides: namespaced vars ("d.dept_id") put a
+            # dot in the alias, which bare access would misparse as a
+            # struct field path.
+            c = df[f"`{var}`"] == proj[f"`__icl_{var}`"]
             cond = c if cond is None else (cond & c)
         return df.join(proj, on=cond, how="left_semi")
 
@@ -146,6 +149,18 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
 
     if isinstance(body, (ast.Exists, ast.Forall)):
         q = _resolve(resolver, body.quantifier)
+        # If the inner body never references the quantified variable
+        # (typical after substitute_transition replaced "var.attr" with
+        # constants), the quantifier degenerates to an emptiness test:
+        # Exists = q nonempty AND body; Forall = q empty OR body. No
+        # crossJoin enters the plan — the cascade's narrowed recheck of a
+        # 1-row mutation relies on this.
+        inner_refs = referenced_vars(body.body)
+        if not any(v.startswith(body.var + ".") for v in inner_refs):
+            q_nonempty = bool(q.take(1))
+            if isinstance(body, ast.Exists):
+                return satisfied_rows(df, body.body, resolver) if q_nonempty else df.limit(0)
+            return satisfied_rows(df, body.body, resolver) if q_nonempty else df
         prefixed = q.select(
             *[F.col(c).alias(f"{body.var}.{c}") for c in q.columns]
         ).dropDuplicates()
@@ -175,6 +190,114 @@ def violations(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFrame:
     every copy of a violating value appears; copies of satisfying values
     never do (per-row semantics even on bag inputs)."""
     return _value_match(df, satisfied_rows(df, body, resolver), "left_anti")
+
+
+def referenced_vars(body: ast.Body) -> set[str]:
+    """Every Var name referenced anywhere in the body (free or
+    quantifier-namespaced). Used to detect when a quantifier variable is
+    unused — e.g. after transition substitution."""
+    if isinstance(body, ast.MemberOf):
+        return {b.name for _, b in body.bindings if isinstance(b, ast.Var)}
+    if isinstance(body, ast.Cmp):
+        return {b.name for b in (body.left, body.right) if isinstance(b, ast.Var)}
+    if isinstance(body, ast.Between):
+        return {b.name for b in (body.value, body.low, body.high) if isinstance(b, ast.Var)}
+    if isinstance(body, ast.Not):
+        return referenced_vars(body.body)
+    if isinstance(body, (ast.And, ast.Or)):
+        return referenced_vars(body.left) | referenced_vars(body.right)
+    if isinstance(body, (ast.Exists, ast.Forall)):
+        return referenced_vars(body.body)
+    raise ValueError(f"unknown constraint body: {body!r}")
+
+
+def has_quantifier_over(body: ast.Body, dep_rel: str) -> bool:
+    """True when an Exists/Forall anywhere in the body quantifies over
+    ``dep_rel`` — the shape transition substitution targets."""
+    if isinstance(body, (ast.MemberOf, ast.Cmp, ast.Between)):
+        return False
+    if isinstance(body, ast.Not):
+        return has_quantifier_over(body.body, dep_rel)
+    if isinstance(body, (ast.And, ast.Or)):
+        return has_quantifier_over(body.left, dep_rel) or has_quantifier_over(
+            body.right, dep_rel
+        )
+    if isinstance(body, (ast.Exists, ast.Forall)):
+        return body.quantifier == dep_rel or has_quantifier_over(body.body, dep_rel)
+    raise ValueError(f"unknown constraint body: {body!r}")
+
+
+def trigger_constants(body: ast.Body, dep_rel: str) -> list[tuple[str, object]]:
+    """Const binding values targeting ``dep_rel`` — fixed-value
+    preconditions (lib/constraint.ml:390-412): the constraint can only be
+    affected by a mutated ``dep_rel`` tuple carrying these exact values, so
+    the cascade bails out early when the changed rows don't match. Empty
+    means no early-exit is possible (Var bindings are join variables, not
+    filters; an unrelated dep_rel contributes nothing)."""
+    if isinstance(body, ast.MemberOf):
+        if body.target != dep_rel:
+            return []
+        return [(a, b.value) for a, b in body.bindings if isinstance(b, ast.ConstVal)]
+    if isinstance(body, (ast.Cmp, ast.Between)):
+        return []
+    if isinstance(body, ast.Not):
+        return trigger_constants(body.body, dep_rel)
+    if isinstance(body, (ast.And, ast.Or)):
+        return trigger_constants(body.left, dep_rel) + trigger_constants(body.right, dep_rel)
+    if isinstance(body, (ast.Exists, ast.Forall)):
+        return trigger_constants(body.body, dep_rel)
+    raise ValueError(f"unknown constraint body: {body!r}")
+
+
+def substitute_transition(
+    body: ast.Body, dep_rel: str, transition: dict[str, object]
+) -> ast.Body:
+    """Universal variable substitution (lib/constraint.ml:428-546): when an
+    Exists/Forall quantifies over the mutated ``dep_rel``, rewrite its body
+    replacing ``Var "var.attr"`` with ``ConstVal`` from the transition
+    tuple. Base-tuple Vars (no "var." prefix) are never touched, and a
+    quantifier over a different relation is left unchanged. Once inside an
+    applying quantifier, nested quantifiers over dep_rel do NOT restart the
+    substitution (SubstituteApply propagates unchanged in the reference).
+
+    The substituted body no longer references the quantified variable, so
+    the compiler's degenerate-quantifier path evaluates it without
+    crossJoining the full quantifier — the targeted recheck of Technique 2
+    in the reference's incremental-constraint-checking design.
+    """
+
+    def sub_binding(b: ast.Binding, subs: dict[str, object] | None) -> ast.Binding:
+        if subs is not None and isinstance(b, ast.Var) and b.name in subs:
+            return ast.ConstVal(subs[b.name])
+        return b
+
+    def go(node: ast.Body, subs: dict[str, object] | None) -> ast.Body:
+        if isinstance(node, ast.MemberOf):
+            return ast.MemberOf(
+                node.target, tuple((a, sub_binding(b, subs)) for a, b in node.bindings)
+            )
+        if isinstance(node, ast.Cmp):
+            return ast.Cmp(node.op, sub_binding(node.left, subs), sub_binding(node.right, subs))
+        if isinstance(node, ast.Between):
+            return ast.Between(
+                sub_binding(node.value, subs),
+                sub_binding(node.low, subs),
+                sub_binding(node.high, subs),
+            )
+        if isinstance(node, ast.Not):
+            return ast.Not(go(node.body, subs))
+        if isinstance(node, (ast.And, ast.Or)):
+            cls = ast.And if isinstance(node, ast.And) else ast.Or
+            return cls(go(node.left, subs), go(node.right, subs))
+        if isinstance(node, (ast.Exists, ast.Forall)):
+            cls = ast.Exists if isinstance(node, ast.Exists) else ast.Forall
+            inner_subs = subs
+            if subs is None and node.quantifier == dep_rel:
+                inner_subs = {f"{node.var}.{a}": v for a, v in transition.items()}
+            return cls(node.var, node.quantifier, go(node.body, inner_subs))
+        raise ValueError(f"unknown constraint body: {node!r}")
+
+    return go(body, None)
 
 
 # --- polarity analysis (lib/constraint.ml:279-328) --------------------------

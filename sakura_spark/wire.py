@@ -11,12 +11,24 @@ relations serialize at most 16 tuples with a truncated flag
 (lib/listener.ml:64,111-123), and every successful mutation advances the
 HEAD branch tip (lib/listener.ml:47-51).
 
-A TCP front-end would wrap Server 1:1; the library boundary is where the
-engine's semantics live, so that's what we test.
+Concurrency mirrors the reference's optimistic CAS loop
+(lib/listener.ml:53-59): every response carries the db hash; a writer may
+pin the ``base_hash`` it executed against, and a mutation whose base is
+stale (another writer advanced the head in between) is rejected with
+``errors.Conflict`` — nothing is applied. Commands are serialized by a
+server lock (the analogue of the reference's atomic head cell); the CAS
+check runs inside it.
+
+``TcpFrontend`` is the socket transport (lib/transport.ml parity): one
+thread per connection (the reference spawns one OCaml domain per
+connection, lib/listener.ml:174-187), one S-expression per command, one
+newline-terminated S-expression response.
 """
 
 from __future__ import annotations
 
+import socket
+import threading
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -134,11 +146,34 @@ class Server:
         self.branches = BranchManager(self.db.store)
         self.sessions = SessionRegistry()
         self.result_limit = RESULT_LIMIT
+        # The analogue of the reference's `Atomic.make db` head cell
+        # (lib/listener.ml:181): commands serialize on this lock and the
+        # CAS base-hash check runs inside it.
+        self._lock = threading.RLock()
 
     # --- public API --------------------------------------------------------
 
-    def execute(self, text: str) -> dict:
-        """One wire command: '(tag statement)'."""
+    # DCL statements that mutate server state (the rest are reads).
+    _MUTATING_DCL = {"CreateBranch", "Checkout", "UpdateBranchTip", "Merge"}
+
+    def _is_mutation(self, tag: str, stmt) -> bool:
+        if tag in ("ddl", "dml", "icl"):
+            return True
+        if tag == "dcl":
+            s = stmt[0] if isinstance(stmt, list) else stmt
+            return s in self._MUTATING_DCL
+        return False
+
+    def execute(self, text: str, base_hash: str | None = None) -> dict:
+        """One wire command: '(tag statement)'.
+
+        ``base_hash`` is the optimistic-concurrency pin: the db hash this
+        writer last observed (returned in every response). If another
+        writer advanced the head since, a mutation fails with
+        ``errors.Conflict`` BEFORE anything is applied — the
+        compare-and-set of lib/listener.ml:53-59. Readers and un-pinned
+        writers (base_hash=None, last-writer-wins) are unaffected.
+        """
         sexp = read_sexp(text)
         if not (isinstance(sexp, list) and len(sexp) == 2 and isinstance(sexp[0], str)):
             raise ParseError("expected (tag statement)")
@@ -146,8 +181,16 @@ class Server:
         handler = getattr(self, f"_exec_{tag}", None)
         if handler is None:
             raise ParseError(f"unknown sublanguage tag: {tag!r}")  # lib/listener.ml:41-45
-        result = handler(stmt)
-        self._advance_head()
+        with self._lock:
+            if (
+                base_hash is not None
+                and self._is_mutation(tag, stmt)
+                and self.db.hash is not None
+                and base_hash != self.db.hash
+            ):
+                raise errors.Conflict(expected=base_hash, actual=self.db.hash)
+            result = handler(stmt)
+            self._advance_head()
         return result
 
     # --- DRL ---------------------------------------------------------------
@@ -314,10 +357,16 @@ class Server:
     def _ok(self) -> dict:
         return {"ok": True, "db_hash": self.db.hash}
 
-    def execute_sexp(self, text: str) -> str:
+    def execute_sexp(self, text: str, base_hash: str | None = None) -> str:
         """Full listener parity: execute and render the response as an
-        S-expression string (lib/listener.ml:111-123 shape)."""
-        return render_sexp(self.execute(text))
+        S-expression string (lib/listener.ml:111-123 shape); errors render
+        as ``(error (<Kind> "message"))`` like the listener's serialize."""
+        try:
+            return render_sexp(self.execute(text, base_hash=base_hash))
+        except (errors.SakuraError, ParseError) as e:
+            # Error kind is a bare atom, like the reference's
+            # (error (<Kind> ...)) variant serialization.
+            return f"((error ({type(e).__name__} {_sexp_atom(str(e))})))"
 
     def _advance_head(self) -> None:
         """HEAD branch tip follows the database head (lib/listener.ml:47-51)."""
@@ -329,4 +378,123 @@ class Server:
             try:
                 self.branches.update_branch_tip(head, self.db.hash)
             except errors.UnknownBranch:
+                pass
+
+
+# --- TCP transport (lib/transport.ml / lib/listener.ml:174-187 parity) ------
+
+
+def _split_complete_sexp(buf: str) -> tuple[str | None, str]:
+    """Return (first complete S-expression, remainder) or (None, buf) if the
+    buffer does not yet hold a balanced expression. Paren depth is tracked
+    outside double-quoted strings (with backslash escapes) — the streaming
+    framing the reference gets from Sexplib.Sexp.input_sexp."""
+    depth = 0
+    in_str = False
+    esc = False
+    started = False
+    for i, ch in enumerate(buf):
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+            started = True
+        elif ch == "(":
+            depth += 1
+            started = True
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and started:
+                return buf[: i + 1], buf[i + 1 :]
+            if depth < 0:
+                raise ParseError("unbalanced ')' in stream")
+    return None, buf
+
+
+class TcpFrontend:
+    """Thin socket listener around :class:`Server` (lib/transport.ml:14-74 +
+    lib/listener.ml:174-187): accept loop in one thread, one handler thread
+    per connection (the reference spawns one OCaml domain each), one
+    S-expression in, one newline-terminated S-expression response out
+    (lib/listener.ml's output_response appends the newline). All command
+    execution funnels through ``Server.execute`` so the CAS/lock semantics
+    are identical to in-process use."""
+
+    def __init__(self, server: Server, host: str = "127.0.0.1", port: int = 0):
+        self.server = server
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(5)  # lib/transport.ml:66
+        self.host, self.port = self._sock.getsockname()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._accept_thread: threading.Thread | None = None
+
+    def start(self) -> "TcpFrontend":
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=5)
+        for t in self._threads:
+            t.join(timeout=5)
+
+    def __enter__(self) -> "TcpFrontend":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return  # socket closed by stop()
+            t = threading.Thread(target=self._handle_client, args=(conn,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _handle_client(self, conn: socket.socket) -> None:
+        buf = ""
+        try:
+            while not self._stop.is_set():
+                try:
+                    data = conn.recv(65536)
+                except OSError:
+                    return
+                if not data:
+                    return  # End_of_file -> connection done (lib/listener.ml:169)
+                buf += data.decode("utf-8", errors="replace")
+                while True:
+                    try:
+                        cmd, buf = _split_complete_sexp(buf)
+                    except ParseError as e:
+                        conn.sendall(
+                            (f"((error (SyntaxError {_sexp_atom(str(e))})))" + "\n").encode()
+                        )
+                        buf = ""
+                        break
+                    if cmd is None:
+                        break
+                    resp = self.server.execute_sexp(cmd)
+                    conn.sendall((resp + "\n").encode())
+        finally:
+            try:
+                conn.close()
+            except OSError:
                 pass

@@ -220,3 +220,160 @@ def test_violations_direct(spark):
     body = MemberOf("Department", (("dept_id", Var("dept_id")),))
     bad = violations(emp, body, {"Department": dept})
     assert [r.emp_id for r in bad.collect()] == [2]
+
+
+# --- trigger constants (ports of test_relational_engine.ml trigger_constants:)
+
+
+def test_trigger_constants_const_binding_extracted():
+    """Const value in binding is extracted (:3684): the cascade can bail
+    out when the mutated tuple's status != 'active'."""
+    from sakura_spark.icl.compiler import trigger_constants
+
+    c = MemberOf("R", (("status", ConstVal("active")),))
+    assert trigger_constants(c, "R") == [("status", "active")]
+
+
+def test_trigger_constants_var_binding_no_constant():
+    """Var binding produces no constant (:3706): join variable, not filter."""
+    from sakura_spark.icl.compiler import trigger_constants
+
+    c = MemberOf("R", (("id", Var("id")),))
+    assert trigger_constants(c, "R") == []
+
+
+def test_trigger_constants_unrelated_dep_rel_empty():
+    """Unrelated dep_rel yields empty (:3719)."""
+    from sakura_spark.icl.compiler import trigger_constants
+
+    c = MemberOf("R", (("x", ConstVal(1)),))
+    assert trigger_constants(c, "S") == []
+
+
+# --- transition substitution (ports of substitute_transition: tests) --------
+
+
+def test_substitute_namespaced_var_replaced():
+    """Var "d.dept_id" becomes Const 99 from the transition tuple (:3733)."""
+    from sakura_spark.icl.compiler import substitute_transition
+
+    c = Exists("d", "Department", MemberOf("Target", (("key", Var("d.dept_id")),)))
+    out = substitute_transition(c, "Department", {"dept_id": 99})
+    assert out == Exists("d", "Department", MemberOf("Target", (("key", ConstVal(99)),)))
+
+
+def test_substitute_base_var_untouched():
+    """Base-tuple Var (no "d." prefix) survives substitution (:3766)."""
+    from sakura_spark.icl.compiler import substitute_transition
+
+    c = Exists("d", "Department", MemberOf("Target", (("key", Var("dept_id")),)))
+    out = substitute_transition(c, "Department", {"dept_id": 99})
+    assert out == c
+
+
+def test_substitute_non_matching_quantifier_unchanged():
+    """Quantifier over a different relation is left alone (:3793)."""
+    from sakura_spark.icl.compiler import substitute_transition
+
+    c = Exists("d", "Department", MemberOf("Target", (("key", Var("d.dept_id")),)))
+    out = substitute_transition(c, "Other", {"dept_id": 99})
+    assert out == c
+
+
+def test_substitute_through_and_and_not():
+    """Substitution applies through And and Not (:3820)."""
+    from sakura_spark.icl import And
+    from sakura_spark.icl.compiler import substitute_transition
+
+    c = Exists(
+        "d",
+        "Department",
+        And(
+            MemberOf("A", (("x", Var("d.x")),)),
+            Not(MemberOf("B", (("y", Var("d.y")),))),
+        ),
+    )
+    out = substitute_transition(c, "Department", {"x": 1, "y": 2})
+    assert out == Exists(
+        "d",
+        "Department",
+        And(
+            MemberOf("A", (("x", ConstVal(1)),)),
+            Not(MemberOf("B", (("y", ConstVal(2)),))),
+        ),
+    )
+
+
+def test_substitute_comparison_shorthand():
+    """Our Cmp/Between shorthands are MemberOf against comparison relations
+    in the reference (lib/constraint.ml:548-593), so substitution reaches
+    their bindings too."""
+    from sakura_spark.icl.compiler import substitute_transition
+
+    c = Forall("b", "Building", Cmp("lte", Var("floor"), Var("b.floors")))
+    out = substitute_transition(c, "Building", {"building_id": 1, "floors": 3})
+    assert out == Forall("b", "Building", Cmp("lte", Var("floor"), ConstVal(3)))
+
+
+# --- cascade narrowing behavior ---------------------------------------------
+
+
+def test_trigger_constant_early_bail(spark, store):
+    """A constraint keyed to status='active' is skipped entirely when the
+    mutated rows don't carry that value — and still fires when they do."""
+    db = Database(spark, "tc", store=store, snapshot_on_mutation=False)
+    db.create_relation("R", [("id", "integer"), ("status", "string")])
+    db.create_relation("Audit", [("aid", "integer"), ("status", "string")])
+    db.insert_tuples("R", [{"id": 1, "status": "active"}])
+    # Audit rows must reference an active R row with that exact status.
+    db.register_constraint(
+        "audit_active",
+        "Audit",
+        MemberOf("R", (("status", ConstVal("active")), ("id", Var("aid")))),
+    )
+    db.insert_tuples("Audit", [{"aid": 1, "status": "active"}])
+    # Deleting an inactive row can't affect the constraint (early bail).
+    db.insert_tuples("R", [{"id": 1, "status": "retired"}])
+    db.delete_tuples("R", [{"id": 1, "status": "retired"}])
+    # Deleting the active row the audit references must still be rejected.
+    with pytest.raises(errors.ConstraintViolation):
+        db.delete_tuples("R", [{"id": 1, "status": "active"}])
+
+
+def test_substituted_recheck_plan_has_no_cross_join(spark):
+    """The targeted recheck of a 1-row quantifier mutation: substitution
+    removes every "d.attr" reference, so the compiled plan has no
+    cross/nested-loop join with the quantifier."""
+    from sakura_spark.icl.compiler import substitute_transition
+
+    emp = spark.createDataFrame([(1, 1), (2, 2)], "emp_id long, dept_id long")
+    dept = spark.createDataFrame([(1,), (2,), (3,)], "dept_id long")
+    audit = spark.createDataFrame([(1,), (2,)], "dept_id long")
+    body = Forall("d", "Department", MemberOf("Audit", (("dept_id", Var("d.dept_id")),)))
+    sub = substitute_transition(body, "Department", {"dept_id": 3})
+    bad = violations(emp, sub, {"Department": dept, "Audit": audit})
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # dept_id=3 is not in Audit -> every Employee row now violates.
+    assert bad.count() == 2
+
+
+def test_forall_insert_into_quantifier_uses_substitution(spark, store):
+    """Inserting a quantifier row that breaks a Forall is rejected; one that
+    satisfies the substituted body is accepted (end-to-end cascade)."""
+    db = Database(spark, "sub", store=store, snapshot_on_mutation=False)
+    db.create_relation("Department", [("dept_id", "integer")])
+    db.create_relation("Audit", [("dept_id", "integer")])
+    db.create_relation("Employee", [("emp_id", "integer")])
+    db.insert_tuples("Department", [{"dept_id": 1}])
+    db.insert_tuples("Audit", [{"dept_id": 1}, {"dept_id": 2}])
+    db.insert_tuples("Employee", [{"emp_id": 10}])
+    # Every department must be audited (constraint sits on Employee).
+    db.register_constraint(
+        "all_depts_audited",
+        "Employee",
+        Forall("d", "Department", MemberOf("Audit", (("dept_id", Var("d.dept_id")),))),
+    )
+    db.insert_tuples("Department", [{"dept_id": 2}])  # audited: fine
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("Department", [{"dept_id": 9}])  # unaudited

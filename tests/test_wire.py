@@ -109,3 +109,84 @@ def test_register_domain_wire(server):
     server.execute('(ddl (CreateRelation (name "paint") (schema (("c" "color")))))')
     server.execute('(dml (InsertTuple (relation "paint") (attributes (("c" (Str "red"))))))')
     assert server.execute('(drl (Base "paint"))')["rows"] == [["red"]]
+
+
+def test_cas_conflict_two_interleaved_writers(server):
+    """lib/listener.ml:53-59: two writers read the same head; the first CAS
+    wins, the second writer's mutation is rejected with Conflict and applies
+    nothing; retrying against the fresh head succeeds."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    base = server.db.hash  # both writers observe this head
+    server.execute(
+        '(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))', base_hash=base
+    )
+    h1 = server.db.hash
+    assert h1 != base
+    with pytest.raises(errors.Conflict):
+        server.execute(
+            '(dml (InsertTuple (relation "t") (attributes (("v" (Int 2))))))', base_hash=base
+        )
+    # Nothing applied by the conflicted command.
+    assert server.db.hash == h1
+    assert server.execute('(drl (Base "t"))')["rows"] == [[1]]
+    # Retry with the current head (the reference client's re-read) succeeds.
+    server.execute(
+        '(dml (InsertTuple (relation "t") (attributes (("v" (Int 2))))))', base_hash=h1
+    )
+    rows = server.execute('(drl (Base "t"))')["rows"]
+    assert sorted(v for (v,) in [tuple(r) for r in rows]) == [1, 2]
+
+
+def test_cas_reads_never_conflict(server):
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    stale = server.db.hash
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    # A read with a stale base is fine (only Transitions CAS in the reference).
+    out = server.execute('(drl (Base "t"))', base_hash=stale)
+    assert out["rows"] == [[1]]
+
+
+def test_conflict_renders_as_error_sexp(server):
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    base = server.db.hash
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    resp = server.execute_sexp(
+        '(dml (InsertTuple (relation "t") (attributes (("v" (Int 2))))))', base_hash=base
+    )
+    assert resp.startswith("((error (Conflict")
+
+
+def test_tcp_frontend_roundtrip(server):
+    """lib/transport.ml parity: socket in, newline-terminated sexp out,
+    multiple commands per connection, pipelined in one send."""
+    import socket as pysocket
+
+    from sakura_spark.wire import TcpFrontend
+
+    with TcpFrontend(server) as fe:
+        c = pysocket.create_connection((fe.host, fe.port), timeout=30)
+        c.settimeout(30)
+        f = c.makefile("rw", encoding="utf-8")
+
+        def send(cmd):
+            f.write(cmd)
+            f.flush()
+            return f.readline().strip()
+
+        r1 = send('(ddl (CreateRelation (name "users") (schema (("name" "string")))))')
+        assert r1.startswith("((ok true)")
+        # Two commands pipelined in one write -> two responses.
+        f.write(
+            '(dml (InsertTuple (relation "users") (attributes (("name" (Str "Ada"))))))'
+            '(drl (Base "users"))'
+        )
+        f.flush()
+        r2, r3 = f.readline().strip(), f.readline().strip()
+        assert r2.startswith("((ok true)")
+        assert '"Ada"' in r3 and "(truncated false)" in r3
+        # Errors come back as (error ...) without killing the connection.
+        r4 = send("(tcl (Nope))")
+        assert r4.startswith("((error (ParseError")
+        r5 = send('(drl (Base "users"))')
+        assert '"Ada"' in r5
+        c.close()
