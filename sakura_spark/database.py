@@ -92,8 +92,10 @@ class Database:
         self.hash: str | None = None
         self.deferred_pending: set[str] = set()
         # Per-mutation snapshotting mirrors the reference (every write is a
-        # new persisted state). At data scale you snapshot on commit()
-        # boundaries instead; tests run with the faithful default.
+        # new persisted state). The documented BULK-INGEST default is
+        # snapshot_on_mutation=False + one commit() at the batch boundary:
+        # the write path then costs one aggregation job per insert and one
+        # snapshot total. Tests run with the faithful per-mutation default.
         self.snapshot_on_mutation = snapshot_on_mutation
         if snapshot_on_mutation:
             self._snapshot()
@@ -163,24 +165,53 @@ class Database:
 
     def insert_tuples(self, relation: str, rows: list[dict] | DataFrame) -> int:
         """InsertTuple(s) (lib/dml/executor.ml:59-70). Whole-batch:
-        domain checks, duplicate rejection, immediate constraints, cascade."""
+        domain checks, duplicate rejection, immediate constraints, cascade.
+
+        The batch count, in-batch duplicate check, against-extension
+        duplicate check and domain check all fold into ONE aggregation job
+        (a left join of batch hashes against existing hashes feeding four
+        aggregates) — the bulk-ingest path launches a single Spark job up to
+        the constraint checks. For bulk loads also construct the Database
+        with ``snapshot_on_mutation=False`` and snapshot once at
+        ``commit()``.
+        """
+        from sakura_spark.domains import domain_violation_cond
+
         rel = self._rel(relation)
         batch = self._as_batch(rel, rows)
-        n = batch.count()
+        hashed_batch = with_tuple_hash(batch, relation)
+        existing_hashes = (
+            with_tuple_hash(rel.df, relation)
+            .select(TUPLE_HASH_COL)
+            .withColumn("__exists", F.lit(1))
+        )
+        stats = (
+            hashed_batch.join(existing_hashes, on=TUPLE_HASH_COL, how="left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.col(TUPLE_HASH_COL)).alias("n_distinct"),
+                F.count("__exists").alias("dup_existing"),
+                F.sum(
+                    F.when(domain_violation_cond(rel.schema_pairs, self.registry), 1).otherwise(0)
+                ).alias("domain_bad"),
+            )
+            .collect()[0]
+        )
+        n = stats["n"]
         if not n:
             return 0
         # Set semantics (lib/manipulation.ml:539-540): duplicates within the
         # batch or against the stored extension are rejected.
-        if batch.dropDuplicates().count() != n:
+        if stats["n_distinct"] != n:
             raise errors.DuplicateTuple(f"duplicate rows within insert batch for {relation}")
-        hashed_existing = with_tuple_hash(rel.df, relation)
-        hashed_batch = with_tuple_hash(batch, relation)
-        dup = hashed_batch.join(
-            hashed_existing.select(TUPLE_HASH_COL), on=TUPLE_HASH_COL, how="left_semi"
-        ).count()
-        if dup:
-            raise errors.DuplicateTuple(f"{dup} rows already present in {relation}")
-        self._check_domains(rel, batch)
+        if stats["dup_existing"]:
+            raise errors.DuplicateTuple(
+                f"{stats['dup_existing']} rows already present in {relation}"
+            )
+        if stats["domain_bad"]:
+            raise errors.DomainViolation(
+                f"{stats['domain_bad']} rows violate domain checks on {relation}"
+            )
 
         new_df = rel.df.unionByName(batch)
         resolver = self._resolver_with(relation, new_df)
@@ -204,8 +235,18 @@ class Database:
         match; missing tuples are an error (retract_tuple semantics)."""
         rel = self._rel(relation)
         batch = self._as_batch(rel, rows).dropDuplicates()
-        n = batch.count()
-        present = batch.join(rel.df, on=rel.attrs, how="left_semi").count()
+        # One job for batch count + presence check (the extension is a set,
+        # so the left join cannot fan out).
+        stats = (
+            batch.join(
+                rel.df.select(*rel.attrs).withColumn("__present", F.lit(1)),
+                on=rel.attrs,
+                how="left",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.count("__present").alias("present"))
+            .collect()[0]
+        )
+        n, present = stats["n"], stats["present"]
         if present != n:
             raise errors.UnknownRelation(
                 f"delete_tuples: {n - present} tuples not present in {relation}"

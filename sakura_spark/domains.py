@@ -102,13 +102,22 @@ def schema_to_struct(schema_pairs: list[tuple[str, str]], registry: DomainRegist
     )
 
 
-def domain_violations(df, schema_pairs: list[tuple[str, str]], registry: DomainRegistry):
-    """Filter to rows violating any domain CHECK (or any NULL — no NULLs in
-    the model). One distributed filter for the whole batch."""
+def domain_violation_cond(
+    schema_pairs: list[tuple[str, str]], registry: DomainRegistry
+) -> Column:
+    """Boolean Column: true on rows violating any domain CHECK (or any NULL
+    — no NULLs in the model). Usable inside a larger aggregation so the
+    write path folds domain checking into its single stats job."""
     cond = F.lit(False)
     for attr, dom_name in schema_pairs:
         dom = registry.get(dom_name)
         cond = cond | F.col(attr).isNull()
         if dom.check is not None:
             cond = cond | ~dom.check(F.col(attr))
-    return df.filter(cond)
+    return cond
+
+
+def domain_violations(df, schema_pairs: list[tuple[str, str]], registry: DomainRegistry):
+    """Filter to rows violating any domain CHECK. One distributed filter for
+    the whole batch."""
+    return df.filter(domain_violation_cond(schema_pairs, registry))

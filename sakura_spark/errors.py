@@ -66,3 +66,10 @@ class Conflict(SakuraError):
 
 class CursorError(SakuraError):
     pass
+
+
+class UnboundedQuantifier(SakuraError):
+    """Exists/Forall over a quantifier too large to iterate — the
+    reference's UnboundedQuantifier diagnostic (lib/constraint.ml:184-212),
+    extended here to also bound *finite but huge* quantifiers, since the
+    witness search crossJoins df x quantifier."""

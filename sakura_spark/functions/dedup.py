@@ -180,6 +180,11 @@ def minhash_candidate_pairs(
     return _bucket_pairs(banded, ["band_id", "band_hash"], max_bucket_size)
 
 
+# Unblocked jaccard_pairs is quadratic; above this many rows it refuses to
+# run without a group_col (or an explicit opt-out).
+JACCARD_UNBLOCKED_MAX_ROWS = 10_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -187,13 +192,26 @@ def jaccard_pairs(
     group_col: str | None = None,
     shingle_n: int = 3,
     threshold: float = 0.1,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
     With ``group_col`` the self-join is restricted to equal group values
-    (the verification step after blocking); without it this is all-pairs —
-    only for small inputs or post-LSH candidate sets.
+    (the verification step after blocking); without it this is ALL-PAIRS
+    (quadratic) — guarded: inputs over ``JACCARD_UNBLOCKED_MAX_ROWS`` rows
+    raise unless ``allow_unblocked=True`` (the escape hatch for post-LSH
+    candidate sets the caller knows are small-by-construction).
     """
+    if group_col is None and not allow_unblocked:
+        n = df.limit(JACCARD_UNBLOCKED_MAX_ROWS + 1).count()
+        if n > JACCARD_UNBLOCKED_MAX_ROWS:
+            raise ValueError(
+                f"jaccard_pairs without group_col is an all-pairs crossJoin; "
+                f"input exceeds {JACCARD_UNBLOCKED_MAX_ROWS} rows ({n}+). "
+                "Pass group_col= for blocked verification, or "
+                "allow_unblocked=True if the input is a known-small "
+                "candidate set."
+            )
     base = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [] ),

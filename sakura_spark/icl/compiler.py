@@ -30,10 +30,19 @@ from typing import Callable, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sakura_spark import prelude
+from sakura_spark import errors, prelude
 from sakura_spark.icl import ast
 
 Resolver = Union[Callable[[str], DataFrame], dict]
+
+# Guard on the Exists/Forall witness search: the quantifier is broadcast
+# into a crossJoin with the checked frame, so a huge quantifier silently
+# becomes a |df| x |q| nested loop. Quantifiers above this row count raise
+# errors.UnboundedQuantifier (reference diagnostic, lib/constraint.ml:
+# 184-212). Escape hatch: set to None (module level) to disable — e.g.
+# `icl_compiler.MAX_QUANTIFIER_ROWS = None` — when a large quantifier is
+# genuinely intended and the cost is understood.
+MAX_QUANTIFIER_ROWS: int | None = 100_000
 
 POSITIVE = "positive"  # a DELETE from the relation can violate
 NEGATIVE = "negative"  # an INSERT into the relation can violate
@@ -161,6 +170,16 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
             if isinstance(body, ast.Exists):
                 return satisfied_rows(df, body.body, resolver) if q_nonempty else df.limit(0)
             return satisfied_rows(df, body.body, resolver) if q_nonempty else df
+        if MAX_QUANTIFIER_ROWS is not None:
+            qn = q.limit(MAX_QUANTIFIER_ROWS + 1).count()
+            if qn > MAX_QUANTIFIER_ROWS:
+                raise errors.UnboundedQuantifier(
+                    f"{type(body).__name__} quantifier {body.quantifier!r} exceeds "
+                    f"{MAX_QUANTIFIER_ROWS} rows; the witness search would crossJoin "
+                    "it with every checked row. Narrow the quantifier, or set "
+                    "sakura_spark.icl.compiler.MAX_QUANTIFIER_ROWS = None to "
+                    "accept the cost."
+                )
         prefixed = q.select(
             *[F.col(c).alias(f"{body.var}.{c}") for c in q.columns]
         ).dropDuplicates()

@@ -358,6 +358,32 @@ def test_substituted_recheck_plan_has_no_cross_join(spark):
     assert bad.count() == 2
 
 
+def test_quantifier_size_guard(spark):
+    """Exists over a quantifier above the row guard raises the reference's
+    UnboundedQuantifier diagnostic instead of a silent |df| x |q| nested
+    loop; the documented escape hatch (module knob) lets it through."""
+    from sakura_spark.icl import compiler as icl_compiler
+
+    df = spark.createDataFrame([(1,)], "x long")
+    q = spark.range(0, 50).select(Fcol("id").alias("qid"))
+    body = Exists("d", "Q", Cmp("eq", Var("d.qid"), Var("x")))
+    prev = icl_compiler.MAX_QUANTIFIER_ROWS
+    icl_compiler.MAX_QUANTIFIER_ROWS = 10
+    try:
+        with pytest.raises(errors.UnboundedQuantifier):
+            violations(df, body, {"Q": q}).count()
+        icl_compiler.MAX_QUANTIFIER_ROWS = None  # escape hatch
+        assert violations(df, body, {"Q": q}).count() == 0  # 1 is in 0..49
+    finally:
+        icl_compiler.MAX_QUANTIFIER_ROWS = prev
+
+
+def Fcol(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
 def test_forall_insert_into_quantifier_uses_substitution(spark, store):
     """Inserting a quantifier row that breaks a Forall is rejected; one that
     satisfies the substituted body is accepted (end-to-end cascade)."""

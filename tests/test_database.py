@@ -111,3 +111,28 @@ def test_drl_through_database(db):
     out = db.drl('(Select (Const (("age" (Int 30)))) (Base "users"))')
     rows = out.collect()
     assert len(rows) == 1 and rows[0].name == "Alice"
+
+
+def test_bulk_insert_launches_few_jobs(spark, store):
+    """The write path folds batch count + in-batch dup + cross-extension dup
+    + domain checks into one aggregation: a 10k-row insert with
+    snapshot_on_mutation=False launches at most 3 Spark jobs."""
+    from sakura_spark.database import Database
+
+    db = Database(spark, "bulk", store=store, snapshot_on_mutation=False)
+    db.create_relation("t", [("v", "integer")])
+    rows = [{"v": i} for i in range(10_000)]
+    sc = spark.sparkContext
+    # AQE legitimately splits one query into a job per materialized stage;
+    # disable it here so the job count equals the action count.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("bulk-insert", "bulk insert job count")
+    try:
+        assert db.insert_tuples("t", rows) == 10_000
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    job_ids = sc.statusTracker().getJobIdsForGroup("bulk-insert")
+    assert len(job_ids) <= 3, f"insert launched {len(job_ids)} jobs"
+    assert db.relation("t").count() == 10_000

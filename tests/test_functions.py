@@ -79,6 +79,27 @@ def test_jaccard_pairs_exact_value(docs):
     assert math.isclose(out[(1, 3)], 6 / 8)
 
 
+def test_jaccard_unblocked_guard(spark, docs):
+    """All-pairs jaccard without group_col refuses large inputs; the
+    escape hatch and small inputs still work."""
+    import pytest as _pytest
+
+    big = spark.range(0, 20).selectExpr(
+        "id as doc_id", "concat('w', id, ' x y z common tokens here') as text"
+    )
+    prev = dedup.JACCARD_UNBLOCKED_MAX_ROWS
+    dedup.JACCARD_UNBLOCKED_MAX_ROWS = 10
+    try:
+        with _pytest.raises(ValueError, match="all-pairs"):
+            dedup.jaccard_pairs(big, "doc_id")
+        # Escape hatch for known-small candidate sets.
+        dedup.jaccard_pairs(big, "doc_id", allow_unblocked=True).count()
+    finally:
+        dedup.JACCARD_UNBLOCKED_MAX_ROWS = prev
+    # Under the limit: runs without the hatch.
+    assert dedup.jaccard_pairs(docs, "doc_id", threshold=0.99).count() >= 1
+
+
 def test_simhash_hamming(docs):
     cands = {
         (r.id_a, r.id_b): r.hamming
