@@ -10,7 +10,17 @@ from sakura_spark import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("sakura-tests", shuffle_partitions=8)
+    # Tiny fixtures: 2 shuffle partitions + 8 local threads + AQE off cut
+    # per-stage scheduling and adaptive re-planning overhead (the dominant
+    # costs at test scale). Plan shapes are partition-count independent and
+    # no test asserts AQE behavior, so test_scale assertions are
+    # unaffected; production sessions (get_spark defaults) keep AQE on.
+    s = get_spark(
+        "sakura-tests",
+        cpus=8,
+        shuffle_partitions=2,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     yield s
 
 

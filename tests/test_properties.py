@@ -16,7 +16,7 @@ ROWS = st.lists(
 )
 
 _SETTINGS = dict(
-    max_examples=8,  # each example runs Spark jobs; keep the budget tight
+    max_examples=5,  # each example runs Spark jobs; keep the budget tight
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

@@ -9,8 +9,16 @@ from sakura_spark.wire import ParseError, Server
 
 @pytest.fixture()
 def server(spark, store):
-    s = Server(spark, "shop", store=store, snapshot_on_mutation=True)
-    return s
+    """Snapshot-off server: wire syntax/dispatch tests don't need
+    per-mutation versioning (hash churn dominates their runtime)."""
+    return Server(spark, "shop", store=store, snapshot_on_mutation=False)
+
+
+@pytest.fixture()
+def vserver(spark, store):
+    """Versioned server (per-mutation snapshots) for DCL/CAS tests that
+    observe the db hash advancing."""
+    return Server(spark, "shop", store=store, snapshot_on_mutation=True)
 
 
 def test_ddl_create_insert_query(server):
@@ -61,7 +69,8 @@ def test_icl_fk_through_wire(server):
     assert ["fk", "Employee"] in cat["rows"]
 
 
-def test_dcl_branch_head_follows(server):
+def test_dcl_branch_head_follows(vserver):
+    server = vserver
     server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
     server.execute('(dcl (CreateBranch (name "main")))')
     h0 = server.execute("(dcl (GetHead))")
@@ -71,7 +80,8 @@ def test_dcl_branch_head_follows(server):
     assert tip == server.db.hash  # HEAD advanced with the mutation
 
 
-def test_dcl_branch_merge_workflow(server):
+def test_dcl_branch_merge_workflow(vserver):
+    server = vserver
     server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
     server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
     server.execute('(dcl (CreateBranch (name "main")))')
@@ -111,10 +121,11 @@ def test_register_domain_wire(server):
     assert server.execute('(drl (Base "paint"))')["rows"] == [["red"]]
 
 
-def test_cas_conflict_two_interleaved_writers(server):
+def test_cas_conflict_two_interleaved_writers(vserver):
     """lib/listener.ml:53-59: two writers read the same head; the first CAS
     wins, the second writer's mutation is rejected with Conflict and applies
     nothing; retrying against the fresh head succeeds."""
+    server = vserver
     server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
     base = server.db.hash  # both writers observe this head
     server.execute(
@@ -137,7 +148,8 @@ def test_cas_conflict_two_interleaved_writers(server):
     assert sorted(v for (v,) in [tuple(r) for r in rows]) == [1, 2]
 
 
-def test_cas_reads_never_conflict(server):
+def test_cas_reads_never_conflict(vserver):
+    server = vserver
     server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
     stale = server.db.hash
     server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
@@ -146,7 +158,8 @@ def test_cas_reads_never_conflict(server):
     assert out["rows"] == [[1]]
 
 
-def test_conflict_renders_as_error_sexp(server):
+def test_conflict_renders_as_error_sexp(vserver):
+    server = vserver
     server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
     base = server.db.hash
     server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
@@ -156,13 +169,15 @@ def test_conflict_renders_as_error_sexp(server):
     assert resp.startswith("((error (Conflict")
 
 
-def test_tcp_frontend_roundtrip(server):
+def test_tcp_frontend_roundtrip(spark, store):
     """lib/transport.ml parity: socket in, newline-terminated sexp out,
-    multiple commands per connection, pipelined in one send."""
+    multiple commands per connection, pipelined in one send. Snapshot-off
+    server: transport framing doesn't exercise versioning."""
     import socket as pysocket
 
     from sakura_spark.wire import TcpFrontend
 
+    server = Server(spark, "tcp", store=store, snapshot_on_mutation=False)
     with TcpFrontend(server) as fe:
         c = pysocket.create_connection((fe.host, fe.port), timeout=30)
         c.settimeout(30)
