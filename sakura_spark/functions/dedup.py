@@ -50,7 +50,8 @@ def _perm_params(i: int) -> tuple[int, int]:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of lowercased text (distinct), as an array —
-    built with sequence/transform, no explode."""
+    built with sequence/transform, no explode. String form: used where the
+    literal grams matter (exact Jaccard vs the SQL oracle)."""
     toks = tokens(F.lower(text))
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), cnt - (n - 1))
@@ -58,6 +59,36 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(grams)
     )
+
+
+# Odd multiplier for the rolling gram-hash combine; with 31-bit operands the
+# product stays under 2^62, inside a long even with ANSI overflow checking.
+_A = 1_000_003
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 31-bit hashes of word n-gram shingles, as array<long>.
+
+    The cheap numeric analogue of :func:`shingles` for signature pipelines
+    (minhash/simhash), where only hash equality matters: each token is
+    xxhash64'd ONCE, and gram hashes combine n consecutive token hashes
+    with a rolling (acc*A + h) mod p — no per-gram string slicing/joining,
+    which costs ~5x the whole signature pipeline at bench scale. Built
+    from zip_with over shifted slices (each argument evaluated once — a
+    transform-with-element_at nesting re-evaluates its input array per
+    element). Trailing windows short of n tokens become NULL via zip_with
+    padding and are filtered; docs with < n tokens yield an empty array.
+    """
+    toks = tokens(F.lower(text))
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
+    g = th
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(0))),
+            lambda acc, h: F.pmod(acc * F.lit(_A) + h, F.lit(_P)),
+        )
+    return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
 
 
 def minhash_signatures(
@@ -75,28 +106,52 @@ def minhash_signatures(
     Documents with fewer than `shingle_n` tokens get the sentinel
     signature p (matches only other empty docs, which exact-dedup already
     groups)."""
+    sigs = minhash_signature_array(df, id_col, text_col, num_hashes, shingle_n)
+    # Unpacking ms[i] into separate columns would tempt CollapseProject
+    # into inlining the whole signature transform once PER consumer (a
+    # num_hashes x recompute); the array stays the primary representation
+    # (minhash_candidate_pairs consumes it directly) and this unpacked view
+    # forces a materialization barrier via per-column element_at on an
+    # aliased projection that Catalyst keeps separate (single reference in
+    # each branch of one select).
+    return sigs.select("id", *[F.col("ms")[i].alias(f"m{i}") for i in range(num_hashes)])
+
+
+def minhash_signature_array(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document minhash signature as ONE array column ``ms``.
+
+    One nested transform over a LITERAL (a_i, b_i) parameter array: plan
+    size stays O(1) in num_hashes and downstream consumers (band hashing)
+    reference ``ms`` exactly once, so the transform is never recomputed.
+    """
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            shingles(F.col(text_col), shingle_n),
-            lambda sh: F.pmod(F.xxhash64(sh), F.lit(_P)),
-        ).alias("hs"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("hs"),
     )
-    mins = []
-    for i in range(num_hashes):
-        a, b = _perm_params(i)
-        mins.append(
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        F.col("hs"),
-                        lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)),
-                    )
-                ),
-                F.lit(_P),
-            ).alias(f"m{i}")
-        )
-    return hashed.select("id", *mins)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in (_perm_params(i) for i in range(num_hashes))
+        ]
+    )
+    # Single fold over the shingle hashes: aggregate() evaluates its input
+    # expression exactly ONCE, so even when CollapseProject inlines the
+    # shingle pipeline into this projection the expensive hashing is not
+    # re-evaluated per permutation (a transform(params, ...hs...) nesting
+    # re-evaluates hs per outer element — measured 20x slower). Zero value
+    # [P]*n doubles as the empty-document sentinel.
+    return hashed.select(
+        "id",
+        F.aggregate(
+            F.col("hs"),
+            F.array_repeat(F.lit(_P).cast("long"), num_hashes),
+            lambda acc, h: F.zip_with(
+                acc, params, lambda m, p: F.least(m, F.pmod(h * p["a"] + p["b"], F.lit(_P)))
+            ),
+        ).alias("ms"),
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -162,17 +217,23 @@ def minhash_candidate_pairs(
     includes band_id so buckets from different bands never mix.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)])
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
+    sig = minhash_signature_array(df, id_col, text_col, num_hashes, shingle_n)
+    # Band hashes straight from the ms array (ms referenced ONCE, so the
+    # signature transform cannot be duplicated by projection collapsing):
+    # band b hashes the comma-joined slice ms[b*rows .. b*rows+rows).
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("ms"), b * rows + 1, rows), lambda m: m.cast("string")
+                    ),
+                )
+            ).alias("band_hash"),
+        ),
     )
     banded = sig.select("id", F.explode(band_structs).alias("band")).select(
         "id", "band.band_id", "band.band_hash"
@@ -251,10 +312,12 @@ def simhash_signatures(
     from the sums in a final projection. No exploded doc×shingle
     intermediate, no groupBy. Documents with no shingles get signature 0.
     """
+    # Numeric grams (31-bit), re-widened to 64 bits with one fixed-width
+    # xxhash64 so all 64 vote bits are meaningful — still no string ops.
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
-            shingles(F.col(text_col), shingle_n), lambda sh: F.xxhash64(sh)
+            shingle_hashes(F.col(text_col), shingle_n), lambda g: F.xxhash64(g)
         ).alias("hs"),
     )
     sums = hashed.select(

@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Split small scans across the cores (no shuffle — the scan itself
+        # fans out). At cluster scale files dwarf maxPartitionBytes and
+        # these floors are no-ops; at bench scale they stop a single small
+        # parquet file from pinning expression-heavy pipelines to 1 task.
+        .config("spark.sql.files.minPartitionNum", str(n_cores))
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         # Some sources write TIMESTAMP(NANOS) which Spark's vectorized reader
         # rejects; read them as raw nanos longs and convert in load_table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
