@@ -686,6 +686,14 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_candidates(docs, "doc_id", prefix_bits=12)
 
 
+def q_dedup_near(spark, sf_dir):
+    """End-to-end near-dup removal: LSH -> jaccard verify -> connected
+    components -> keep min-id representative. Rows-only (LSH recall is not
+    SQL-expressible); pytest pins exact behavior on planted clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_near(docs, "doc_id").select("doc_id", "source")
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -795,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_near": q_dedup_near,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,

@@ -382,3 +382,96 @@ def simhash_candidates(
         .select("p.id_a", "p.id_b", "p.hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Connected components over (id_a, id_b) duplicate pairs -> (id,
+    cluster) with cluster = the component's minimum id.
+
+    Iterative min-label propagation: each pass every node adopts the
+    minimum label in its closed neighborhood, converging in O(cluster
+    diameter) passes — near-dup clusters are shallow (pairs are mutual
+    near-copies), so the default cap is generous. Each pass is one
+    edges⋈labels join plus a groupBy-min — hash-partitioned on id, no
+    driver-side graph, so 100 TB of pairs shuffles but never collects.
+    Convergence is detected with a bounded count job per pass; labels are
+    checkpointed via localCheckpoint every pass to keep the plan from
+    growing superlinearly with iterations.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id, "inner")
+            .select(edges.src.alias("id"), F.col("cluster"))
+            .groupBy("id")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))).alias(
+                    "cluster"
+                ),
+                (F.col("nbr_min") < F.col("cluster")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if not changed:
+            break
+    return labels
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash+LSH candidates ->
+    (optional) exact Jaccard verification -> connected components -> keep
+    the minimum-id representative of each cluster. The full
+    training-data-pipeline shape: every stage bucket-bounded (no all-pairs
+    term), the verification join runs only on candidate pairs, and the
+    survivor filter is one left-anti join against the non-representatives.
+    """
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size
+    )
+    if jaccard_threshold is not None:
+        texts = df.select(F.col(id_col).alias("id"), F.col(text_col))
+        sh = texts.select(
+            "id", shingle_hashes(F.col(text_col), shingle_n).alias("sh")
+        )
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        uni = F.size("sh_a") + F.size("sh_b") - inter
+        jac = F.when(uni == 0, F.lit(0.0)).otherwise(
+            inter.cast("double") / uni.cast("double")
+        )
+        pairs = (
+            pairs.join(a, on="id_a")
+            .join(b, on="id_b")
+            .filter(jac >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+    clusters = duplicate_clusters(pairs)
+    doomed = clusters.filter(F.col("cluster") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(doomed, on=id_col, how="left_anti")

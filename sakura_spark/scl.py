@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import time
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -30,6 +31,7 @@ class Cursor:
     position: int = 0
     closed: bool = False
     schema: list[str] = field(default_factory=list)
+    created_at: float = field(default_factory=time.time)  # lib/session.ml:13
 
 
 class SessionRegistry:
@@ -79,6 +81,21 @@ class SessionRegistry:
         cur = self._cursors.pop(cursor_id, None)
         if cur is not None:
             cur.closed = True
+
+    def gc(self, max_age_seconds: float) -> list[str]:
+        """Expire cursors older than ``max_age_seconds``
+        (lib/session.ml:71-79): abandoned cursors otherwise pin their
+        iterator (and with it the query's snapshot) forever. Returns the
+        closed cursor ids; complements the LRU cap on registration."""
+        now = time.time()
+        expired = [
+            cid
+            for cid, cur in self._cursors.items()
+            if now - cur.created_at >= max_age_seconds
+        ]
+        for cid in expired:
+            self.close(cid)
+        return expired
 
     def open_cursors(self) -> list[str]:
         return list(self._cursors)

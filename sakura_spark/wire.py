@@ -195,15 +195,29 @@ class Server:
 
     # --- DRL ---------------------------------------------------------------
 
+    def _branch_name(self) -> str:
+        """HEAD branch name or "--" (lib/listener.ml get_branch)."""
+        try:
+            return self.branches.get_head()
+        except errors.UnknownBranch:
+            return "--"
+
     def _relation_response(self, df, name: str = "derived") -> dict:
+        """Query response, field-for-field the reference's serialize shape
+        (lib/listener.ml:111-123): name, schema, rows, row_count,
+        truncated, db_hash, db_name, branch."""
         rows = df.limit(self.result_limit + 1).collect()
         truncated = len(rows) > self.result_limit
+        kept = rows[: self.result_limit]
         return {
             "relation": name,
             "schema": df.columns,
-            "rows": [list(r) for r in rows[: self.result_limit]],
+            "rows": [list(r) for r in kept],
+            "row_count": len(kept),
             "truncated": truncated,
             "db_hash": self.db.hash,
+            "db_name": self.db.name,
+            "branch": self._branch_name(),
         }
 
     def _exec_drl(self, stmt) -> dict:
@@ -340,12 +354,13 @@ class Server:
             cid, batch = self.sessions.begin(
                 df, query=str(f["query"]), db_hash=self.db.hash, limit=limit
             )
-            return {"cursor": cid, "rows": [list(r) for r in batch], "schema": df.columns}
+            return self._cursor_response(cid, batch, schema=df.columns)
         if tag == "Fetch":
             f = _fields(stmt)
             limit = int(_atom_str(f["limit"])) if "limit" in f else DEFAULT_BATCH
-            batch = self.sessions.fetch(_atom_str(f["cursor"]), limit)
-            return {"rows": [list(r) for r in batch]}
+            cid = _atom_str(f["cursor"])
+            batch = self.sessions.fetch(cid, limit)
+            return self._cursor_response(cid, batch)
         if tag == "Close":
             f = _fields(stmt)
             self.sessions.close(_atom_str(f["cursor"]))
@@ -355,7 +370,30 @@ class Server:
     # --- internals ---------------------------------------------------------
 
     def _ok(self) -> dict:
-        return {"ok": True, "db_hash": self.db.hash}
+        """Transition response (lib/listener.ml serialize Ok Transition):
+        ok + db_hash + db_name + branch."""
+        return {
+            "ok": True,
+            "db_hash": self.db.hash,
+            "db_name": self.db.name,
+            "branch": self._branch_name(),
+        }
+
+    def _cursor_response(self, cid: str, batch, schema: list[str] | None = None) -> dict:
+        """Cursor response (lib/listener.ml serialize Ok Cursor): id, rows,
+        row_count, has_more, db_hash, db_name, branch (+ schema on Begin)."""
+        out = {
+            "cursor": cid,
+            "rows": [list(r) for r in batch],
+            "row_count": len(batch),
+            "has_more": cid in self.sessions.open_cursors(),
+            "db_hash": self.db.hash,
+            "db_name": self.db.name,
+            "branch": self._branch_name(),
+        }
+        if schema is not None:
+            out["schema"] = schema
+        return out
 
     def execute_sexp(self, text: str, base_hash: str | None = None) -> str:
         """Full listener parity: execute and render the response as an

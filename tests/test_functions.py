@@ -100,6 +100,26 @@ def test_jaccard_unblocked_guard(spark, docs):
     assert dedup.jaccard_pairs(docs, "doc_id", threshold=0.99).count() >= 1
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """Min-label propagation finds components, including a chain needing
+    multiple passes; singletons (no edges) are absent by construction."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_near_end_to_end(docs):
+    """Full pipeline: LSH candidates -> jaccard verify -> components ->
+    min-id representative survives."""
+    kept = {r.doc_id for r in dedup.dedup_near(docs, "doc_id").collect()}
+    # 1,2,6 exact/canonical dups and 3 a near-dup: representative 1 stays.
+    assert 1 in kept
+    assert 2 not in kept and 3 not in kept
+    assert 4 in kept and 5 in kept  # unrelated and empty docs untouched
+
+
 def test_simhash_hamming(docs):
     cands = {
         (r.id_a, r.id_b): r.hamming

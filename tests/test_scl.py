@@ -48,6 +48,23 @@ def test_lru_eviction(nums):
     assert len(reg.fetch(c2, 5)) == 5
 
 
+def test_gc_expires_old_cursors(nums):
+    """Registry GC (lib/session.ml:71-79): cursors past max_age close;
+    fresh ones survive."""
+    import time as _time
+
+    reg = SessionRegistry()
+    c_old, _ = reg.begin(nums.orderBy("n"), limit=10)
+    reg._cursors[c_old].created_at -= 100.0  # age it artificially
+    c_new, _ = reg.begin(nums.orderBy("n"), limit=10)
+    expired = reg.gc(max_age_seconds=50.0)
+    assert expired == [c_old]
+    with pytest.raises(errors.CursorError):
+        reg.fetch(c_old, 1)
+    assert len(reg.fetch(c_new, 5)) == 5
+    assert _time.time() - reg._cursors[c_new].created_at < 50
+
+
 def test_cursor_snapshot_isolation(spark, store):
     """Cursor pins the db state at Begin (lib/session.ml:11)."""
     from sakura_spark.database import Database

@@ -101,10 +101,24 @@ def test_scl_cursor_wire(server):
     server.execute(f'(dml (InsertTuples (relation "nums") (tuples ({rows}))))')
     out = server.execute('(scl (Begin (query (Base "nums")) (limit 3)))')
     assert len(out["rows"]) == 3
+    # Cursor response carries the reference's serialize fields
+    # (lib/listener.ml Ok Cursor): row_count, has_more, db_name, branch.
+    assert out["row_count"] == 3 and out["has_more"] is True
+    assert out["db_name"] == "shop" and out["branch"] == "--"
     cid = out["cursor"]
     out2 = server.execute(f'(scl (Fetch (cursor "{cid}") (limit 10)))')
     assert len(out2["rows"]) == 4  # exhausted
+    assert out2["row_count"] == 4 and out2["has_more"] is False
     server.execute(f'(scl (Close (cursor "{cid}")))')
+
+
+def test_query_response_serialize_fields(server):
+    """Query responses carry row_count/db_name/branch like the reference's
+    serialize (lib/listener.ml:111-123)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    out = server.execute('(drl (Base "t"))')
+    assert out["row_count"] == 1 and out["db_name"] == "shop" and out["branch"] == "--"
 
 
 def test_unknown_tag_and_bad_sexp(server):
