@@ -53,6 +53,21 @@ def test_asof_suffix_collision(spark):
     assert row.v == 1.0 and row.v_r == 2.0 and row.t_r == ts(0)
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """A NULL payload value in the MATCHED right row stays NULL — carrying
+    payload columns independently would stitch it from an older right row
+    (pandas.merge_asof / ASOF JOIN keep the matched row's NULL)."""
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0, "stale-note"), (1, ts(10), 11.0, None)],
+        "sym long, qts timestamp, px double, note string",
+    )
+    trades = spark.createDataFrame([(1, ts(20), 300)], "sym long, tts timestamp, qty long")
+    row = asof_join(trades, quotes, on="sym", left_time="tts", right_time="qts").collect()[0]
+    assert row.px == 11.0          # matched row is the t=10 quote
+    assert row.note is None       # its NULL note must NOT come from t=0
+    assert row.qts == ts(10)      # all carried values from the same row
+
+
 def test_range_join(spark):
     probes = spark.createDataFrame(
         [(1, ts(30)), (1, ts(50)), (2, ts(30))], "k long, pt timestamp"
