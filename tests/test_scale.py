@@ -117,6 +117,35 @@ def test_extract_metadata_has_no_python_in_plan(spark):
     assert "Exchange" not in plan  # map-only: scan -> project
 
 
+def test_all_registered_query_plans_are_scale_clean(spark):
+    """Plan lint over the ENTIRE driver registry: no cartesian/nested-loop
+    join and no row-at-a-time Python anywhere (rel_cartesian exempt — the
+    operator IS the cross product, reference lib/drl/executor.ml:59-63).
+    Catches a silently regressed join condition or a UDF sneaking into a
+    hot path, at planning cost only."""
+    import __spark_entry__ as e
+
+    allowed_nested_loop = {"rel_cartesian"}
+    flagged = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = _physical(df)
+        flags = [
+            f
+            for f, marker in (
+                ("cartesian", "CartesianProduct"),
+                ("nested-loop", "BroadcastNestedLoopJoin"),
+                ("row-python", "BatchEvalPython"),
+            )
+            if marker in plan
+        ]
+        if name in allowed_nested_loop:
+            flags = [f for f in flags if f not in ("cartesian", "nested-loop")]
+        if flags:
+            flagged[name] = flags
+    assert not flagged, f"scale-hazard plans: {flagged}"
+
+
 def test_minhash_signature_pipeline_is_map_only(spark):
     """The minhash signature job must stay shuffle-free (no Exchange): the
     signature is array expressions over one projection, not an
