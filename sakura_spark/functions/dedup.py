@@ -118,16 +118,25 @@ def minhash_signatures(
 
 
 def minhash_signature_array(
-    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Per-document minhash signature as ONE array column ``ms``.
 
     One nested transform over a LITERAL (a_i, b_i) parameter array: plan
     size stays O(1) in num_hashes and downstream consumers (band hashing)
     reference ``ms`` exactly once, so the transform is never recomputed.
+    ``carry`` columns (e.g. an event-time column for streaming windows)
+    pass through untouched.
     """
+    carry = carry or []
     hashed = df.select(
         F.col(id_col).alias("id"),
+        *carry,
         shingle_hashes(F.col(text_col), shingle_n).alias("hs"),
     )
     params = F.array(
@@ -144,6 +153,7 @@ def minhash_signature_array(
     # [P]*n doubles as the empty-document sentinel.
     return hashed.select(
         "id",
+        *carry,
         F.aggregate(
             F.col("hs"),
             F.array_repeat(F.lit(_P).cast("long"), num_hashes),
@@ -151,6 +161,42 @@ def minhash_signature_array(
                 acc, params, lambda m, p: F.least(m, F.pmod(h * p["a"] + p["b"], F.lit(_P)))
             ),
         ).alias("ms"),
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, band_id, band_hash [, carry...]) — the stateless map-only LSH
+    bucketing stage shared by batch candidate pairs and the streaming
+    near-dup path: band b hashes the comma-joined slice of the signature
+    array. The ms column is referenced once, so the signature transform is
+    never duplicated by projection collapsing."""
+    rows = num_hashes // bands
+    carry = carry or []
+    sig = minhash_signature_array(df, id_col, text_col, num_hashes, shingle_n, carry=carry)
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("ms"), b * rows + 1, rows), lambda m: m.cast("string")
+                    ),
+                )
+            ).alias("band_hash"),
+        ),
+    )
+    return sig.select("id", *carry, F.explode(band_structs).alias("band")).select(
+        "id", *carry, "band.band_id", "band.band_hash"
     )
 
 
@@ -216,28 +262,7 @@ def minhash_candidate_pairs(
     groupBy -> in-bucket pair expansion (see _bucket_pairs). The bucket key
     includes band_id so buckets from different bands never mix.
     """
-    rows = num_hashes // bands
-    sig = minhash_signature_array(df, id_col, text_col, num_hashes, shingle_n)
-    # Band hashes straight from the ms array (ms referenced ONCE, so the
-    # signature transform cannot be duplicated by projection collapsing):
-    # band b hashes the comma-joined slice ms[b*rows .. b*rows+rows).
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("ms"), b * rows + 1, rows), lambda m: m.cast("string")
-                    ),
-                )
-            ).alias("band_hash"),
-        ),
-    )
-    banded = sig.select("id", F.explode(band_structs).alias("band")).select(
-        "id", "band.band_id", "band.band_hash"
-    )
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
     return _bucket_pairs(banded, ["band_id", "band_hash"], max_bucket_size)
 
 

@@ -79,6 +79,53 @@ def test_running_user_stats_stateful(spark, stream):
         q.stop()
 
 
+def test_streaming_near_dup_candidates_match_batch(spark, tmp_path):
+    """Streaming LSH candidates within one window = batch candidates on the
+    same documents (stateless banding shared; only the bucket agg is
+    windowed). Uses planted near-dups so the pair set is known."""
+    import datetime as dt
+
+    from sakura_spark.functions import dedup
+    from sakura_spark.streaming import documents as sd
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, t0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (3, t0, "the quick brown fox jumps over the lazy cat and runs away fast"),
+        (4, t0, "completely different content about spark engines and query plans"),
+    ]
+    batch_docs = spark.createDataFrame(rows, sd.DOCS_STREAM_SCHEMA)
+    path = str(tmp_path / "docs_stream")
+    batch_docs.coalesce(1).write.mode("overwrite").parquet(path)
+    # Append mode only emits watermark-CLOSED windows; with one micro-batch
+    # the watermark never passes the first window's end. Two later sentinel
+    # files (unique texts -> no pairs) arrive in later micro-batches
+    # (maxFilesPerTrigger=1) and push the watermark past it.
+    for day, txt in ((1, "sentinel alpha beta gamma delta"), (2, "sentinel one two three four")):
+        spark.createDataFrame(
+            [(100 + day, t0 + dt.timedelta(days=day), txt)], sd.DOCS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    q = ev.run_to_memory(
+        sd.near_dup_candidates(sd.read_document_stream(spark, path), window="1 hour"),
+        "near_dup_stream",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r.id_a, r.id_b)
+            for r in spark.sql("SELECT id_a, id_b FROM near_dup_stream").collect()
+        }
+        batch = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_candidate_pairs(batch_docs, "doc_id").collect()
+        }
+        assert got == batch and (1, 2) in got
+    finally:
+        q.stop()
+
+
 def test_deduped_stream_drops_redelivered_events(spark, tmp_path):
     # two identical file deliveries of the same events = at-least-once input
     src = load_table(spark, f"{SF_DIR}/events.parquet").limit(200)
