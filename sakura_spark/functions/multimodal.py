@@ -115,6 +115,53 @@ def image_dims(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _sniff_audio(b: bytes) -> tuple[str | None, int | None, int | None, float | None]:
+    """(format, channels, sample_rate, duration_s) from a WAV/RIFF header —
+    fmt chunk for layout, data chunk size for duration. Returns Nones for
+    non-WAV payloads."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None
+    i = 12
+    channels = rate = byte_rate = None
+    duration = None
+    while i + 8 <= len(b):
+        chunk_id = b[i : i + 4]
+        (chunk_size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if chunk_id == b"fmt " and i + 24 <= len(b):
+            _, channels, rate, byte_rate = struct.unpack("<HHII", b[i + 8 : i + 20])
+        elif chunk_id == b"data" and byte_rate:
+            duration = chunk_size / byte_rate
+        i += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+    return "wav", channels, rate, duration
+
+
+def audio_info(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio container metadata (WAV/RIFF: channels, sample rate, duration)
+    — real header parsing over mapInPandas, the audio twin of image_dims.
+    Non-WAV payloads yield NULLs; compressed formats would slot in here
+    when their libraries exist (decode stays stubbed)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = [_sniff_audio(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [s[0] for s in sniffed],
+                    "channels": [s[1] for s in sniffed],
+                    "sample_rate": [s[2] for s in sniffed],
+                    "duration_s": [s[3] for s in sniffed],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op,
+        schema="doc_id long, format string, channels int, sample_rate int, duration_s double",
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Image decode -> (height, width, channels). STUB: raises at execution
     time; the plan/schema/UDF shape is the deliverable until PIL exists."""

@@ -132,6 +132,52 @@ def test_blacklist_negative_cascade(spark, store):
         db.insert_tuples("Employee", [{"emp_id": 99}])
 
 
+def test_negative_polarity_delete_not_checked(spark, store):
+    """cascade: Negative-polarity relation deletion is not checked
+    (test_relational_engine.ml:4100): DELETE from a Not-MemberOf target can
+    only FIX violations, so the cascade must not fire — even when the
+    post-delete state would flag a (pre-existing, impossible here)
+    violation. Deleting the blacklist row that blocks an id must then
+    allow the insert."""
+    db = Database(spark, "blneg", store=store, snapshot_on_mutation=False)
+    db.create_relation("Employee", [("emp_id", "integer")])
+    db.create_relation("Blacklist", [("emp_id", "integer")])
+    db.register_constraint(
+        "not_blacklisted",
+        "Employee",
+        Not(MemberOf("Blacklist", (("emp_id", Var("emp_id")),))),
+    )
+    db.insert_tuples("Blacklist", [{"emp_id": 5}])
+    db.insert_tuples("Employee", [{"emp_id": 1}])
+    db.delete_tuples("Blacklist", [{"emp_id": 5}])  # no cascade fires
+    db.insert_tuples("Employee", [{"emp_id": 5}])  # now admissible
+
+
+def test_commit_clears_deferred_list(spark, store):
+    """commit: clears deferred list, second commit passes
+    (test_relational_engine.ml:4550): after a successful commit the
+    deferred window is empty; a follow-up mutation + commit works without
+    re-running stale entries, and an idle second commit passes."""
+    db = Database(spark, "dwin", store=store, snapshot_on_mutation=False)
+    db.create_relation("Department", [("dept_id", "integer")])
+    db.create_relation("Employee", [("emp_id", "integer"), ("dept_id", "integer")])
+    db.register_constraint(
+        "fk_deferred",
+        "Employee",
+        MemberOf("Department", (("dept_id", Var("dept_id")),)),
+        timing=DEFERRED,
+    )
+    db.insert_tuples("Department", [{"dept_id": 1}])
+    db.insert_tuples("Employee", [{"emp_id": 10, "dept_id": 1}])
+    db.commit()
+    assert db.deferred_pending == set()
+    db.commit()  # idle second commit also passes
+    # New window: a violating insert is caught at ITS commit only.
+    db.insert_tuples("Employee", [{"emp_id": 11, "dept_id": 9}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.commit()
+
+
 def test_weak_entity_exists(spark, store):
     """FIXTURES §9: child requires parent via Exists+MemberOf binding."""
     db = Database(spark, "weak", store=store, snapshot_on_mutation=False)

@@ -232,6 +232,27 @@ def test_image_dims_header_sniffing(spark):
     assert got[5] == (None, None, None)
 
 
+def test_audio_info_wav_header(spark):
+    """Real WAV header parsing: a handcrafted 16-bit stereo 8kHz file with
+    a 1-second data chunk yields exact metadata; non-WAV yields NULLs."""
+    import struct
+
+    channels, rate, bits = 2, 8000, 16
+    byte_rate = rate * channels * bits // 8
+    data = b"\x00" * byte_rate  # exactly 1 second
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * bits // 8, bits)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(1, wav), (2, b"mp3 junk")], "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.audio_info(df).collect()}
+    assert (got[1].format, got[1].channels, got[1].sample_rate) == ("wav", 2, 8000)
+    assert abs(got[1].duration_s - 1.0) < 1e-9
+    assert got[2].format is None and got[2].duration_s is None
+
+
 def test_multimodal_decode_stub_raises(docs, spark):
     import pyspark.errors
 
