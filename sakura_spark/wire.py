@@ -508,6 +508,11 @@ class TcpFrontend:
             self._threads.append(t)
 
     def _handle_client(self, conn: socket.socket) -> None:
+        import codecs
+
+        # Incremental decoder: a multi-byte UTF-8 sequence split across
+        # recv() boundaries must not be mangled by per-chunk decoding.
+        decoder = codecs.getincrementaldecoder("utf-8")(errors="replace")
         buf = ""
         try:
             while not self._stop.is_set():
@@ -517,7 +522,7 @@ class TcpFrontend:
                     return
                 if not data:
                     return  # End_of_file -> connection done (lib/listener.ml:169)
-                buf += data.decode("utf-8", errors="replace")
+                buf += decoder.decode(data)
                 while True:
                     try:
                         cmd, buf = _split_complete_sexp(buf)

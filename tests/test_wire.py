@@ -218,4 +218,13 @@ def test_tcp_frontend_roundtrip(spark, store):
         assert r4.startswith("((error (ParseError")
         r5 = send('(drl (Base "users"))')
         assert '"Ada"' in r5
+        # Multi-byte UTF-8 split across send boundaries must reassemble.
+        cmd = '(dml (InsertTuple (relation "users") (attributes (("name" (Str "Zoë"))))))'
+        raw = cmd.encode("utf-8")
+        split = raw.index("ë".encode("utf-8")) + 1  # mid-codepoint
+        c.sendall(raw[:split])
+        c.sendall(raw[split:])
+        assert f.readline().strip().startswith("((ok true)")
+        r6 = send('(drl (Base "users"))')
+        assert "Zoë" in r6
         c.close()
