@@ -129,15 +129,16 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
             # Pure-constant binding: satisfied iff a matching row exists at all.
             marker = tgt.limit(1).select(F.lit(1).alias("__m"))
             return df.join(F.broadcast(marker), how="cross").drop("__m") if marker.take(1) else df.limit(0)
+        # Positional aliases: the SAME Var may bind several target attrs
+        # (e.g. a=Var x AND b=Var x), so per-var aliases would collide;
+        # backticks because namespaced vars ("d.dept_id") put a dot in the
+        # referenced column name.
         proj = tgt.select(
-            *[F.col(attr).alias(f"__icl_{var}") for var, attr in conds]
+            *[F.col(attr).alias(f"__icl_{i}") for i, (_, attr) in enumerate(conds)]
         ).dropDuplicates()
         cond = None
-        for var, _ in conds:
-            # Backticks on both sides: namespaced vars ("d.dept_id") put a
-            # dot in the alias, which bare access would misparse as a
-            # struct field path.
-            c = df[f"`{var}`"] == proj[f"`__icl_{var}`"]
+        for i, (var, _) in enumerate(conds):
+            c = df[f"`{var}`"] == proj[f"__icl_{i}"]
             cond = c if cond is None else (cond & c)
         return df.join(proj, on=cond, how="left_semi")
 
