@@ -68,6 +68,68 @@ def test_asof_null_payload_not_backfilled(spark):
     assert row.qts == ts(10)      # all carried values from the same row
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Differential: random (key, time) tables vs pandas.merge_asof in both
+    directions, including NULL right payloads. Right (key, time) pairs are
+    unique — merge_asof resolves equal-time right duplicates by input
+    order, which has no distributed analogue."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    lefts = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=8)
+    rights = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.one_of(st.none(), st.integers(0, 9))),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+
+    @given(lefts=lefts, rights=rights, direction=st.sampled_from(["backward", "forward"]))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    def run(lefts, rights, direction):
+        ldf = spark.createDataFrame(lefts, "k long, lt long")
+        rdf = spark.createDataFrame(
+            [(k, t, v) for k, t, v in rights], "k long, rt long, payload long"
+        )
+        got = {
+            (r.k, r.lt, i): (r.payload, r.rt)
+            for i, r in enumerate(
+                asof_join(ldf, rdf, on="k", left_time="lt", right_time="rt", direction=direction)
+                .orderBy("k", "lt")
+                .collect()
+            )
+        }
+        lp = pd.DataFrame(sorted(lefts), columns=["k", "lt"]).astype(
+            {"k": "int64", "lt": "int64"}
+        )
+        rp = pd.DataFrame(
+            sorted(rights, key=lambda r: (r[0], r[1])), columns=["k", "rt", "payload"]
+        ).astype({"k": "int64", "rt": "int64", "payload": "Int64"})
+        merged = pd.merge_asof(
+            lp.sort_values("lt", kind="stable"),
+            rp.sort_values("rt", kind="stable"),
+            left_on="lt",
+            right_on="rt",
+            by="k",
+            direction=direction,
+        ).sort_values(["k", "lt"], kind="stable")
+        exp = {
+            (int(r.k), int(r.lt), i): (
+                None if pd.isna(r.payload) else int(r.payload),
+                None if pd.isna(r.rt) else int(r.rt),
+            )
+            for i, r in enumerate(merged.itertuples())
+        }
+        assert got == exp
+
+    run()
+
+
 def test_range_join(spark):
     probes = spark.createDataFrame(
         [(1, ts(30)), (1, ts(50)), (2, ts(30))], "k long, pt timestamp"
