@@ -41,6 +41,38 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Text source: one row per line (or per file with whole_file) — the
+    raw-document ingestion path for the text pipeline."""
+    return spark.read.option("wholetext", whole_file).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None, id_from_path: bool = True
+) -> DataFrame:
+    """Binary-file source (built-in `binaryFile` format): each file becomes
+    (path, modificationTime, length, content) — the multimodal ingestion
+    path feeding image_dims / audio_info / extract_metadata. With
+    ``id_from_path`` a stable 63-bit doc_id derives from the file path
+    (xxhash64 masked non-negative) and content is exposed as ``payload``,
+    matching the multimodal operators' schema. Listing parallelizes across
+    the cluster; blobs are never collected to the driver."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if not id_from_path:
+        return df
+    return df.select(
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     raise ConnectorUnavailable(
         "JDBC drivers are not on the classpath in this environment; "

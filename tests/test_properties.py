@@ -139,6 +139,32 @@ def test_sources_api(spark, tmp_path):
         sources.read_delta(spark, "/tmp/nope")
 
 
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingestion -> multimodal ops end-to-end: files land as
+    (doc_id, path, n_bytes, payload) and image_dims reads real headers."""
+    import struct
+
+    from sakura_spark import sources
+    from sakura_spark.functions import multimodal
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 12, 34) + b"\x08\x06" + b"\x00" * 10
+    )
+    (d / "a.png").write_bytes(png)
+    (d / "b.txt").write_bytes(b"hello world")
+    df = sources.read_binary_files(spark, str(d))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["a.png"].n_bytes == len(png) and rows["b.txt"].doc_id >= 0
+    dims = {r.doc_id: (r.format, r.width, r.height) for r in multimodal.image_dims(df).collect()}
+    assert dims[rows["a.png"].doc_id] == ("png", 12, 34)
+    assert dims[rows["b.txt"].doc_id] == (None, None, None)
+    # glob filter restricts the listing
+    assert sources.read_binary_files(spark, str(d), glob="*.png").count() == 1
+
+
 def test_sketch_aggregates_track_exact(spark):
     """The sketch-based scale path (HLL distinct counts, t-digest
     percentiles) must track exact answers within documented tolerance —
