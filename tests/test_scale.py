@@ -117,6 +117,18 @@ def test_extract_metadata_has_no_python_in_plan(spark):
     assert "Exchange" not in plan  # map-only: scan -> project
 
 
+def test_registry_contract():
+    """Driver-registry invariants: every one of the first 50 entries (the
+    driver's sweep window) is oracle-backed, every oracle key has a query,
+    and rows-only entries sit past the cap."""
+    import __spark_entry__ as e
+
+    qs, oracles = list(e.queries()), e.oracle_sql()
+    assert len(qs) >= 50
+    assert all(q in oracles for q in qs[:50]), "non-oracle query inside sweep window"
+    assert set(oracles) <= set(qs), "oracle without a registered query"
+
+
 def test_all_registered_query_plans_are_scale_clean(spark):
     """Plan lint over the ENTIRE driver registry: no cartesian/nested-loop
     join and no row-at-a-time Python anywhere (rel_cartesian exempt — the

@@ -135,6 +135,46 @@ def test_register_domain_wire(server):
     assert server.execute('(drl (Base "paint"))')["rows"] == [["red"]]
 
 
+def test_tcp_concurrent_writers_serialize(spark, store):
+    """Two socket clients hammer inserts concurrently; the server lock
+    serializes commands (one OCaml domain per connection + atomic head in
+    the reference), so every row lands exactly once and nothing is lost."""
+    import socket as pysocket
+    import threading
+
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "conc", store=store, snapshot_on_mutation=False)
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    with TcpFrontend(server) as fe:
+        errors_seen = []
+
+        def writer(base: int):
+            try:
+                c = pysocket.create_connection((fe.host, fe.port), timeout=60)
+                f = c.makefile("rw", encoding="utf-8")
+                for i in range(5):
+                    f.write(
+                        f'(dml (InsertTuple (relation "t") (attributes (("v" (Int {base + i}))))))'
+                    )
+                    f.flush()
+                    resp = f.readline().strip()
+                    if not resp.startswith("((ok true)"):
+                        errors_seen.append(resp)
+                c.close()
+            except Exception as exc:  # noqa: BLE001
+                errors_seen.append(repr(exc))
+
+        threads = [threading.Thread(target=writer, args=(b,)) for b in (0, 100)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors_seen, errors_seen
+        rows = server.execute('(drl (Base "t"))')
+        assert rows["row_count"] == 10
+
+
 def test_cas_conflict_two_interleaved_writers(vserver):
     """lib/listener.ml:53-59: two writers read the same head; the first CAS
     wins, the second writer's mutation is rejected with Conflict and applies
