@@ -110,13 +110,16 @@ def diff(left: DataFrame, right: DataFrame) -> DataFrame:
     wrong — a tuple present in BOTH sides survives whenever its left
     multiplicity exceeds its right multiplicity (reachable via wire DRL,
     e.g. Diff(Union(t, t), t)); ``subtract`` removes every left copy of any
-    tuple that appears in right."""
-    return left.subtract(right)
+    tuple that appears in right. Spark set ops resolve columns BY POSITION,
+    and upstream joins reorder columns (join keys first), so the right side
+    must be realigned to left's column order first."""
+    return left.subtract(right.select(*left.columns))
 
 
 def intersect(left: DataFrame, right: DataFrame) -> DataFrame:
-    """∩ — derivable in the reference as diff(a, diff(a,b)); native here."""
-    return left.intersect(right)
+    """∩ — derivable in the reference as diff(a, diff(a,b)); native here.
+    Right realigned by name: Spark set ops are positional."""
+    return left.intersect(right.select(*left.columns))
 
 
 def take(df: DataFrame, n: int, order_by: list[str | Column] | None = None) -> DataFrame:
