@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from sakura_spark import algebra
-from sakura_spark.functions import dedup, multimodal, similarity, text
+from sakura_spark.functions import curation, dedup, multimodal, similarity, text
 from sakura_spark.hashing import tuple_hash_expr
 
 
@@ -724,6 +724,31 @@ def q_multimodal_bytes(spark, sf_dir):
     return multimodal.extract_metadata(docs)
 
 
+def q_curation_sample(spark, sf_dir):
+    """Engine-portable deterministic Bernoulli sample (~25%): md5-bucket
+    filter, map-only (no RNG, no shuffle — reproducible at any scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.deterministic_sample(docs, ["doc_id"], "4000").select("doc_id", "source")
+
+
+def q_curation_quota(spark, sf_dir):
+    """Per-source quota: at most 10 docs per source, picked by deterministic
+    pseudo-random order (md5 of doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.quota_per_group(docs, "source", 10, "doc_id").select("doc_id", "source")
+
+
+def q_curation_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs holding >=50% of an eval doc's
+    word trigrams. Benchmark = every 20th doc; broadcast-joined."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return curation.contamination(corpus, bench, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -740,9 +765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order), so oracle-backed queries covering distinct operators come first;
     three redundant extension queries whose plan shape is covered by a
     sibling (agg_cube ~ agg_rollup/grouping_sets, window_lead_lag ~
-    window_running_sum, sort_orderby ~ rel_take_topk/window_topk) and the
-    rows-only (non-SQL-expressible) entries sit past the cap. ALL 58 are
-    verified locally by scripts/check_correctness.py regardless of order.
+    window_running_sum, sort_orderby ~ rel_take_topk/window_topk), the
+    curation extensions, and the rows-only (non-SQL-expressible) entries sit
+    past the cap. ALL 62 are verified locally by
+    scripts/check_correctness.py regardless of order.
     """
     return {
         "rel_select": q_rel_select,
@@ -799,6 +825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": q_agg_cube,
         "sort_orderby": q_sort_orderby,
         "window_lead_lag": q_window_lead_lag,
+        "curation_sample": q_curation_sample,
+        "curation_quota": q_curation_quota,
+        "curation_contamination": q_curation_contamination,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -996,6 +1025,30 @@ def oracle_sql() -> dict[str, str]:
         "sort_orderby": (
             "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
             "ORDER BY s_acctbal DESC, s_suppkey"
+        ),
+        "curation_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'"
+        ),
+        "curation_quota": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) "
+            "WHERE rk <= 10"
+        ),
+        "curation_contamination": (
+            f"WITH bench AS (SELECT doc_id AS bench_id, {_SHINGLES} AS sh "
+            "FROM documents WHERE doc_id % 20 = 0), "
+            f"corpus AS (SELECT doc_id, {_SHINGLES} AS sh "
+            "FROM documents WHERE doc_id % 20 <> 0), "
+            "b AS (SELECT bench_id, CAST(len(sh) AS BIGINT) AS bench_n, unnest(sh) AS g "
+            "FROM bench WHERE len(sh) > 0), "
+            "c AS (SELECT doc_id, unnest(sh) AS g FROM corpus) "
+            "SELECT doc_id, bench_id, count(*) AS shared_ngrams, "
+            "bench_n AS bench_ngrams, "
+            "CAST(count(*) AS DOUBLE) / bench_n AS containment "
+            "FROM c JOIN b USING (g) GROUP BY doc_id, bench_id, bench_n "
+            "HAVING CAST(count(*) AS DOUBLE) / bench_n >= 0.5"
         ),
         "window_topk_per_group": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("

@@ -1,0 +1,134 @@
+"""Dataset-curation operators for training-data pipelines.
+
+The reference engine has no sampling/curation surface (its ingest is
+row-at-a-time DML — lib/listener.ml:156-172); these are the operations a
+100 TB pretraining-corpus pipeline runs between ingestion and sharding:
+
+* deterministic sampling — hold-out splits and down-sampling that are
+  reproducible across runs and engines (no RNG state, no seed drift);
+* per-source quotas — cap any one domain/crawl's contribution;
+* benchmark contamination — flag corpus documents that contain a large
+  fraction of an evaluation document's n-grams (the standard
+  decontamination step before training).
+
+Everything is pure Column expressions: the sampling/quota passes are
+map-only or one-shuffle plans, and the contamination join is designed to
+broadcast the (small) benchmark side so the corpus scan stays map-local
+until the final per-pair aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sakura_spark.functions.dedup import shingles
+
+# --- deterministic sampling -------------------------------------------------
+
+
+def sample_bucket(key_cols: list[Column | str], prefix_len: int = 4) -> Column:
+    """Stable hex bucket of a row key: the first ``prefix_len`` hex chars of
+    md5 over the key columns. Lexicographic comparison against a hex
+    threshold gives an engine-portable Bernoulli sample (md5 of a string is
+    identical everywhere; no RNG, no seed, no sampler state)."""
+    cols = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, prefix_len)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    keep_below: str = "4000",
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Keep rows whose :func:`sample_bucket` sorts below ``keep_below`` —
+    a reproducible ~(int(keep_below,16) / 16**prefix_len) fraction.
+
+    Map-only: the filter is a scan-side expression, so at 100 TB this is
+    pure scan bandwidth with no shuffle, and the same rows are selected on
+    every engine, cluster size, and run. Use disjoint bucket ranges for
+    train/validation/test splits (a row's bucket never changes)."""
+    if len(keep_below) != prefix_len:
+        raise ValueError(f"keep_below must be {prefix_len} hex chars, got {keep_below!r}")
+    return df.filter(sample_bucket(key_cols, prefix_len) < F.lit(keep_below.lower()))
+
+
+# --- per-group quotas -------------------------------------------------------
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    per_group: int,
+    id_col: str,
+) -> DataFrame:
+    """At most ``per_group`` rows from each group, chosen by a deterministic
+    pseudo-random order (md5 of the id) so the kept subset is unbiased and
+    stable across runs.
+
+    One shuffle (the window partition on ``group_col``); at scale a heavily
+    skewed group lands on one task — acceptable because the window computes
+    only row_number (streaming, no buffering of the frame). For
+    pathological skew, pre-filter with :func:`deterministic_sample` to cut
+    the giant group before ranking."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_group)
+        .drop("__rk")
+    )
+
+
+# --- benchmark contamination ------------------------------------------------
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus documents containing >= ``threshold`` of a benchmark
+    document's word n-grams (containment score, the standard
+    eval-decontamination metric).
+
+    Returns (corpus_id, bench_id, shared_ngrams, bench_ngrams, containment)
+    for every pair at or above the threshold.
+
+    Scale shape: the benchmark (eval sets — thousands of documents) is
+    exploded to distinct (gram, bench_id) pairs and BROADCAST; the corpus
+    side explodes its grams map-side and probes the broadcast hash table,
+    so the 100 TB scan never shuffles raw text — only the surviving
+    (corpus_id, bench_id, gram-hit) triples reach the one aggregation
+    exchange. Shingles are distinct per document (array_distinct), so
+    count(*) per pair counts distinct shared grams.
+    """
+    b_sh = benchmark.select(
+        F.col(bench_id), shingles(F.col(text_col), n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    b = b_sh.select(
+        bench_id,
+        F.size("__sh").cast("long").alias("__bench_n"),
+        F.explode("__sh").alias("__gram"),
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.explode(shingles(F.col(text_col), n)).alias("__gram")
+    )
+    pairs = (
+        c.join(F.broadcast(b), on="__gram")
+        .groupBy(corpus_id, bench_id, "__bench_n")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    score = F.col("shared_ngrams").cast("double") / F.col("__bench_n").cast("double")
+    return pairs.select(
+        corpus_id,
+        bench_id,
+        "shared_ngrams",
+        F.col("__bench_n").alias("bench_ngrams"),
+        score.alias("containment"),
+    ).filter(F.col("containment") >= threshold)

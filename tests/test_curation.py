@@ -1,0 +1,82 @@
+"""Curation operators: deterministic sampling, quotas, contamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sakura_spark.functions import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 3}", f"word{i} alpha beta gamma delta epsilon zeta") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string").cache()
+
+
+def test_deterministic_sample_is_stable_and_maponly(docs):
+    a = {r.doc_id for r in curation.deterministic_sample(docs, ["doc_id"], "4000").collect()}
+    b = {r.doc_id for r in curation.deterministic_sample(docs, ["doc_id"], "4000").collect()}
+    assert a == b  # no RNG: identical rows every run
+    # ~25% of 200 with md5 uniformity; generous bounds
+    assert 20 <= len(a) <= 90
+    # map-only: no shuffle exchange in the plan
+    plan = curation.deterministic_sample(docs, ["doc_id"], "4000")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_deterministic_sample_ranges_are_disjoint_splits(docs):
+    train = curation.deterministic_sample(docs, ["doc_id"], "e000")
+    rest = docs.filter(curation.sample_bucket(["doc_id"]) >= F.lit("e000"))
+    assert train.count() + rest.count() == docs.count()
+    assert train.join(rest, on="doc_id", how="inner").count() == 0
+
+
+def test_deterministic_sample_validates_threshold(docs):
+    with pytest.raises(ValueError):
+        curation.deterministic_sample(docs, ["doc_id"], "40", prefix_len=4)
+
+
+def test_quota_per_group_caps_and_is_deterministic(docs):
+    out = curation.quota_per_group(docs, "source", 10, "doc_id")
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"src0": 10, "src1": 10, "src2": 10}
+    again = curation.quota_per_group(docs, "source", 10, "doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # under-quota groups keep everything
+    assert curation.quota_per_group(docs, "source", 1000, "doc_id").count() == docs.count()
+
+
+def test_contamination_finds_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark physical plans here"),
+            (3, "the quick brown fox jumps over nothing in particular"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    out = curation.contamination(corpus, bench, threshold=0.5).collect()
+    hits = {r.doc_id: r for r in out}
+    assert 1 in hits  # full containment: every benchmark 3-gram appears
+    assert hits[1].containment == 1.0
+    assert 2 not in hits
+    # doc 3 shares exactly 4 of the 7 benchmark trigrams
+    assert hits[3].shared_ngrams == 4 and hits[3].bench_ngrams == 7
+    assert curation.contamination(corpus, bench, threshold=0.6).filter(
+        F.col("doc_id") == 3
+    ).count() == 0
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "bench_id long, text string")
+    plan = (
+        curation.contamination(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
