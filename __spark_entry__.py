@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 
 from sakura_spark import algebra
 from sakura_spark.functions import curation, dedup, multimodal, similarity, text
+from sakura_spark.functions.sharding import shard_pack
 from sakura_spark.hashing import tuple_hash_expr
 
 
@@ -749,6 +750,18 @@ def q_curation_contamination(spark, sf_dir):
     return curation.contamination(corpus, bench, threshold=0.5)
 
 
+def q_shard_pack(spark, sf_dir):
+    """Token-budget training shards: documents laid out in deterministic
+    shuffled order (md5 of doc_id), packed into 2000-token shards by a
+    distributed prefix sum (range shuffle + partition-local window; no
+    single-task global ordering)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return shard_pack(
+        w, "n_tokens", 2000, [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    ).select("doc_id", "n_tokens", "shard_offset", "shard_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -766,8 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     three redundant extension queries whose plan shape is covered by a
     sibling (agg_cube ~ agg_rollup/grouping_sets, window_lead_lag ~
     window_running_sum, sort_orderby ~ rel_take_topk/window_topk), the
-    curation extensions, and the rows-only (non-SQL-expressible) entries sit
-    past the cap. ALL 62 are verified locally by
+    curation/sharding extensions, and the rows-only (non-SQL-expressible)
+    entries sit past the cap. ALL 63 are verified locally by
     scripts/check_correctness.py regardless of order.
     """
     return {
@@ -828,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample": q_curation_sample,
         "curation_quota": q_curation_quota,
         "curation_contamination": q_curation_contamination,
+        "shard_pack": q_shard_pack,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1049,6 +1063,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS DOUBLE) / bench_n AS containment "
             "FROM c JOIN b USING (g) GROUP BY doc_id, bench_id, bench_n "
             "HAVING CAST(count(*) AS DOUBLE) / bench_n >= 0.5"
+        ),
+        "shard_pack": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+            "md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS shard_offset FROM t) "
+            "SELECT doc_id, n_tokens, shard_offset, "
+            "CAST(floor(CAST(shard_offset AS DOUBLE) / 2000) AS BIGINT) AS shard_id FROM c"
         ),
         "window_topk_per_group": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
