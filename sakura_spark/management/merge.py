@@ -12,6 +12,13 @@ Algorithm parity:
 
 All tuple set arithmetic is distributed (anti-joins / unions on the hash
 column); only changed relations are touched.
+
+Note on tuple conflicts: with content-addressed identity and endpoint
+diffs, ``left.added ⊆ L−A`` while ``right.removed ⊆ A−R``, so the
+intersection defining a tuple conflict is provably empty — the rule (and
+the reference's, lib/management/merge.ml:97-157, which computes exactly
+the same sets) holds vacuously for any pair of states reached by
+mutation. It is kept for parity and for manifests constructed by hand.
 """
 
 from __future__ import annotations

@@ -55,12 +55,26 @@ class SnapshotStore:
         return os.path.join(self.root, "manifests", db_hash + ".json")
 
     def put_manifest(self, db_hash: str, manifest: dict) -> None:
+        """Write a database manifest; on hash collision (a state reached
+        again via a different mutation path — e.g. deleting every inserted
+        row re-creates an earlier content hash), MERGE the two recorded
+        histories instead of keeping the first writer's. A write-once
+        manifest would pin the original path's shallow chain, and a later
+        LCA search walking the other branch would miss the true common
+        ancestor and silently resurrect that branch's deletions."""
         path = self._manifest_path(db_hash)
-        if not os.path.exists(path):
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, sort_keys=True)
-            os.replace(tmp, path)
+        if os.path.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+            new_hist = list(manifest.get("history", []))
+            seen = set(new_hist)
+            extra = [h for h in old.get("history", []) if h not in seen]
+            if extra:
+                manifest = {**manifest, "history": new_hist + extra}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, path)
 
     def get_manifest(self, db_hash: str) -> dict:
         with open(self._manifest_path(db_hash)) as f:
