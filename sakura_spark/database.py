@@ -248,7 +248,7 @@ class Database:
         )
         n, present = stats["n"], stats["present"]
         if present != n:
-            raise errors.UnknownRelation(
+            raise errors.UnknownTuple(
                 f"delete_tuples: {n - present} tuples not present in {relation}"
             )
         new_df = rel.df.join(batch, on=rel.attrs, how="left_anti")

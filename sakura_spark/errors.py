@@ -23,6 +23,11 @@ class DuplicateTuple(SakuraError):
     lib/manipulation.ml:539-540)."""
 
 
+class UnknownTuple(SakuraError):
+    """Delete of a tuple not present in the relation (retract_tuple
+    semantics — lib/manipulation.ml:579-614)."""
+
+
 class DomainViolation(SakuraError):
     """Value fails its domain's membership criteria
     (lib/manipulation.ml:20-33)."""
