@@ -762,6 +762,29 @@ def q_shard_pack(spark, sf_dir):
     ).select("doc_id", "n_tokens", "shard_offset", "shard_id")
 
 
+def q_pipeline_curate(spark, sf_dir):
+    """End-to-end corpus curation composed as ONE Catalyst plan: quality
+    filter -> language filter -> exact dedup (min doc_id per canonical
+    fingerprint) -> per-source quota -> deterministic sample. The filters
+    and fingerprint fuse into the scan projection; the dedup window and
+    quota window are the only two shuffles."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    q = (
+        text.quality_flags(docs)
+        .filter(F.col("quality_ok"))
+        .withColumn("lang_pred", text.lang_id(F.col("text")))
+        .filter(F.col("lang_pred") == "en")
+        .withColumn("fp", text.fingerprint_md5(F.col("text")))
+    )
+    dw = Window.partitionBy("fp").orderBy("doc_id")
+    q = q.withColumn("__dup_rk", F.row_number().over(dw)).filter(F.col("__dup_rk") == 1)
+    q = curation.quota_per_group(q.drop("__dup_rk"), "source", 20, "doc_id")
+    q = curation.deterministic_sample(q, ["doc_id"], "e000")
+    return q.select("doc_id", "source", "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -780,7 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sibling (agg_cube ~ agg_rollup/grouping_sets, window_lead_lag ~
     window_running_sum, sort_orderby ~ rel_take_topk/window_topk), the
     curation/sharding extensions, and the rows-only (non-SQL-expressible)
-    entries sit past the cap. ALL 63 are verified locally by
+    entries sit past the cap. ALL 64 are verified locally by
     scripts/check_correctness.py regardless of order.
     """
     return {
@@ -842,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_quota": q_curation_quota,
         "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
+        "pipeline_curate": q_pipeline_curate,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1075,6 +1099,35 @@ def oracle_sql() -> dict[str, str]:
             "AS shard_offset FROM t) "
             "SELECT doc_id, n_tokens, shard_offset, "
             "CAST(floor(CAST(shard_offset AS DOUBLE) / 2000) AS BIGINT) AS shard_id FROM c"
+        ),
+        "pipeline_curate": (
+            "WITH base AS (SELECT doc_id, source, text, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, "
+            "length(text) AS n, "
+            "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd, "
+            "length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace "
+            "FROM documents), "
+            "q AS (SELECT * FROM base WHERE nt >= 5 "
+            "AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(nd AS DOUBLE) / n END) < 0.3 "
+            "AND (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nonspace AS DOUBLE) / nt END) > 1.0), "
+            "s AS (SELECT doc_id, source, text, nt, "
+            + ", ".join(f"{expr} AS s_{lang}" for lang, expr in lang_scores.items())
+            + " FROM q), "
+            "l AS (SELECT doc_id, source, text, nt FROM s WHERE "
+            "(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+            "WHEN s_es > greatest(0, s_en, s_de, s_fr) THEN 'es' "
+            "WHEN s_fr > greatest(0, s_en, s_de) THEN 'fr' "
+            "WHEN s_de > greatest(0, s_en) THEN 'de' "
+            "WHEN s_en > 0 THEN 'en' ELSE 'und' END) = 'en'), "
+            "d AS (SELECT doc_id, source, nt, row_number() OVER ("
+            "PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "ORDER BY doc_id) AS drk FROM l), "
+            "qt AS (SELECT doc_id, source, nt, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM d WHERE drk = 1) "
+            "SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens FROM qt "
+            "WHERE rk <= 20 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'"
         ),
         "window_topk_per_group": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
