@@ -762,6 +762,34 @@ def q_shard_pack(spark, sf_dir):
     ).select("doc_id", "n_tokens", "shard_offset", "shard_id")
 
 
+def q_tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer over a
+    quarter, top 20. The lineitem returnflag filter and the orders date
+    filter push to the scans; nation broadcasts by hint (fixed-size dim),
+    customer stays unhinted (grows with SF — threshold + AQE decide);
+    TakeOrderedAndProject caps the result without a global sort."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(_dec_money("l_extendedprice") * disc), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_pipeline_curate(spark, sf_dir):
     """End-to-end corpus curation composed as ONE Catalyst plan: quality
     filter -> language filter -> exact dedup (min doc_id per canonical
@@ -803,7 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sibling (agg_cube ~ agg_rollup/grouping_sets, window_lead_lag ~
     window_running_sum, sort_orderby ~ rel_take_topk/window_topk), the
     curation/sharding extensions, and the rows-only (non-SQL-expressible)
-    entries sit past the cap. ALL 64 are verified locally by
+    entries sit past the cap. ALL 65 are verified locally by
     scripts/check_correctness.py regardless of order.
     """
     return {
@@ -866,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
         "pipeline_curate": q_pipeline_curate,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1128,6 +1157,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM d WHERE drk = 1) "
             "SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens FROM qt "
             "WHERE rk <= 20 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'"
+        ),
+        "tpch_q10_returned_items": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            f"CAST(ROUND(sum({_MONEY} * {_DISC}), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "window_topk_per_group": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
