@@ -78,3 +78,30 @@ def test_cursor_snapshot_isolation(spark, store):
     db.insert_tuples("t", [{"v": 99}])
     rest = [r.v for r in reg.fetch(cid, 10)]
     assert 99 not in rest  # iterator walks the pinned plan, not the new state
+
+
+def test_random_batch_paging_equals_collect(nums):
+    """Property: any sequence of fetch sizes drains exactly the full
+    ordered result, each row once, regardless of batch boundaries."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(sizes=st.lists(st.integers(1, 70), min_size=1, max_size=8))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    def run(sizes):
+        reg = SessionRegistry()
+        cid, first = reg.begin(nums.orderBy("n"), limit=sizes[0])
+        got = [r.n for r in first]
+        for s in sizes[1:]:
+            if len(got) >= 120:
+                break
+            got.extend(r.n for r in reg.fetch(cid, s))
+        while len(got) < 120:
+            got.extend(r.n for r in reg.fetch(cid, 50))
+        assert got == list(range(120))
+
+    run()
