@@ -42,6 +42,17 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
 ]
 
+# Measured and reported alongside, but NOT in the headline total — the
+# headline set is frozen so `value` stays comparable to BASELINE.md across
+# rounds. First-measurement values recorded in the BASELINE.md addendum.
+EXTENDED = [
+    "tpch_q10_returned_items",
+    "curation_sample",
+    "curation_contamination",
+    "shard_pack",
+    "pipeline_curate",
+]
+
 
 def run_query(fn, spark, sf_dir) -> int:
     df = fn(spark, sf_dir)
@@ -72,6 +83,17 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            run_query(fn, spark, sf_dir)
+            best = min(best, time.time() - t0)
+        extended[name] = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -79,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": extended,
                 "sf": sf,
             }
         )
