@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sakura_spark.functions.dedup import shingles
+from sakura_spark.functions.dedup import shingle_hashes, shingles
 
 # --- deterministic sampling -------------------------------------------------
 
@@ -92,6 +92,7 @@ def contamination(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    hashed: bool = False,
 ) -> DataFrame:
     """Corpus documents containing >= ``threshold`` of a benchmark
     document's word n-grams (containment score, the standard
@@ -107,9 +108,18 @@ def contamination(
     (corpus_id, bench_id, gram-hit) triples reach the one aggregation
     exchange. Shingles are distinct per document (array_distinct), so
     count(*) per pair counts distinct shared grams.
+
+    ``hashed=True`` is the 100 TB fast path: grams are compared by rolling
+    31-bit token-hash combination (dedup.shingle_hashes) instead of built
+    gram strings — the per-gram concat/slice that dominates the exact mode
+    disappears (~4x at bench scale). Counts can differ from the exact mode
+    only on a hash collision inside one (corpus doc, bench doc) pair
+    (probability ~ grams^2 / 2^31 per pair); the default stays exact and
+    oracle-checkable.
     """
+    sh = shingle_hashes if hashed else shingles
     b_sh = benchmark.select(
-        F.col(bench_id), shingles(F.col(text_col), n).alias("__sh")
+        F.col(bench_id), sh(F.col(text_col), n).alias("__sh")
     ).filter(F.size("__sh") > 0)
     b = b_sh.select(
         bench_id,
@@ -117,7 +127,7 @@ def contamination(
         F.explode("__sh").alias("__gram"),
     )
     c = corpus.select(
-        F.col(corpus_id), F.explode(shingles(F.col(text_col), n)).alias("__gram")
+        F.col(corpus_id), F.explode(sh(F.col(text_col), n)).alias("__gram")
     )
     pairs = (
         c.join(F.broadcast(b), on="__gram")

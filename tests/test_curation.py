@@ -80,3 +80,25 @@ def test_contamination_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_hashed_matches_exact(spark):
+    """The 31-bit hashed fast path returns the same pairs and counts as the
+    exact string-gram mode (collisions are the only possible divergence)."""
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta tok{i+1} epsilon zeta eta theta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "epsilon zeta eta theta iota")],
+        "bench_id long, text string",
+    )
+    exact = {
+        (r.doc_id, r.bench_id): (r.shared_ngrams, r.bench_ngrams)
+        for r in curation.contamination(corpus, bench, threshold=0.1).collect()
+    }
+    fast = {
+        (r.doc_id, r.bench_id): (r.shared_ngrams, r.bench_ngrams)
+        for r in curation.contamination(corpus, bench, threshold=0.1, hashed=True).collect()
+    }
+    assert exact == fast and exact
