@@ -1,4 +1,5 @@
-"""Data-pipeline function library: text analysis, dedup, similarity, multimodal.
+"""Data-pipeline function library: text analysis, dedup, similarity,
+multimodal, curation (sampling/quotas/decontamination), shard packing.
 
 These extend the reference's surface (which has no scalar functions —
 SURVEY §2.5) with the operations a large-scale training-data pipeline needs.
