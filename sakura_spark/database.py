@@ -483,10 +483,12 @@ class Database:
         2. focused filters (lib/constraint.ml:355-383): only constrained
            tuples whose bound attrs intersect the changed values re-check;
         3. transition substitution (lib/constraint.ml:428-546): for small
-           batches, quantifiers over `mutated` have "var.attr" references
-           replaced by the transition tuple's constants, so the recheck
-           plan never crossJoins the full quantifier (the compiler's
-           degenerate-quantifier path takes over).
+           INSERT batches, quantifiers over `mutated` have "var.attr"
+           references replaced by the transition tuple's constants, so the
+           recheck plan never crossJoins the full quantifier (the
+           compiler's degenerate-quantifier path takes over). Deletes never
+           substitute — a removed tuple is not a binding the constraint
+           must hold for; an Exists recheck needs the surviving quantifier.
         """
         trigger = (
             {icl_compiler.NEGATIVE, icl_compiler.BOTH}
@@ -541,8 +543,15 @@ class Database:
                 narrowed = rows
             # Transition substitution: small batches recheck a substituted
             # body per changed row instead of crossJoining the quantifier.
-            bodies = [c.body]
-            if icl_compiler.has_quantifier_over(c.body, mutated):
+            # Sound ONLY for inserts: a freshly inserted tuple is the only
+            # NEW quantifier binding, so checking the substituted body per
+            # transition covers exactly the new obligations. For deletes the
+            # quantifier must be re-evaluated WITHOUT the removed tuple (an
+            # Exists needs a surviving witness, which substituting the
+            # deleted tuple can never establish), so deletes always take the
+            # general narrowed recheck below.
+            checks: list[tuple[DataFrame, object]] = [(narrowed, c.body)]
+            if event == "insert" and icl_compiler.has_quantifier_over(c.body, mutated):
                 if transitions_cache is None and not consts:
                     transitions_cache = changed_rows.limit(
                         self.SUBSTITUTE_MAX_ROWS + 1
@@ -553,12 +562,26 @@ class Database:
                     else focus_rows.limit(self.SUBSTITUTE_MAX_ROWS + 1).collect()
                 )
                 if len(transitions) <= self.SUBSTITUTE_MAX_ROWS:
-                    bodies = [
-                        icl_compiler.substitute_transition(c.body, mutated, r.asDict())
-                        for r in transitions
-                    ]
-            for body in bodies:
-                bad = icl_compiler.violations(narrowed, body, resolver).count()
+                    # Per-transition narrowing: the body substituted with
+                    # transition r only obligates constrained rows whose
+                    # focused attrs match r's values — a shared narrowed set
+                    # built from ALL transitions would check r1's body
+                    # against rows only r2 can affect.
+                    checks = []
+                    for r in transitions:
+                        rd = r.asDict()
+                        body_r = icl_compiler.substitute_transition(c.body, mutated, rd)
+                        pairs = [(attr, var) for attr, var in focus if attr in rd]
+                        if pairs:
+                            cond = None
+                            for attr, var in pairs:
+                                cc = F.col(f"`{var}`") == F.lit(rd[attr])
+                                cond = cc if cond is None else (cond | cc)
+                            checks.append((rows.filter(cond), body_r))
+                        else:
+                            checks.append((rows, body_r))
+            for check_rows, body in checks:
+                bad = icl_compiler.violations(check_rows, body, resolver).count()
                 if bad:
                     raise errors.ConstraintViolation(
                         c.name, c.relation, f"{bad} rows violate after {event} on {mutated}"

@@ -97,3 +97,144 @@ def test_cascade_matches_global_validation(spark, tmp_path_factory, ops):
 
     assert {r.dept_id for r in db.relation("Department").collect()} == state[0]
     assert {(r.emp_id, r.dept_id) for r in db.relation("Employee").collect()} == state[1]
+
+
+# --- Exists-quantifier delete semantics (ADVICE r2, high) -------------------
+# Transition substitution is only sound for inserts: substituting a DELETED
+# tuple into an Exists body checks whether the removed tuple matches each
+# constrained row, not whether a surviving witness exists. These pin the
+# sound delete behavior: unsubstituted recheck of the narrowed rows.
+
+import pytest
+
+from sakura_spark.icl import Cmp, Exists
+
+
+@pytest.fixture()
+def exists_db(spark, tmp_path):
+    from sakura_spark.management.store import SnapshotStore
+
+    db = Database(
+        spark,
+        "exists_db",
+        store=SnapshotStore(str(tmp_path / "estore")),
+        snapshot_on_mutation=False,
+    )
+    db.create_relation("Parent", [("pid", "integer"), ("grp", "integer")])
+    db.create_relation("Child", [("cid", "integer"), ("grp", "integer")])
+    db.insert_tuples(
+        "Parent", [{"pid": 1, "grp": 100}, {"pid": 2, "grp": 100}, {"pid": 3, "grp": 200}]
+    )
+    db.register_constraint(
+        "child_has_parent",
+        "Child",
+        Exists("p", "Parent", Cmp("eq", Var("p.grp"), Var("grp"))),
+    )
+    db.insert_tuples("Child", [{"cid": 10, "grp": 100}])
+    return db
+
+
+def test_delete_of_nonwitness_parent_accepted(exists_db):
+    # (3, 200) witnesses no child; deleting it must NOT raise (the old
+    # substituted recheck falsely rejected this).
+    exists_db.delete_tuples("Parent", [{"pid": 3, "grp": 200}])
+    assert exists_db.relation("Parent").count() == 2
+
+
+def test_delete_witness_with_alternate_witness_accepted(exists_db):
+    # (1,100) and (2,100) both witness child grp=100: removing one is fine.
+    exists_db.delete_tuples("Parent", [{"pid": 1, "grp": 100}])
+    assert exists_db.relation("Parent").count() == 2
+
+
+def test_delete_last_witness_rejected(exists_db):
+    # Removing BOTH grp=100 parents leaves the child witness-less — the old
+    # substituted recheck falsely ACCEPTED the second delete.
+    exists_db.delete_tuples("Parent", [{"pid": 1, "grp": 100}])
+    with pytest.raises(errors.ConstraintViolation):
+        exists_db.delete_tuples("Parent", [{"pid": 2, "grp": 100}])
+    # Rejected delete must leave state untouched.
+    assert {r.pid for r in exists_db.relation("Parent").collect()} == {2, 3}
+
+
+PARENTS = [(1, 100), (2, 100), (3, 200)]
+CHILDREN = [(10, 100), (11, 200)]
+
+
+def _exists_op_strategy():
+    ins_p = st.sampled_from(PARENTS).map(lambda p: ("ins_p", p))
+    del_p = st.sampled_from(PARENTS).map(lambda p: ("del_p", p))
+    ins_c = st.sampled_from(CHILDREN).map(lambda c: ("ins_c", c))
+    del_c = st.sampled_from(CHILDREN).map(lambda c: ("del_c", c))
+    return st.lists(st.one_of(ins_p, del_p, ins_c, del_c), min_size=3, max_size=7)
+
+
+def _exists_model_apply(state, op, arg):
+    """Naive global semantics for Exists p in Parent: p.grp == child.grp."""
+    parents, children = state
+    if op == "ins_p":
+        if arg in parents:
+            return errors.DuplicateTuple
+        parents.add(arg)
+        return None
+    if op == "del_p":
+        if arg not in parents:
+            return errors.UnknownTuple
+        remaining = parents - {arg}
+        if any(all(g != cg for _, g in remaining) for _, cg in children):
+            return errors.ConstraintViolation
+        parents.remove(arg)
+        return None
+    if op == "ins_c":
+        if arg in children:
+            return errors.DuplicateTuple
+        if all(g != arg[1] for _, g in parents):
+            return errors.ConstraintViolation
+        children.add(arg)
+        return None
+    if arg not in children:
+        return errors.UnknownTuple
+    children.remove(arg)
+    return None
+
+
+@given(ops=_exists_op_strategy())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_exists_cascade_matches_global_validation(spark, tmp_path_factory, ops):
+    from sakura_spark.management.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("estore")))
+    db = Database(spark, "e", store=store, snapshot_on_mutation=False)
+    db.create_relation("Parent", [("pid", "integer"), ("grp", "integer")])
+    db.create_relation("Child", [("cid", "integer"), ("grp", "integer")])
+    db.insert_tuples("Parent", [{"pid": 1, "grp": 100}])
+    db.register_constraint(
+        "child_has_parent",
+        "Child",
+        Exists("p", "Parent", Cmp("eq", Var("p.grp"), Var("grp"))),
+    )
+    db.insert_tuples("Child", [{"cid": 10, "grp": 100}])
+
+    state = ({(1, 100)}, {(10, 100)})
+    for op, arg in ops:
+        expected_err = _exists_model_apply(state, op, arg)
+        try:
+            if op == "ins_p":
+                db.insert_tuples("Parent", [{"pid": arg[0], "grp": arg[1]}])
+            elif op == "del_p":
+                db.delete_tuples("Parent", [{"pid": arg[0], "grp": arg[1]}])
+            elif op == "ins_c":
+                db.insert_tuples("Child", [{"cid": arg[0], "grp": arg[1]}])
+            else:
+                db.delete_tuples("Child", [{"cid": arg[0], "grp": arg[1]}])
+            got_err = None
+        except errors.SakuraError as e:
+            got_err = type(e)
+        assert got_err is expected_err, f"op={op} arg={arg}"
+
+    assert {(r.pid, r.grp) for r in db.relation("Parent").collect()} == state[0]
+    assert {(r.cid, r.grp) for r in db.relation("Child").collect()} == state[1]
