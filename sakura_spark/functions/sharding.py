@@ -49,7 +49,13 @@ def shard_pack(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
-    staged = ordered.withColumn("__pid", F.spark_partition_id())
+    # Pin the partitioning before it is read twice (once for the totals
+    # job, once for the final window): repartitionByRange draws fresh
+    # samples per execution, so re-running the plan could place boundary
+    # rows in different partitions and silently corrupt the driver-computed
+    # offsets. localCheckpoint materializes the layout so both jobs see the
+    # identical placement.
+    staged = ordered.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
 
     # Tiny driver transfer: one (pid, total) row per partition.
     totals = dict(

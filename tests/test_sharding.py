@@ -35,16 +35,21 @@ def test_shard_pack_deterministic_and_budget_bounded(spark):
 
 
 def test_shard_pack_no_global_single_partition_sort(spark):
-    """The scale property: no single-partition global window. The plan's
-    only widening exchange is the range repartition; the cumulative-sum
-    window partitions by the partition id."""
+    """The scale property: no single-partition global window. The final
+    plan reads the checkpointed range-partitioned layout (pinned so the
+    totals job and the window job see identical placement) and the
+    cumulative-sum window partitions by the partition id — never by a
+    single global partition."""
     df = spark.range(100).select(
         F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
     )
     out = shard_pack(df, "w", 10, [F.col("doc_id")], num_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # The range exchange runs inside the checkpoint job; the window job
+    # scans the pinned layout instead of re-sampling the partitioning.
+    assert "Scan ExistingRDD" in plan
+    assert "__pid" in plan  # window keyed by partition id, map-side state
 
 
 def test_shard_pack_oversized_row_gets_own_shard(spark):
