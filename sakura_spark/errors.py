@@ -78,3 +78,8 @@ class UnboundedQuantifier(SakuraError):
     reference's UnboundedQuantifier diagnostic (lib/constraint.ml:184-212),
     extended here to also bound *finite but huge* quantifiers, since the
     witness search crossJoins df x quantifier."""
+
+class ConvergenceError(SakuraError):
+    """An iterative fixpoint operator (e.g. connected-component label
+    propagation) hit its iteration cap while state was still changing —
+    returning the partial result would be silently wrong."""

@@ -110,6 +110,31 @@ def test_duplicate_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 64-node path needs ~log2(64) passes, well under
+    the default cap of 10 (plain propagation would need 63)."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_raises_on_iteration_cap(spark):
+    """Exhausting the cap with labels still moving must raise, never
+    silently return a split clustering."""
+    import pytest
+
+    from sakura_spark import errors
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    with pytest.raises(errors.ConvergenceError):
+        dedup.duplicate_clusters(pairs, max_iterations=2)
+
+
 def test_dedup_near_end_to_end(docs):
     """Full pipeline: LSH candidates -> jaccard verify -> components ->
     min-id representative survives."""
