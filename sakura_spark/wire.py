@@ -405,6 +405,11 @@ class Server:
             # Error kind is a bare atom, like the reference's
             # (error (<Kind> ...)) variant serialization.
             return f"((error ({type(e).__name__} {_sexp_atom(str(e))})))"
+        except Exception as e:  # noqa: BLE001 — listener parity: EVERY
+            # failure serializes as a response (lib/listener.ml renders all
+            # exceptions); letting a Py4J/AnalysisException escape would
+            # kill the connection thread and leave the client hanging.
+            return f"((error (InternalError {_sexp_atom(f'{type(e).__name__}: {e}')})))"
 
     def _advance_head(self) -> None:
         """HEAD branch tip follows the database head (lib/listener.ml:47-51)."""
@@ -505,6 +510,9 @@ class TcpFrontend:
                 return  # socket closed by stop()
             t = threading.Thread(target=self._handle_client, args=(conn,), daemon=True)
             t.start()
+            # Prune finished handlers so a long-lived server's thread list
+            # stays O(live connections), not O(all connections ever).
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _handle_client(self, conn: socket.socket) -> None:

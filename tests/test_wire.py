@@ -268,3 +268,61 @@ def test_tcp_frontend_roundtrip(spark, store):
         r6 = send('(drl (Base "users"))')
         assert "Zoë" in r6
         c.close()
+
+
+def test_internal_error_serializes_as_response(server, monkeypatch):
+    """A non-Sakura exception (Py4J/AnalysisException, bugs) must render as
+    ((error (InternalError ...))) instead of escaping — an escape kills the
+    connection thread and leaves the TCP client hanging forever."""
+
+    def boom(text, base_hash=None):
+        raise RuntimeError("executor blew up (quote \" and paren ))")
+
+    monkeypatch.setattr(server, "execute", boom)
+    resp = server.execute_sexp('(drl (Base "users"))')
+    assert resp.startswith("((error (InternalError")
+    assert "RuntimeError" in resp
+
+
+def test_tcp_survives_internal_error(spark, store, monkeypatch):
+    """Connection stays usable after an internal failure mid-session."""
+    import socket as pysocket
+
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "ierr", store=store, snapshot_on_mutation=False)
+    real_execute = server.execute
+    calls = {"n": 0}
+
+    def flaky(text, base_hash=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise ValueError("transient internal failure")
+        return real_execute(text, base_hash=base_hash)
+
+    monkeypatch.setattr(server, "execute", flaky)
+    with TcpFrontend(server) as fe:
+        c = pysocket.create_connection((fe.host, fe.port), timeout=30)
+        c.settimeout(30)
+        f = c.makefile("rw", encoding="utf-8")
+
+        def send(cmd):
+            f.write(cmd)
+            f.flush()
+            return f.readline().strip()
+
+        assert send(
+            '(ddl (CreateRelation (name "t") (schema (("x" "integer")))))'
+        ).startswith("((ok true)")
+        assert send('(drl (Base "t"))').startswith("((error (InternalError")
+        assert send('(drl (Base "t"))').startswith("((relation")
+        c.close()
+        # Handler threads are pruned once connections finish.
+        c2 = pysocket.create_connection((fe.host, fe.port), timeout=30)
+        c2.close()
+        import time
+
+        deadline = time.time() + 10
+        while time.time() < deadline and len(fe._threads) > 2:
+            time.sleep(0.1)
+        assert len(fe._threads) <= 2
