@@ -825,13 +825,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry. ORDER MATTERS: the driver's correctness sweep checks
-    the first 50 entries (CORRECTNESS_r01 = exactly the first 50 in registry
-    order), so oracle-backed queries covering distinct operators come first;
-    three redundant extension queries whose plan shape is covered by a
-    sibling (agg_cube ~ agg_rollup/grouping_sets, window_lead_lag ~
-    window_running_sum, sort_orderby ~ rel_take_topk/window_topk), the
-    curation/sharding extensions, and the rows-only (non-SQL-expressible)
-    entries sit past the cap. ALL 65 are verified locally by
+    the first 50 entries (CORRECTNESS_r01/r02 = exactly the first 50 in
+    registry order), so oracle-backed queries covering DISTINCT operators
+    come first — every SURVEY §2 component plus one representative per
+    extension family (curation, sharding, dedup, similarity, multimodal,
+    text, events, TPC-H shapes). Extension queries whose plan shape is
+    covered by an in-sweep sibling sit past the cap (agg_rollup/agg_cube ~
+    agg_grouping_sets, agg_pivot/agg_group_having/agg_distinct_stats ~
+    agg_pricing_summary+agg_percentiles, window_running_sum/window_lead_lag
+    ~ window_topk_per_group, scalar_string_funcs ~ scalar_date_funcs,
+    sort_orderby ~ rel_take_topk), as do the rows-only
+    (non-SQL-expressible) entries. ALL 65 are verified locally by
     scripts/check_correctness.py regardless of order.
     """
     return {
@@ -850,20 +854,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_const": q_rel_const,
         "tuple_hash": q_tuple_hash,
         "agg_pricing_summary": q_agg_pricing_summary,
-        "agg_group_having": q_agg_group_having,
-        "agg_distinct_stats": q_agg_distinct_stats,
-        "agg_rollup": q_agg_rollup,
-        "scalar_string_funcs": q_scalar_string_funcs,
         "scalar_date_funcs": q_scalar_date_funcs,
-        "agg_pivot": q_agg_pivot,
         "window_topk_per_group": q_window_topk_per_group,
-        "window_running_sum": q_window_running_sum,
         "agg_grouping_sets": q_agg_grouping_sets,
         "skew_salted_join": q_skew_salted_join,
         "agg_percentiles": q_agg_percentiles,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "drl_fk_join": q_drl_fk_join,
         "drl_point_select": q_drl_point_select,
         "drl_intensional_plus": q_drl_intensional_plus,
@@ -885,16 +884,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "multimodal_bytes": q_multimodal_bytes,
-        # --- past the driver's 50-query cap (all still locally verified) ---
-        "agg_cube": q_agg_cube,
-        "sort_orderby": q_sort_orderby,
-        "window_lead_lag": q_window_lead_lag,
         "curation_sample": q_curation_sample,
         "curation_quota": q_curation_quota,
         "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
         "pipeline_curate": q_pipeline_curate,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        # --- past the driver's 50-query cap (all still locally verified) ---
+        "agg_group_having": q_agg_group_having,
+        "agg_distinct_stats": q_agg_distinct_stats,
+        "agg_rollup": q_agg_rollup,
+        "agg_pivot": q_agg_pivot,
+        "agg_cube": q_agg_cube,
+        "scalar_string_funcs": q_scalar_string_funcs,
+        "window_running_sum": q_window_running_sum,
+        "window_lead_lag": q_window_lead_lag,
+        "sort_orderby": q_sort_orderby,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
