@@ -51,15 +51,27 @@ def _perm_params(i: int) -> tuple[int, int]:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of lowercased text (distinct), as an array —
-    built with sequence/transform, no explode. String form: used where the
-    literal grams matter (exact Jaccard vs the SQL oracle)."""
+    built with zip_with over shifted slices, no explode. String form: used
+    where the literal grams matter (exact Jaccard/containment vs the SQL
+    oracle).
+
+    Why zip_with instead of transform(sequence, i -> concat_ws(slice)):
+    expressions captured inside a higher-order-function lambda are
+    re-evaluated per element, so the transform form re-tokenizes the text
+    once PER GRAM — measured ~3x the whole contamination query at bench
+    scale. zip_with evaluates each argument array once; the token array is
+    evaluated O(n) times per row, not O(grams). Trailing windows short of
+    n tokens become NULL (concat propagates the zip_with padding) and are
+    filtered; docs with < n tokens yield an empty array."""
     toks = tokens(F.lower(text))
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), cnt - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    g = toks
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda acc, t: F.concat(acc, F.lit(" "), t),
+        )
+    return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
 
 
 # Odd multiplier for the rolling gram-hash combine; with 31-bit operands the
