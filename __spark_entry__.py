@@ -19,6 +19,9 @@ from pyspark.sql import Window as W
 from sakura_spark import algebra
 from sakura_spark.functions import curation, dedup, multimodal, similarity, text
 from sakura_spark.functions.sharding import shard_pack
+from sakura_spark.functions.text import PII_EMAIL as _PII_EMAIL
+from sakura_spark.functions.text import PII_IPV4 as _PII_IPV4
+from sakura_spark.functions.text import PII_PHONE as _PII_PHONE
 from sakura_spark.hashing import tuple_hash_expr
 
 
@@ -813,6 +816,82 @@ def q_pipeline_curate(spark, sf_dir):
     return q.select("doc_id", "source", "n_tokens")
 
 
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers with large-volume orders. The qualifying
+    set comes from ONE lineitem aggregation (decimal-exact quantity sums —
+    float sums are addition-order-dependent and would drift from the
+    oracle), then joins orders and customer; the per-order sum is reused
+    from the same aggregate, so lineitem is scanned once.
+    TakeOrderedAndProject caps the output without a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"))
+        .filter(F.col("__sq") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("__sq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus: inject synthetic identifiers (the test
+    tables carry none), count matches per class, and redact. Three
+    regexp_replace passes, JVM-side and map-only at any scale; patterns
+    restricted to Java-regex/RE2-identical syntax so the DuckDB oracle
+    reproduces the output byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    base = docs.select("doc_id", synth.alias("__t"))
+    counts = text.pii_counts(F.col("__t"))
+    return base.select(
+        "doc_id",
+        counts["email_hits"].alias("email_hits"),
+        counts["ip_hits"].alias("ip_hits"),
+        counts["phone_hits"].alias("phone_hits"),
+        text.redact_pii(F.col("__t")).alias("redacted"),
+    )
+
+
+def q_sim_embedding_quantize(spark, sf_dir):
+    """Embedding post-processing for ANN storage: L2 norm + symmetric int8
+    quantization (127/max|x| scale, floor(x*s+0.5) codes — floor form is
+    bit-reproducible across engines where round() half-case rules differ).
+    The driver-compared columns are scalar digests (sum/min/max of codes);
+    the code array itself is exercised by pytest round-trip tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q, scale = similarity.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        similarity.norm(F.col("embedding")).alias("l2_norm"),
+        scale.alias("q_scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -899,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "window_lead_lag": q_window_lead_lag,
         "sort_orderby": q_sort_orderby,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "text_pii_redact": q_text_pii_redact,
+        "sim_embedding_quantize": q_sim_embedding_quantize,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1359,6 +1441,46 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS content_md5, 'application/octet-stream' AS mime FROM documents"
+        ),
+        "tpch_q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, "
+            "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200) "
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "CAST(sq AS DOUBLE) AS sum_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "text_pii_redact": (
+            "WITH t AS (SELECT doc_id, text || ' contact u' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-010-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS tt FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(tt, '" + _PII_EMAIL + "')) AS BIGINT) AS email_hits, "
+            "CAST(len(regexp_extract_all(tt, '" + _PII_IPV4 + "')) AS BIGINT) AS ip_hits, "
+            "CAST(len(regexp_extract_all(tt, '" + _PII_PHONE + "')) AS BIGINT) AS phone_hits, "
+            "regexp_replace(regexp_replace(regexp_replace(tt, "
+            "'" + _PII_EMAIL + "', '<EMAIL>', 'g'), "
+            "'" + _PII_IPV4 + "', '<IP>', 'g'), "
+            "'" + _PII_PHONE + "', '<PHONE>', 'g') AS redacted FROM t"
+        ),
+        "sim_embedding_quantize": (
+            "WITH b AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT vec_id, v, "
+            "sqrt(list_sum(list_transform(v, x -> x * x))) AS l2_norm, "
+            "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0 "
+            "ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS q_scale "
+            "FROM b), "
+            "qq AS (SELECT vec_id, l2_norm, q_scale, "
+            "list_transform(v, x -> CAST(floor(x * q_scale + 0.5) AS INTEGER)) AS q "
+            "FROM s) "
+            "SELECT vec_id, l2_norm, q_scale, "
+            "CAST(list_sum(q) AS BIGINT) AS q_sum, "
+            "list_min(q) AS q_min, list_max(q) AS q_max FROM qq"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

@@ -46,6 +46,31 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-norm copy of the vector (zero vectors pass through unchanged —
+    no NaN poison downstream). Pure array expressions, map-only."""
+    n = norm(vec)
+    return F.when(n == 0, _as_double(vec)).otherwise(
+        F.transform(_as_double(vec), lambda x: x / n)
+    )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 quantization: returns (quantized array<int>, scale).
+
+    scale = 127 / max|x|; each element maps to floor(x*scale + 0.5) — the
+    explicit floor form, NOT round(), because banker's/HALF_UP rounding
+    differs across engines while floor(x + 0.5) is bit-reproducible
+    everywhere. An all-zero vector gets scale 0.0 and an all-zero code.
+    8x memory reduction for ANN candidate storage; dequantize is x/scale.
+    """
+    v = _as_double(vec)
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax == 0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return q, scale
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],

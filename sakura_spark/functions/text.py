@@ -166,3 +166,37 @@ def winnowing_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Colum
     """Keep the `keep` smallest rolling hashes — a compact, order-insensitive
     document signature robust to local edits (MOSS-style winnowing)."""
     return F.slice(F.array_sort(rolling_hashes(text, window)), 1, keep)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround, plain
+# character classes and bounded repetition.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (email / ipv4 / phone), as long columns.
+
+    Counted BEFORE redaction on the raw text; pure regexp_extract_all
+    expressions, no Python in the plan."""
+    return {
+        "email_hits": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))).cast("long"),
+        "ip_hits": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0))).cast("long"),
+        "phone_hits": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))).cast("long"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails/IPv4s/phone numbers with typed placeholder tokens —
+    the standard scrub step before corpus text reaches training shards.
+
+    Replacement order (email, then ip, then phone) is fixed so every
+    engine produces byte-identical output; each pass is one
+    regexp_replace, JVM-side, map-only at any scale."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

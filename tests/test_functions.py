@@ -327,3 +327,58 @@ def test_winnowing_fingerprint(docs):
     # 9 tokens, window 8 -> 2 rolling hashes; keep=4 keeps both
     assert by_id[1] == by_id[2] and len(by_id[1]) == 2
     assert by_id[5] == ()
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org then 10.0.0.1 and 555-123-4567 done"),
+            (2, "clean text with no identifiers at all"),
+            (3, "two mails x@y.io z@w.co one ip 192.168.1.255"),
+        ],
+        "id long, t string",
+    )
+    counts = text.pii_counts(F.col("t"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            counts["email_hits"].alias("e"),
+            counts["ip_hits"].alias("i"),
+            counts["phone_hits"].alias("p"),
+            text.redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].i, out[1].p) == (1, 1, 1)
+    assert out[1].red == "mail <EMAIL> then <IP> and <PHONE> done"
+    assert (out[2].e, out[2].i, out[2].p) == (0, 0, 0)
+    assert out[2].red == "clean text with no identifiers at all"
+    assert (out[3].e, out[3].i) == (2, 1)
+    assert out[3].red == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_quantize_int8_roundtrip_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "id long, v array<double>",
+    )
+    q, scale = similarity.quantize_int8(F.col("v"))
+    rows = {r.id: r for r in df.select("id", q.alias("q"), scale.alias("s")).collect()}
+    # max|x|=1.0 -> scale 127; codes floor(x*127+0.5)
+    assert rows[1].s == 127.0
+    assert rows[1].q == [64, -127, 32]
+    # all-zero vector: scale 0, zero codes (no NaN)
+    assert rows[2].s == 0.0 and rows[2].q == [0, 0, 0]
+    assert rows[3].q == [127]
+    # dequantized values stay within half a quantization step
+    for code, orig in zip(rows[1].q, [0.5, -1.0, 0.25]):
+        assert abs(code / 127.0 - orig) <= 0.5 / 127.0
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>")
+    rows = {
+        r.id: r.n for r in df.select("id", similarity.l2_normalize(F.col("v")).alias("n")).collect()
+    }
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] == [0.0, 0.0]  # zero vector passes through
