@@ -47,10 +47,13 @@ HEADLINE = [
 # rounds. First-measurement values recorded in the BASELINE.md addendum.
 EXTENDED = [
     "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "curation_sample",
     "curation_contamination",
     "shard_pack",
     "pipeline_curate",
+    "text_pii_redact",
+    "sim_embedding_quantize",
 ]
 
 
