@@ -892,6 +892,48 @@ def q_sim_embedding_quantize(spark, sf_dir):
     )
 
 
+def q_rel_left_outer(spark, sf_dir):
+    """Left outer join (Spark-native extension — the reference's algebra
+    has inner shapes only): customers with their order counts, keeping
+    customers who never ordered (count 0). One shuffle on the join key;
+    the aggregate pre-shrinks the orders side before the join."""
+    customer = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+def q_text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 whitespace tokens by document frequency
+    and total count. explode -> partial-aggregated groupBy (map-side
+    combine shrinks the shuffle to distinct-tokens-per-partition);
+    TakeOrderedAndProject caps the result. The corpus-statistics staple
+    before tokenizer/vocab decisions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), "tok")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -981,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "text_pii_redact": q_text_pii_redact,
         "sim_embedding_quantize": q_sim_embedding_quantize,
+        "rel_left_outer": q_rel_left_outer,
+        "text_vocab_topk": q_text_vocab_topk,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1481,6 +1525,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, l2_norm, q_scale, "
             "CAST(list_sum(q) AS BIGINT) AS q_sum, "
             "list_min(q) AS q_min, list_max(q) AS q_max FROM qq"
+        ),
+        "rel_left_outer": (
+            "SELECT c_custkey, c_name, "
+            "CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders FROM customer "
+            "LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey) ON c_custkey = o_custkey"
+        ),
+        "text_vocab_topk": (
+            "WITH toks AS (SELECT doc_id, unnest("
+            "regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+            "FROM documents WHERE len(trim(lower(text))) > 0) "
+            "SELECT tok, count(*) AS n_total, "
+            "count(DISTINCT doc_id) AS n_docs FROM toks "
+            "GROUP BY tok ORDER BY n_total DESC, tok LIMIT 100"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not
