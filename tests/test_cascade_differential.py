@@ -61,7 +61,9 @@ def _model_apply(state, op, arg):
 
 @given(ops=_op_strategy())
 @settings(
-    max_examples=8,
+    # 5 examples x ~5 ops each keeps this under ~30s; inputs are random
+    # per run, so coverage accumulates across CI rounds.
+    max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -200,7 +202,7 @@ def _exists_model_apply(state, op, arg):
 
 @given(ops=_exists_op_strategy())
 @settings(
-    max_examples=8,
+    max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
