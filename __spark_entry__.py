@@ -946,40 +946,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry. ORDER MATTERS: the driver's correctness sweep checks
-    the first 50 entries (CORRECTNESS_r01/r02 = exactly the first 50 in
+    the first 50 entries (CORRECTNESS_r01-r03 = exactly the first 50 in
     registry order), so oracle-backed queries covering DISTINCT operators
     come first — every SURVEY §2 component plus one representative per
     extension family (curation, sharding, dedup, similarity, multimodal,
-    text, events, TPC-H shapes). Extension queries whose plan shape is
-    covered by an in-sweep sibling sit past the cap (agg_rollup/agg_cube ~
-    agg_grouping_sets, agg_pivot/agg_group_having/agg_distinct_stats ~
-    agg_pricing_summary+agg_percentiles, window_running_sum/window_lead_lag
-    ~ window_topk_per_group, scalar_string_funcs ~ scalar_date_funcs,
-    sort_orderby ~ rel_take_topk), as do the rows-only
-    (non-SQL-expressible) entries. ALL 65 are verified locally by
-    scripts/check_correctness.py regardless of order.
+    text, events, TPC-H shapes).
+
+    Round-4 rotation: ten entries that were driver-green in rounds 1-3 and
+    whose plan shape is covered by an in-sweep sibling (rel_project/
+    rel_rename/rel_union_set/rel_intersect/rel_antijoin/rel_take_topk/
+    rel_const ~ rel_select/rel_union_bag/rel_diff/rel_semijoin/
+    sort_orderby, scalar_date_funcs ~ scalar_string_funcs,
+    agg_grouping_sets ~ agg_rollup/agg_cube, catalog_attributes ~
+    catalog_relations) moved past the cap, and the ten previously past-cap
+    oracle entries took their slots, so every oracle-backed family gets a
+    driver row within two rounds. The rows-only (non-SQL-expressible)
+    entries stay at the end. ALL entries — the count is asserted against
+    COVERAGE.md by tests/test_operators.py::test_registry_contract — are
+    verified locally by scripts/check_correctness.py regardless of order.
     """
     return {
         "rel_select": q_rel_select,
-        "rel_project": q_rel_project,
-        "rel_rename": q_rel_rename,
+        "rel_left_outer": q_rel_left_outer,
+        "sort_orderby": q_sort_orderby,
         "rel_equijoin": q_rel_equijoin,
         "rel_cartesian": q_rel_cartesian,
         "rel_semijoin": q_rel_semijoin,
-        "rel_antijoin": q_rel_antijoin,
+        "text_vocab_topk": q_text_vocab_topk,
         "rel_union_bag": q_rel_union_bag,
-        "rel_union_set": q_rel_union_set,
+        "text_pii_redact": q_text_pii_redact,
         "rel_diff": q_rel_diff,
-        "rel_intersect": q_rel_intersect,
-        "rel_take_topk": q_rel_take_topk,
-        "rel_const": q_rel_const,
+        "sim_embedding_quantize": q_sim_embedding_quantize,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "agg_rollup": q_agg_rollup,
         "tuple_hash": q_tuple_hash,
         "agg_pricing_summary": q_agg_pricing_summary,
-        "scalar_date_funcs": q_scalar_date_funcs,
+        "scalar_string_funcs": q_scalar_string_funcs,
         "window_topk_per_group": q_window_topk_per_group,
-        "agg_grouping_sets": q_agg_grouping_sets,
+        "window_lead_lag": q_window_lead_lag,
         "skew_salted_join": q_skew_salted_join,
         "agg_percentiles": q_agg_percentiles,
+        "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
@@ -991,7 +998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icl_between_violations": q_icl_between_violations,
         "icl_range_violations": q_icl_range_violations,
         "catalog_relations": q_catalog_relations,
-        "catalog_attributes": q_catalog_attributes,
         "events_hourly": q_events_hourly,
         "events_json_props": q_events_json_props,
         "asof_join": q_asof_join,
@@ -1010,21 +1016,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
         "pipeline_curate": q_pipeline_curate,
-        # --- past the driver's 50-query cap (all still locally verified) ---
+        # --- past the driver's 50-query cap (all still locally verified;
+        # rotated out this round after three green driver rounds) ---
+        "rel_project": q_rel_project,
+        "rel_rename": q_rel_rename,
+        "rel_antijoin": q_rel_antijoin,
+        "rel_union_set": q_rel_union_set,
+        "rel_intersect": q_rel_intersect,
+        "rel_take_topk": q_rel_take_topk,
+        "rel_const": q_rel_const,
+        "scalar_date_funcs": q_scalar_date_funcs,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "catalog_attributes": q_catalog_attributes,
         "agg_group_having": q_agg_group_having,
         "agg_distinct_stats": q_agg_distinct_stats,
-        "agg_rollup": q_agg_rollup,
-        "agg_pivot": q_agg_pivot,
         "agg_cube": q_agg_cube,
-        "scalar_string_funcs": q_scalar_string_funcs,
         "window_running_sum": q_window_running_sum,
-        "window_lead_lag": q_window_lead_lag,
-        "sort_orderby": q_sort_orderby,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "text_pii_redact": q_text_pii_redact,
-        "sim_embedding_quantize": q_sim_embedding_quantize,
-        "rel_left_outer": q_rel_left_outer,
-        "text_vocab_topk": q_text_vocab_topk,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,

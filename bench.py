@@ -57,6 +57,33 @@ EXTENDED = [
 ]
 
 
+def environment() -> dict:
+    """Machine snapshot recorded with every bench run.
+
+    Round-3 lesson: the headline total moved 7.31 -> 11.33 s between rounds
+    with identical plans — uniform machine drift, unprovable after the fact
+    because the JSON carried no environment data. Now every run records
+    load average, CPU model, core count, and a wall-clock timestamp so
+    cross-round comparisons can be qualified.
+    """
+    env: dict = {"timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    try:
+        env["loadavg_1m_5m_15m"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        env["loadavg_1m_5m_15m"] = None
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    env["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        env["cpu_model"] = None
+    env["cpu_count"] = os.cpu_count()
+    env["spark_cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return env
+
+
 def run_query(fn, spark, sf_dir) -> int:
     df = fn(spark, sf_dir)
     # Force full execution and result transfer without driver-side blowup.
@@ -106,6 +133,7 @@ def main() -> None:
                 "queries": times,
                 "extended": extended,
                 "sf": sf,
+                "environment": environment(),
             }
         )
     )

@@ -128,6 +128,24 @@ def test_registry_contract():
     assert all(q in oracles for q in qs[:50]), "non-oracle query inside sweep window"
     assert set(oracles) <= set(qs), "oracle without a registered query"
 
+    # COVERAGE.md's prose counters must match the actual registry — asserted
+    # here so a registry change without a doc sync fails the suite.
+    import pathlib
+    import re
+
+    coverage = pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    text = coverage.read_text()
+    m = re.search(r"(\d+) registered queries", text)
+    assert m and int(m.group(1)) == len(qs), (
+        f"COVERAGE.md says {m and m.group(1)} registered queries, registry has {len(qs)}"
+    )
+    m = re.search(r"(\d+) with `oracle_sql\(\)` twins", text)
+    assert m and int(m.group(1)) == len(oracles), (
+        f"COVERAGE.md says {m and m.group(1)} oracle twins, registry has {len(oracles)}"
+    )
+    m = re.search(r"(\d+) rows-only", text)
+    assert m and int(m.group(1)) == len(qs) - len(oracles)
+
 
 def test_all_registered_query_plans_are_scale_clean(spark):
     """Plan lint over the ENTIRE driver registry: no cartesian/nested-loop
