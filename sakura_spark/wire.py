@@ -27,6 +27,7 @@ newline-terminated S-expression response.
 
 from __future__ import annotations
 
+import os
 import socket
 import threading
 from typing import Any
@@ -467,15 +468,37 @@ class TcpFrontend:
     S-expression in, one newline-terminated S-expression response out
     (lib/listener.ml's output_response appends the newline). All command
     execution funnels through ``Server.execute`` so the CAS/lock semantics
-    are identical to in-process use."""
+    are identical to in-process use.
 
-    def __init__(self, server: Server, host: str = "127.0.0.1", port: int = 0):
+    Like the reference's transport (lib/transport.ml:23-29, parse at
+    :31-50), the listener binds either an INET ``(address, port)`` pair or
+    an AF_UNIX socket ``path`` — supplying both is a configuration error
+    (transport.ml:38 rejects the mix with the same message)."""
+
+    def __init__(
+        self,
+        server: Server,
+        host: str | None = None,
+        port: int | None = None,
+        path: str | None = None,
+    ):
         self.server = server
-        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._sock.bind((host, port))
+        if path is not None:
+            if host is not None or port is not None:
+                # lib/transport.ml:38
+                raise ValueError("transport/tcp: use (address + port) or (path), not both")
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.bind(path)
+            self.host: str | None = None
+            self.port: int | None = None
+            self.path: str | None = path
+        else:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind((host or "127.0.0.1", port or 0))
+            self.host, self.port = self._sock.getsockname()
+            self.path = None
         self._sock.listen(5)  # lib/transport.ml:66
-        self.host, self.port = self._sock.getsockname()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._accept_thread: threading.Thread | None = None
@@ -491,6 +514,11 @@ class TcpFrontend:
             self._sock.close()
         except OSError:
             pass
+        if self.path is not None:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
         if self._accept_thread is not None:
             self._accept_thread.join(timeout=5)
         for t in self._threads:

@@ -326,3 +326,51 @@ def test_tcp_survives_internal_error(spark, store, monkeypatch):
         while time.time() < deadline and len(fe._threads) > 2:
             time.sleep(0.1)
         assert len(fe._threads) <= 2
+
+
+def test_unix_socket_frontend_roundtrip(spark, store, tmp_path):
+    """lib/transport.ml:23-29 parity: the transport accepts a `(path ...)`
+    AF_UNIX socket as an alternative to `(address port)`. Same framing as
+    TCP: sexp in, newline-terminated sexp out, errors don't kill the
+    connection; the socket file is removed on stop."""
+    import socket as pysocket
+
+    from sakura_spark.wire import TcpFrontend
+
+    sock_path = str(tmp_path / "sakura.sock")
+    server = Server(spark, "unixsock", store=store, snapshot_on_mutation=False)
+    with TcpFrontend(server, path=sock_path) as fe:
+        assert fe.host is None and fe.port is None and fe.path == sock_path
+        c = pysocket.socket(pysocket.AF_UNIX, pysocket.SOCK_STREAM)
+        c.settimeout(30)
+        c.connect(sock_path)
+        f = c.makefile("rw", encoding="utf-8")
+
+        def send(cmd):
+            f.write(cmd)
+            f.flush()
+            return f.readline().strip()
+
+        r1 = send('(ddl (CreateRelation (name "users") (schema (("name" "string")))))')
+        assert r1.startswith("((ok true)")
+        r2 = send('(dml (InsertTuple (relation "users") (attributes (("name" (Str "Ada"))))))')
+        assert r2.startswith("((ok true)")
+        r3 = send('(drl (Base "users"))')
+        assert '"Ada"' in r3 and "(truncated false)" in r3
+        r4 = send("(tcl (Nope))")
+        assert r4.startswith("((error (ParseError")
+        c.close()
+    import os as _os
+
+    assert not _os.path.exists(sock_path)  # unlinked on stop
+
+
+def test_unix_socket_rejects_mixed_address_and_path(spark, store, tmp_path):
+    """transport.ml:38: (address+port) and (path) are mutually exclusive."""
+    import pytest as _pytest
+
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "unixmix", store=store, snapshot_on_mutation=False)
+    with _pytest.raises(ValueError, match="not both"):
+        TcpFrontend(server, host="127.0.0.1", path=str(tmp_path / "s.sock"))
