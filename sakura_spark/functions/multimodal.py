@@ -3,9 +3,12 @@
 Images/audio/video are modelled as `binary` columns with a metadata struct
 (mime, width/height/duration, ...). The Spark-side plumbing — schema,
 Arrow-batched Pandas UDF signatures over mapInPandas, partition sizing — is
-real and tested; the actual codec step is stubbed (image/audio libraries are
-not in this container) behind `DecodeUnavailable` or a deterministic fake,
-clearly marked.
+real and tested. Codecs: PNG pixel decode / nearest-neighbour resize /
+re-encode are REAL (pure stdlib zlib + numpy: chunk walk, IDAT inflate,
+filter-0..4 unfiltering incl. Paeth); header sniffing for PNG/GIF/BMP/JPEG
+and WAV is real; remaining formats (JPEG pixel decode, compressed audio,
+video) stay behind `DecodeUnavailable` / deterministic fakes, clearly
+marked.
 
 At 100 TB binary payloads dominate I/O: the extractors below therefore run
 as mapInPandas over only the needed columns (column pruning drops the blob
@@ -162,13 +165,162 @@ def audio_info(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _png_decode(b: bytes):
+    """Pure-stdlib PNG decoder -> numpy uint8 array of shape (h, w, ch).
+
+    Real pixel decode, no image library: chunk walk, IHDR parse, zlib
+    inflate of the IDAT stream, and scanline unfiltering (filters 0-4 per
+    the PNG spec, including the Paeth predictor). Supports 8-bit depth,
+    non-interlaced, color types 0 (gray), 2 (RGB), 3 (palette -> RGB via
+    PLTE), 4 (gray+alpha), 6 (RGBA). Anything else (16-bit, Adam7,
+    sub-byte depths) raises DecodeUnavailable — those variants stay behind
+    the documented stub boundary.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or bytes(b[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise DecodeUnavailable("not a PNG payload")
+    b = bytes(b)
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise DecodeUnavailable("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0 or nch is None:
+        raise DecodeUnavailable(
+            f"unsupported PNG variant (depth={depth} color={color} interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise DecodeUnavailable("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        cur = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorized, uint8 wraps mod 256 as specified
+            cur += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth are sequential
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                up = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + up) >> 1
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise DecodeUnavailable(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    arr = out.reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise DecodeUnavailable("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        arr = pal[arr[:, :, 0]]
+    return arr
+
+
+def _png_encode(arr) -> bytes:
+    """Pure-stdlib PNG encoder (8-bit, filter 0 scanlines, one zlib IDAT).
+
+    Channel count picks the color type: 1->gray, 2->gray+alpha, 3->RGB,
+    4->RGBA. Output is accepted by any standards-compliant viewer and
+    round-trips through _png_decode.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
+    if color is None:
+        raise DecodeUnavailable(f"cannot encode {nch}-channel image as PNG")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _nn_resize(arr, width: int, height: int):
+    """Nearest-neighbour resample to (height, width) via index mapping —
+    pure numpy fancy indexing, no interpolation library."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys][:, xs]
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Image decode -> (height, width, channels). STUB: raises at execution
-    time; the plan/schema/UDF shape is the deliverable until PIL exists."""
+    """Image decode -> (height, width, channels). REAL for PNG (8-bit,
+    non-interlaced; gray/RGB/palette/gray-alpha/RGBA) via the pure-stdlib
+    _png_decode above — zlib inflate + scanline unfiltering inside the
+    Arrow-batched mapInPandas stage. Payloads in formats without a decoder
+    here (JPEG/GIF/..., or exotic PNG variants) yield NULL dims rather than
+    failing the batch, mirroring the sniffers' unknown-payload behavior."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise DecodeUnavailable("image codecs not available in this environment")
-        yield  # pragma: no cover
+        for pdf in batches:
+            dims: list[tuple[int | None, int | None, int | None]] = []
+            for b in pdf["payload"]:
+                try:
+                    arr = _png_decode(bytes(b))
+                    dims.append((arr.shape[0], arr.shape[1], arr.shape[2]))
+                except DecodeUnavailable:
+                    dims.append((None, None, None))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "height": [d[0] for d in dims],
+                    "width": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
 
     return df.select(id_col, "payload").mapInPandas(
         op, schema=f"{id_col} long, height int, width int, channels int"
@@ -196,15 +348,32 @@ def fake_image_features(df: DataFrame, id_col: str = "doc_id", n_features: int =
 def resize_image(
     df: DataFrame, width: int, height: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Image resize -> new payload + dims. STUB for the pixel work (raises
-    DecodeUnavailable at execution until PIL exists), but the Spark shape is
-    the real one: mapInPandas over (id, payload) only, target dims folded
-    into the closure, output schema carrying the resized blob so downstream
-    stages keep streaming Arrow batches without a driver round-trip."""
+    """Image resize -> new payload + dims. REAL for PNG: decode
+    (_png_decode), nearest-neighbour resample (_nn_resize), re-encode
+    (_png_encode), all inside one mapInPandas stage over (id, payload)
+    only — target dims folded into the closure, output schema carrying the
+    resized blob so downstream stages keep streaming Arrow batches without
+    a driver round-trip. Undecodable payloads yield a NULL payload row
+    (fake_resize_image remains the deterministic stand-in for pipelines
+    over non-PNG fixtures)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise DecodeUnavailable("image codecs not available in this environment")
-        yield  # pragma: no cover
+        for pdf in batches:
+            payloads: list[bytes | None] = []
+            for b in pdf["payload"]:
+                try:
+                    arr = _png_decode(bytes(b))
+                    payloads.append(_png_encode(_nn_resize(arr, width, height)))
+                except DecodeUnavailable:
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": payloads,
+                    "width": [width if p is not None else None for p in payloads],
+                    "height": [height if p is not None else None for p in payloads],
+                }
+            )
 
     return df.select(id_col, "payload").mapInPandas(
         op, schema=f"{id_col} long, payload binary, width int, height int"

@@ -278,14 +278,89 @@ def test_audio_info_wav_header(spark):
     assert got[2].format is None and got[2].duration_s is None
 
 
-def test_multimodal_decode_stub_raises(docs, spark):
-    import pyspark.errors
+def test_png_roundtrip_and_filters():
+    """_png_decode is a real decoder: encode->decode round-trips exactly,
+    and scanlines filtered with each PNG filter type (Sub/Up/Average/Paeth,
+    applied manually here — independent of the encoder, which only emits
+    filter 0) are recovered bit-exactly."""
+    import struct
+    import zlib
 
-    with_bin = multimodal.with_binary_payload(docs)
-    plan = multimodal.decode_image(with_bin)
-    assert plan.schema.simpleString().startswith("struct<doc_id")
-    with pytest.raises(pyspark.errors.PySparkException):
-        plan.collect()  # DecodeUnavailable surfaces at execution
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(5, 4, ch), dtype=np.uint8)
+        back = multimodal._png_decode(multimodal._png_encode(arr))
+        assert np.array_equal(back, arr)
+
+    # Hand-filter a known image with every filter type and check recovery.
+    arr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    h, w, nch = arr.shape
+    stride = w * nch
+    flat = arr.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=int)
+        line = flat[y]
+        filtered = np.empty(stride, dtype=int)
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (a + up) >> 1
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+            filtered[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filtered.tolist())
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal._png_decode(png), arr)
+
+    # Known external PNG (the canonical 1x1 RGBA data-URI pixel) decodes.
+    import base64
+
+    one_px = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    assert multimodal._png_decode(one_px).shape == (1, 1, 4)
+
+
+def test_multimodal_decode_real_png_and_null_fallback(docs, spark):
+    """decode_image really decodes PNG payloads on executors (dims match
+    the source array) and yields NULL dims for non-image payloads instead
+    of failing the batch."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    png = multimodal._png_encode(rng.integers(0, 256, (6, 9, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, png), (2, b"plain text bytes")], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    assert (got[1].height, got[1].width, got[1].channels) == (6, 9, 3)
+    assert got[2].height is None and got[2].channels is None
 
 
 def test_frame_sample_plan(docs):
@@ -295,16 +370,31 @@ def test_frame_sample_plan(docs):
     assert [r.frame_index for r in out.filter("doc_id = 1").collect()] == [0]
 
 
-def test_resize_stub_and_fake(docs, spark):
-    import pyspark.errors
+def test_resize_real_png_and_fake(docs, spark):
+    """resize_image does real pixel work for PNG: the output payload is a
+    valid PNG at the target dims whose pixels are the nearest-neighbour
+    sample of the source; non-PNG payloads yield NULL payloads. The
+    deterministic fake keeps the identical schema for non-PNG pipelines."""
+    import numpy as np
 
     with_bin = multimodal.with_binary_payload(docs)
     real = multimodal.resize_image(with_bin, 4, 4)
     fake = multimodal.fake_resize_image(with_bin, 4, 4)
-    # identical schema between the stub and its deterministic stand-in
     assert real.schema == fake.schema
-    with pytest.raises(pyspark.errors.PySparkException):
-        real.collect()
+    # Text payloads are not PNGs -> NULL payload rows, batch survives.
+    assert all(r.payload is None for r in real.limit(5).collect())
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, multimodal._png_encode(src))], "doc_id long, payload binary"
+    )
+    out = multimodal.resize_image(df, 4, 4).collect()[0]
+    assert (out.width, out.height) == (4, 4)
+    resized = multimodal._png_decode(bytes(out.payload))
+    # nearest-neighbour 2x downsample == every second row/col of the source
+    assert np.array_equal(resized, src[::2, ::2])
+
     rows = {r.doc_id: r for r in fake.collect()}
     assert all(len(r.payload) == 16 and r.width == 4 for r in rows.values())
     assert bytes(rows[1].payload) == bytes(rows[2].payload)  # same content
