@@ -215,14 +215,18 @@ class Database:
 
         new_df = rel.df.unionByName(batch)
         resolver = self._resolver_with(relation, new_df)
-        # Immediate constraints on the mutated relation: the new rows.
+        # Immediate constraints on the mutated relation: the new rows. All
+        # constraints' violation queries fold into one tagged job.
+        checks = []
         for c in self._constraints_for(relation):
             if c.timing == DEFERRED:
                 self.deferred_pending.add(c.name)
                 continue
-            bad = icl_compiler.violations(batch, c.body, resolver).count()
-            if bad:
-                raise errors.ConstraintViolation(c.name, relation, f"{bad} inserted rows violate")
+            checks.append(
+                (c.name, relation, "inserted rows violate",
+                 icl_compiler.violations(batch, c.body, resolver))
+            )
+        self._run_violation_checks(checks)
         # Cascade: constraints referencing this relation with insert-triggered
         # polarity re-check their own relation's rows (narrowed).
         self._cascade(relation, batch, event="insert", resolver=resolver)
@@ -265,13 +269,16 @@ class Database:
         batch = df.select(*rel.attrs).dropDuplicates()
         self._check_domains(rel, batch)
         resolver = self._resolver_with(relation, batch)
+        checks = []
         for c in self._constraints_for(relation):
             if c.timing == DEFERRED:
                 self.deferred_pending.add(c.name)
                 continue
-            bad = icl_compiler.violations(batch, c.body, resolver).count()
-            if bad:
-                raise errors.ConstraintViolation(c.name, relation, f"{bad} rows violate")
+            checks.append(
+                (c.name, relation, "rows violate",
+                 icl_compiler.violations(batch, c.body, resolver))
+            )
+        self._run_violation_checks(checks)
         # Validate-then-apply: BOTH cascades (insert polarity on the new
         # contents, delete polarity on the rows the overwrite removes) run
         # before the relation is touched, so a ConstraintViolation leaves
@@ -469,6 +476,38 @@ class Database:
     # single-tuple technique (the reference mutates one tuple at a time).
     SUBSTITUTE_MAX_ROWS = 32
 
+    def _run_violation_checks(
+        self, checks: list[tuple[str, str, str, DataFrame]]
+    ) -> None:
+        """Run a set of per-constraint violation queries as ONE Spark job.
+
+        Each entry is (constraint_name, relation, message, violations_df).
+        Instead of one `.count()` action per constraint (K+ job launches per
+        mutation on a K-constraint schema — pure scheduler overhead at
+        ingest rates), every violations frame is projected to a literal tag
+        column, unioned, and aggregated with a single `groupBy(tag).count()`
+        action. Only violated tags come back; the first in submission order
+        raises, matching the sequential loop's error choice.
+        """
+        if not checks:
+            return
+        if len(checks) == 1:
+            name, relation, message, df = checks[0]
+            bad = df.count()
+            if bad:
+                raise errors.ConstraintViolation(name, relation, f"{bad} {message}")
+            return
+        tagged = None
+        for i, (_, _, _, df) in enumerate(checks):
+            t = df.select(F.lit(i).alias("__constraint"))
+            tagged = t if tagged is None else tagged.unionAll(t)
+        counts = {r["__constraint"]: r["n"] for r in
+                  tagged.groupBy("__constraint").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for i, (name, relation, message, _) in enumerate(checks):
+            bad = counts.get(i, 0)
+            if bad:
+                raise errors.ConstraintViolation(name, relation, f"{bad} {message}")
+
     def _cascade(self, mutated: str, changed_rows: DataFrame, event: str, resolver) -> None:
         """Polarity-driven re-check (SURVEY §4.3, lib/manipulation.ml:479-521).
 
@@ -496,6 +535,7 @@ class Database:
             else {icl_compiler.POSITIVE, icl_compiler.BOTH}
         )
         transitions_cache: list | None = None  # collected once, shared
+        all_checks: list[tuple[str, str, str, DataFrame]] = []
         for c in self.state.constraints.values():
             pol = icl_compiler.polarity(c.body).get(mutated)
             if pol not in trigger:
@@ -581,11 +621,13 @@ class Database:
                         else:
                             checks.append((rows, body_r))
             for check_rows, body in checks:
-                bad = icl_compiler.violations(check_rows, body, resolver).count()
-                if bad:
-                    raise errors.ConstraintViolation(
-                        c.name, c.relation, f"{bad} rows violate after {event} on {mutated}"
-                    )
+                all_checks.append(
+                    (c.name, c.relation, f"rows violate after {event} on {mutated}",
+                     icl_compiler.violations(check_rows, body, resolver))
+                )
+        # All cascade rechecks (across constraints AND per-transition
+        # substituted bodies) run as one tagged aggregation job.
+        self._run_violation_checks(all_checks)
 
     def _mutated(self, relation: str | None) -> None:
         if relation is not None and relation in self.state.relations:

@@ -449,3 +449,40 @@ def test_forall_insert_into_quantifier_uses_substitution(spark, store):
     db.insert_tuples("Department", [{"dept_id": 2}])  # audited: fine
     with pytest.raises(errors.ConstraintViolation):
         db.insert_tuples("Department", [{"dept_id": 9}])  # unaudited
+
+
+def test_insert_validation_launches_constant_job_count(spark, store):
+    """The immediate-constraint check is ONE tagged aggregation job no
+    matter how many constraints the relation carries (the per-constraint
+    `.count()` loop launched K jobs per insert — scheduler overhead, not
+    data work, at 100 TB ingest). Measured via job-group job ids: an insert
+    into a 3-constraint relation must launch exactly as many Spark jobs as
+    an insert into a 1-constraint relation."""
+
+    def make_db(name, n_constraints):
+        db = Database(spark, name, store=store, snapshot_on_mutation=False)
+        db.create_relation("r", [("v", "integer")])
+        for i in range(n_constraints):
+            db.register_constraint(
+                f"c{i}", "r", Cmp("lte", Var("v"), ConstVal(100 + i))
+            )
+        return db
+
+    def count_jobs(group, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    db1 = make_db("jobs1", 1)
+    db3 = make_db("jobs3", 3)
+    jobs1 = count_jobs("grp-one", lambda: db1.insert_tuples("r", [{"v": 5}]))
+    jobs3 = count_jobs("grp-three", lambda: db3.insert_tuples("r", [{"v": 5}]))
+    assert jobs3 == jobs1, f"job count grew with constraint count: {jobs1} -> {jobs3}"
+    # And violations still surface with the right constraint attribution:
+    # v=101 violates only c0 (v <= 100); c1/c2 (<=101, <=102) pass.
+    with pytest.raises(errors.ConstraintViolation, match="c0"):
+        db3.insert_tuples("r", [{"v": 101}])
