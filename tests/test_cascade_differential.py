@@ -11,6 +11,8 @@ shouldn't, diverges here.
 """
 
 from hypothesis import HealthCheck, given, settings
+
+from conftest import diff_examples
 from hypothesis import strategies as st
 
 from sakura_spark import errors
@@ -63,7 +65,7 @@ def _model_apply(state, op, arg):
 @settings(
     # 5 examples x ~5 ops each keeps this under ~30s; inputs are random
     # per run, so coverage accumulates across CI rounds.
-    max_examples=5,
+    max_examples=diff_examples(5, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -202,7 +204,7 @@ def _exists_model_apply(state, op, arg):
 
 @given(ops=_exists_op_strategy())
 @settings(
-    max_examples=5,
+    max_examples=diff_examples(5, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

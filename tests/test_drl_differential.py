@@ -13,6 +13,8 @@ can't cover.
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
+
+from conftest import diff_examples
 from hypothesis import strategies as st
 
 from sakura_spark.drl import ast
@@ -148,7 +150,7 @@ def _tree(draw, depth: int):
 
 @given(q=_tree(depth=3))
 @settings(
-    max_examples=15,
+    max_examples=diff_examples(15, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

@@ -11,6 +11,8 @@ issues fixed in round 2).
 
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+from conftest import diff_examples
 from hypothesis import strategies as st
 
 from sakura_spark.icl import ast
@@ -121,7 +123,7 @@ _ROWS_QA = st.lists(st.tuples(_VALS), min_size=0, max_size=3, unique=True)
     qa=_ROWS_QA,
 )
 @settings(
-    max_examples=12,
+    max_examples=diff_examples(12, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

@@ -12,6 +12,8 @@ conflict, is a bug.
 """
 
 from hypothesis import HealthCheck, given, settings
+
+from conftest import diff_examples
 from hypothesis import strategies as st
 
 from sakura_spark.database import Database
@@ -47,7 +49,7 @@ def _scenario(draw):
 
 @given(s=_scenario())
 @settings(
-    max_examples=6,
+    max_examples=diff_examples(6, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -74,9 +76,15 @@ def test_merge_matches_set_model(spark, tmp_path_factory, s):
         right.delete_tuples("items", [{"v": v} for v in sorted(r_del)])
 
     expected = (set(ANC) - l_del - r_del) | l_add | r_add
+    # Identical mutations on both sides (possible when neither adds and
+    # the delete sets coincide) converge to the SAME content hash; the
+    # chain walk then finds the shared tip first — the content-addressed
+    # fast-forward documented in _scenario, with an empty diff. For
+    # diverged tips the LCA must be the true fork point.
+    expected_anc = left.hash if left.hash == right.hash else anc_hash
     for strategy in (PREFER_LEFT, PREFER_RIGHT, REVERT_TO_ANCESTOR):
         res = merge_databases(spark, store, left.hash, right.hash, strategy)
-        assert res.ancestor == anc_hash
+        assert res.ancestor == expected_anc
         assert res.conflicts == []
         got = {r.v for r in res.merged_relations["items"].collect()}
         assert got == expected, f"strategy={strategy}"

@@ -1,6 +1,7 @@
 """as-of join and range join semantics on controlled inputs."""
 
 import datetime as dt
+from conftest import diff_examples
 
 import pytest
 
@@ -87,7 +88,7 @@ def test_asof_matches_pandas_merge_asof(spark):
 
     @given(lefts=lefts, rights=rights, direction=st.sampled_from(["backward", "forward"]))
     @settings(
-        max_examples=6,
+        max_examples=diff_examples(6, 3),
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
     )

@@ -3,6 +3,8 @@ the reference's example-based suite as planned in SURVEY §5."""
 
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+from conftest import diff_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -16,7 +18,7 @@ ROWS = st.lists(
 )
 
 _SETTINGS = dict(
-    max_examples=5,  # each example runs Spark jobs; keep the budget tight
+    max_examples=diff_examples(5, 3),  # each example runs Spark jobs; keep the budget tight
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

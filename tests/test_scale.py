@@ -155,11 +155,16 @@ def test_all_registered_query_plans_are_scale_clean(spark):
     hot path, at planning cost only."""
     import __spark_entry__ as e
 
+    from concurrent.futures import ThreadPoolExecutor
+
     allowed_nested_loop = {"rel_cartesian"}
     flagged = {}
-    for name, fn in e.queries().items():
-        df = fn(spark, "/root/testdata/sf0.001")
-        plan = _physical(df)
+
+    def lint(item):
+        name, fn = item
+        # Planning is driver-side; py4j handles concurrent callers, so the
+        # 70 analyze+optimize passes overlap instead of running serially.
+        plan = _physical(fn(spark, "/root/testdata/sf0.001"))
         flags = [
             f
             for f, marker in (
@@ -171,8 +176,12 @@ def test_all_registered_query_plans_are_scale_clean(spark):
         ]
         if name in allowed_nested_loop:
             flags = [f for f in flags if f not in ("cartesian", "nested-loop")]
-        if flags:
-            flagged[name] = flags
+        return name, flags
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, flags in pool.map(lint, e.queries().items()):
+            if flags:
+                flagged[name] = flags
     assert not flagged, f"scale-hazard plans: {flagged}"
 
 

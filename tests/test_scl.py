@@ -1,6 +1,7 @@
 """SCL cursor semantics (reference lib/scl/, lib/session.ml)."""
 
 import pytest
+from conftest import diff_examples
 
 from sakura_spark import errors
 from sakura_spark.scl import SessionRegistry
@@ -88,7 +89,7 @@ def test_random_batch_paging_equals_collect(nums):
 
     @given(sizes=st.lists(st.integers(1, 70), min_size=1, max_size=8))
     @settings(
-        max_examples=10,
+        max_examples=diff_examples(10, 4),
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
     )

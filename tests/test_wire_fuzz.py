@@ -8,6 +8,8 @@ that went in. Catches escaping bugs the handwritten protocol tests miss.
 """
 
 from hypothesis import HealthCheck, given, settings
+
+from conftest import diff_examples
 from hypothesis import strategies as st
 
 from sakura_spark.drl.parser import read_sexp
@@ -26,7 +28,7 @@ _NASTY = st.text(
 
 
 @given(s=_NASTY)
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=diff_examples(40, 15), deadline=None)
 def test_atom_roundtrip(s):
     tok = read_sexp(_sexp_atom(s))
     assert isinstance(tok, str) and tok.startswith('"')
@@ -35,7 +37,7 @@ def test_atom_roundtrip(s):
 
 @given(vals=st.lists(_NASTY, min_size=1, max_size=3, unique=True))
 @settings(
-    max_examples=8,
+    max_examples=diff_examples(8, 4),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
