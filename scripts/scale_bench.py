@@ -52,11 +52,23 @@ DEFAULT_QUERIES = [
 ]
 
 
+def execute(df) -> None:
+    """Force FULL plan execution via the noop sink.
+
+    `.count()` (bench.py's frozen protocol) lets Catalyst prune map-only
+    projections down to a parquet metadata count — fine for relative
+    baseline comparisons, useless for scaling measurement (a 100x bigger
+    hash projection would "run" in constant time). The noop datasource
+    executes every operator and discards rows at the sink.
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
 def best_time(fn, spark, sf_dir, runs: int) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        execute(fn(spark, sf_dir))
         best = min(best, time.time() - t0)
     return best
 
@@ -70,7 +82,7 @@ def main() -> None:
 
     spark = get_spark("sakura-scale-bench")
     qs = entrymod.queries()
-    qs["flagship_revenue"](spark, small).count()  # warm-up
+    execute(qs["flagship_revenue"](spark, small))  # warm-up
 
     results = {}
     for name in names:

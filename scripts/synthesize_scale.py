@@ -8,7 +8,11 @@ on:
 - orders/lineitem: orderkey offset by replica*stride — FK-consistent
   (lineitem rows follow their order), same customers get factor× orders,
   join/agg key cardinality grows linearly like a real scale-up.
-- events: event_id offset; user/session structure repeats per replica.
+- events: event_id offset AND ts shifted by one full span per replica —
+  the same user population stays active over a 10x longer time range, so
+  session counts, hourly buckets, and watermark state all scale like a
+  real longer-running stream (keeping ts fixed would stack replicas onto
+  the SAME sessions: 10x events, 1x sessions — not a scale-up).
 - documents: doc_id offset; every alphanumeric token gets a replica
   suffix. Intra-replica near-duplicate structure is preserved EXACTLY
   (both members of a planted pair transform identically, so their
@@ -88,15 +92,18 @@ def main() -> None:
 
     events = load_table(spark, f"{src}/events.parquet")
     ev_stride = events.agg(F.max("event_id")).collect()[0][0] + 1
-    write(
-        "events",
-        replicate(
-            events, factor,
-            lambda df, i: df.withColumn(
-                "event_id", F.col("event_id") + F.lit(i * ev_stride)
-            ),
-        ),
-    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_days = (hi - lo).days + 2  # +2: a clean inter-replica session gap
+
+    def event_replica(df, i):
+        df = df.withColumn("event_id", F.col("event_id") + F.lit(i * ev_stride))
+        if i == 0:
+            return df
+        return df.withColumn(
+            "ts", F.expr(f"timestampadd(DAY, {i * span_days}, ts)")
+        )
+
+    write("events", replicate(events, factor, event_replica))
 
     docs = load_table(spark, f"{src}/documents.parquet")
     doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
