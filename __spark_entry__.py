@@ -913,6 +913,23 @@ def q_rel_left_outer(spark, sf_dir):
     )
 
 
+def q_curation_split(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test split by disjoint md5-bucket
+    ranges — map-only, engine-portable, and growth-stable (new data never
+    reassigns an existing row's split, so eval sets stay uncontaminated
+    as the corpus scales)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.train_val_test_split(docs, ["doc_id"]).select("doc_id", "split")
+
+
+def q_text_ttr(spark, sf_dir):
+    """Type-token ratio per document (distinct words / total words): the
+    lexical-diversity quality signal that flags boilerplate and template
+    spam. Pure Column expressions, map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.type_token_ratio(docs).select("doc_id", "n_words", "n_types", "ttr")
+
+
 def q_text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-100 whitespace tokens by document frequency
     and total count. explode -> partial-aggregated groupBy (map-side
@@ -1032,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_stats": q_agg_distinct_stats,
         "agg_cube": q_agg_cube,
         "window_running_sum": q_window_running_sum,
+        "curation_split": q_curation_split,
+        "text_ttr": q_text_ttr,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1546,6 +1565,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, count(*) AS n_total, "
             "count(DISTINCT doc_id) AS n_docs FROM toks "
             "GROUP BY tok ORDER BY n_total DESC, tok LIMIT 100"
+        ),
+        "curation_split": (
+            "SELECT doc_id, CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "text_ttr": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(toks)) AS BIGINT) AS n_types, "
+            "CASE WHEN len(toks) > 0 THEN "
+            "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr "
+            "FROM t"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

@@ -54,6 +54,33 @@ def deterministic_sample(
     return df.filter(sample_bucket(key_cols, prefix_len) < F.lit(keep_below.lower()))
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_cols: list[str],
+    boundaries: tuple[str, str] = ("cccc", "e666"),
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Assign each row a deterministic ``split`` label (train/val/test) by
+    disjoint :func:`sample_bucket` ranges.
+
+    The default boundaries give ~80/10/10 (0xcccc/0x10000 = .79999,
+    0xe666 = .89999). Map-only and engine-portable like
+    deterministic_sample: a row's split never changes across runs,
+    clusters, or engines, and adding data never reassigns existing rows —
+    the property a training pipeline needs so eval sets stay
+    uncontaminated as the corpus grows."""
+    lo, hi = (b.lower() for b in boundaries)
+    if not (len(lo) == len(hi) == prefix_len and lo < hi):
+        raise ValueError(f"boundaries must be {prefix_len} hex chars with lo < hi")
+    bucket = sample_bucket(key_cols, prefix_len)
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(lo), F.lit("train"))
+        .when(bucket < F.lit(hi), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 # --- per-group quotas -------------------------------------------------------
 
 

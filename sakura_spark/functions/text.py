@@ -30,6 +30,32 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def word_tokens(text: Column) -> Column:
+    """Lowercased alphanumeric word tokens (splits on any non-alnum run;
+    empty strings filtered). The normalization used by repetition metrics —
+    deliberately the same contract DuckDB's regexp split gives, so the
+    driver oracle matches byte-for-byte."""
+    arr = F.split(F.lower(text), r"[^a-z0-9]+")
+    return F.filter(arr, lambda x: x != "")
+
+
+def type_token_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexical-diversity / repetition metric per document: distinct word
+    count over total word count (type-token ratio). Low TTR flags
+    boilerplate and template spam — a standard pre-training quality
+    signal. Pure Column expressions, map-only, no shuffle."""
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    return df.withColumns(
+        {
+            "n_words": n,
+            "n_types": n_types,
+            "ttr": F.when(n > 0, n_types.cast("double") / n.cast("double")),
+        }
+    )
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token estimate: split on whitespace AND punctuation
     boundaries (a cheap, deterministic stand-in for a BPE tokenizer).

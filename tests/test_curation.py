@@ -102,3 +102,31 @@ def test_contamination_hashed_matches_exact(spark):
         for r in curation.contamination(corpus, bench, threshold=0.1, hashed=True).collect()
     }
     assert exact == fast and exact
+
+
+def test_train_val_test_split_fractions_and_stability(docs, spark):
+    from sakura_spark.functions import curation
+
+    out = curation.train_val_test_split(docs, ["doc_id"])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) <= {"train", "val", "test"}
+    # md5 is uniform: train ~80% within generous tolerance at small n
+    assert counts.get("train", 0) / total > 0.6
+    assert counts.get("train", 0) / total < 0.95
+    # Growth stability: the split of a row is a pure function of its key —
+    # recomputing on a subset reassigns nothing.
+    subset = curation.train_val_test_split(docs.limit(50), ["doc_id"])
+    joined = subset.alias("s").join(out.alias("f"), on="doc_id").select(
+        F.col("s.split").alias("a"), F.col("f.split").alias("b")
+    )
+    assert joined.filter("a <> b").count() == 0
+
+
+def test_train_val_test_split_rejects_bad_boundaries(docs):
+    import pytest as _pytest
+
+    from sakura_spark.functions import curation
+
+    with _pytest.raises(ValueError):
+        curation.train_val_test_split(docs, ["doc_id"], boundaries=("e666", "cccc"))

@@ -472,3 +472,21 @@ def test_l2_normalize(spark):
     }
     assert rows[1] == [0.6, 0.8]
     assert rows[2] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_type_token_ratio_flags_repetition(spark):
+    """Planted boilerplate (one word repeated) scores near 0; fully
+    diverse text scores 1.0; empty text yields NULL ratio."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "eight distinct words appear in this exact sentence"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.type_token_ratio(df).collect()}
+    assert got[1].n_words == 8 and got[1].n_types == 1
+    assert abs(got[1].ttr - 0.125) < 1e-12
+    assert got[2].ttr == 1.0
+    assert got[3].n_words == 0 and got[3].ttr is None
