@@ -913,6 +913,28 @@ def q_rel_left_outer(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image pipeline end-to-end: render a deterministic PNG per
+    document (md5 -> 8x8 grayscale), pixel-decode it with the pure-stdlib
+    codec, resize 8x8 -> 4x4 nearest-neighbour, re-decode, and report both
+    dims. Every stage is Arrow-batched mapInPandas over (id, payload)
+    only. Rows-only for the driver (PNG bytes aren't expressible in
+    portable SQL); pixel exactness is pytest-asserted."""
+    docs = _t(spark, sf_dir, "documents")
+    pngs = multimodal.synthetic_png_payload(docs)
+    decoded = multimodal.decode_image(pngs)
+    resized = multimodal.decode_image(
+        multimodal.resize_image(pngs, 4, 4).select("doc_id", "payload")
+    ).select(
+        F.col("doc_id"),
+        F.col("height").alias("r_height"),
+        F.col("width").alias("r_width"),
+    )
+    return decoded.join(resized, on="doc_id").select(
+        "doc_id", "height", "width", "channels", "r_height", "r_width"
+    )
+
+
 def q_curation_split(spark, sf_dir):
     """Deterministic ~80/10/10 train/val/test split by disjoint md5-bucket
     ranges — map-only, engine-portable, and growth-stable (new data never
@@ -1053,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": q_text_ttr,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
+        "multimodal_decode": q_multimodal_decode,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_near": q_dedup_near,

@@ -296,6 +296,35 @@ def _nn_resize(arr, width: int, height: int):
     return arr[ys][:, xs]
 
 
+def synthetic_png_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    width: int = 8, height: int = 8,
+) -> DataFrame:
+    """Deterministic PNG corpus generator: renders each row's md5 digest
+    into a real width×height grayscale PNG (repeating the 16 digest bytes).
+    Stands in for an image column where the test tables ship none — the
+    payloads are genuine PNGs, so decode/resize pipelines execute the real
+    codec end-to-end, deterministically on every engine and run."""
+    import numpy as np
+
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                pixels = np.frombuffer(
+                    (digest * (n // len(digest) + 1))[:n], dtype=np.uint8
+                ).reshape(height, width)
+                payloads.append(_png_encode(pixels))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} long, payload binary"
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Image decode -> (height, width, channels). REAL for PNG (8-bit,
     non-interlaced; gray/RGB/palette/gray-alpha/RGBA) via the pure-stdlib
