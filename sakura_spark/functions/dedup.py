@@ -518,8 +518,24 @@ def dedup_near(
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size
     )
+    # The candidate set (small: bucket-bounded) feeds four consumers —
+    # the member-id semijoin, both verify sides, and the clustering edge
+    # list — so materialize it once instead of re-deriving the LSH
+    # pipeline per consumer.
+    pairs = pairs.localCheckpoint(eager=True)
     if jaccard_threshold is not None:
-        texts = df.select(F.col(id_col).alias("id"), F.col(text_col))
+        # Shingle only candidate-pair members: at corpus scale the LSH
+        # survivors are a vanishing fraction of rows, so semi-joining
+        # first turns the two verify-side shingle projections from
+        # full-corpus scans into candidate-only work.
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .union(pairs.select(F.col("id_b").alias("id")))
+            .dropDuplicates()
+        )
+        texts = df.select(F.col(id_col).alias("id"), F.col(text_col)).join(
+            cand_ids, on="id", how="left_semi"
+        )
         sh = texts.select(
             "id", shingle_hashes(F.col(text_col), shingle_n).alias("sh")
         )
