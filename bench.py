@@ -54,6 +54,11 @@ EXTENDED = [
     "pipeline_curate",
     "text_pii_redact",
     "sim_embedding_quantize",
+    # round 4 additions (first measurements recorded in BASELINE.md):
+    "curation_split",
+    "text_ttr",
+    "multimodal_decode",
+    "dedup_near",
 ]
 
 
