@@ -935,6 +935,35 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Conversion funnel: users whose first purchase follows their first
+    view, with both timestamps and the conversion lag. Two hash
+    aggregations on user_id (the second reuses the first's partitioning —
+    AQE coalesces; at 100 TB this is one fact shuffle + one co-partitioned
+    join, no window over the raw stream)."""
+    ev = _t(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, on="user_id")
+        .filter(F.col("ts") > F.col("first_view_ts"))
+        .groupBy("user_id", "first_view_ts")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return conv.select(
+        "user_id",
+        "first_view_ts",
+        "first_purchase_ts",
+        (
+            F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("first_view_ts")
+        ).alias("lag_sec"),
+    )
+
+
 def q_curation_split(spark, sf_dir):
     """Deterministic ~80/10/10 train/val/test split by disjoint md5-bucket
     ranges — map-only, engine-portable, and growth-stable (new data never
@@ -1073,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "curation_split": q_curation_split,
         "text_ttr": q_text_ttr,
+        "events_funnel": q_events_funnel,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "multimodal_decode": q_multimodal_decode,
@@ -1594,6 +1624,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
             "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "events_funnel": (
+            "WITH fv AS (SELECT user_id, min(ts) AS first_view_ts FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id) "
+            "SELECT e.user_id, fv.first_view_ts, min(e.ts) AS first_purchase_ts, "
+            "CAST(floor(date_part('epoch', min(e.ts))) - "
+            "floor(date_part('epoch', fv.first_view_ts)) AS BIGINT) AS lag_sec "
+            "FROM events e JOIN fv ON e.user_id = fv.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > fv.first_view_ts "
+            "GROUP BY e.user_id, fv.first_view_ts"
         ),
         "text_ttr": (
             "WITH t AS (SELECT doc_id, list_filter("

@@ -197,3 +197,23 @@ def test_minhash_signature_pipeline_is_map_only(spark):
     assert "Exchange" not in _physical(sig)
     sim = dedup.simhash_signatures(docs, "doc_id")
     assert "Exchange" not in _physical(sim)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_parquet(partition_by=...) must produce a layout where a
+    partition-column filter reaches the scan as a PartitionFilter —
+    directory-level pruning, zero data files read for excluded partitions.
+    The other scale lever (alongside bucketing) for steady-state layouts."""
+    from sakura_spark import sources
+    from sakura_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_by_source")
+    sources.write_parquet(docs, out, partition_by=["source"])
+    back = spark.read.parquet(out)
+    q = back.filter(F.col("source") == "src2").select("doc_id")
+    plan = _physical(q)
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2, "no PartitionFilters in scan"
+    assert "src2" in seg[1][:300]  # the predicate prunes directories
+    assert q.count() == docs.filter("source = 'src2'").count()
