@@ -5,10 +5,11 @@ Images/audio/video are modelled as `binary` columns with a metadata struct
 Arrow-batched Pandas UDF signatures over mapInPandas, partition sizing — is
 real and tested. Codecs: PNG pixel decode / nearest-neighbour resize /
 re-encode are REAL (pure stdlib zlib + numpy: chunk walk, IDAT inflate,
-filter-0..4 unfiltering incl. Paeth); header sniffing for PNG/GIF/BMP/JPEG
-and WAV is real; remaining formats (JPEG pixel decode, compressed audio,
-video) stay behind `DecodeUnavailable` / deterministic fakes, clearly
-marked.
+filter-0..4 unfiltering incl. Paeth), and GIF pixel decode is REAL too
+(LZW with growing code widths, global/local color tables, interlacing);
+header sniffing for PNG/GIF/BMP/JPEG and WAV is real; remaining formats
+(JPEG pixel decode, compressed audio, video) stay behind
+`DecodeUnavailable` / deterministic fakes, clearly marked.
 
 At 100 TB binary payloads dominate I/O: the extractors below therefore run
 as mapInPandas over only the needed columns (column pruning drops the blob
@@ -296,6 +297,179 @@ def _nn_resize(arr, width: int, height: int):
     return arr[ys][:, xs]
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, code width
+    grows 3..12 bits as the table fills."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + code_size > total_bits:
+            break  # truncated stream: return what we have
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise DecodeUnavailable("corrupt LZW stream (bad first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise DecodeUnavailable("corrupt LZW stream (code gap)")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if len(out) >= expected:
+            break
+    return out[:expected]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_decode(b: bytes):
+    """Pure-stdlib GIF decoder -> numpy uint8 RGB array (h, w, 3).
+
+    Real pixel decode: logical screen descriptor, global/local color
+    tables, extension-block skipping, LZW decompression of the FIRST image
+    frame, Adam-style deinterlacing. Animation frames beyond the first and
+    transparency compositing are out of scope (DecodeUnavailable keeps
+    those payloads on the stub path)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise DecodeUnavailable("not a GIF payload")
+    _, _, packed = struct.unpack("<HHB", b[6:11])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            lct = None
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                lct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            min_code_size = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                sz = b[pos]
+                data += b[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise DecodeUnavailable("GIF without a color table")
+            indices = _lzw_decode(bytes(data), min_code_size, iw * ih)
+            if len(indices) < iw * ih:
+                raise DecodeUnavailable("truncated GIF pixel data")
+            idx = np.array(indices, dtype=np.int64).reshape(ih, iw)
+            if idx.max(initial=0) >= len(pal):
+                raise DecodeUnavailable("GIF index outside color table")
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    order.extend(range(start, ih, step))
+                deinter = np.empty_like(idx)
+                deinter[np.array(order)] = idx
+                idx = deinter
+            return pal[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise DecodeUnavailable(f"unexpected GIF block 0x{block:02x}")
+    raise DecodeUnavailable("no image data in GIF")
+
+
+def _gif_encode(arr) -> bytes:
+    """Pure-stdlib GIF89a encoder for test fixtures: palette-based
+    (<=256 unique colors), min-code-size 8, 'uncompressed LZW' (literal
+    codes with periodic clear codes so the code width never grows) —
+    decodable by any standard decoder and by _gif_decode."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w, nch = arr.shape
+    if nch != 3:
+        raise DecodeUnavailable("GIF encoder takes RGB (or grayscale) input")
+    flat = arr.reshape(-1, 3)
+    colors, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise DecodeUnavailable("more than 256 unique colors")
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+
+    clear, end = 256, 257
+    codes: list[int] = [clear]
+    for i, px in enumerate(indices.tolist()):
+        if i and i % 250 == 0:
+            codes.append(clear)  # keep the decoder's table under 512
+        codes.append(px)
+    codes.append(end)
+    # pack 9-bit codes LSB-first
+    acc = bitcount = 0
+    payload = bytearray()
+    for c in codes:
+        acc |= c << bitcount
+        bitcount += 9
+        while bitcount >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bitcount -= 8
+    if bitcount:
+        payload.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # min LZW code size
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def synthetic_png_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     width: int = 8, height: int = 8,
@@ -325,20 +499,33 @@ def synthetic_png_payload(
     )
 
 
+def _decode_pixels(b: bytes):
+    """Dispatch to the real pixel decoder by container signature: PNG
+    (_png_decode) or GIF (_gif_decode). Everything else — including JPEG,
+    whose pixel path stays a documented stub — raises DecodeUnavailable."""
+    b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(b)
+    raise DecodeUnavailable("no pixel decoder for this payload")
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Image decode -> (height, width, channels). REAL for PNG (8-bit,
-    non-interlaced; gray/RGB/palette/gray-alpha/RGBA) via the pure-stdlib
-    _png_decode above — zlib inflate + scanline unfiltering inside the
-    Arrow-batched mapInPandas stage. Payloads in formats without a decoder
-    here (JPEG/GIF/..., or exotic PNG variants) yield NULL dims rather than
-    failing the batch, mirroring the sniffers' unknown-payload behavior."""
+    non-interlaced; gray/RGB/palette/gray-alpha/RGBA — zlib inflate +
+    scanline unfiltering) and GIF (LZW + color table + deinterlacing),
+    both pure stdlib inside the Arrow-batched mapInPandas stage. Payloads
+    in formats without a decoder here (JPEG pixels, exotic PNG variants,
+    animated-frame compositing) yield NULL dims rather than failing the
+    batch, mirroring the sniffers' unknown-payload behavior."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims: list[tuple[int | None, int | None, int | None]] = []
             for b in pdf["payload"]:
                 try:
-                    arr = _png_decode(bytes(b))
+                    arr = _decode_pixels(b)
                     dims.append((arr.shape[0], arr.shape[1], arr.shape[2]))
                 except DecodeUnavailable:
                     dims.append((None, None, None))
@@ -382,16 +569,17 @@ def resize_image(
     (_png_encode), all inside one mapInPandas stage over (id, payload)
     only — target dims folded into the closure, output schema carrying the
     resized blob so downstream stages keep streaming Arrow batches without
-    a driver round-trip. Undecodable payloads yield a NULL payload row
-    (fake_resize_image remains the deterministic stand-in for pipelines
-    over non-PNG fixtures)."""
+    a driver round-trip. Decodes PNG and GIF; output payloads are always
+    PNG (pipeline normalization — one container format downstream).
+    Undecodable payloads yield a NULL payload row (fake_resize_image
+    remains the deterministic stand-in for non-image fixtures)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads: list[bytes | None] = []
             for b in pdf["payload"]:
                 try:
-                    arr = _png_decode(bytes(b))
+                    arr = _decode_pixels(b)
                     payloads.append(_png_encode(_nn_resize(arr, width, height)))
                 except DecodeUnavailable:
                     payloads.append(None)

@@ -490,3 +490,68 @@ def test_type_token_ratio_flags_repetition(spark):
     assert abs(got[1].ttr - 0.125) < 1e-12
     assert got[2].ttr == 1.0
     assert got[3].n_words == 0 and got[3].ttr is None
+
+
+def test_gif_roundtrip_and_external_fixture():
+    """_gif_decode is a real LZW decoder: our encoder's output (palette +
+    uncompressed-LZW with periodic clear codes) round-trips pixel-exactly,
+    including images big enough to cross sub-block and clear-code
+    boundaries; the canonical external 1x1 GIF decodes; an interlaced
+    variant deinterlaces correctly."""
+    import base64
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # <=256 unique colors via a coarse palette; 40x37 crosses several
+    # 250-literal clear-code windows and 255-byte sub-blocks.
+    arr = (rng.integers(0, 6, size=(37, 40, 3)) * 40).astype(np.uint8)
+    back = multimodal._gif_decode(multimodal._gif_encode(arr))
+    assert np.array_equal(back, arr)
+
+    # grayscale input encodes as RGB
+    g = rng.integers(0, 5, size=(4, 4), dtype=np.uint8) * 50
+    back_g = multimodal._gif_decode(multimodal._gif_encode(g))
+    assert np.array_equal(back_g, np.stack([g] * 3, axis=-1))
+
+    # external fixture: the canonical 1x1 transparent GIF
+    one_px = base64.b64decode(
+        "R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    assert multimodal._gif_decode(one_px).shape == (1, 1, 3)
+
+    # interlaced: set the interlace flag and reorder rows into pass order;
+    # the decoder must undo it.
+    plain = multimodal._gif_encode(arr)
+    ih = arr.shape[0]
+    order = []
+    for start, step in multimodal._GIF_INTERLACE_PASSES:
+        order.extend(range(start, ih, step))
+    reordered = arr[np.array(order)]
+    inter = bytearray(multimodal._gif_encode(reordered))
+    # image descriptor sits right after header(13) + GCT(768); flag byte is
+    # descriptor offset + 9
+    flag_at = 13 + 768 + 9
+    assert inter[flag_at] == 0
+    inter[flag_at] = 0x40
+    got = multimodal._gif_decode(bytes(inter))
+    assert np.array_equal(got, arr)
+
+
+def test_decode_image_handles_gif(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    arr = (rng.integers(0, 4, size=(5, 7, 3)) * 60).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, multimodal._gif_encode(arr)), (2, b"not an image")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    assert (got[1].height, got[1].width, got[1].channels) == (5, 7, 3)
+    assert got[2].height is None
+    # resize normalizes GIF input to a PNG payload at the target dims
+    out = multimodal.resize_image(df, 3, 3).filter("doc_id = 1").collect()[0]
+    resized = multimodal._png_decode(bytes(out.payload))
+    assert resized.shape == (3, 3, 3)
