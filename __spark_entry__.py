@@ -964,6 +964,56 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the week of their first
+    event; active-user counts per (cohort_week, weeks_since). One user_id
+    aggregation for cohorts, one co-partitioned join back, one final
+    small agg — the standard growth-analytics rollup."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).dropDuplicates()
+    return (
+        active.join(cohort, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def q_rel_full_outer(spark, sf_dir):
+    """Full outer join (completes the outer-join family beside
+    rel_left_outer): per-user purchase counts on even user ids vs signup
+    counts on ids divisible by 3 — the modulus subsets guarantee
+    unmatched rows in BOTH directions at every scale factor, so both
+    outer branches execute."""
+    ev = _t(spark, sf_dir, "events")
+
+    def side(kind, mod):
+        return (
+            ev.filter((F.col("event_type") == kind) & (F.col("user_id") % mod == 0))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias(f"n_{kind}"))
+        )
+
+    p, s = side("purchase", 2), side("signup", 3)
+    return (
+        p.join(s, on="user_id", how="full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("n_signup", F.lit(0)).alias("n_signup"),
+        )
+    )
+
+
 def q_curation_split(spark, sf_dir):
     """Deterministic ~80/10/10 train/val/test split by disjoint md5-bucket
     ranges — map-only, engine-portable, and growth-stable (new data never
@@ -1103,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_split": q_curation_split,
         "text_ttr": q_text_ttr,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "rel_full_outer": q_rel_full_outer,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "multimodal_decode": q_multimodal_decode,
@@ -1634,6 +1686,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN fv ON e.user_id = fv.user_id "
             "WHERE e.event_type = 'purchase' AND e.ts > fv.first_view_ts "
             "GROUP BY e.user_id, fv.first_view_ts"
+        ),
+        "events_retention": (
+            "WITH cohort AS (SELECT user_id, "
+            "CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week "
+            "FROM events GROUP BY user_id), "
+            "active AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('week', ts) AS DATE) AS week FROM events) "
+            "SELECT c.cohort_week, "
+            "CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT) AS weeks_since, "
+            "count(DISTINCT a.user_id) AS n_active "
+            "FROM active a JOIN cohort c ON a.user_id = c.user_id "
+            "GROUP BY c.cohort_week, weeks_since"
+        ),
+        "rel_full_outer": (
+            "WITH p AS (SELECT user_id, count(*) AS n_purchase FROM events "
+            "WHERE event_type = 'purchase' AND user_id % 2 = 0 GROUP BY user_id), "
+            "s AS (SELECT user_id, count(*) AS n_signup FROM events "
+            "WHERE event_type = 'signup' AND user_id % 3 = 0 GROUP BY user_id) "
+            "SELECT coalesce(p.user_id, s.user_id) AS user_id, "
+            "coalesce(n_purchase, 0) AS n_purchase, "
+            "coalesce(n_signup, 0) AS n_signup "
+            "FROM p FULL OUTER JOIN s ON p.user_id = s.user_id"
         ),
         "text_ttr": (
             "WITH t AS (SELECT doc_id, list_filter("
