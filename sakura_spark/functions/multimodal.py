@@ -207,10 +207,17 @@ def _png_decode(b: bytes):
         raise DecodeUnavailable(
             f"unsupported PNG variant (depth={depth} color={color} interlace={interlace})"
         )
-    raw = zlib.decompress(b"".join(idat))
     stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise DecodeUnavailable("truncated PNG pixel data")
+    expected = h * (stride + 1)
+    if expected > 256 * 1024 * 1024:
+        raise DecodeUnavailable("image dimensions exceed the decode budget")
+    # Bounded inflate: never allocate past the declared pixel size, so a
+    # decompression bomb in a hostile corpus costs an executor at most
+    # `expected` bytes, not whatever the stream expands to.
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:  # short = truncated, long = bomb/corrupt
+        raise DecodeUnavailable("PNG pixel data does not match declared dimensions")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -502,12 +509,23 @@ def synthetic_png_payload(
 def _decode_pixels(b: bytes):
     """Dispatch to the real pixel decoder by container signature: PNG
     (_png_decode) or GIF (_gif_decode). Everything else — including JPEG,
-    whose pixel path stays a documented stub — raises DecodeUnavailable."""
+    whose pixel path stays a documented stub — raises DecodeUnavailable.
+
+    Any failure inside a decoder (zlib.error on a corrupt IDAT,
+    struct.error on a truncated header, numpy shape errors on lying
+    chunk sizes) is normalized to DecodeUnavailable: the executor-side
+    contract is 'decodable or NULL row', never a failed batch on
+    malformed bytes."""
     b = bytes(b)
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        return _png_decode(b)
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        return _gif_decode(b)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return _png_decode(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_decode(b)
+    except DecodeUnavailable:
+        raise
+    except Exception as exc:
+        raise DecodeUnavailable(f"malformed container: {exc}") from exc
     raise DecodeUnavailable("no pixel decoder for this payload")
 
 

@@ -555,3 +555,41 @@ def test_decode_image_handles_gif(spark):
     out = multimodal.resize_image(df, 3, 3).filter("doc_id = 1").collect()[0]
     resized = multimodal._png_decode(bytes(out.payload))
     assert resized.shape == (3, 3, 3)
+
+
+def test_decode_pixels_never_leaks_raw_exceptions():
+    """The executor-side contract is 'decode or DecodeUnavailable' — a
+    corrupt container (flipped bytes, truncations, lying lengths) must
+    never surface zlib/struct/numpy errors that would fail a whole Arrow
+    batch. Fuzz: random mutations of valid PNG/GIF payloads plus random
+    prefixes with valid magic bytes."""
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(13)
+    png = multimodal._png_encode(rng.integers(0, 256, (6, 5, 3), dtype=np.uint8))
+    gif = multimodal._gif_encode((rng.integers(0, 4, (6, 5, 3)) * 60).astype(np.uint8))
+
+    @given(
+        base=st.sampled_from(["png", "gif"]),
+        cut=st.integers(min_value=0, max_value=200),
+        flips=st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 255)), max_size=8
+        ),
+    )
+    @settings(max_examples=80, deadline=None)
+    def fuzz(base, cut, flips):
+        raw = bytearray(png if base == "png" else gif)
+        raw = raw[: max(1, len(raw) - cut)]
+        for pos, val in flips:
+            if raw:
+                raw[pos % len(raw)] = val
+        try:
+            arr = multimodal._decode_pixels(bytes(raw))
+            assert arr.ndim == 3  # survived mutation: still a pixel array
+        except multimodal.DecodeUnavailable:
+            pass  # the only acceptable failure mode
+
+    fuzz()
