@@ -25,6 +25,7 @@ direction (insert vs delete).
 
 from __future__ import annotations
 
+import itertools
 from typing import Callable, Union
 
 from pyspark.sql import Column, DataFrame
@@ -43,6 +44,12 @@ Resolver = Union[Callable[[str], DataFrame], dict]
 # `icl_compiler.MAX_QUANTIFIER_ROWS = None` — when a large quantifier is
 # genuinely intended and the cost is understood.
 MAX_QUANTIFIER_ROWS: int | None = 100_000
+
+# Unique suffixes for shadowed-quantifier placeholder columns: nested
+# quantifiers reusing a variable name rename the outer binding's columns
+# before crossJoining the inner quantifier, and a plain per-call counter
+# keeps the placeholders distinct at any nesting depth.
+_SHADOW_IDS = itertools.count()
 
 POSITIVE = "positive"  # a DELETE from the relation can violate
 NEGATIVE = "negative"  # an INSERT into the relation can violate
@@ -192,10 +199,28 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
         # keep df-rows having >= 1 (counter)example. Columns "var.attr" are
         # visible to nested Vars; projected away (positionally — names may
         # contain dots) before the final set op.
-        crossed = df.crossJoin(F.broadcast(prefixed))
+        #
+        # Inner shadows outer (lib/constraint.ml:230-251 — tuple extension
+        # is a map update): if df already carries "var.*" columns from an
+        # enclosing quantifier reusing this variable name, crossJoining
+        # would duplicate them and every "var.attr" reference in the inner
+        # body would be ambiguous. Rename the outer binding's columns to
+        # unique placeholders so the inner body resolves against the inner
+        # binding only, then restore the names before the final projection.
+        shadowed = [c for c in df.columns if c.startswith(body.var + ".")]
+        if shadowed:
+            tok = next(_SHADOW_IDS)
+            alias = {c: f"__icl_shadow_{tok}_{i}" for i, c in enumerate(shadowed)}
+            base = df.select(
+                *[F.col(f"`{c}`").alias(alias.get(c, c)) for c in df.columns]
+            )
+        else:
+            alias = {}
+            base = df
+        crossed = base.crossJoin(F.broadcast(prefixed))
         hits = (
             satisfied_rows(crossed, inner, resolver)
-            .select(*[F.col(f"`{c}`") for c in df.columns])
+            .select(*[F.col(f"`{alias.get(c, c)}`").alias(c) for c in df.columns])
             .dropDuplicates()
         )
         if isinstance(body, ast.Exists):

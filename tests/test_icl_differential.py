@@ -144,3 +144,59 @@ def test_compiler_matches_naive_evaluator(spark, body, xy, ab, qa):
     got_bad = {(r.x, r.y) for r in violations(df, body, rels).collect()}
     assert got_sat == expected_sat
     assert got_bad == set(xy) - expected_sat
+
+
+# --- explicit shadowed-quantifier regressions --------------------------------
+#
+# Nested quantifiers reusing a variable name must shadow inner-over-outer
+# (the reference extends the environment with a map update,
+# lib/constraint.ml:230-251). Round 4's compiler crashed with
+# AMBIGUOUS_REFERENCE on these shapes; keep them pinned explicitly so the
+# guarantee doesn't depend on the hypothesis example database surviving a
+# fresh checkout.
+
+_SHADOW_BODIES = [
+    # Inner Exists shadows outer Exists over the same relation.
+    ast.Exists("q", "Q", ast.Exists("q", "Q", ast.MemberOf("R", (("a", ast.Var("x")), ("b", ast.Var("q.qa")))))),
+    # Forall-in-Forall shadowing.
+    ast.Forall("q", "Q", ast.Forall("q", "Q", ast.Cmp("lte", ast.Var("q.qa"), ast.Var("y")))),
+    # Mixed kinds: Forall around Exists, same name.
+    ast.Forall("q", "Q", ast.Exists("q", "Q", ast.Cmp("eq", ast.Var("q.qa"), ast.Var("x")))),
+    # Triple nesting — exercises placeholder uniqueness at depth 3.
+    ast.Exists(
+        "q", "Q",
+        ast.Exists("q", "Q", ast.Exists("q", "Q", ast.Cmp("lt", ast.Var("q.qa"), ast.Var("y")))),
+    ),
+    # The outer binding is used BEFORE the inner quantifier shadows it:
+    # And(outer q.qa == x, Exists(q, q.qa == y)) — both scopes live in one body.
+    ast.Exists(
+        "q", "Q",
+        ast.And(
+            ast.Cmp("eq", ast.Var("q.qa"), ast.Var("x")),
+            ast.Exists("q", "Q", ast.Cmp("eq", ast.Var("q.qa"), ast.Var("y"))),
+        ),
+    ),
+    # Shadowing inside a Not.
+    ast.Exists("q", "Q", ast.Not(ast.Exists("q", "Q", ast.Cmp("gt", ast.Var("q.qa"), ast.Var("q.qa"))))),
+]
+
+
+@pytest.mark.parametrize("body", _SHADOW_BODIES, ids=lambda b: type(b).__name__ + str(_SHADOW_BODIES.index(b)))
+def test_shadowed_quantifier_matches_naive_evaluator(spark, body):
+    xy = [(0, 0), (0, 2), (1, 1), (2, 3), (3, 0)]
+    ab = [(0, 1), (1, 2), (2, 2)]
+    qa = [(1,), (2,), (3,)]
+    df = spark.createDataFrame(xy, "x long, y long")
+    rels = {
+        "R": spark.createDataFrame(ab, "a long, b long"),
+        "Q": spark.createDataFrame(qa, "qa long"),
+    }
+    py_rels = {
+        "R": [{"a": a, "b": b} for a, b in ab],
+        "Q": [{"qa": q} for (q,) in qa],
+    }
+    expected_sat = {(x, y) for x, y in xy if _eval(body, {"x": x, "y": y}, py_rels)}
+    got_sat = {(r.x, r.y) for r in satisfied_rows(df, body, rels).collect()}
+    got_bad = {(r.x, r.y) for r in violations(df, body, rels).collect()}
+    assert got_sat == expected_sat
+    assert got_bad == set(xy) - expected_sat
