@@ -133,9 +133,13 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
             else:
                 conds.append((b.name, attr))
         if not conds:
-            # Pure-constant binding: satisfied iff a matching row exists at all.
-            marker = tgt.limit(1).select(F.lit(1).alias("__m"))
-            return df.join(F.broadcast(marker), how="cross").drop("__m") if marker.take(1) else df.limit(0)
+            # Pure-constant binding: satisfied iff a matching row exists at
+            # all. Kept lazy: a 1-row broadcast marker semi-joined on a
+            # constant-true condition keeps/drops every df row inside the
+            # enclosing job, instead of probing eagerly with take(1) — which
+            # launched one extra driver job per node during validation.
+            marker = F.broadcast(tgt.limit(1).select(F.lit(1).alias("__m")))
+            return df.join(marker, on=F.lit(True), how="left_semi")
         # Positional aliases: the SAME Var may bind several target attrs
         # (e.g. a=Var x AND b=Var x), so per-var aliases would collide;
         # backticks because namespaced vars ("d.dept_id") put a dot in the
@@ -174,12 +178,32 @@ def satisfied_rows(df: DataFrame, body: ast.Body, resolver: Resolver) -> DataFra
         # 1-row mutation relies on this.
         inner_refs = referenced_vars(body.body)
         if not any(v.startswith(body.var + ".") for v in inner_refs):
-            q_nonempty = bool(q.take(1))
+            # Degenerate quantifier (var unused — typical after transition
+            # substitution): Exists = q nonempty AND body; Forall = q empty
+            # OR body. Kept lazy via a 1-row marker and constant-true
+            # semi/anti joins — the previous eager take(1) probe launched
+            # one driver job per substituted check, K+ jobs per cascade.
+            marker = F.broadcast(q.limit(1).select(F.lit(1).alias("__m")))
+            sat = satisfied_rows(df, body.body, resolver)
             if isinstance(body, ast.Exists):
-                return satisfied_rows(df, body.body, resolver) if q_nonempty else df.limit(0)
-            return satisfied_rows(df, body.body, resolver) if q_nonempty else df
+                return sat.join(marker, on=F.lit(True), how="left_semi")
+            unsat = _value_match(df, sat, "left_anti")
+            return sat.union(unsat.join(marker, on=F.lit(True), how="left_anti"))
         if MAX_QUANTIFIER_ROWS is not None:
-            qn = q.limit(MAX_QUANTIFIER_ROWS + 1).count()
+            # The size guard needs a real count, but the verdict is stable
+            # for a given DataFrame object — and Database rotates Relation.df
+            # on every mutation, so caching on the object is exactly a
+            # per-(relation, db-version) cache. A 3-quantifier constraint
+            # over one relation counts it once, not three times.
+            cached = getattr(q, "_sakura_qsize", None)
+            if cached is not None and cached[0] == MAX_QUANTIFIER_ROWS:
+                qn = cached[1]
+            else:
+                qn = q.limit(MAX_QUANTIFIER_ROWS + 1).count()
+                try:
+                    q._sakura_qsize = (MAX_QUANTIFIER_ROWS, qn)
+                except AttributeError:
+                    pass
             if qn > MAX_QUANTIFIER_ROWS:
                 raise errors.UnboundedQuantifier(
                     f"{type(body).__name__} quantifier {body.quantifier!r} exceeds "

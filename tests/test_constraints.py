@@ -7,6 +7,7 @@ import pytest
 from sakura_spark import errors
 from sakura_spark.database import DEFERRED, Database
 from sakura_spark.icl import (
+    And,
     Between,
     Cmp,
     ConstVal,
@@ -388,8 +389,11 @@ def test_trigger_constant_early_bail(spark, store):
 
 def test_substituted_recheck_plan_has_no_cross_join(spark):
     """The targeted recheck of a 1-row quantifier mutation: substitution
-    removes every "d.attr" reference, so the compiled plan has no
-    cross/nested-loop join with the quantifier."""
+    removes every "d.attr" reference, so the compiled plan never
+    nested-loops the QUANTIFIER. The degenerate-quantifier path does emit
+    1-row-marker nested-loop joins (the same shape Spark plans uncorrelated
+    EXISTS subqueries as) — those are O(|df|) and allowed; what must not
+    appear is a CartesianProduct or a nested loop over an unbounded side."""
     from sakura_spark.icl.compiler import substitute_transition
 
     emp = spark.createDataFrame([(1, 1), (2, 2)], "emp_id long, dept_id long")
@@ -399,7 +403,13 @@ def test_substituted_recheck_plan_has_no_cross_join(spark):
     sub = substitute_transition(body, "Department", {"dept_id": 3})
     bad = violations(emp, sub, {"Department": dept, "Audit": audit})
     plan = bad._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Every nested-loop join must be a 1-row emptiness marker: its build
+    # side carries a GlobalLimit 1 (plan prints one per marker subtree, or
+    # a ReusedExchange when two markers share one broadcast).
+    assert plan.count("BroadcastNestedLoopJoin") <= (
+        plan.count("GlobalLimit 1") + plan.count("ReusedExchange")
+    )
     # dept_id=3 is not in Audit -> every Employee row now violates.
     assert bad.count() == 2
 
@@ -486,3 +496,45 @@ def test_insert_validation_launches_constant_job_count(spark, store):
     # v=101 violates only c0 (v <= 100); c1/c2 (<=101, <=102) pass.
     with pytest.raises(errors.ConstraintViolation, match="c0"):
         db3.insert_tuples("r", [{"v": 101}])
+
+
+def test_nested_quantifier_validation_constant_jobs(spark, store):
+    """Validation of a 3-quantifier constraint launches no more Spark jobs
+    than a 1-quantifier one: the compiler's degenerate/pure-constant probes
+    are lazy (marker semi-joins inside the tagged job) and the
+    MAX_QUANTIFIER_ROWS guard count is cached per (relation, db-version),
+    so nesting depth adds plan nodes, not driver jobs."""
+
+    def make_db(name, depth):
+        db = Database(spark, name, store=store, snapshot_on_mutation=False)
+        db.create_relation("r", [("v", "integer")])
+        db.create_relation("Q", [("qa", "integer")])
+        db.insert_tuples("Q", [{"qa": 1}, {"qa": 2}])
+        # Innermost body references EVERY quantified var so no level takes
+        # the degenerate path — each is a real witness search over Q.
+        body = None
+        for i in range(depth):
+            c = Cmp("lte", Var(f"q{i}.qa"), Var("v"))
+            body = c if body is None else And(body, c)
+        for i in reversed(range(depth)):
+            body = Exists(f"q{i}", "Q", body)
+        db.register_constraint("deep", "r", body)
+        return db
+
+    def count_jobs(group, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    db1 = make_db("qjobs1", 1)
+    db3 = make_db("qjobs3", 3)
+    jobs1 = count_jobs("grp-q1", lambda: db1.insert_tuples("r", [{"v": 5}]))
+    jobs3 = count_jobs("grp-q3", lambda: db3.insert_tuples("r", [{"v": 5}]))
+    assert jobs3 <= jobs1 + 1, f"jobs grew with quantifier depth: {jobs1} -> {jobs3}"
+    # Semantics intact: v=0 has no witness (qa >= 1 > 0 fails lte) -> reject.
+    with pytest.raises(errors.ConstraintViolation, match="deep"):
+        db3.insert_tuples("r", [{"v": 0}])
