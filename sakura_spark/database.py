@@ -501,8 +501,25 @@ class Database:
         for i, (_, _, _, df) in enumerate(checks):
             t = df.select(F.lit(i).alias("__constraint"))
             tagged = t if tagged is None else tagged.unionAll(t)
-        counts = {r["__constraint"]: r["n"] for r in
-                  tagged.groupBy("__constraint").agg(F.count(F.lit(1)).alias("n")).collect()}
+        try:
+            counts = {r["__constraint"]: r["n"] for r in
+                      tagged.groupBy("__constraint").agg(F.count(F.lit(1)).alias("n")).collect()}
+        except Exception:
+            # A runtime error in any single constraint's query fails the
+            # whole batched job as a raw Spark error — masking WHICH
+            # constraint is broken, and masking a genuine violation an
+            # earlier-ordered constraint would have raised first. Re-run
+            # sequentially: ordered attribution is restored, a genuine
+            # earlier violation raises ConstraintViolation, and the broken
+            # query's own error surfaces from its position in the order.
+            # The sequential pass is authoritative: if every check runs
+            # clean, the batched failure was job-level (not a constraint),
+            # and validation legitimately passes.
+            for name, relation, message, df in checks:
+                bad = df.count()
+                if bad:
+                    raise errors.ConstraintViolation(name, relation, f"{bad} {message}")
+            return
         for i, (name, relation, message, _) in enumerate(checks):
             bad = counts.get(i, 0)
             if bad:

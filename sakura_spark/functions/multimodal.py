@@ -209,7 +209,7 @@ def _png_decode(b: bytes):
         )
     stride = w * nch
     expected = h * (stride + 1)
-    if expected > 256 * 1024 * 1024:
+    if expected > _DECODE_BUDGET_BYTES:
         raise DecodeUnavailable("image dimensions exceed the decode budget")
     # Bounded inflate: never allocate past the declared pixel size, so a
     # decompression bomb in a hostile corpus costs an executor at most
@@ -350,6 +350,13 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int]:
     return out[:expected]
 
 
+# Shared decode budget for every pixel codec: the uncompressed pixel
+# buffer a single payload may allocate on an executor. Declared-dimension
+# checks against this bound run BEFORE any decompression, so a hostile
+# payload (PNG zlib bomb, GIF with 65535x65535 dims and an expanding LZW
+# stream) costs at most a header parse, never a multi-GB allocation.
+_DECODE_BUDGET_BYTES = 256 * 1024 * 1024
+
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -368,7 +375,7 @@ def _gif_decode(b: bytes):
     b = bytes(b)
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         raise DecodeUnavailable("not a GIF payload")
-    _, _, packed = struct.unpack("<HHB", b[6:11])
+    sw, sh, packed = struct.unpack("<HHB", b[6:11])
     pos = 13
     gct = None
     if packed & 0x80:
@@ -383,8 +390,21 @@ def _gif_decode(b: bytes):
                 pos += 1 + b[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
-            _, _, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            il, it, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
             pos += 10
+            # First-frame-only decode returns the frame as the image, which
+            # is only faithful when the frame IS the logical screen. A
+            # smaller/offset frame would disagree with the header sniffer's
+            # logical-screen dims, so those payloads stay on the stub path.
+            if (il, it) != (0, 0) or (iw, ih) != (sw, sh):
+                raise DecodeUnavailable(
+                    "GIF first frame does not cover the logical screen"
+                )
+            # Budget check BEFORE LZW expansion: mirror the PNG bound so a
+            # hostile GIF declaring huge dims never drives _lzw_decode into
+            # a multi-billion-entry allocation.
+            if iw * ih * 3 > _DECODE_BUDGET_BYTES:
+                raise DecodeUnavailable("image dimensions exceed the decode budget")
             lct = None
             if ipacked & 0x80:
                 n = 2 ** ((ipacked & 7) + 1)

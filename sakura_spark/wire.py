@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import socket
+import stat
 import threading
 from typing import Any
 
@@ -488,6 +489,16 @@ class TcpFrontend:
                 # lib/transport.ml:38
                 raise ValueError("transport/tcp: use (address + port) or (path), not both")
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            # A crashed prior run leaves its socket file behind (unlink
+            # only runs on clean stop), and bind would fail EADDRINUSE with
+            # no listener alive. Standard unix-listener practice: remove a
+            # stale path first — but only if it actually is a socket, so a
+            # mistyped path never deletes a regular file.
+            try:
+                if stat.S_ISSOCK(os.stat(path).st_mode):
+                    os.unlink(path)
+            except FileNotFoundError:
+                pass
             self._sock.bind(path)
             self.host: str | None = None
             self.port: int | None = None

@@ -498,6 +498,37 @@ def test_insert_validation_launches_constant_job_count(spark, store):
         db3.insert_tuples("r", [{"v": 101}])
 
 
+def test_batched_check_falls_back_to_sequential_on_job_error(spark, store):
+    """A runtime error inside ONE constraint's violations query must not
+    mask a genuine violation of an earlier-ordered constraint: the batched
+    tagged job fails whole, so the checker re-runs sequentially, restoring
+    per-constraint attribution and error ordering."""
+    from pyspark.sql import functions as F
+
+    db = Database(spark, "fbk", store=store, snapshot_on_mutation=False)
+    violated = spark.range(1).select(F.col("id").alias("v"))  # 1 row = violated
+    clean = spark.range(0).select(F.col("id").alias("v"))
+    # Runtime-broken query: the filter survives projection pruning and
+    # assert_true fires per-row once id reaches 1.
+    broken = spark.range(2).filter("assert_true(id < 1) is null").select(
+        F.col("id").alias("v")
+    )
+    # Earlier-ordered genuine violation wins over the broken later query.
+    with pytest.raises(errors.ConstraintViolation, match="c_first"):
+        db._run_violation_checks(
+            [("c_first", "r", "rows violate", violated),
+             ("c_broken", "r", "rows violate", broken)]
+        )
+    # Broken-first: the broken query's own error surfaces (not a swallow,
+    # not a misattributed ConstraintViolation).
+    with pytest.raises(Exception) as exc:
+        db._run_violation_checks(
+            [("c_broken", "r", "rows violate", broken),
+             ("c_clean", "r", "rows violate", clean)]
+        )
+    assert not isinstance(exc.value, errors.ConstraintViolation)
+
+
 def test_nested_quantifier_validation_constant_jobs(spark, store):
     """Validation of a 3-quantifier constraint launches no more Spark jobs
     than a 1-quantifier one: the compiler's degenerate/pure-constant probes

@@ -539,6 +539,41 @@ def test_gif_roundtrip_and_external_fixture():
     assert np.array_equal(got, arr)
 
 
+def test_gif_budget_and_frame_coverage_guards():
+    """Hostile-GIF guards run before LZW expansion: declared dims above the
+    shared decode budget raise immediately (no multi-GB index allocation),
+    and a first frame that doesn't cover the logical screen (offset or
+    smaller dims, where frame pixels would misrepresent the image) stays on
+    the DecodeUnavailable stub path."""
+    import struct
+    import time
+
+    import numpy as np
+
+    # 65535x65535 declared dims, tiny LZW stream claiming to expand huge.
+    bomb = bytearray(b"GIF89a")
+    bomb += struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)  # GCT, 2 entries
+    bomb += b"\x00\x00\x00\xff\xff\xff"  # 2-color table
+    bomb += struct.pack("<BHHHHB", 0x2C, 0, 0, 65535, 65535, 0)
+    bomb += b"\x02"  # min code size
+    bomb += b"\x01\x00"  # one empty-ish sub-block
+    bomb += b"\x00\x3b"
+    t0 = time.monotonic()
+    with pytest.raises(multimodal.DecodeUnavailable, match="decode budget"):
+        multimodal._gif_decode(bytes(bomb))
+    assert time.monotonic() - t0 < 2.0  # header-parse cost, not expansion
+
+    # Valid payload, then shrink/offset the first frame's descriptor: the
+    # decoder must refuse rather than return non-screen dims.
+    arr = (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5) % 250
+    raw = bytearray(multimodal._gif_encode(arr))
+    desc_at = 13 + 768  # header + 256-entry GCT
+    assert raw[desc_at] == 0x2C
+    raw[desc_at + 1 : desc_at + 9] = struct.pack("<HHHH", 1, 1, 2, 2)
+    with pytest.raises(multimodal.DecodeUnavailable, match="logical screen"):
+        multimodal._gif_decode(bytes(raw))
+
+
 def test_decode_image_handles_gif(spark):
     import numpy as np
 

@@ -365,6 +365,41 @@ def test_unix_socket_frontend_roundtrip(spark, store, tmp_path):
     assert not _os.path.exists(sock_path)  # unlinked on stop
 
 
+def test_unix_socket_recovers_from_stale_socket_file(spark, store, tmp_path):
+    """A socket file left behind by a crashed prior run (no clean stop, so
+    no unlink) must not wedge the next start with EADDRINUSE: bind removes
+    a stale path iff it is a socket. A regular file at the path is NOT
+    deleted — that's a configuration error, surfaced as the bind failure."""
+    import socket as pysocket
+
+    from sakura_spark.wire import TcpFrontend
+
+    sock_path = str(tmp_path / "stale.sock")
+    # Simulate the crash: bind a socket, then drop it without unlinking.
+    dead = pysocket.socket(pysocket.AF_UNIX, pysocket.SOCK_STREAM)
+    dead.bind(sock_path)
+    dead.close()  # file persists; no listener behind it
+    import os as _os
+
+    assert _os.path.exists(sock_path)
+    server = Server(spark, "unixstale", store=store, snapshot_on_mutation=False)
+    with TcpFrontend(server, path=sock_path) as fe:
+        c = pysocket.socket(pysocket.AF_UNIX, pysocket.SOCK_STREAM)
+        c.settimeout(30)
+        c.connect(sock_path)
+        f = c.makefile("rw", encoding="utf-8")
+        f.write('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+        f.flush()
+        assert f.readline().startswith("((ok true)")
+        c.close()
+    # A non-socket file at the path is preserved and bind fails loudly.
+    plain = tmp_path / "notasock"
+    plain.write_text("precious")
+    with pytest.raises(OSError):
+        TcpFrontend(server, path=str(plain))
+    assert plain.read_text() == "precious"
+
+
 def test_unix_socket_rejects_mixed_address_and_path(spark, store, tmp_path):
     """transport.ml:38: (address+port) and (path) are mutually exclusive."""
     import pytest as _pytest
