@@ -847,6 +847,119 @@ def q_tpch_q18_large_orders(spark, sf_dir):
     )
 
 
+def q_tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — semi AND anti against the same fact table:
+    suppliers who were the ONLY late shipper on a finished multi-supplier
+    order. The reduced test schema lacks receipt/commit dates, so "late" is
+    shipped >60 days after the order date; the plan shape is the point.
+    lineitem⋈orders feeds a left-semi (another supplier exists on the
+    order) and a left-anti (no OTHER supplier was late) against two more
+    reads of the SAME fact on the same key — all three sides hash-partition
+    on l_orderkey, so at 100 TB the semi/anti co-locate with the main join
+    and the scan is shared via exchange reuse. Nation filter broadcasts
+    (fixed-size dim). SURVEY §2 semijoin/antijoin (lib/algebra.ml:172)
+    exercised in one composed TPC-H shape."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    late1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    has_other = late1.join(
+        l2, (late1.l_orderkey == l2.k2) & (late1.l_suppkey != l2.s2), "left_semi"
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    only_late = has_other.join(
+        l3,
+        (has_other.l_orderkey == l3.k3)
+        & (has_other.l_suppkey != l3.s3)
+        & (l3.d3 > has_other.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        only_late.join(supplier, only_late.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def q_tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — correlated scalar MIN: the cheapest supplier per
+    part. The reduced schema has no partsupp, so supply cost := the unit
+    price observed on lineitem (l_extendedprice / l_quantity). The
+    correlated `= (SELECT min(..) WHERE partkey = outer.partkey)`
+    decorrelates to ONE groupBy(l_partkey).min plus an equi-join back on
+    (partkey, unit_cost) — both lineitem reads partition on l_partkey, no
+    per-row subquery at any scale. unit_cost stays an UNROUNDED double: a
+    single IEEE division is bit-identical across engines, while round()
+    half-up/half-even rules are not."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    minc = li.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        li.join(minc, (li.l_partkey == minc.mk) & (li.unit_cost == minc.min_cost))
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name", "unit_cost")
+        .limit(100)
+    )
+
+
+def q_tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar AVG: weekly revenue that would
+    be lost by refusing orders below 20% of the part's average quantity.
+    The correlated avg decorrelates to one groupBy(l_partkey) producing an
+    EXACT decimal (sum, count); the threshold test is rearranged to
+    5*qty*cnt < sum so both engines compare exact decimals — a float avg
+    is partial-aggregation-order dependent, and a row within one ulp of
+    the threshold would flip between Spark and the oracle. Revenue sums in
+    decimal and casts to double once at the end. part is filtered but
+    unhinted (it grows with SF; AQE decides the join side)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#12")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == stats.sk)
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("decimal(18,2)") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+        .orderBy("p_brand")
+    )
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrub over the corpus: inject synthetic identifiers (the test
     tables carry none), count matches per class, and redact. Three
@@ -1070,72 +1183,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extension family (curation, sharding, dedup, similarity, multimodal,
     text, events, TPC-H shapes).
 
-    Round-4 rotation: ten entries that were driver-green in rounds 1-3 and
-    whose plan shape is covered by an in-sweep sibling (rel_project/
-    rel_rename/rel_union_set/rel_intersect/rel_antijoin/rel_take_topk/
-    rel_const ~ rel_select/rel_union_bag/rel_diff/rel_semijoin/
-    sort_orderby, scalar_date_funcs ~ scalar_string_funcs,
-    agg_grouping_sets ~ agg_rollup/agg_cube, catalog_attributes ~
-    catalog_relations) moved past the cap, and the ten previously past-cap
-    oracle entries took their slots, so every oracle-backed family gets a
-    driver row within two rounds. The rows-only (non-SQL-expressible)
-    entries stay at the end. ALL entries — the count is asserted against
-    COVERAGE.md by tests/test_operators.py::test_registry_contract — are
-    verified locally by scripts/check_correctness.py regardless of order.
+    Round-4 rotation: ten r1-3-green entries with in-sweep shape siblings
+    moved past the cap; the ten previously past-cap oracle entries took
+    their slots. Round-5 rotation continues the policy: the five round-4
+    additions that had never had a driver row (curation_split, text_ttr,
+    events_funnel, events_retention, rel_full_outer) plus the three new
+    correlated-subquery TPC-H shapes (q21 semi+anti-on-one-fact, q2
+    correlated min, q17 correlated avg) enter the sweep; eight entries
+    green in ALL of rounds 1-4 with in-sweep shape siblings rotate out
+    (rel_select ~ every filtered query, rel_cartesian ~ skew/join family,
+    rel_union_bag ~ rel_diff set-ops, tuple_hash ~ text_fingerprint hash
+    family, agg_percentiles ~ agg_rollup/agg_pivot, events_json_props ~
+    events_hourly/sessionize, text_token_stats ~ text_quality/langid,
+    drl_point_select ~ drl_fk_join/intensional). Every oracle-backed
+    family keeps a driver row within two rounds. The rows-only
+    (non-SQL-expressible) entries stay at the end. ALL entries — the count
+    is asserted against COVERAGE.md by
+    tests/test_operators.py::test_registry_contract — are verified locally
+    by scripts/check_correctness.py regardless of order.
     """
     return {
-        "rel_select": q_rel_select,
         "rel_left_outer": q_rel_left_outer,
         "sort_orderby": q_sort_orderby,
         "rel_equijoin": q_rel_equijoin,
-        "rel_cartesian": q_rel_cartesian,
         "rel_semijoin": q_rel_semijoin,
         "text_vocab_topk": q_text_vocab_topk,
-        "rel_union_bag": q_rel_union_bag,
         "text_pii_redact": q_text_pii_redact,
         "rel_diff": q_rel_diff,
         "sim_embedding_quantize": q_sim_embedding_quantize,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "agg_rollup": q_agg_rollup,
-        "tuple_hash": q_tuple_hash,
         "agg_pricing_summary": q_agg_pricing_summary,
         "scalar_string_funcs": q_scalar_string_funcs,
         "window_topk_per_group": q_window_topk_per_group,
         "window_lead_lag": q_window_lead_lag,
         "skew_salted_join": q_skew_salted_join,
-        "agg_percentiles": q_agg_percentiles,
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
         "drl_fk_join": q_drl_fk_join,
-        "drl_point_select": q_drl_point_select,
         "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
         "icl_between_violations": q_icl_between_violations,
         "icl_range_violations": q_icl_range_violations,
         "catalog_relations": q_catalog_relations,
         "events_hourly": q_events_hourly,
-        "events_json_props": q_events_json_props,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_sessionize": q_events_sessionize,
-        "text_token_stats": q_text_token_stats,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
+        "text_ttr": q_text_ttr,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "multimodal_bytes": q_multimodal_bytes,
         "curation_sample": q_curation_sample,
         "curation_quota": q_curation_quota,
+        "curation_split": q_curation_split,
         "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
         "pipeline_curate": q_pipeline_curate,
+        "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
-        # rotated out this round after three green driver rounds) ---
+        # rotated out after multiple green driver rounds) ---
+        "rel_select": q_rel_select,
+        "rel_cartesian": q_rel_cartesian,
+        "rel_union_bag": q_rel_union_bag,
+        "tuple_hash": q_tuple_hash,
+        "agg_percentiles": q_agg_percentiles,
+        "events_json_props": q_events_json_props,
+        "text_token_stats": q_text_token_stats,
+        "drl_point_select": q_drl_point_select,
         "rel_project": q_rel_project,
         "rel_rename": q_rel_rename,
         "rel_antijoin": q_rel_antijoin,
@@ -1150,11 +1277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_stats": q_agg_distinct_stats,
         "agg_cube": q_agg_cube,
         "window_running_sum": q_window_running_sum,
-        "curation_split": q_curation_split,
-        "text_ttr": q_text_ttr,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "rel_full_outer": q_rel_full_outer,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "multimodal_decode": q_multimodal_decode,
@@ -1627,6 +1749,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM big JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "tpch_q21_waiting_suppliers": (
+            "SELECT s_name, count(*) AS numwait "
+            "FROM supplier, lineitem l1, orders, nation "
+            "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+            "AND o_orderstatus = 'F' "
+            "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "AND EXISTS (SELECT * FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT * FROM lineitem l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+            "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "AND s_nationkey = n_nationkey "
+            "AND n_name IN ('NATION_3', 'NATION_7') "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+        ),
+        "tpch_q2_min_cost_supplier": (
+            "SELECT p_partkey, p_name, s_name, "
+            "l_extendedprice / l_quantity AS unit_cost "
+            "FROM part, lineitem, supplier "
+            "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+            "AND p_size <= 15 "
+            "AND l_extendedprice / l_quantity = ("
+            "SELECT min(l2.l_extendedprice / l2.l_quantity) "
+            "FROM lineitem l2 WHERE l2.l_partkey = p_partkey) "
+            "ORDER BY p_partkey, s_name, unit_cost LIMIT 100"
+        ),
+        "tpch_q17_small_quantity_revenue": (
+            "SELECT p_brand, CAST(sum(lep) AS DOUBLE) / 7.0 AS avg_yearly "
+            "FROM (SELECT p_brand, CAST(l_extendedprice AS DECIMAL(18,2)) AS lep "
+            "FROM lineitem, part "
+            "WHERE p_partkey = l_partkey AND p_brand IN ('Brand#11', 'Brand#12') "
+            "AND 5 * CAST(l_quantity AS DECIMAL(18,2)) * "
+            "(SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) "
+            "< (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) "
+            "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)) "
+            "GROUP BY p_brand ORDER BY p_brand"
         ),
         "text_pii_redact": (
             "WITH t AS (SELECT doc_id, text || ' contact u' || "
