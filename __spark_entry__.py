@@ -1027,17 +1027,24 @@ def q_rel_left_outer(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """REAL image pipeline end-to-end: render a deterministic PNG per
-    document (md5 -> 8x8 grayscale), pixel-decode it with the pure-stdlib
-    codec, resize 8x8 -> 4x4 nearest-neighbour, re-decode, and report both
-    dims. Every stage is Arrow-batched mapInPandas over (id, payload)
-    only. Rows-only for the driver (PNG bytes aren't expressible in
-    portable SQL); pixel exactness is pytest-asserted."""
+    """REAL image pipeline end-to-end over all three codecs: render a
+    deterministic image per document (md5 -> 8x8 grayscale; container
+    chosen round-robin PNG/GIF/JPEG by doc_id), pixel-decode with the
+    pure-stdlib codecs, resize 8x8 -> 4x4 nearest-neighbour (output
+    normalized to PNG), re-decode, and report both dims. Every stage is
+    Arrow-batched mapInPandas over (id, payload) only. Rows-only for the
+    driver (container bytes aren't expressible in portable SQL); pixel
+    exactness is pytest-asserted. Round-5 change: formerly PNG-only —
+    JPEG pixel decode replaced the last codec stub, so the driver query
+    now exercises it (extended-bench timing resets; noted in
+    BASELINE.md)."""
     docs = _t(spark, sf_dir, "documents")
-    pngs = multimodal.synthetic_png_payload(docs)
-    decoded = multimodal.decode_image(pngs)
+    imgs = multimodal.synthetic_image_payload(
+        docs, formats=("png", "gif", "jpeg")
+    )
+    decoded = multimodal.decode_image(imgs)
     resized = multimodal.decode_image(
-        multimodal.resize_image(pngs, 4, 4).select("doc_id", "payload")
+        multimodal.resize_image(imgs, 4, 4).select("doc_id", "payload")
     ).select(
         F.col("doc_id"),
         F.col("height").alias("r_height"),

@@ -2,6 +2,7 @@
 inputs (the pipeline-extension operators, BASELINE.json north-star)."""
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -572,6 +573,121 @@ def test_gif_budget_and_frame_coverage_guards():
     raw[desc_at + 1 : desc_at + 9] = struct.pack("<HHHH", 1, 1, 2, 2)
     with pytest.raises(multimodal.DecodeUnavailable, match="logical screen"):
         multimodal._gif_decode(bytes(raw))
+
+
+def test_jpeg_roundtrip_known_pixels():
+    """_jpeg_decode is a real baseline JPEG decoder. Our encoder uses
+    all-ones quant tables, so the only loss is DCT float rounding: flat
+    blocks round-trip EXACTLY, arbitrary content within +/-2, grayscale
+    and 4:4:4 color both supported; 4:2:0 exercises chroma upsampling
+    (lossy by design — tolerance reflects subsampling). The sniffer's SOF
+    dims must agree with the decoded array."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = np.linspace(0, 255, 20)
+    g = np.clip(np.add.outer(np.linspace(0, 200, 17), x) // 2, 0, 255).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, g // 2 + 60], axis=-1).astype(np.uint8)
+
+    enc = multimodal._jpeg_encode(rgb)
+    dec = multimodal._jpeg_decode(enc)
+    assert dec.shape == (17, 20, 3)
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 2
+    fmt, w, h = multimodal._sniff_image(enc)
+    assert (fmt, w, h) == ("jpeg", 20, 17)
+
+    # flat color: DC-only blocks, bit-exact round-trip
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert (multimodal._jpeg_decode(multimodal._jpeg_encode(flat)) == flat).all()
+
+    # grayscale single-component scan
+    decg = multimodal._jpeg_decode(multimodal._jpeg_encode(g))
+    assert decg.shape == (17, 20, 1)
+    assert int(np.abs(decg[:, :, 0].astype(int) - g.astype(int)).max()) <= 2
+
+    # random noise (worst case for rounding): still tight
+    noise = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    dn = multimodal._jpeg_decode(multimodal._jpeg_encode(noise))
+    assert int(np.abs(dn.astype(int) - noise.astype(int)).max()) <= 3
+
+    # 4:2:0 chroma subsampling: luma near-exact, chroma smoothed
+    d420 = multimodal._jpeg_decode(multimodal._jpeg_encode(rgb, subsample=True))
+    assert d420.shape == (17, 20, 3)
+    y_in = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    y_out = 0.299 * d420[..., 0] + 0.587 * d420[..., 1] + 0.114 * d420[..., 2]
+    assert float(np.abs(y_in - y_out).max()) <= 4.0
+
+
+def test_jpeg_unsupported_modes_and_guards():
+    """Boundary behavior: progressive (SOF2) raises DecodeUnavailable (the
+    remaining documented stub), truncated entropy data raises rather than
+    returning garbage, and declared dims above the budget bail before any
+    allocation."""
+    import struct
+
+    import numpy as np
+
+    base = multimodal._jpeg_encode(np.full((8, 8), 9, np.uint8))
+    # Rewrite SOF0 -> SOF2 (progressive): find the FFC0 marker.
+    prog = bytearray(base)
+    i = prog.find(b"\xff\xc0")
+    assert i > 0
+    prog[i + 1] = 0xC2
+    with pytest.raises(multimodal.DecodeUnavailable, match="progressive|arithmetic"):
+        multimodal._jpeg_decode(bytes(prog))
+
+    # Truncated scan: drop the tail of the entropy data.
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal._jpeg_decode(base[:-6])
+
+    # Budget: huge declared dims bail at header-parse time.
+    bomb = bytearray(base)
+    i = bomb.find(b"\xff\xc0")
+    bomb[i + 5 : i + 9] = struct.pack(">HH", 65000, 65000)
+    with pytest.raises(multimodal.DecodeUnavailable, match="decode budget"):
+        multimodal._jpeg_decode(bytes(bomb))
+
+
+_EXTERNAL_JPEGS = [
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/site-packages/IPython/core/tests/2x2.jpg",
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test/imghdrdata/python.jpg",
+]
+
+
+@pytest.mark.skipif(
+    not all(os.path.exists(p) for p in _EXTERNAL_JPEGS),
+    reason="external JPEG fixtures not present on this machine",
+)
+def test_jpeg_decodes_external_files():
+    """Cross-encoder validation: files produced by standard encoders
+    (their own Huffman/quant tables, JFIF markers, possibly subsampled)
+    decode to arrays whose dims match the SOF header — guards against a
+    self-consistent-but-wrong convention between our encoder and decoder."""
+    for p in _EXTERNAL_JPEGS:
+        with open(p, "rb") as fh:
+            b = fh.read()
+        fmt, w, h = multimodal._sniff_image(b)
+        assert fmt == "jpeg"
+        arr = multimodal._jpeg_decode(b)
+        assert arr.shape[0] == h and arr.shape[1] == w
+        assert arr.shape[2] in (1, 3)
+
+
+def test_decode_image_mixed_formats(spark):
+    """decode_image over a mixed PNG/GIF/JPEG corpus: every row decodes to
+    real dims (no NULLs), channels reflect the container (PNG/JPEG gray=1,
+    GIF normalizes to RGB=3)."""
+    import numpy as np  # noqa: F401
+
+    rows = [(i, f"doc number {i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    imgs = multimodal.synthetic_image_payload(df, formats=("png", "gif", "jpeg"))
+    got = {r.doc_id: r for r in multimodal.decode_image(imgs).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        r = got[i]
+        assert (r.height, r.width) == (8, 8)
+        assert r.channels == (3 if i % 3 == 1 else 1)
 
 
 def test_decode_image_handles_gif(spark):
