@@ -175,8 +175,19 @@ class Server:
         ``errors.Conflict`` BEFORE anything is applied — the
         compare-and-set of lib/listener.ml:53-59. Readers and un-pinned
         writers (base_hash=None, last-writer-wins) are unaffected.
+
+        Remote writers express the pin in-band with the ``(cas <hash>
+        (tag statement))`` envelope. The reference's listener runs the
+        same compare-and-set server-side on its atomic head cell
+        (lib/listener.ml:56: each connection's domain races on the head);
+        our server lock removes that race, so the envelope carries the
+        head the CLIENT observed instead — same contract, same Conflict
+        response, same retry-by-re-reading-the-head loop.
         """
         sexp = read_sexp(text)
+        if isinstance(sexp, list) and len(sexp) == 3 and sexp[0] == "cas":
+            base_hash = _atom_str(sexp[1])
+            sexp = sexp[2]
         if not (isinstance(sexp, list) and len(sexp) == 2 and isinstance(sexp[0], str)):
             raise ParseError("expected (tag statement)")
         tag, stmt = sexp

@@ -27,7 +27,15 @@ on:
 
 Deterministic (no RNG anywhere). Usage:
 
-    python scripts/synthesize_scale.py [src_dir] [out_dir] [factor]
+    python scripts/synthesize_scale.py [src_dir] [out_dir] [factor] [tag]
+
+`tag` prefixes the per-replica document token suffix and matters when
+CHAINING runs (sf0.1 -100x-> sf10 -10x-> sf100): without it, inner
+suffix "12" and inner "1" + outer "2" both yield token "word12" — a
+cross-replica exact collision that would plant bogus near-duplicates.
+A non-digit tag on the outer run ("x": "word12" vs "word1x2") keeps
+every composed suffix unique, so cross-replica Jaccard stays ~0 at
+every level of the chain.
 """
 
 from __future__ import annotations
@@ -58,6 +66,7 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else ".scale_sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    tag = sys.argv[4] if len(sys.argv) > 4 else ""
     spark = get_spark("sakura-synthesize")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -115,7 +124,7 @@ def main() -> None:
         # Suffix every token: same-replica similarities unchanged,
         # cross-replica shingle overlap ~0.
         df = df.withColumn(
-            "text", F.regexp_replace("text", r"([A-Za-z0-9]+)", rf"$1{i}")
+            "text", F.regexp_replace("text", r"([A-Za-z0-9]+)", rf"$1{tag}{i}")
         )
         return df.withColumn("n_chars", F.length("text").cast("long"))
 

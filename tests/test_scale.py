@@ -46,6 +46,93 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bj_right")
 
 
+def test_bucketed_flagship_join_has_no_fact_shuffle(spark):
+    """SCALE.md's steady-state claim, proven on the FULL flagship shape:
+    with orders and lineitem bucketed by orderkey at write time, the
+    fact-fact sort-merge join runs with ZERO Exchange — the per-order
+    aggregation too (join output keeps the bucket partitioning, and
+    orderkey is in the grouping set). The complete flagship query then
+    costs exactly ONE hash exchange: the custkey re-aggregation. The same
+    plan on plain parquet shuffles both fact sides."""
+    from sakura_spark import sources
+    from sakura_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, f"{sf}/orders.parquet")
+    li = load_table(spark, f"{sf}/lineitem.parquet")
+    # Drop catalog entries AND physical locations: with the in-memory
+    # catalog, a table created by a previous (crashed) session is unknown
+    # to DROP TABLE but its warehouse directory survives and fails
+    # saveAsTable with "location already exists".
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bf_orders", "bf_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    sources.write_bucketed_table(orders, "bf_orders", ["o_orderkey"], num_buckets=8)
+    sources.write_bucketed_table(li, "bf_lineitem", ["l_orderkey"], num_buckets=8)
+    bo, bl = spark.table("bf_orders"), spark.table("bf_lineitem")
+    # Exact decimal arithmetic: double sums depend on partition/row order,
+    # so the bucketed and plain layouts would differ in low bits and break
+    # the row-for-row equality check below.
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,8)")
+    ).alias("revenue")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # Fact-fact join + per-order aggregation: shuffle-free end to end.
+        per_order = (
+            bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+            .groupBy("o_orderkey", "o_custkey")
+            .agg(revenue)
+        )
+        assert "Exchange" not in _physical(per_order)
+        # Identical plan on plain parquet shuffles both sides.
+        plain = (
+            li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderkey", "o_custkey")
+            .agg(revenue)
+        )
+        assert _physical(plain).count("Exchange hashpartitioning") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # Full flagship on the bucketed layout (customer broadcasts as usual):
+    # the ONLY hash exchange left is the custkey re-aggregation.
+    customer = load_table(spark, f"{sf}/customer.parquet")
+    flagship = (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .join(F.broadcast(customer), bo.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+    plan = _physical(flagship)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # top-k, not global sort
+    # Same rows as the plain layout.
+    plain_flagship = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+    assert [r.asDict() for r in flagship.collect()] == [
+        r.asDict() for r in plain_flagship.collect()
+    ]
+    for t in ("bf_orders", "bf_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_filter_and_projection_reach_parquet_scan(spark):
     """rel_select's predicate and column pruning must appear in the scan
     node (PushedFilters + ReadSchema) — I/O proportional to referenced

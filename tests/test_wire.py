@@ -175,6 +175,92 @@ def test_tcp_concurrent_writers_serialize(spark, store):
         assert rows["row_count"] == 10
 
 
+def test_tcp_cas_soak_16_writers(spark, store):
+    """The reference's optimistic-CAS contract under real contention
+    (lib/listener.ml:53-59): 16 concurrent TCP writers each perform
+    atomic read-modify-write increments of ONE shared counter through the
+    in-band (cas <hash> ...) envelope, retrying on Conflict by re-reading
+    the head. Serializable outcome: the final counter equals the total
+    number of successful increments — a single lost update (an Assign
+    applied against a stale read) would leave it short, because Assign is
+    a blind overwrite and only the CAS pin makes read-modify-write
+    atomic."""
+    import socket as pysocket
+    import threading
+
+    from sakura_spark.drl.parser import _atom_str, read_sexp
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "soak", store=store, snapshot_on_mutation=True)
+    server.execute('(ddl (CreateRelation (name "counter") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "counter") (attributes (("v" (Int 0))))))')
+
+    # One increment per writer keeps the soak ~1 min: every success
+    # invalidates every other in-flight pin (whole-db CAS, like the
+    # reference's single head cell), so attempts grow quadratically in
+    # concurrent writers — 16 writers already produce ~100+ conflicts.
+    N_WRITERS, INCREMENTS, MAX_ATTEMPTS = 16, 1, 200
+    failures: list[str] = []
+
+    with TcpFrontend(server) as fe:
+
+        def writer(wid: int) -> None:
+            try:
+                c = pysocket.create_connection((fe.host, fe.port), timeout=300)
+
+                def command(cmd: str) -> dict:
+                    c.sendall(cmd.encode())
+                    chunks = b""
+                    while not chunks.endswith(b"\n"):
+                        d = c.recv(65536)
+                        if not d:
+                            raise ConnectionError("server closed connection")
+                        chunks += d
+                    # NOTE: read_sexp keeps a leading '"' sentinel on quoted
+                    # atoms (how _atom_str tells "true" from true) — strip
+                    # via _atom_str before re-embedding any value in a
+                    # command, or the un-balanced quote would stall the
+                    # server's stream framing mid-string.
+                    return {it[0]: it[1] for it in read_sexp(chunks.decode().strip())}
+
+                done = attempts = 0
+                while done < INCREMENTS:
+                    attempts += 1
+                    if attempts > MAX_ATTEMPTS:
+                        failures.append(f"writer {wid}: starved after {attempts} attempts")
+                        return
+                    r = command('(drl (Base "counter"))')
+                    v, head = int(r["rows"][0][0]), _atom_str(r["db_hash"])
+                    resp = command(
+                        f'(cas {head} (dml (Assign (target "counter") '
+                        f'(body (Const (("v" (Int {v + 1}))))))))'
+                    )
+                    if "ok" in resp:
+                        done += 1
+                    elif not (
+                        isinstance(resp.get("error"), list)
+                        and resp["error"][0] == "Conflict"
+                    ):
+                        failures.append(f"writer {wid}: {resp}")
+                        return
+                c.close()
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"writer {wid}: {exc!r}")
+
+        threads = [
+            threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not any(t.is_alive() for t in threads), "writer thread hung"
+
+    assert not failures, failures
+    out = server.execute('(drl (Base "counter"))')
+    assert out["rows"] == [[N_WRITERS * INCREMENTS]]
+
+
 def test_cas_conflict_two_interleaved_writers(vserver):
     """lib/listener.ml:53-59: two writers read the same head; the first CAS
     wins, the second writer's mutation is rejected with Conflict and applies
