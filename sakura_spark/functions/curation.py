@@ -81,6 +81,47 @@ def train_val_test_split(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    rates: dict[str, float],
+    group_col: str = "source",
+    default_rate: float = 1.0,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Domain-reweighting mixture: keep each row with its group's target
+    rate, via the same deterministic md5 bucket as
+    :func:`deterministic_sample` — how a training pipeline dials per-domain
+    proportions (e.g. upweight books, downsample crawl) without RNG.
+
+    Map-only at any scale: the per-group threshold compiles to one CASE
+    over literals inside codegen, the bucket is a scan-side expression, no
+    shuffle. A row's keep/drop decision is stable across runs, engines and
+    corpus growth, so re-mixing never perturbs previously selected data.
+    Rates are quantized to 1/16**prefix_len steps; rate >= 1 keeps the
+    whole group."""
+    bucket = sample_bucket(key_cols, prefix_len)
+    space = 16 ** prefix_len
+
+    def threshold(rate: float) -> str | None:
+        if rate >= 1.0:
+            return None  # keep all — no 4-hex-digit string sorts >= "ffff"+1
+        if rate < 0:
+            raise ValueError(f"negative rate {rate}")
+        return format(int(rate * space), f"0{prefix_len}x")
+
+    keep = None
+    for group, rate in sorted(rates.items()):
+        t = threshold(rate)
+        cond = F.lit(True) if t is None else bucket < F.lit(t)
+        branch = F.when(F.col(group_col) == group, cond)
+        keep = branch if keep is None else keep.when(F.col(group_col) == group, cond)
+    dt = threshold(default_rate)
+    default_cond = F.lit(True) if dt is None else bucket < F.lit(dt)
+    keep = default_cond if keep is None else keep.otherwise(default_cond)
+    return df.filter(keep)
+
+
 # --- per-group quotas -------------------------------------------------------
 
 

@@ -130,3 +130,36 @@ def test_train_val_test_split_rejects_bad_boundaries(docs):
 
     with _pytest.raises(ValueError):
         curation.train_val_test_split(docs, ["doc_id"], boundaries=("e666", "cccc"))
+
+
+def test_mixture_sample_rates_and_stability(docs):
+    """Per-source keep rates: rate>=1 keeps the whole group, fractional
+    rates keep ~rate of the group via the md5 bucket, and the decision is
+    a pure function of the key (re-mixing a subset changes nothing)."""
+    from sakura_spark.functions import curation
+
+    kept = curation.mixture_sample(
+        docs, ["doc_id"], {"src0": 1.0, "src1": 0.5}, default_rate=0.25
+    )
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["src0"] == totals["src0"]  # rate 1.0 = keep all
+    assert 0.25 < counts["src1"] / totals["src1"] < 0.75  # ~0.5
+    assert 0.05 < counts.get("src2", 0) / totals["src2"] < 0.5  # default ~0.25
+    # Map-only: no shuffle in the plan.
+    assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
+    # Growth stability: kept set on a subset == subset of kept set.
+    sub = curation.mixture_sample(
+        docs.limit(50), ["doc_id"], {"src0": 1.0, "src1": 0.5}, default_rate=0.25
+    )
+    sub_ids = {r["doc_id"] for r in sub.select("doc_id").collect()}
+    full_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    limit_ids = {r["doc_id"] for r in docs.limit(50).select("doc_id").collect()}
+    assert sub_ids == full_ids & limit_ids
+
+
+def test_mixture_sample_rejects_negative_rate(docs):
+    from sakura_spark.functions import curation
+
+    with pytest.raises(ValueError):
+        curation.mixture_sample(docs, ["doc_id"], {"src0": -0.1})
