@@ -59,6 +59,12 @@ EXTENDED = [
     "text_ttr",
     "multimodal_decode",
     "dedup_near",
+    # round 5 additions (first measurements recorded in BASELINE.md):
+    "tpch_q4_order_priority",
+    "tpch_q22_idle_customers",
+    "events_top_paths",
+    "curation_mixture",
+    "curation_quality_report",
 ]
 
 # Map-only extended entries are forced through the noop sink instead of

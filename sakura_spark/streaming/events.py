@@ -101,6 +101,58 @@ def deduped_stream(
     )
 
 
+def attributed_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: each purchase
+    joins the views by the same user within the preceding
+    ``attribution_window`` — the candidate set for touch attribution.
+
+    Both inputs are watermarked and the join condition carries the time
+    range, so Spark derives state-eviction bounds for BOTH sides: each
+    stream's join state holds only watermark + window horizons of rows
+    (the unbounded-state trap of an unconstrained stream-stream join is
+    structurally avoided). The join keys hash-partition by user, so a
+    100 TB/day stream spreads evenly; per-user state is a handful of rows.
+    The same function applied to batch DataFrames produces the identical
+    plan modulo state — which is how the pytest batch-equivalence oracle
+    validates it."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+        "value",
+    )
+
+
 # --- custom stateful operator ----------------------------------------------
 
 _STATE_SCHEMA = "count long, total double"

@@ -145,3 +145,34 @@ def test_deduped_stream_drops_redelivered_events(spark, tmp_path):
         assert n == 200 and ids == 200  # every event exactly once
     finally:
         q.stop()
+
+
+def test_attributed_purchases_stream_matches_batch(spark, stream):
+    """Stream-stream interval join: purchases joined to same-user views in
+    the preceding hour. The streaming result (inner join, availableNow
+    over finite input — every joinable pair is emitted once both
+    watermarks pass) must equal the batch run of the SAME function on the
+    same files, row for row."""
+    src = spark.read.parquet(stream)
+    views_b = src.filter(F.col("event_type") == "view")
+    purch_b = src.filter(F.col("event_type") == "purchase")
+    batch = {
+        tuple(r)
+        for r in ev.attributed_purchases(views_b, purch_b).collect()
+    }
+    assert batch, "fixture produced no attributable purchases"
+
+    s = ev.read_event_stream(spark, stream, max_files_per_trigger=1)
+    q = ev.run_to_memory(
+        ev.attributed_purchases(
+            s.filter(F.col("event_type") == "view"),
+            s.filter(F.col("event_type") == "purchase"),
+        ),
+        "attributed",
+        output_mode="append",
+    )
+    try:
+        got = {tuple(r) for r in spark.table("attributed").collect()}
+        assert got == batch
+    finally:
+        q.stop()
