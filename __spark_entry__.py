@@ -797,8 +797,9 @@ def q_pipeline_curate(spark, sf_dir):
     """End-to-end corpus curation composed as ONE Catalyst plan: quality
     filter -> language filter -> exact dedup (min doc_id per canonical
     fingerprint) -> per-source quota -> deterministic sample. The filters
-    and fingerprint fuse into the scan projection; the dedup window and
-    quota window are the only two shuffles."""
+    and fingerprint fuse into the scan projection; the shuffles are the
+    dedup window, the quota's parallel phase-1 prune, and the quota's
+    bounded phase-2 rank (at most per_group x n_partitions rows)."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
