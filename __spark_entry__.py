@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from sakura_spark import algebra
-from sakura_spark.functions import curation, dedup, multimodal, similarity, text
+from sakura_spark.functions import bpe, curation, dedup, multimodal, similarity, text
 from sakura_spark.functions.sharding import shard_pack
 from sakura_spark.functions.text import PII_EMAIL as _PII_EMAIL
 from sakura_spark.functions.text import PII_IPV4 as _PII_IPV4
@@ -716,6 +716,21 @@ def q_sim_ann_ivf(spark, sf_dir):
     return similarity.ann_ivf_topk(
         emb, [float(x) for x in qvec], k=10, n_centroids=8, n_probe=3
     )
+
+
+def q_text_bpe_segment(spark, sf_dir):
+    """BPE tokenizer trained on the corpus, then applied back to it:
+    per-doc word and BPE-token counts. Training = ONE distributed
+    word-count aggregation (the only corpus-sized job) + a driver-side
+    merge loop over the vocabulary-sized dict (the canonical public
+    algorithm; megabytes, the documented driver transfer — same class as
+    the IVF codebook); application is a map-only Arrow-batched pandas
+    UDF with a per-batch distinct-word cache. Not expressible in oracle
+    SQL (iterative merges) — rows-only; exactness pinned by
+    tests/test_bpe.py against driver-side re-encoding."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(bpe.word_counts(docs), n_merges=50)
+    return bpe.bpe_segment(docs, merges)
 
 
 def q_sim_embedding_near_dup(spark, sf_dir):
@@ -1452,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
+        "text_bpe_segment": q_text_bpe_segment,
     }
 
 
