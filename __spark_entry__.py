@@ -718,6 +718,22 @@ def q_sim_ann_ivf(spark, sf_dir):
     )
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantized ANN: train per-subspace codebooks (deterministic
+    distributed k-means; driver transfer = the m*k*(dim/m)-double
+    codebooks), encode the corpus to m byte-sized codes (map-only argmin
+    expressions — 64x smaller at rest than the float vectors), and
+    answer the query with asymmetric-distance lookups (m element_at's
+    per vector, TakeOrderedAndProject). The compressed-storage tier of
+    the ANN stack beside LSH and IVF. Iterative k-means is not
+    SQL-expressible — rows-only; exactness pinned by
+    tests/test_functions.py on zero-quantization-error fixtures."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    books = similarity.pq_train(emb, m=4, k=16, iters=2)
+    return similarity.pq_search(emb, qvec, books, k=10)
+
+
 def q_text_bpe_segment(spark, sf_dir):
     """BPE tokenizer trained on the corpus, then applied back to it:
     per-doc word and BPE-token counts. Training = ONE distributed
@@ -1468,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
         "text_bpe_segment": q_text_bpe_segment,
+        "sim_pq_topk": q_sim_pq_topk,
     }
 
 

@@ -228,16 +228,22 @@ def ivf_train(
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for the IVF coarse codebook.
 
-    Init: the n_centroids vectors with smallest murmur3 hash of their id
-    (a deterministic pseudo-random sample, no RNG state). Each iteration
-    is one distributed pass: assign (expressions only) then per-dimension
-    mean via posexplode + groupBy(cluster, pos) — the only driver transfer
-    is the codebook itself (n_centroids x dim doubles), which is the
-    standard distributed-kmeans pattern.
+    Init: the n_centroids DISTINCT vectors with smallest murmur3 hash of
+    their representative id (deterministic pseudo-random sample, no RNG
+    state; distinct-first because duplicate seed vectors would collapse
+    two centroids into one and permanently waste a codeword — ties in
+    the assign argmin always pick the lower index, so the duplicate
+    never attracts points or recovers). Each iteration is one
+    distributed pass: assign (expressions only) then per-dimension mean
+    via posexplode + groupBy(cluster, pos) — the only driver transfer is
+    the codebook itself (n_centroids x dim doubles), the standard
+    distributed-kmeans pattern.
     """
     seed_rows = (
         df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .orderBy(F.hash(F.col(id_col)), F.col(id_col))
+        .groupBy("v")
+        .agg(F.min(id_col).alias("__sid"))
+        .orderBy(F.hash(F.col("__sid")), F.col("__sid"))
         .limit(n_centroids)
         .collect()
     )
@@ -327,4 +333,98 @@ def embedding_near_dup_pairs(
         .withColumn("cosine_sim", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# --- product quantization (compressed ANN storage) ---------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search" — public
+    algorithm): split the dimension into ``m`` contiguous subspaces and
+    learn a ``k``-entry codebook per subspace with the SAME deterministic
+    distributed k-means as :func:`ivf_train`. A vector then stores as m
+    small codes instead of dim floats — 64x compression at dim=64, m=4,
+    k<=256 — which is what makes a 100 TB embedding corpus searchable
+    from memory. Driver transfer = m*k*(dim/m) doubles (the codebooks),
+    the same class as the IVF codebook."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub_df = df.select(
+            F.col(id_col), F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias("v")
+        )
+        books.append(ivf_train(sub_df, n_centroids=k, iters=iters, vec_col="v", id_col=id_col))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace nearest-codeword ids. Pure
+    argmin expressions over literal codebooks — map-only, codegen, zero
+    shuffle; the compressed representation to persist at scale."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        piece = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(_l2sq(piece, _lit_vec(c)).alias("d"), F.lit(i).alias("i"))
+                    for i, c in enumerate(book)
+                ]
+            )
+        )
+        codes.append(best["i"])
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_search(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: precompute the
+    query-to-codeword distance table per subspace DRIVER-side (m*k
+    doubles), then the per-vector approximate distance is m table
+    lookups — element_at over literal arrays, no float math per
+    dimension, map-only, TakeOrderedAndProject. On l2-normalized
+    vectors the L2 ranking equals the cosine ranking."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tables = []
+    for j, book in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[j * sub : (j + 1) * sub]]
+        tables.append(
+            [sum((a - b) ** 2 for a, b in zip(qs, c)) for c in book]
+        )
+    encoded = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
+    dist = None
+    for j, table in enumerate(tables):
+        term = F.element_at(_lit_vec(table), F.col("codes").getItem(j).cast("int") + 1)
+        dist = term if dist is None else dist + term
+    return (
+        encoded.withColumn("pq_dist", dist)
+        .select(id_col, "pq_dist")
+        .orderBy("pq_dist", F.col(id_col))
+        .limit(k)
     )

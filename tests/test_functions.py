@@ -213,6 +213,54 @@ def test_ivf_assign_partitions_every_vector(spark):
     assert ids <= {0, 1, 2}
 
 
+def test_pq_exact_on_codebook_vectors(spark):
+    """Vectors built FROM the codebook entries quantize with zero error,
+    so ADC distances are exact and pq_search must equal brute-force
+    cosine order on these l2-normalized inputs — a determinism-proof
+    exactness oracle (no recall threshold to tune)."""
+    import itertools
+
+    # 2 subspaces x 2 dims; vectors = concatenations of 4 codewords each.
+    words = [[1.0, 0.0], [0.0, 1.0], [0.6, 0.8], [0.8, 0.6]]
+    rows = [
+        (i, a + b)
+        for i, (a, b) in enumerate(itertools.product(words, words))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.pq_train(df, m=2, k=4, iters=3)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    codes = {r.vec_id: list(r.codes) for r in similarity.pq_encode(df, books).collect()}
+    assert all(len(c) == 2 for c in codes.values())
+    # Zero quantization error: decoding the codes reproduces the vector.
+    for vid, vec in rows:
+        decoded = books[0][codes[vid][0]] + books[1][codes[vid][1]]
+        # abs_tol covers float32 storage of the embedding column
+        # (0.6 -> 0.60000002384...), not quantization error.
+        assert all(math.isclose(a, b, abs_tol=1e-6) for a, b in zip(decoded, vec))
+    q = [1.0, 0.0, 0.0, 1.0]
+    exact = [
+        r.vec_id
+        for r in similarity.cosine_topk(df, q, k=4).collect()
+    ]
+    approx = [r.vec_id for r in similarity.pq_search(df, q, books, k=4).collect()]
+    # Same top-1; the full sets agree modulo exact-tie ordering.
+    assert approx[0] == exact[0]
+    assert set(approx) == set(exact)
+
+
+def test_pq_search_is_map_only(spark):
+    rows = [(i, [float(i % 3), float(i % 5), float(i % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.pq_train(df, m=2, k=4, iters=1)
+    plan = (
+        similarity.pq_search(df, [0.0, 1.0, 2.0, 3.0], books, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan  # codebooks are literals
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert similarity.pq_search(df, [0.0, 1.0, 2.0, 3.0], books, k=5).count() == 5
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0]),
