@@ -992,6 +992,93 @@ def q_tpch_q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — the pure scan-and-aggregate microbenchmark:
+    revenue delta from discount changes over one shipping year. Every
+    predicate (date range, discount band, quantity cap) pushes into the
+    parquet scan; the aggregate is a single partial-combined sum with no
+    grouping key — at 100 TB this is scan-bandwidth-bound by
+    construction, the query that measures your I/O path."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(_dec_money("l_extendedprice") * F.col("l_discount").cast("decimal(18,8)")), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — conditional-aggregate ratio over a fact⋈dim
+    join: the share of one month's revenue from PROMO parts. One
+    lineitem month joins part (unhinted — part grows with SF, the
+    planner picks broadcast vs SMJ); promo and total revenue come from
+    the same decimal sum with a CASE, so the scan and join run once. The
+    division happens on exact decimals and casts to double at the very
+    end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _dec_money("l_extendedprice") * _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,8)")))
+            .cast("double")
+            / F.sum(rev).cast("double"),
+            2,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive brand/size/quantity predicates over
+    a fact⋈dim join: revenue from three alternative (brand, size band,
+    quantity band) channels in ONE pass. The OR-of-ANDs lives in the
+    join output filter; Catalyst still prunes both scans to the
+    referenced columns and pushes the common-column IsNotNull guards.
+    The shape that catches engines which give up on pushdown at the
+    first OR."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    chan = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    disc = _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    return j.filter(chan).agg(
+        F.round(F.sum(_dec_money("l_extendedprice") * disc), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_tpch_q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape — EXISTS decorrelates to a left-semi join: orders in
     a quarter with at least one line shipped after the order date (the
@@ -1446,7 +1533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
-        # rotated out after multiple green driver rounds) ---
+        # rotated out after multiple green driver rounds — or, for the
+        # newest additions, queued to rotate IN next round) ---
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "rel_equijoin": q_rel_equijoin,
         "rel_semijoin": q_rel_semijoin,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2076,6 +2167,35 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN len(toks) > 0 THEN "
             "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr "
             "FROM t"
+        ),
+        "tpch_q6_forecast_revenue": (
+            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(l_discount AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue, "
+            "count(*) AS n_lines FROM lineitem "
+            "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+            "AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24"
+        ),
+        "tpch_q14_promo_revenue": (
+            "SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8)) ELSE CAST(0 AS DECIMAL(18,8)) END) "
+            "AS DOUBLE) / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE), 2) AS promo_pct, "
+            "count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'"
+        ),
+        "tpch_q19_disjunctive_revenue": (
+            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue, "
+            "count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 20 AND 30)"
         ),
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
