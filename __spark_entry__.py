@@ -1146,6 +1146,320 @@ def q_tpch_q22_idle_customers(spark, sf_dir):
     )
 
 
+def q_tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape — bidirectional nation-pair trade volume: revenue
+    between two nations (either direction) by ship year. The plan is the
+    full fact⋈fact⋈dim⋈dim⋈dim⋈dim chain; both nation joins broadcast
+    (25 rows at any SF), so the only shuffles are the
+    lineitem⋈orders⋈customer spine. The OR-of-directions predicate sits
+    after the nation joins where it narrows to two name pairs; at 100 TB
+    the customer/supplier joins stay hash-partitioned on their own keys
+    and the two-year shipdate filter pushes into the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cnk"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = _dec_money("l_extendedprice") * _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    return (
+        j.filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: one supplier nation's
+    share of a region's ECONOMY-part order revenue, per order year. The
+    widest join in the registry (6 tables + region); part filters before
+    the join, region prunes the customer-nation set via two broadcast
+    dims, and the share is a conditional-sum / sum ratio computed in one
+    aggregation pass over exact decimals (Q14's pattern, grouped by
+    year)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cnat = nat.join(
+        F.broadcast(region), nat.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("__cnk"))
+    snat = nat.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec_money("l_extendedprice") * _dec_factor(F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("__cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("__snk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+                        F.lit(0).cast("decimal(18,8)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by supplier nation and year.
+    The reduced schema has no partsupp, so supply cost is the
+    deterministic stand-in 50% of p_retailprice per unit (the
+    profit-expression-over-a-wide-join shape is the point, not the cost
+    model). LIKE-filter on part pushes to its scan; nation broadcasts;
+    profit = exact-decimal revenue minus exact-decimal cost so Spark and
+    the oracle agree bitwise after the final round."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("nation")
+    )
+    profit = _dec_money("l_extendedprice") * _dec_factor(
+        F.lit(1.0) - F.col("l_discount")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.lit(0.5).cast(
+        "decimal(18,8)"
+    ) * F.col("l_quantity").cast("decimal(18,8)")
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("__snk"))
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — group-total vs global-total threshold: parts
+    whose shipped value through one nation's suppliers exceeds a fixed
+    fraction of that nation's total (no partsupp in the reduced schema;
+    lineitem value through NATION_5 suppliers is the stand-in stock
+    value). The scalar subquery decorrelates to a 1-row aggregate
+    broadcast into the HAVING comparison — the comparison is rearranged
+    to exact-decimal value * 2000 > total so no float threshold can flip
+    a boundary part between engines."""
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec_money("l_extendedprice")).alias("__value")
+    )
+    total = li.agg(F.sum(_dec_money("l_extendedprice")).alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") * F.lit(2000) > F.col("__total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("__value"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q_tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape — CASE-count split by a derived category: urgent
+    vs non-urgent line counts per ship-delay band (the reduced schema
+    has no shipmode/commit/receipt dates; days-from-order-to-ship bands
+    are the stand-in category). One fact⋈fact join on orderkey, the
+    year filter pushed to the lineitem scan, and both counts from one
+    aggregation pass — the conditional-aggregation shape every
+    monitoring pipeline uses."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "MEDIUM").otherwise("SLOW")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(band.alias("ship_band"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_band")
+    )
+
+
+def q_tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — distribution of customers by order count,
+    including never-ordered customers: a left outer join whose ON clause
+    carries the order-side filter (filtering in WHERE would silently
+    drop the zero-order bucket — the classic outer-join trap Q13
+    exists to test), then two aggregations: count per customer, then
+    customer count per order count. Both shuffles key on small ints;
+    the second input is at most |customer| rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — argmax via scalar subquery: the supplier(s)
+    whose quarterly revenue equals the maximum. Revenue per supplier is
+    one partial-combined aggregation; the max decorrelates to a 1-row
+    broadcast joined back on exact-decimal equality (a float max could
+    miss the argmax row on partial-agg ordering differences). The join
+    back to supplier is key-equi and tiny-side-broadcastable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec_money("l_extendedprice")
+            * _dec_factor(F.lit(1.0) - F.col("l_discount"))
+        ).alias("__rev")
+    )
+    top = rev.agg(F.max("__rev").alias("__max_rev"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("__rev") == F.col("__max_rev"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape — distinct-count with a NOT-IN exclusion: how many
+    distinct suppliers ship each (brand, type, size) combination,
+    excluding blacklisted suppliers (negative account balance stands in
+    for the complaints filter; lineitem stands in for partsupp as the
+    part↔supplier association). The NOT IN decorrelates to a broadcast
+    anti join BEFORE the distinct aggregation, so excluded suppliers
+    never enter the shuffle; countDistinct is the one unavoidable
+    two-phase aggregate."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — nested IN-subqueries as a semi-join chain:
+    suppliers in one region who shipped more than a threshold quantity
+    of red parts in a year (no partsupp/availqty in the reduced schema;
+    the fixed quantity threshold stands in for the half-of-availqty
+    comparison). Part keys semi-join into lineitem (broadcast — the
+    filtered part side is small), the per-(part,supplier) HAVING runs on
+    the year's lines only, and the surviving supplier keys semi-join
+    into supplier. Three filters, zero wide rows carried."""
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    qualified = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(nat.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrub over the corpus: inject synthetic identifiers (the test
     tables carry none), count matches per class, and redact. Three
@@ -2214,6 +2528,120 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey "
             "AND o.o_orderdate >= '2000-01-01') "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "tpch_q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue, "
+            "count(*) AS n_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01' "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year"
+        ),
+        "tpch_q8_market_share": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "round(CAST(sum(CASE WHEN n2.n_name = 'NATION_7' THEN "
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8)) "
+            "ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) / "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE), 4) AS mkt_share, "
+            "count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "JOIN region ON n1.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' "
+            "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01' "
+            "GROUP BY o_year ORDER BY o_year"
+        ),
+        "tpch_q9_product_profit": (
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8)) - "
+            "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(18,8)) * "
+            "CAST(l_quantity AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_profit "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%red%' "
+            "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+        ),
+        "tpch_q11_important_parts": (
+            "WITH nat_li AS (SELECT l_partkey, "
+            "CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem "
+            "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_nationkey = 5)), "
+            "tot AS (SELECT sum(v) AS total FROM nat_li) "
+            "SELECT l_partkey, CAST(round(sum(v), 2) AS DOUBLE) AS value "
+            "FROM nat_li, tot GROUP BY l_partkey, total "
+            "HAVING sum(v) * 2000 > total "
+            "ORDER BY value DESC, l_partkey"
+        ),
+        "tpch_q12_shipmode_priority": (
+            "SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 "
+            "THEN 'FAST' WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 "
+            "THEN 'MEDIUM' ELSE 'SLOW' END AS ship_band, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+            "GROUP BY ship_band ORDER BY ship_band"
+        ),
+        "tpch_q13_customer_distribution": (
+            "WITH per_cust AS (SELECT c_custkey, "
+            "count(o_orderkey) AS c_count FROM customer "
+            "LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '4-NOT SPECIFIED' GROUP BY c_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM per_cust "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,8))) AS r FROM lineitem "
+            "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, CAST(round(r, 2) AS DOUBLE) AS total_revenue "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE r = (SELECT max(r) FROM rev) ORDER BY s_suppkey"
+        ),
+        "tpch_q16_supplier_count": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "tpch_q20_promotion_suppliers": (
+            "SELECT s_suppkey, s_name FROM supplier "
+            "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE 'red%') "
+            "AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+            "GROUP BY l_partkey, l_suppkey "
+            "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50) "
+            "AND s_nationkey IN (SELECT n_nationkey FROM nation "
+            "WHERE n_regionkey = 0) "
+            "ORDER BY s_name"
         ),
         "events_top_paths": (
             "WITH steps AS (SELECT event_type AS s1, "
