@@ -244,10 +244,15 @@ def test_all_registered_query_plans_are_scale_clean(spark):
 
     from concurrent.futures import ThreadPoolExecutor
 
-    # rel_cartesian IS the cross product; tpch_q22's nested loop is the
-    # scalar-subquery broadcast — a ONE-row build side (global avg), so
-    # the "loop" is a constant-time probe per row at any scale.
-    allowed_nested_loop = {"rel_cartesian", "tpch_q22_idle_customers"}
+    # rel_cartesian IS the cross product; tpch_q22's and tpch_q11's nested
+    # loops are scalar-subquery broadcasts — a ONE-row build side (global
+    # avg / global total), so the "loop" is a constant-time probe per row
+    # at any scale.
+    allowed_nested_loop = {
+        "rel_cartesian",
+        "tpch_q22_idle_customers",
+        "tpch_q11_important_parts",
+    }
     flagged = {}
 
     def lint(item):
