@@ -1537,20 +1537,17 @@ def q_multimodal_decode(spark, sf_dir):
     exactness is pytest-asserted. Round-5 change: formerly PNG-only —
     JPEG pixel decode replaced the last codec stub, so the driver query
     now exercises it (extended-bench timing resets; noted in
-    BASELINE.md)."""
+    BASELINE.md). Round-6 change: the decode and resize branches are
+    FUSED into one map-only pass (multimodal.decode_resize_report) — the
+    old decode_image(imgs) JOIN decode_image(resize_image(imgs)) shape
+    evaluated the synthesis subtree twice and shuffled for the join; at
+    100 TB that is two corpus scans and a payload shuffle for zero extra
+    information. Same output schema; unfused ops remain pytest-covered."""
     docs = _t(spark, sf_dir, "documents")
     imgs = multimodal.synthetic_image_payload(
         docs, formats=("png", "gif", "jpeg")
     )
-    decoded = multimodal.decode_image(imgs)
-    resized = multimodal.decode_image(
-        multimodal.resize_image(imgs, 4, 4).select("doc_id", "payload")
-    ).select(
-        F.col("doc_id"),
-        F.col("height").alias("r_height"),
-        F.col("width").alias("r_width"),
-    )
-    return decoded.join(resized, on="doc_id").select(
+    return multimodal.decode_resize_report(imgs, 4, 4).select(
         "doc_id", "height", "width", "channels", "r_height", "r_width"
     )
 

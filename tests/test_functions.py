@@ -666,6 +666,32 @@ def test_jpeg_roundtrip_known_pixels():
     assert float(np.abs(y_in - y_out).max()) <= 4.0
 
 
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn path: encoding with restart markers (byte-aligned RST0-7
+    every N MCUs, DC predictors reset per T.81) must decode to the same
+    pixels as the marker-free stream — exercises the decoder's vectorized
+    restart-split and per-segment predictor reset, including marker-index
+    wraparound past RST7 (interval 1 over >8 MCUs) and stuffed 0xFF00
+    bytes adjacent to markers."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    # 40x32 grayscale -> 5x4 = 20 MCUs; interval 3 ends mid-stream with a
+    # partial final segment, interval 1 wraps RST0..RST7 twice.
+    g = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    plain = multimodal._jpeg_decode(multimodal._jpeg_encode(g))
+    for interval in (1, 3, 7):
+        enc = multimodal._jpeg_encode(g, restart_interval=interval)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert (multimodal._jpeg_decode(enc) == plain).all()
+
+    # Color 4:2:0 with restarts: bigger MCUs, same pixels as marker-free.
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    plain_c = multimodal._jpeg_decode(multimodal._jpeg_encode(rgb, subsample=True))
+    enc_c = multimodal._jpeg_encode(rgb, subsample=True, restart_interval=2)
+    assert (multimodal._jpeg_decode(enc_c) == plain_c).all()
+
+
 def test_jpeg_unsupported_modes_and_guards():
     """Boundary behavior: progressive (SOF2) raises DecodeUnavailable (the
     remaining documented stub), truncated entropy data raises rather than
@@ -736,6 +762,48 @@ def test_decode_image_mixed_formats(spark):
         r = got[i]
         assert (r.height, r.width) == (8, 8)
         assert r.channels == (3 if i % 3 == 1 else 1)
+
+
+def test_decode_resize_report_matches_unfused(spark):
+    """The fused map-only decode_resize_report must return exactly what
+    the unfused decode_image(imgs) JOIN decode_image(resize_image(imgs))
+    composition returns — same dims, same NULL rows for undecodable
+    payloads — while evaluating the payload subtree once and shuffling
+    nothing."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (1, multimodal._png_encode(rng.integers(0, 256, (9, 6, 3), dtype=np.uint8))),
+        (2, multimodal._gif_encode((rng.integers(0, 4, (5, 7, 3)) * 60).astype(np.uint8))),
+        (3, multimodal._jpeg_encode(rng.integers(0, 256, (10, 12), dtype=np.uint8))),
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fused = {
+        r.doc_id: (r.height, r.width, r.channels, r.r_height, r.r_width)
+        for r in multimodal.decode_resize_report(df, 4, 3).collect()
+    }
+    decoded = multimodal.decode_image(df)
+    resized = multimodal.decode_image(
+        multimodal.resize_image(df, 4, 3).select("doc_id", "payload")
+    )
+    unfused = {}
+    for d in decoded.collect():
+        unfused[d.doc_id] = (d.height, d.width, d.channels)
+    for r in resized.collect():
+        unfused[r.doc_id] = unfused[r.doc_id] + (r.height, r.width)
+    assert fused == unfused
+    assert fused[1] == (9, 6, 3, 3, 4)
+    assert fused[4] == (None, None, None, None, None)
+    # map-only: the fused plan contains no Exchange
+    plan = (
+        multimodal.decode_resize_report(df, 4, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
 
 
 def test_decode_image_handles_gif(spark):
