@@ -734,6 +734,82 @@ def q_sim_pq_topk(spark, sf_dir):
     return similarity.pq_search(emb, qvec, books, k=10)
 
 
+# Fixed PQ codebook for the oracle-backed encode/ADC query: m=4 subspaces
+# of 16 dims, k=4 codewords each, every component an exact sixteenth so
+# the literals round-trip bit-identically through Spark, DuckDB, and
+# repr(). Shared by q_sim_pq_encode_fixed and its generated oracle SQL.
+_PQ_FIXED_BOOKS = [
+    [
+        [((i * (d + 1) * 7 + j * 3) % 16) / 16 - 0.5 for d in range(16)]
+        for i in range(4)
+    ]
+    for j in range(4)
+]
+_PQ_FIXED_QUERY = [((3 * d + 5) % 16) / 16 - 0.5 for d in range(64)]
+
+
+def _pq_fixed_tables() -> list[list[float]]:
+    """Driver-side ADC distance tables for the fixed query/codebooks —
+    the same m*k doubles pq_search precomputes."""
+    tables = []
+    for j, book in enumerate(_PQ_FIXED_BOOKS):
+        qs = _PQ_FIXED_QUERY[j * 16 : (j + 1) * 16]
+        tables.append([sum((a - b) ** 2 for a, b in zip(qs, c)) for c in book])
+    return tables
+
+
+def q_sim_pq_encode_fixed(spark, sf_dir):
+    """PQ encode + ADC distance with a FIXED literal codebook — the
+    oracle-backed twin of the sim_pq_topk family (round-5 verdict item
+    7): with training factored out, encoding is pure per-subspace argmin
+    expressions and the asymmetric distance is m table lookups, both
+    map-only/codegen and hence expressible in DuckDB SQL (the iterative
+    k-means stays rows-only in sim_pq_topk). Emits each vector's four
+    codes plus its ADC distance to the fixed query — hash-checkable end
+    to end. Cites similarity.pq_encode/pq_search (Jégou et al. 2011)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(emb, _PQ_FIXED_BOOKS)
+    dist = None
+    for j, table in enumerate(_pq_fixed_tables()):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in table]),
+            F.col("codes").getItem(j).cast("int") + 1,
+        )
+        dist = term if dist is None else dist + term
+    return enc.select(
+        "vec_id",
+        F.col("codes").getItem(0).alias("code0"),
+        F.col("codes").getItem(1).alias("code1"),
+        F.col("codes").getItem(2).alias("code2"),
+        F.col("codes").getItem(3).alias("code3"),
+        dist.alias("pq_dist"),
+    ).orderBy("vec_id")
+
+
+def q_events_attribution(spark, sf_dir):
+    """Touch attribution: each purchase joined to the same user's views
+    within the preceding hour — the BATCH form of
+    streaming.events.attributed_purchases (identical plan modulo state;
+    the streaming side's watermark-bounded state eviction is pinned by
+    tests/test_streaming.py batch-equivalence). Equi-join on user_id
+    carries the hash partitioning; the time range rides as a join
+    residual, so at 100 TB this is one shuffle on a high-cardinality key,
+    never a nested loop (round-5 verdict item 8)."""
+    from sakura_spark.streaming.events import attributed_purchases
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return attributed_purchases(views, purchases).select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def q_text_bpe_segment(spark, sf_dir):
     """BPE tokenizer trained on the corpus, then applied back to it:
     per-doc word and BPE-token counts. Training = ONE distributed
@@ -1766,48 +1842,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extension family (curation, sharding, dedup, similarity, multimodal,
     text, events, TPC-H shapes).
 
-    Round-4 rotation: ten r1-3-green entries with in-sweep shape siblings
-    moved past the cap; the ten previously past-cap oracle entries took
-    their slots. Round-5 rotation continues the policy: the five round-4
-    additions that had never had a driver row (curation_split, text_ttr,
-    events_funnel, events_retention, rel_full_outer), the three
-    correlated-subquery TPC-H shapes (q21 semi+anti-on-one-fact, q2
-    correlated min, q17 correlated avg), and the five round-5 additions
-    (tpch_q4 EXISTS-semi, tpch_q22 scalar-subquery+anti, events_top_paths
-    sequence mining, curation_mixture domain reweighting,
-    curation_quality_report gate attribution) enter the sweep; thirteen
-    entries green in ALL prior rounds with in-sweep shape siblings rotate
-    out (rel_select ~ every filtered query, rel_cartesian ~ skew/join
-    family, rel_union_bag ~ rel_diff set-ops, tuple_hash ~
-    text_fingerprint hash family, agg_percentiles ~ agg_rollup/agg_pivot,
-    events_json_props ~ events_hourly/sessionize, text_token_stats ~
-    text_quality/langid, drl_point_select ~ drl_fk_join/intensional,
-    rel_equijoin ~ flagship/tpch join family, rel_semijoin ~ q4/q21
-    semi-anti shapes, agg_pricing_summary ~ agg_rollup/agg_pivot,
-    window_lead_lag ~ window_topk/events_top_paths, events_hourly ~
-    sessionize/funnel/retention). Every oracle-backed
-    family keeps a driver row within two rounds. The rows-only
-    (non-SQL-expressible) entries stay at the end. ALL entries — the count
-    is asserted against COVERAGE.md by
-    tests/test_operators.py::test_registry_contract — are verified locally
+    Round-6 rotation (policy: every oracle-backed family keeps a driver
+    row within two rounds; entries green across multiple rounds with
+    in-sweep shape siblings cycle past the cap): fourteen entries enter
+    the sweep — the twelve TPC-H shapes that had never had a driver row
+    (q6/q14/q19 added past-cap in round 5 and verified locally; q7/q8/
+    q9/q11/q12/q13/q15/q16/q20 registered this round after the round-5
+    orphan fix) and the two new round-6 oracle-backed entries
+    (sim_pq_encode_fixed — the PQ family's first hash-checked driver
+    row; events_attribution — the stream-stream interval join's batch
+    form). Fourteen long-green entries with in-sweep siblings rotate out
+    (rel_left_outer ~ rel_full_outer, sort_orderby ~ every ORDER BY
+    query, text_vocab_topk/text_fingerprint/text_langid/text_ttr ~
+    text_quality + text_pii_redact, sim_embedding_quantize ~
+    sim_cosine_topk + sim_pq_encode_fixed, agg_rollup ~ agg_pivot,
+    scalar_string_funcs ~ curation_mixture's md5/CASE strings,
+    skew_salted_join + tpch_q18 ~ the flagship/TPC-H join family,
+    events_retention ~ sessionize/funnel/top_paths/attribution,
+    curation_split + curation_sample ~ quota/mixture/contamination/
+    quality_report). The prior rounds' rotation history lives in git.
+    The rows-only (non-SQL-expressible) entries stay at the end. ALL
+    entries — the count is asserted against COVERAGE.md by
+    tests/test_scale.py::test_registry_contract — are verified locally
     by scripts/check_correctness.py regardless of order.
     """
     return {
-        "rel_left_outer": q_rel_left_outer,
-        "sort_orderby": q_sort_orderby,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
+        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+        "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
+        "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
+        "events_attribution": q_events_attribution,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        "text_vocab_topk": q_text_vocab_topk,
         "text_pii_redact": q_text_pii_redact,
         "rel_diff": q_rel_diff,
-        "sim_embedding_quantize": q_sim_embedding_quantize,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "agg_rollup": q_agg_rollup,
         "curation_mixture": q_curation_mixture,
-        "scalar_string_funcs": q_scalar_string_funcs,
         "window_topk_per_group": q_window_topk_per_group,
         "events_top_paths": q_events_top_paths,
-        "skew_salted_join": q_skew_salted_join,
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -1827,37 +1907,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
         "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "text_langid": q_text_langid,
-        "text_ttr": q_text_ttr,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "multimodal_bytes": q_multimodal_bytes,
-        "curation_sample": q_curation_sample,
         "curation_quota": q_curation_quota,
-        "curation_split": q_curation_split,
         "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
         "pipeline_curate": q_pipeline_curate,
         "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
-        # rotated out after multiple green driver rounds — or, for the
-        # newest additions, queued to rotate IN next round) ---
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
-        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q9_product_profit": q_tpch_q9_product_profit,
-        "tpch_q11_important_parts": q_tpch_q11_important_parts,
-        "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
-        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
-        "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
+        # rotated out after multiple green driver rounds) ---
+        "rel_left_outer": q_rel_left_outer,
+        "sort_orderby": q_sort_orderby,
+        "text_vocab_topk": q_text_vocab_topk,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "text_ttr": q_text_ttr,
+        "sim_embedding_quantize": q_sim_embedding_quantize,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "agg_rollup": q_agg_rollup,
+        "scalar_string_funcs": q_scalar_string_funcs,
+        "skew_salted_join": q_skew_salted_join,
+        "events_retention": q_events_retention,
+        "curation_sample": q_curation_sample,
+        "curation_split": q_curation_split,
         "rel_equijoin": q_rel_equijoin,
         "rel_semijoin": q_rel_semijoin,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1943,6 +2018,46 @@ _SHINGLES = (
     "regexp_split_to_array(trim(lower(text)), '\\s+')[i+1] || ' ' || "
     "regexp_split_to_array(trim(lower(text)), '\\s+')[i+2])) END"
 )
+
+
+def _pq_fixed_oracle_sql() -> str:
+    """DuckDB twin of q_sim_pq_encode_fixed, generated from the SAME
+    _PQ_FIXED_BOOKS/_PQ_FIXED_QUERY constants: per-subspace distances in
+    a CTE (0.0-seeded left-associative sums, matching _l2sq's fold
+    order exactly), argmin via <=-chained CASE (ties to the smallest
+    index, matching array_min over (d, i) structs), ADC distance via
+    CASE lookups over the repr()'d driver-side tables (repr round-trips
+    doubles exactly)."""
+    sub = 16
+    d_defs = []
+    for j, book in enumerate(_PQ_FIXED_BOOKS):
+        for i, c in enumerate(book):
+            terms = " + ".join(
+                f"(CAST(embedding[{j * sub + d + 1}] AS DOUBLE) - ({c[d]!r})) * "
+                f"(CAST(embedding[{j * sub + d + 1}] AS DOUBLE) - ({c[d]!r}))"
+                for d in range(sub)
+            )
+            d_defs.append(f"0.0 + {terms} AS d{j}_{i}")
+    code_exprs = []
+    for j in range(4):
+        d = [f"d{j}_{i}" for i in range(4)]
+        code_exprs.append(
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS code{j}"
+        )
+    dist_terms = [
+        f"(CASE code{j} WHEN 0 THEN {t[0]!r} WHEN 1 THEN {t[1]!r} "
+        f"WHEN 2 THEN {t[2]!r} ELSE {t[3]!r} END)"
+        for j, t in enumerate(_pq_fixed_tables())
+    ]
+    return (
+        "WITH dists AS (SELECT vec_id, " + ", ".join(d_defs) + " FROM embeddings), "
+        "codes AS (SELECT vec_id, " + ", ".join(code_exprs) + " FROM dists) "
+        "SELECT vec_id, code0, code1, code2, code3, "
+        + " + ".join(dist_terms)
+        + " AS pq_dist FROM codes ORDER BY vec_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2651,6 +2766,18 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey IN (SELECT n_nationkey FROM nation "
             "WHERE n_regionkey = 0) "
             "ORDER BY s_name"
+        ),
+        "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
+        "events_attribution": (
+            "SELECT v.user_id AS user_id, p.event_id AS purchase_id, "
+            "p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts, "
+            "CAST(p.value AS DOUBLE) AS value "
+            "FROM (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'view') v "
+            "JOIN (SELECT user_id, ts, event_id, value FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON v.user_id = p.user_id AND v.ts <= p.ts "
+            "AND v.ts >= p.ts - INTERVAL 1 HOUR"
         ),
         "events_top_paths": (
             "WITH steps AS (SELECT event_type AS s1, "
