@@ -108,7 +108,49 @@ def environment() -> dict:
         env["cpu_model"] = None
     env["cpu_count"] = os.cpu_count()
     env["spark_cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Deterministic single-thread CPU probe: md5 over 64 MiB of zeros
+    # (pure C, no allocation churn, no BLAS threading). Round-6 lesson:
+    # an uncontended run (loadavg 1.65) and the driver's contended run
+    # (loadavg 3.85) both read 14.5 s — uniformly ~1.5x round 4 on
+    # unchanged plans — so instantaneous loadavg does NOT explain
+    # cross-round drift; this probe gives each artifact an absolute
+    # machine-speed number to normalize against.
+    import hashlib
+
+    chunk = b"\x00" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(chunk)
+    env["cpu_probe_md5_64mib_sec"] = round(time.time() - t0, 4)
     return env
+
+
+def wait_for_quiet(threshold: float, max_wait_sec: float) -> dict:
+    """Bounded wait for machine quiet before measuring.
+
+    Round-5 lesson: the driver's bench artifact recorded loadavg 3.85 and
+    read 0.90x of baseline while an immediate re-run under falling load
+    read 0.77x — the worst artifact ratio of any round, purely from
+    contention. Poll loadavg_1m until it drops below ``threshold`` or
+    ``max_wait_sec`` elapses; the returned dict (waited seconds, start
+    loadavg, contended flag) goes into the environment block so a
+    contended run is labeled as such instead of reading as a regression."""
+    t0 = time.time()
+    waited = 0.0
+    while True:
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            return {"wait_sec": 0.0, "loadavg_1m_at_start": None, "contended": None}
+        waited = time.time() - t0
+        if load < threshold or waited >= max_wait_sec:
+            return {
+                "wait_sec": round(waited, 1),
+                "loadavg_1m_at_start": round(load, 2),
+                "contended": load >= threshold,
+            }
+        time.sleep(5.0)
 
 
 def run_query(fn, spark, sf_dir, noop: bool = False):
@@ -130,6 +172,16 @@ def main() -> None:
 
     spark = get_spark("sakura-bench")
     qs = entrymod.queries()
+
+    # Wait (bounded) for background load to clear, then snapshot the
+    # environment BEFORE measuring — post-run loadavg mostly reflects the
+    # bench's own 32-thread burst, not ambient contention.
+    quiet = wait_for_quiet(
+        threshold=float(os.environ.get("BENCH_LOAD_THRESHOLD", "3.0")),
+        max_wait_sec=float(os.environ.get("BENCH_LOAD_MAX_WAIT", "120")),
+    )
+    env = environment()
+    env.update(quiet)
 
     # Warm-up: JVM, parquet footer caches, codegen paths.
     run_query(qs["rel_equijoin"], spark, sf_dir)
@@ -165,7 +217,14 @@ def main() -> None:
                 "queries": times,
                 "extended": extended,
                 "sf": sf,
-                "environment": environment(),
+                "environment": {
+                    **env,
+                    "loadavg_1m_post_run": (
+                        round(os.getloadavg()[0], 2)
+                        if hasattr(os, "getloadavg")
+                        else None
+                    ),
+                },
             }
         )
     )
