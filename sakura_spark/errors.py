@@ -73,6 +73,16 @@ class CursorError(SakuraError):
     pass
 
 
+class UnrecognizedSublanguage(SakuraError):
+    """Envelope tag with no registered sublanguage
+    (lib/error.ml:10, lib/listener.ml:33-34)."""
+
+
+class MalformedExpression(SakuraError):
+    """Top-level command that is not a ``(tag statement)`` pair
+    (lib/error.ml:11, lib/listener.ml:44-45)."""
+
+
 class UnboundedQuantifier(SakuraError):
     """Exists/Forall over a quantifier too large to iterate — the
     reference's UnboundedQuantifier diagnostic (lib/constraint.ml:184-212),

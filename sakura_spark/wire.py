@@ -122,6 +122,58 @@ def _sexp_atom(v) -> str:
     return str(v)
 
 
+def error_sexp(e: Exception) -> str:
+    """Render an exception as the reference listener's error response:
+    ``((error (<kebab-variant> (field value) ...)))`` — variant atoms and
+    field spellings exactly per lib/error.ml:17-33 (relation-not-found,
+    relation-already-exists, tuple-not-found, duplicate-tuple,
+    constraint-violation, unrecognized-sublanguage, malformed-expression,
+    syntax-error, conflict, sublanguage-error). Non-Sakura exceptions
+    (Py4J, bugs) keep the InternalError extension — the reference's OCaml
+    type system has no analogue of an escaping runtime exception."""
+
+    def atom(v) -> str:
+        # sexplib quotes an Atom only when it must (whitespace, parens,
+        # quotes, empty); simple symbols — tags, hashes, relation names —
+        # render bare, exactly as the reference's serialized errors do.
+        s = str(v)
+        if s and not any(c in s for c in ' \t\n\r()";|'):
+            return s
+        return _sexp_atom(s)
+
+    def render(tag: str, *fields: tuple[str, object]) -> str:
+        payload = "".join(f" ({k} {atom(v)})" for k, v in fields)
+        return f"((error ({tag}{payload})))"
+
+    if isinstance(e, errors.UnknownRelation):
+        return render("relation-not-found", ("relation", str(e)))
+    if isinstance(e, errors.RelationExists):
+        return render("relation-already-exists", ("relation", str(e)))
+    if isinstance(e, errors.UnknownTuple):
+        return render("tuple-not-found", ("hash", str(e)))
+    if isinstance(e, errors.DuplicateTuple):
+        return render("duplicate-tuple", ("hash", str(e)))
+    if isinstance(e, errors.ConstraintViolation):
+        return render("constraint-violation", ("message", str(e)))
+    if isinstance(e, errors.UnrecognizedSublanguage):
+        return render("unrecognized-sublanguage", ("tag", str(e)))
+    if isinstance(e, errors.MalformedExpression):
+        return render("malformed-expression", ("expression", str(e)))
+    if isinstance(e, errors.Conflict):
+        return render(
+            "conflict",
+            ("old-hash", e.expected or "--"),
+            ("new-hash", e.actual or "--"),
+        )
+    if isinstance(e, ParseError):
+        return render("syntax-error", ("message", str(e)))
+    if isinstance(e, errors.SakuraError):
+        # Any other engine diagnostic wraps like the reference's
+        # SublanguageError catch-all (lib/error.ml:31).
+        return render("sublanguage-error", ("error", str(e)))
+    return render("InternalError", ("message", f"{type(e).__name__}: {e}"))
+
+
 def render_sexp(value) -> str:
     """Render a response value as an S-expression (dicts as (key value)
     pairs, lists as proper lists) — the wire output format."""
@@ -189,11 +241,12 @@ class Server:
             base_hash = _atom_str(sexp[1])
             sexp = sexp[2]
         if not (isinstance(sexp, list) and len(sexp) == 2 and isinstance(sexp[0], str)):
-            raise ParseError("expected (tag statement)")
+            raise errors.MalformedExpression(text.strip())  # lib/listener.ml:44-45
         tag, stmt = sexp
         handler = getattr(self, f"_exec_{tag}", None)
         if handler is None:
-            raise ParseError(f"unknown sublanguage tag: {tag!r}")  # lib/listener.ml:41-45
+            # lib/listener.ml:33-34 — UnrecognizedSublanguage carries the tag.
+            raise errors.UnrecognizedSublanguage(tag)
         with self._lock:
             if (
                 base_hash is not None
@@ -411,18 +464,15 @@ class Server:
     def execute_sexp(self, text: str, base_hash: str | None = None) -> str:
         """Full listener parity: execute and render the response as an
         S-expression string (lib/listener.ml:111-123 shape); errors render
-        as ``(error (<Kind> "message"))`` like the listener's serialize."""
+        with the reference's kebab-case variant atoms and (field value)
+        payloads (lib/error.ml:17-33) via :func:`error_sexp`."""
         try:
             return render_sexp(self.execute(text, base_hash=base_hash))
-        except (errors.SakuraError, ParseError) as e:
-            # Error kind is a bare atom, like the reference's
-            # (error (<Kind> ...)) variant serialization.
-            return f"((error ({type(e).__name__} {_sexp_atom(str(e))})))"
         except Exception as e:  # noqa: BLE001 — listener parity: EVERY
             # failure serializes as a response (lib/listener.ml renders all
             # exceptions); letting a Py4J/AnalysisException escape would
             # kill the connection thread and leave the client hanging.
-            return f"((error (InternalError {_sexp_atom(f'{type(e).__name__}: {e}')})))"
+            return error_sexp(e)
 
     def _advance_head(self) -> None:
         """HEAD branch tip follows the database head (lib/listener.ml:47-51)."""
@@ -585,9 +635,7 @@ class TcpFrontend:
                     try:
                         cmd, buf = _split_complete_sexp(buf)
                     except ParseError as e:
-                        conn.sendall(
-                            (f"((error (SyntaxError {_sexp_atom(str(e))})))" + "\n").encode()
-                        )
+                        conn.sendall((error_sexp(e) + "\n").encode())
                         buf = ""
                         break
                     if cmd is None:

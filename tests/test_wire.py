@@ -122,10 +122,12 @@ def test_query_response_serialize_fields(server):
 
 
 def test_unknown_tag_and_bad_sexp(server):
-    with pytest.raises(ParseError):
+    with pytest.raises(errors.UnrecognizedSublanguage):
         server.execute("(tcl (Whatever))")
     with pytest.raises(ParseError):
         server.execute("(drl (Base ")
+    with pytest.raises(errors.MalformedExpression):
+        server.execute('"just-an-atom"')
 
 
 def test_register_domain_wire(server):
@@ -239,7 +241,7 @@ def test_tcp_cas_soak_16_writers(spark, store):
                         done += 1
                     elif not (
                         isinstance(resp.get("error"), list)
-                        and resp["error"][0] == "Conflict"
+                        and resp["error"][0] == "conflict"
                     ):
                         failures.append(f"writer {wid}: {resp}")
                         return
@@ -306,7 +308,8 @@ def test_conflict_renders_as_error_sexp(vserver):
     resp = server.execute_sexp(
         '(dml (InsertTuple (relation "t") (attributes (("v" (Int 2))))))', base_hash=base
     )
-    assert resp.startswith("((error (Conflict")
+    assert resp.startswith("((error (conflict (old-hash")
+    assert "(new-hash" in resp
 
 
 def test_tcp_frontend_roundtrip(spark, store):
@@ -341,7 +344,7 @@ def test_tcp_frontend_roundtrip(spark, store):
         assert '"Ada"' in r3 and "(truncated false)" in r3
         # Errors come back as (error ...) without killing the connection.
         r4 = send("(tcl (Nope))")
-        assert r4.startswith("((error (ParseError")
+        assert r4.startswith("((error (unrecognized-sublanguage (tag tcl)")
         r5 = send('(drl (Base "users"))')
         assert '"Ada"' in r5
         # Multi-byte UTF-8 split across send boundaries must reassemble.
@@ -444,7 +447,7 @@ def test_unix_socket_frontend_roundtrip(spark, store, tmp_path):
         r3 = send('(drl (Base "users"))')
         assert '"Ada"' in r3 and "(truncated false)" in r3
         r4 = send("(tcl (Nope))")
-        assert r4.startswith("((error (ParseError")
+        assert r4.startswith("((error (unrecognized-sublanguage (tag tcl)")
         c.close()
     import os as _os
 
@@ -495,3 +498,110 @@ def test_unix_socket_rejects_mixed_address_and_path(spark, store, tmp_path):
     server = Server(spark, "unixmix", store=store, snapshot_on_mutation=False)
     with _pytest.raises(ValueError, match="not both"):
         TcpFrontend(server, host="127.0.0.1", path=str(tmp_path / "s.sock"))
+
+
+# --- lib/error.ml:17-33 error-atom conformance --------------------------------
+# The reference listener serializes every failure as
+# ((error (<kebab-variant> (field value) ...))). Each test below mirrors a
+# case from the reference's own corpus (test/test_relational_engine.ml) and
+# pins our wire to the same variant atom + field spelling.
+
+
+def test_error_atom_relation_not_found(server):
+    """test/test_relational_engine.ml:2947 'dml: insert into nonexistent
+    relation returns error' — RelationNotFound serializes as
+    (relation-not-found (relation <name>)) per lib/error.ml:23."""
+    r = server.execute_sexp(
+        '(dml (InsertTuple (relation "ghost") (attributes (("x" (Int 1))))))'
+    )
+    assert r.startswith("((error (relation-not-found (relation ghost)")
+
+
+def test_error_atom_relation_already_exists(server):
+    """test/test_relational_engine.ml:251 'manipulation: create relation
+    already exists' — lib/error.ml:24 spelling."""
+    server.execute('(ddl (CreateRelation (name "dup") (schema (("x" "integer")))))')
+    r = server.execute_sexp(
+        '(ddl (CreateRelation (name "dup") (schema (("x" "integer")))))'
+    )
+    assert r.startswith("((error (relation-already-exists (relation dup)")
+
+
+def test_error_atom_duplicate_tuple(server):
+    """test/test_relational_engine.ml:523 'manipulation: duplicate tuple
+    rejected' — lib/error.ml:26 (duplicate-tuple (hash ...)) spelling."""
+    server.execute('(ddl (CreateRelation (name "s") (schema (("x" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "s") (attributes (("x" (Int 1))))))')
+    r = server.execute_sexp(
+        '(dml (InsertTuple (relation "s") (attributes (("x" (Int 1))))))'
+    )
+    assert r.startswith("((error (duplicate-tuple (hash ")
+
+
+def test_error_atom_constraint_violation(server):
+    """test/test_relational_engine.ml:2058 'constraint: create_tuple with
+    failing constraint' — lib/error.ml:27 spelling, through the full wire
+    path (register constraint + violating insert)."""
+    server.execute('(ddl (CreateRelation (name "Dept") (schema (("d" "integer")))))')
+    server.execute(
+        '(ddl (CreateRelation (name "Emp") (schema (("e" "integer") ("d" "integer")))))'
+    )
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "fk") (relation_name "Emp") '
+        '(body (MemberOf (target "Dept") (binding (("d" (Var "d"))))))))'
+    )
+    r = server.execute_sexp(
+        '(dml (InsertTuple (relation "Emp") (attributes (("e" (Int 1)) ("d" (Int 9))))))'
+    )
+    assert r.startswith("((error (constraint-violation (message ")
+    assert "fk" in r
+
+
+def test_error_atom_unrecognized_and_malformed_and_syntax(server):
+    """lib/error.ml:29-31 + lib/listener.ml:44-45: unknown envelope tag ->
+    (unrecognized-sublanguage (tag ...)); a top-level non-(tag statement)
+    sexp -> (malformed-expression (expression ...)); unparseable text ->
+    (syntax-error (message ...))."""
+    r = server.execute_sexp("(tcl (Whatever))")
+    assert r.startswith("((error (unrecognized-sublanguage (tag tcl)")
+    r = server.execute_sexp('"just-an-atom"')
+    assert r.startswith("((error (malformed-expression (expression ")
+    r = server.execute_sexp("(drl (Base ")
+    assert r.startswith("((error (syntax-error (message ")
+
+
+def test_icl_and_constraint_wire_roundtrip(server):
+    """test/test_relational_engine.ml:2980 'dcl: round-trip And constraint'
+    (valid_range: 0 <= score <= 100 as And of two MemberOf comparisons) —
+    the same n-ary And wire spelling parses, registers, and enforces."""
+    server.execute('(ddl (CreateRelation (name "scores") (schema (("score" "integer")))))')
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "valid_range") (relation_name "scores") '
+        '(body (And ('
+        '(MemberOf (target "greater_than_or_equal") (binding (("left" (Var "score")) ("right" (Const (Int 0)))))) '
+        '(MemberOf (target "less_than_or_equal") (binding (("left" (Var "score")) ("right" (Const (Int 100)))))))))))'
+    )
+    server.execute('(dml (InsertTuple (relation "scores") (attributes (("score" (Int 50))))))')
+    with pytest.raises(errors.ConstraintViolation):
+        server.execute('(dml (InsertTuple (relation "scores") (attributes (("score" (Int 101))))))')
+    with pytest.raises(errors.ConstraintViolation):
+        server.execute('(dml (InsertTuple (relation "scores") (attributes (("score" (Int -1))))))')
+    assert server.execute('(drl (Base "scores"))')["rows"] == [[50]]
+
+
+def test_icl_not_constraint_wire_roundtrip(server):
+    """test/test_relational_engine.ml:3014 'dcl: round-trip Not constraint'
+    (open_ticket must not appear in closed_ticket) — the Not wire spelling
+    with its universe field parses, registers, and enforces."""
+    server.execute('(ddl (CreateRelation (name "closed_ticket") (schema (("ticket_id" "integer")))))')
+    server.execute('(ddl (CreateRelation (name "open_ticket") (schema (("ticket_id" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "closed_ticket") (attributes (("ticket_id" (Int 7))))))')
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "not_closed") (relation_name "open_ticket") '
+        '(body (Not (body (MemberOf (target "closed_ticket") '
+        '(binding (("ticket_id" (Var "ticket_id")))))) (universe "open_ticket")))))'
+    )
+    server.execute('(dml (InsertTuple (relation "open_ticket") (attributes (("ticket_id" (Int 1))))))')
+    with pytest.raises(errors.ConstraintViolation):
+        server.execute('(dml (InsertTuple (relation "open_ticket") (attributes (("ticket_id" (Int 7))))))')
+    assert server.execute('(drl (Base "open_ticket"))')["rows"] == [[1]]
