@@ -810,6 +810,15 @@ def q_events_attribution(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition statistics (text.repetition_stats):
+    duplicate-line counts + word/2-gram histogram peaks per document —
+    the integer inputs to the standard repetition quality gates for
+    pre-training corpora. Hash-checked end to end (integer outputs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
 def q_text_bpe_segment(spark, sf_dir):
     """BPE tokenizer trained on the corpus, then applied back to it:
     per-doc word and BPE-token counts. Training = ONE distributed
@@ -1918,7 +1927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
-        # rotated out after multiple green driver rounds) ---
+        # rotated out after multiple green driver rounds — or, for the
+        # newest additions, queued to rotate IN next round) ---
+        "text_repetition": q_text_repetition,
         "rel_left_outer": q_rel_left_outer,
         "sort_orderby": q_sort_orderby,
         "text_vocab_topk": q_text_vocab_topk,
@@ -2766,6 +2777,33 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey IN (SELECT n_nationkey FROM nation "
             "WHERE n_regionkey = 0) "
             "ORDER BY s_name"
+        ),
+        "text_repetition": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+            "x -> x <> '') AS lines, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "lstats AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines FROM base), "
+            "w AS (SELECT doc_id, unnest(words) AS w FROM base), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+            "wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "CAST(max(c) AS BIGINT) AS max_word_count FROM wc GROUP BY doc_id), "
+            "bgarr AS (SELECT doc_id, CASE WHEN len(words) < 2 THEN []::VARCHAR[] "
+            "ELSE list_transform(range(1, len(words)), "
+            "i -> words[i] || ' ' || words[i+1]) END AS bgs FROM base), "
+            "b AS (SELECT doc_id, unnest(bgs) AS g FROM bgarr), "
+            "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g), "
+            "bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+            "CAST(max(c) AS BIGINT) AS max_bigram_count FROM bc GROUP BY doc_id) "
+            "SELECT l.doc_id, n_lines, n_distinct_lines, "
+            "coalesce(n_words, 0) AS n_words, "
+            "coalesce(max_word_count, 0) AS max_word_count, "
+            "coalesce(n_bigrams, 0) AS n_bigrams, "
+            "coalesce(max_bigram_count, 0) AS max_bigram_count "
+            "FROM lstats l LEFT JOIN wstats USING (doc_id) "
+            "LEFT JOIN bstats USING (doc_id) ORDER BY doc_id"
         ),
         "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
         "events_attribution": (

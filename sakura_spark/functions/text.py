@@ -56,6 +56,77 @@ def type_token_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition statistics per document (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A repetition filters —
+    public algorithm): duplicate-line counts plus the word and 2-gram
+    histogram peaks, from which the standard "fraction in duplicate
+    lines / in the top n-gram" quality gates derive. Integer outputs only
+    — engine-portable and hash-stable.
+
+    Scale design: line stats are pure map-side array expressions; the
+    word/bigram histogram peaks are two hash aggregations keyed by
+    (doc, gram) with map-side combine — the canonical distributed
+    histogram, sharded by document so no gram hot-key exists. No windows,
+    no driver transfer."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    base = df.select(
+        id_col,
+        word_tokens(t).alias("__w"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+    )
+    wc = (
+        base.select(id_col, F.explode("__w").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("max_word_count")
+    )
+    bigram_arr = F.when(F.size(F.col("__w")) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__w")) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__w"), i + 1),
+                F.element_at(F.col("__w"), i + 2),
+            ),
+        )
+    )
+    bc = (
+        base.select(id_col, F.explode(bigram_arr).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    bstats = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram_count")
+    )
+    return (
+        base.select(id_col, "n_lines", "n_distinct_lines")
+        .join(wstats, id_col, "left")
+        .join(bstats, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "n_distinct_lines",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("max_word_count"), F.lit(0))
+            .cast("long")
+            .alias("max_word_count"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("max_bigram_count"), F.lit(0))
+            .cast("long")
+            .alias("max_bigram_count"),
+        )
+    )
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token estimate: split on whitespace AND punctuation
     boundaries (a cheap, deterministic stand-in for a BPE tokenizer).

@@ -860,3 +860,26 @@ def test_decode_pixels_never_leaks_raw_exceptions():
             pass  # the only acceptable failure mode
 
     fuzz()
+
+
+def test_repetition_stats_known_counts(spark):
+    """text.repetition_stats (Gopher repetition filters): duplicate-line
+    counts and word/2-gram histogram peaks on a crafted corpus, including
+    blank-line filtering, an empty document (all-zero row, not a missing
+    row), and repeated bigrams."""
+    rows = [
+        (1, "the cat sat. the cat sat. the cat"),
+        (2, "a\nb\na\n\n   \nc"),
+        (3, ""),
+        (4, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: tuple(r)[1:] for r in text.repetition_stats(df).collect()}
+    # (n_lines, n_distinct_lines, n_words, max_word_count, n_bigrams, max_bigram_count)
+    # doc 1: words [the cat sat]x2 + [the cat] -> 8 words, 'the'/'cat' x3;
+    # bigrams: 'the cat' x3, 'cat sat' x2, 'sat the' x2 -> 7 total.
+    assert got[1] == (1, 1, 8, 3, 7, 3)
+    # doc 2: lines a/b/a/c after trimming + blank filtering.
+    assert got[2] == (4, 3, 4, 2, 3, 1)
+    assert got[3] == (0, 0, 0, 0, 0, 0)
+    assert got[4] == (1, 1, 4, 1, 3, 1)
