@@ -1436,8 +1436,11 @@ def q_tpch_q13_customer_distribution(spark, sf_dir):
         & (orders.o_orderpriority != "4-NOT SPECIFIED"),
         "left",
     )
+    # Qualified orders.o_orderkey: an unqualified name would become
+    # ambiguous if a same-named column were ever added to customer
+    # (round-5 advice item 3).
     per_cust = j.groupBy("c_custkey").agg(
-        F.count("o_orderkey").alias("c_count")
+        F.count(orders.o_orderkey).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")

@@ -49,6 +49,10 @@ DEFAULT_QUERIES = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "asof_join",
+    # round-6 additions: histogram-agg, interval-join, PQ-encode families
+    "text_repetition",
+    "events_attribution",
+    "sim_pq_encode_fixed",
 ]
 
 
