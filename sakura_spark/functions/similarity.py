@@ -350,23 +350,120 @@ def pq_train(
     """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — public
     algorithm): split the dimension into ``m`` contiguous subspaces and
-    learn a ``k``-entry codebook per subspace with the SAME deterministic
-    distributed k-means as :func:`ivf_train`. A vector then stores as m
-    small codes instead of dim floats — 64x compression at dim=64, m=4,
-    k<=256 — which is what makes a 100 TB embedding corpus searchable
-    from memory. Driver transfer = m*k*(dim/m) doubles (the codebooks),
-    the same class as the IVF codebook."""
+    learn a ``k``-entry codebook per subspace with the same deterministic
+    k-means recipe as :func:`ivf_train` (distinct-vector min-hash
+    seeding, expression-only assignment, per-dimension means). A vector
+    then stores as m small codes instead of dim floats — 64x compression
+    at dim=64, m=4, k<=256 — which is what makes a 100 TB embedding
+    corpus searchable from memory. Driver transfer = m*k*(dim/m) doubles
+    (the codebooks), the same class as the IVF codebook.
+
+    All m subspaces train FUSED: one distributed job seeds every
+    subspace (subspace-exploded groupBy + per-subspace rank window) and
+    one job per Lloyd iteration assigns all m codes (pure argmin
+    expressions) and computes every (subspace, codeword, dimension) mean
+    — (iters + 1) corpus scans total instead of the m * (iters + 1) an
+    independent per-subspace loop costs. At 100 TB the scan is the whole
+    cost of training, so this is an m-fold reduction."""
+    from pyspark.sql import Window as W
+
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sub_df = df.select(
-            F.col(id_col), F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias("v")
+
+    # One job: seeds for every subspace. Per subspace j this reproduces
+    # ivf_train's seeding exactly — distinct subvectors keyed by their
+    # min id, ranked by hash(id) then id, first k kept.
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias("v"),
+            )
+            for j in range(m)
+        ]
+    )
+    seeds = (
+        df.select(F.col(id_col).alias("__id"), F.explode(pieces).alias("p"))
+        .select("__id", F.col("p.j").alias("j"), F.col("p.v").alias("v"))
+        .groupBy("j", "v")
+        .agg(F.min("__id").alias("__sid"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("j").orderBy(F.hash(F.col("__sid")), F.col("__sid"))
+            ),
         )
-        books.append(ivf_train(sub_df, n_centroids=k, iters=iters, vec_col="v", id_col=id_col))
+        .filter(F.col("__rn") <= k)
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(seeds, key=lambda r: (r["j"], r["__rn"])):
+        books[r["j"]].append(list(r["v"]))
+
+    for _ in range(iters):
+        # One job: assign all m codes (map-only argmin expressions, the
+        # same transform form pq_encode compiles) and aggregate every
+        # (subspace, codeword, dimension) mean. pos // sub recovers the
+        # subspace of each exploded dimension; empty codewords keep
+        # their previous centroid, as in ivf_train.
+        assigned = df.select(
+            _as_double(F.col(vec_col)).alias("__v"),
+            F.array(*_pq_code_exprs(books, vec_col)).alias("__codes"),
+        )
+        means = (
+            assigned.select(
+                "__codes", F.posexplode(F.col("__v")).alias("pos", "x")
+            )
+            .select(
+                (F.col("pos") / sub).cast("int").alias("j"),
+                F.element_at(
+                    F.col("__codes"), (F.col("pos") / sub).cast("int") + 1
+                ).alias("c"),
+                (F.col("pos") % sub).alias("p"),
+                "x",
+            )
+            .groupBy("j", "c", "p")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            acc.setdefault((r["j"], r["c"]), {})[r["p"]] = r["m"]
+        books = [
+            [
+                [acc[(j, c)][p] for p in range(sub)]
+                if (j, c) in acc
+                else books[j][c]
+                for c in range(len(books[j]))
+            ]
+            for j in range(m)
+        ]
     return books
+
+
+def _pq_code_exprs(codebooks: list[list[list[float]]], vec_col: str) -> list:
+    """Per-subspace nearest-codeword id as ONE expression per subspace:
+    distances = transform(<literal array-of-codewords>, c -> l2sq), code =
+    array_position(distances, array_min(distances)) - 1. Ties break to the
+    smallest index (array_position finds the first equal element), the
+    same contract as the struct-argmin formulation this replaced — which
+    built k separate fold expressions per subspace and made Catalyst
+    planning+codegen (~4.4 s per distinct codebook at m=4, k=16) dwarf
+    execution; the transform form keeps the tree O(m) instead of O(m*k)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    exprs = []
+    for j, book in enumerate(codebooks):
+        piece = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
+        dists = F.transform(
+            F.array(*[_lit_vec(c) for c in book]), lambda c: _l2sq(piece, c)
+        )
+        exprs.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return exprs
 
 
 def pq_encode(
@@ -378,21 +475,9 @@ def pq_encode(
     """(id, codes array<int>): per-subspace nearest-codeword ids. Pure
     argmin expressions over literal codebooks — map-only, codegen, zero
     shuffle; the compressed representation to persist at scale."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        piece = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(_l2sq(piece, _lit_vec(c)).alias("d"), F.lit(i).alias("i"))
-                    for i, c in enumerate(book)
-                ]
-            )
-        )
-        codes.append(best["i"])
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return df.select(
+        F.col(id_col), F.array(*_pq_code_exprs(codebooks, vec_col)).alias("codes")
+    )
 
 
 def pq_search(
