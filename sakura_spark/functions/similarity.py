@@ -200,23 +200,22 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
 
     Centroids are literal arrays folded into the projection (the coarse
     codebook is always small enough to inline — the IVF analogue of a
-    broadcast). argmin via array_min over (dist, idx) structs: pure
-    expressions, whole-stage codegen, zero shuffle. At 100 TB this is the
-    partitioning step: write the table bucketed/partitioned by cluster_id
-    so probe queries prune to n_probe partitions at the scan.
+    broadcast). argmin as one transform over the nested literal centroid
+    array + array_position of the min (first match = smallest index on
+    ties, the same contract as the struct-argmin form this replaced,
+    whose O(k) separate fold expressions made Catalyst planning dominate
+    at k>=16 — see _pq_code_exprs): pure expressions, whole-stage
+    codegen, zero shuffle. At 100 TB this is the partitioning step:
+    write the table bucketed/partitioned by cluster_id so probe queries
+    prune to n_probe partitions at the scan.
     """
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _l2sq(F.col(vec_col), _lit_vec(c)).alias("d"),
-                    F.lit(i).alias("i"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
+    dists = F.transform(
+        F.array(*[_lit_vec(c) for c in centroids]),
+        lambda c: _l2sq(F.col(vec_col), c),
     )
-    return df.withColumn("cluster_id", best["i"])
+    return df.withColumn(
+        "cluster_id", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
 
 
 def ivf_train(
