@@ -819,6 +819,18 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(docs).orderBy("doc_id")
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style n-gram LM filtering statistics (text.lm_score): each
+    document's bigrams scored against the corpus bigram/unigram LM
+    pruned to the top 5000 grams — integer-exact hit statistics (total /
+    unseen bigrams, hit-mass sums), the inputs to a perplexity quality
+    gate. The float cross-entropy layer (text.lm_perplexity) shares this
+    plan and is pytest-checked (ln() is not bit-stable across engines).
+    LM tables broadcast; the corpus never shuffles for scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.lm_score(docs, top_v=5000).orderBy("doc_id")
+
+
 def q_text_bpe_segment(spark, sf_dir):
     """BPE tokenizer trained on the corpus, then applied back to it:
     per-doc word and BPE-token counts. Training = ONE distributed
@@ -1933,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out after multiple green driver rounds — or, for the
         # newest additions, queued to rotate IN next round) ---
         "text_repetition": q_text_repetition,
+        "text_lm_score": q_text_lm_score,
         "rel_left_outer": q_rel_left_outer,
         "sort_orderby": q_sort_orderby,
         "text_vocab_topk": q_text_vocab_topk,
@@ -2780,6 +2793,32 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey IN (SELECT n_nationkey FROM nation "
             "WHERE n_regionkey = 0) "
             "ORDER BY s_name"
+        ),
+        "text_lm_score": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "uni_all AS (SELECT unnest(words) AS w FROM base), "
+            "c1t AS (SELECT w, count(*) AS c1 FROM uni_all GROUP BY w "
+            "ORDER BY c1 DESC, w LIMIT 5000), "
+            "bgarr AS (SELECT doc_id, CASE WHEN len(words) < 2 THEN []::VARCHAR[] "
+            "ELSE list_transform(range(1, len(words)), "
+            "i -> words[i] || ' ' || words[i+1]) END AS bgs FROM base), "
+            "occ AS (SELECT doc_id, unnest(bgs) AS g FROM bgarr), "
+            "c2t AS (SELECT g, count(*) AS c2 FROM occ GROUP BY g "
+            "ORDER BY c2 DESC, g LIMIT 5000), "
+            "s AS (SELECT o.doc_id, c2t.c2, c1t.c1 FROM occ o "
+            "LEFT JOIN c2t ON o.g = c2t.g "
+            "LEFT JOIN c1t ON split_part(o.g, ' ', 1) = c1t.w), "
+            "pd AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen, "
+            "sum(coalesce(c2, 0)) AS sum_bigram_count, "
+            "sum(coalesce(c1, 0)) AS sum_context_count FROM s GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(n_unseen, 0) AS BIGINT) AS n_unseen, "
+            "CAST(coalesce(sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count, "
+            "CAST(coalesce(sum_context_count, 0) AS BIGINT) AS sum_context_count "
+            "FROM base b LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
         ),
         "text_repetition": (
             "WITH base AS (SELECT doc_id, "

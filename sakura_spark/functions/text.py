@@ -127,6 +127,135 @@ def repetition_stats(
     )
 
 
+def _bigram_strings(words: Column) -> Column:
+    """Adjacent word pairs as 'w1 w2' strings; <2 words -> empty array."""
+    return F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        )
+    )
+
+
+def lm_tables(
+    df: DataFrame, text_col: str = "text", top_v: int = 10000
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus bigram/unigram count tables for n-gram LM filtering, pruned
+    to the ``top_v`` most frequent grams (count desc, gram asc — a total
+    order, so pruning is deterministic in any engine). Training is one
+    map-side-combinable count aggregation per order; the pruned tables
+    are vocabulary-sized, which is what lets scoring broadcast them."""
+    words = word_tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .orderBy(F.desc("c1"), "w")
+        .limit(top_v)
+    )
+    bi = (
+        df.select(F.explode(_bigram_strings(words)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+        .orderBy(F.desc("c2"), "g")
+        .limit(top_v)
+    )
+    return uni, bi
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 10000,
+) -> DataFrame:
+    """N-gram LM hit statistics per document — the distributed-bigram
+    analogue of CCNet's KenLM perplexity filtering (Wenzek et al. 2020,
+    public method): score each document's bigrams against a corpus LM.
+    Outputs are integer-exact (bigram totals, unseen counts, hit-mass
+    sums), so the driver hash is stable; the float cross-entropy layer
+    lives in :func:`lm_perplexity` (ln() differs in the last ulp across
+    engines, so it is pytest-checked instead of SQL-hash-checked).
+
+    Scale design: the LM tables are pruned to top_v grams and BROADCAST,
+    so scoring is a map-side join — the corpus never shuffles and the
+    hot-gram skew of a shuffle join on 'of the' never exists. The only
+    corpus-sized jobs are the two training count aggs."""
+    uni, bi = lm_tables(df, text_col=text_col, top_v=top_v)
+    words = word_tokens(F.col(text_col))
+    base = df.select(id_col, words.alias("__w"))
+    occ = base.select(
+        id_col, F.explode(_bigram_strings(F.col("__w"))).alias("g")
+    ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    scored = occ.join(F.broadcast(bi), "g", "left").join(
+        F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left"
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0)).alias("n_unseen"),
+        F.sum(F.coalesce(F.col("c2"), F.lit(0))).alias("sum_bigram_count"),
+        F.sum(F.coalesce(F.col("c1"), F.lit(0))).alias("sum_context_count"),
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long").alias("n_unseen"),
+            F.coalesce(F.col("sum_bigram_count"), F.lit(0))
+            .cast("long")
+            .alias("sum_bigram_count"),
+            F.coalesce(F.col("sum_context_count"), F.lit(0))
+            .cast("long")
+            .alias("sum_context_count"),
+        )
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 10000,
+) -> DataFrame:
+    """Per-document bigram cross-entropy and perplexity under an add-one
+    smoothed corpus LM: logp(w2|w1) = ln((c2+1)/(c1+V)) with V the pruned
+    unigram vocabulary size, counts 0 for pruned/unseen grams. The float
+    layer over :func:`lm_score`'s plan (same broadcast joins); exactness
+    is pytest-checked against a pure-Python reference because ln() is not
+    bit-identical across engines. Documents with no bigrams get NULLs."""
+    uni, bi = lm_tables(df, text_col=text_col, top_v=top_v)
+    vocab_v = uni.count()
+    words = word_tokens(F.col(text_col))
+    base = df.select(id_col, words.alias("__w"))
+    occ = base.select(
+        id_col, F.explode(_bigram_strings(F.col("__w"))).alias("g")
+    ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    scored = occ.join(F.broadcast(bi), "g", "left").join(
+        F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left"
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab_v)))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.avg(logp).alias("__mean_logp")
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            (-F.col("__mean_logp")).alias("cross_entropy"),
+            F.exp(-F.col("__mean_logp")).alias("perplexity"),
+        )
+    )
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token estimate: split on whitespace AND punctuation
     boundaries (a cheap, deterministic stand-in for a BPE tokenizer).

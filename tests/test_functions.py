@@ -883,3 +883,67 @@ def test_repetition_stats_known_counts(spark):
     assert got[2] == (4, 3, 4, 2, 3, 1)
     assert got[3] == (0, 0, 0, 0, 0, 0)
     assert got[4] == (1, 1, 4, 1, 3, 1)
+
+
+def test_lm_score_and_perplexity(spark):
+    """text.lm_score integer hit statistics against a hand-computed LM,
+    and text.lm_perplexity against a pure-Python reference of the same
+    add-one-smoothed formula (top_v large enough that nothing prunes,
+    then a tiny top_v to check pruning binds deterministically)."""
+    import math as _math
+    from collections import Counter
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "dogs bark"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def words_of(t):
+        import re as _re
+        return [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    docs = {i: words_of(t) for i, t in rows}
+    uni = Counter(w for ws in docs.values() for w in ws)
+    bigrams = {i: [f"{a} {b}" for a, b in zip(ws, ws[1:])] for i, ws in docs.items()}
+    bi = Counter(g for gs in bigrams.values() for g in gs)
+
+    got = {r.doc_id: tuple(r)[1:] for r in text.lm_score(df, top_v=100).collect()}
+    for i in (1, 2, 3, 4):
+        gs = bigrams[i]
+        expect = (
+            len(gs),
+            sum(1 for g in gs if bi[g] == 0),
+            sum(bi[g] for g in gs),
+            sum(uni[g.split(" ")[0]] for g in gs),
+        )
+        assert got[i] == expect, (i, got[i], expect)
+    # every bigram in this corpus is seen (it came from the corpus)
+    assert all(g[1] == 0 for g in got.values() if g[0] > 0)
+
+    V = len(uni)
+    perp = {r.doc_id: r for r in text.lm_perplexity(df, top_v=100).collect()}
+    for i in (1, 2, 3):
+        gs = bigrams[i]
+        logps = [_math.log((bi[g] + 1.0) / (uni[g.split(" ")[0]] + float(V))) for g in gs]
+        ce = -sum(logps) / len(logps)
+        assert _math.isclose(perp[i].cross_entropy, ce, rel_tol=1e-12)
+        assert _math.isclose(perp[i].perplexity, _math.exp(ce), rel_tol=1e-12)
+    assert perp[4].cross_entropy is None and perp[4].n_bigrams == 0
+
+    # pruning binds: top_v=2 keeps only the 2 most frequent grams
+    # (count desc, gram asc); 'the' (3) and 'cat' (2) survive as contexts.
+    pruned = {r.doc_id: tuple(r)[1:] for r in text.lm_score(df, top_v=2).collect()}
+    top_uni = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+    top_bi = dict(sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+    for i in (1, 2, 3, 4):
+        gs = bigrams[i]
+        expect = (
+            len(gs),
+            sum(1 for g in gs if g not in top_bi),
+            sum(top_bi.get(g, 0) for g in gs),
+            sum(top_uni.get(g.split(" ")[0], 0) for g in gs),
+        )
+        assert pruned[i] == expect, (i, pruned[i], expect)
