@@ -65,6 +65,11 @@ EXTENDED = [
     "events_top_paths",
     "curation_mixture",
     "curation_quality_report",
+    # round 6 additions (first measurements recorded in BASELINE.md):
+    "events_attribution",
+    "sim_pq_encode_fixed",
+    "text_repetition",
+    "text_lm_score",
 ]
 
 # Map-only extended entries are forced through the noop sink instead of
