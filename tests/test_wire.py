@@ -605,3 +605,93 @@ def test_icl_not_constraint_wire_roundtrip(server):
     with pytest.raises(errors.ConstraintViolation):
         server.execute('(dml (InsertTuple (relation "open_ticket") (attributes (("ticket_id" (Int 7))))))')
     assert server.execute('(drl (Base "open_ticket"))')["rows"] == [[1]]
+
+
+def test_nway_suite_in_tall_building_wire(server):
+    """docs/n-way-binding.org ported end-to-end through the wire: the
+    3-wise suite_in_tall_building constraint — nested Exists with
+    namespaced cross-scope vars (r.building_id, b.floors) — plus the
+    composed binary FKs, and the doc's 3-way DRL join. Tower A has 10
+    floors (suites accepted); Tower B has 2 (suite rejected)."""
+    server.execute(
+        '(ddl (CreateRelation (name "Building") (schema (("building_id" "integer") '
+        '("building_name" "string") ("floors" "integer")))))'
+    )
+    server.execute(
+        '(ddl (CreateRelation (name "Room") (schema (("room_id" "integer") '
+        '("building_id" "integer") ("floor" "integer") ("room_number" "string")))))'
+    )
+    server.execute(
+        '(ddl (CreateRelation (name "Suite") (schema (("suite_id" "integer") '
+        '("room_id" "integer") ("suite_name" "string") ("capacity" "integer")))))'
+    )
+    server.execute(
+        '(dml (InsertTuples (relation "Building") (tuples ('
+        '(("building_id" (Int 1)) ("building_name" (Str "Tower A")) ("floors" (Int 10))) '
+        '(("building_id" (Int 2)) ("building_name" (Str "Tower B")) ("floors" (Int 2)))))))'
+    )
+    server.execute(
+        '(dml (InsertTuples (relation "Room") (tuples ('
+        '(("room_id" (Int 101)) ("building_id" (Int 1)) ("floor" (Int 1)) ("room_number" (Str "1A"))) '
+        '(("room_id" (Int 102)) ("building_id" (Int 1)) ("floor" (Int 2)) ("room_number" (Str "2A"))) '
+        '(("room_id" (Int 201)) ("building_id" (Int 2)) ("floor" (Int 1)) ("room_number" (Str "1B")))))))'
+    )
+    # Composed binary FKs along Suite -> Room -> Building.
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "fk_room_building") '
+        '(relation_name "Room") (body (MemberOf (target "Building") '
+        '(binding (("building_id" (Var "building_id"))))))))'
+    )
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "fk_suite_room") '
+        '(relation_name "Suite") (body (MemberOf (target "Room") '
+        '(binding (("room_id" (Var "room_id"))))))))'
+    )
+    # The inherently 3-wise constraint (nested Exists). NOTE: the doc's
+    # literal And-of-MemberOfs (n-way-binding.org:151-168) never LINKS r
+    # to the suite's room or b to r's building, so under the reference's
+    # own FOL evaluator (lib/constraint.ml:183-196: each MemberOf is an
+    # independent membership test) it is satisfied by ANY room/building
+    # witnesses and would accept Tower-B suites too — we reproduce those
+    # semantics faithfully. This encodes the doc's STATED intent ("its
+    # room belongs to a building with more than 3 floors") with explicit
+    # equality links through the prelude's comparison relations.
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "suite_in_tall_building") '
+        '(relation_name "Suite") (body '
+        '(Exists (variable "r") (quantifier "Room") (body '
+        '(Exists (variable "b") (quantifier "Building") (body '
+        '(And ('
+        '(MemberOf (target "equal") (binding (("left" (Var "r.room_id")) ("right" (Var "room_id"))))) '
+        '(MemberOf (target "equal") (binding (("left" (Var "b.building_id")) ("right" (Var "r.building_id"))))) '
+        '(MemberOf (target "greater_than") (binding (("left" (Var "b.floors")) '
+        '("right" (Const (Int 3)))))))))))))))'
+    )
+    # Suites in Tower A rooms: accepted.
+    server.execute(
+        '(dml (InsertTuples (relation "Suite") (tuples ('
+        '(("suite_id" (Int 1001)) ("room_id" (Int 101)) ("suite_name" (Str "Presidential")) ("capacity" (Int 4))) '
+        '(("suite_id" (Int 1002)) ("room_id" (Int 102)) ("suite_name" (Str "Standard")) ("capacity" (Int 2)))))))'
+    )
+    # Suite in a Tower B room (2 floors <= 3): rejected by the 3-wise chain.
+    with pytest.raises(errors.ConstraintViolation):
+        server.execute(
+            '(dml (InsertTuple (relation "Suite") (attributes ('
+            '("suite_id" (Int 1003)) ("room_id" (Int 201)) '
+            '("suite_name" (Str "Deluxe")) ("capacity" (Int 3))))))'
+        )
+    # FK still enforced independently: suite with unknown room rejected.
+    with pytest.raises(errors.ConstraintViolation):
+        server.execute(
+            '(dml (InsertTuple (relation "Suite") (attributes ('
+            '("suite_id" (Int 1004)) ("room_id" (Int 999)) '
+            '("suite_name" (Str "Ghost")) ("capacity" (Int 1))))))'
+        )
+    # The doc's 3-way join: suite names with their building names.
+    out = server.execute(
+        '(drl (Project (suite_name building_name) '
+        '(Join (room_id) (Base "Suite") '
+        '(Join (building_id) (Base "Room") (Base "Building")))))'
+    )
+    rows = {tuple(r) for r in out["rows"]}
+    assert rows == {("Presidential", "Tower A"), ("Standard", "Tower A")}
