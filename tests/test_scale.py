@@ -312,3 +312,18 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert len(seg) == 2, "no PartitionFilters in scan"
     assert "src2" in seg[1][:300]  # the predicate prunes directories
     assert q.count() == docs.filter("source = 'src2'").count()
+
+
+def test_lm_score_broadcasts_the_lm(spark):
+    """text.lm_score's scoring joins must BROADCAST the pruned LM tables:
+    a shuffle join keyed on grams would hot-spot on 'of the' at corpus
+    scale, and the corpus side would pay a full shuffle for what is
+    logically a dictionary lookup. The plan must contain only broadcast
+    joins — no SortMergeJoin, no ShuffledHashJoin."""
+    from sakura_spark.functions import text as textmod
+    from sakura_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    plan = _physical(textmod.lm_score(docs, top_v=1000))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
