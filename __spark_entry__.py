@@ -819,6 +819,18 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(docs).orderBy("doc_id")
 
 
+def q_dedup_span_stats(spark, sf_dir):
+    """Exact duplicated-span statistics (dedup.duplicated_span_stats,
+    Lee et al. 2022 ExactSubstr counting core): per document, how many
+    of its word 5-gram windows also occur in another document —
+    integer-exact measurement of cross-document exact overlap, the
+    signal behind substring-level dedup. Gram-keyed distinct+count
+    aggs, no all-pairs term; hashed=True swaps the shuffle payload to
+    8-byte xxhash64 at corpus scale (string path here for the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(docs, k=5).orderBy("doc_id")
+
+
 def q_text_lm_score(spark, sf_dir):
     """CCNet-style n-gram LM filtering statistics (text.lm_score): each
     document's bigrams scored against the corpus bigram/unigram LM
@@ -1946,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest additions, queued to rotate IN next round) ---
         "text_repetition": q_text_repetition,
         "text_lm_score": q_text_lm_score,
+        "dedup_span_stats": q_dedup_span_stats,
         "rel_left_outer": q_rel_left_outer,
         "sort_orderby": q_sort_orderby,
         "text_vocab_topk": q_text_vocab_topk,
@@ -2793,6 +2806,29 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey IN (SELECT n_nationkey FROM nation "
             "WHERE n_regionkey = 0) "
             "ORDER BY s_name"
+        ),
+        "dedup_span_stats": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "garr AS (SELECT doc_id, CASE WHEN len(words) < 5 THEN []::VARCHAR[] "
+            "ELSE list_transform(range(1, len(words) - 3), "
+            "i -> array_to_string(words[i:i+4], ' ')) END AS gs FROM base), "
+            "occ AS (SELECT doc_id, unnest(gs) AS g FROM garr), "
+            "gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM occ GROUP BY g), "
+            "shared AS (SELECT g FROM gd WHERE nd >= 2), "
+            "pd AS (SELECT doc_id, count(*) AS n_windows, "
+            "count(DISTINCT g) AS n_distinct_grams FROM occ GROUP BY doc_id), "
+            "pdd AS (SELECT o.doc_id, count(*) AS n_dup_windows, "
+            "count(DISTINCT o.g) AS n_dup_distinct_grams "
+            "FROM occ o JOIN shared s ON o.g = s.g GROUP BY o.doc_id) "
+            "SELECT b.doc_id, "
+            "CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows, "
+            "CAST(coalesce(n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams, "
+            "CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows, "
+            "CAST(coalesce(n_dup_distinct_grams, 0) AS BIGINT) AS n_dup_distinct_grams "
+            "FROM base b LEFT JOIN pd USING (doc_id) LEFT JOIN pdd USING (doc_id) "
+            "ORDER BY doc_id"
         ),
         "text_lm_score": (
             "WITH base AS (SELECT doc_id, "

@@ -557,3 +557,76 @@ def dedup_near(
         F.col("id").alias(id_col)
     )
     return df.join(doomed, on=id_col, how="left_anti")
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact duplicated k-gram span statistics across the corpus — the
+    counting core of ExactSubstr deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method; the full suffix-array span REMOVAL is a different machine,
+    this measures where and how much exact overlap exists): for each
+    document, how many of its word k-gram windows also occur in at least
+    one OTHER document. Integer outputs (window totals, cross-document
+    duplicated occurrences, distinct-gram counts), hash-stable.
+
+    Scale design: one explode to (doc, gram) occurrence rows; a distinct
+    + count aggregation per gram (both map-side combinable, keyed by the
+    gram so documents shard it evenly — at k=10 gram frequency has no
+    'of the'-style hot keys); the shared-gram set joins back by gram.
+    With ``hashed=True`` the shuffle payload per row is an 8-byte
+    xxhash64 instead of the gram string (the contamination fast-path
+    pattern — use at corpus scale; collisions at 64 bits are
+    negligible). The DuckDB oracle covers the string path."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = F.when(F.size(words) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+    base = df.select(id_col, grams.alias("__g"))
+    occ = base.select(id_col, F.explode("__g").alias("g"))
+    if hashed:
+        occ = occ.select(id_col, F.xxhash64("g").alias("g"))
+    gram_docs = (
+        occ.select(id_col, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("__n_docs"))
+    )
+    shared = gram_docs.filter(F.col("__n_docs") >= 2).select("g")
+    dup_occ = occ.join(shared, "g", "left_semi")
+    per_doc = occ.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.countDistinct("g").alias("n_distinct_grams"),
+    )
+    per_doc_dup = dup_occ.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows"),
+        F.countDistinct("g").alias("n_dup_distinct_grams"),
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(per_doc_dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_distinct_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_grams"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce(F.col("n_dup_distinct_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_distinct_grams"),
+        )
+    )

@@ -947,3 +947,35 @@ def test_lm_score_and_perplexity(spark):
             sum(top_uni.get(g.split(" ")[0], 0) for g in gs),
         )
         assert pruned[i] == expect, (i, pruned[i], expect)
+
+
+def test_duplicated_span_stats_known_counts(spark):
+    """dedup.duplicated_span_stats: cross-document k-gram overlap on a
+    crafted corpus — a sentence shared verbatim by two docs is counted
+    in both; unique and too-short docs report zeros; within-doc repeats
+    alone do NOT count as duplicated (>= 2 distinct docs required);
+    hashed=True returns identical statistics."""
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 words
+    rows = [
+        (1, shared + " extra tail words here"),
+        (2, "prefix words here " + shared),
+        (3, "completely unrelated content about spark engines at scale"),
+        (4, "too short"),
+        (5, "rep rep rep rep rep rep rep rep"),  # within-doc repeats only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: tuple(r)[1:] for r in dedup.duplicated_span_stats(df, k=5).collect()}
+    # doc 1: 13 words -> 9 windows; doc 2: 12 words -> 8 windows.
+    # Shared 9-word sentence -> 5 common 5-grams, present in both docs.
+    assert got[1][0] == 9 and got[2][0] == 8
+    assert got[1][2] == 5 and got[2][2] == 5  # n_dup_windows
+    assert got[1][3] == 5 and got[2][3] == 5  # n_dup_distinct_grams
+    assert got[3] == (4, 4, 0, 0)  # 8 unique words -> 4 unique windows
+    assert got[4] == (0, 0, 0, 0)
+    # 8x 'rep' -> 4 windows of the SAME gram, but only one doc has it.
+    assert got[5] == (4, 1, 0, 0)
+    hashed = {
+        r.doc_id: tuple(r)[1:]
+        for r in dedup.duplicated_span_stats(df, k=5, hashed=True).collect()
+    }
+    assert hashed == got
