@@ -86,6 +86,14 @@ MAP_ONLY_NOOP = {
     "text_ttr",
     "text_pii_redact",
     "sim_embedding_quantize",
+    # Round-6 lesson, second verse of the same song: .count() also lets
+    # Catalyst ELIMINATE left joins on unique keys (output cardinality
+    # provably unchanged -> count collapses to the base scan) and prune
+    # map-only projections, so these round-6 entries measured ~0.4 s
+    # under .count() vs ~10-28 s of real work under the noop sink.
+    "sim_pq_encode_fixed",
+    "text_repetition",
+    "text_lm_score",
 }
 
 

@@ -575,14 +575,16 @@ def duplicated_span_stats(
     one OTHER document. Integer outputs (window totals, cross-document
     duplicated occurrences, distinct-gram counts), hash-stable.
 
-    Scale design: one explode to (doc, gram) occurrence rows; a distinct
-    + count aggregation per gram (both map-side combinable, keyed by the
-    gram so documents shard it evenly — at k=10 gram frequency has no
-    'of the'-style hot keys); the shared-gram set joins back by gram.
-    With ``hashed=True`` the shuffle payload per row is an 8-byte
-    xxhash64 instead of the gram string (the contamination fast-path
-    pattern — use at corpus scale; collisions at 64 bits are
-    negligible). The DuckDB oracle covers the string path."""
+    Scale design: one explode to (doc, gram) occurrence rows, reduced
+    immediately by a map-side-combinable (doc, gram) pair aggregation;
+    then a per-gram doc-count window and a per-doc conditional-sum
+    aggregation — a single linear pipeline, each stage over the reduced
+    pair set, no recomputation and no all-pairs term. Gram keys shard
+    evenly (at k>=5 there are no 'of the'-style hot keys). With
+    ``hashed=True`` the shuffle payload per row is an 8-byte xxhash64
+    instead of the gram string (the contamination fast-path pattern —
+    use at corpus scale; collisions at 64 bits are negligible). The
+    DuckDB oracle covers the string path."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
     )
@@ -592,30 +594,32 @@ def duplicated_span_stats(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         )
     )
+    from pyspark.sql import Window as W
+
     base = df.select(id_col, grams.alias("__g"))
     occ = base.select(id_col, F.explode("__g").alias("g"))
     if hashed:
         occ = occ.select(id_col, F.xxhash64("g").alias("g"))
-    gram_docs = (
-        occ.select(id_col, "g")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count("*").alias("__n_docs"))
-    )
-    shared = gram_docs.filter(F.col("__n_docs") >= 2).select("g")
-    dup_occ = occ.join(shared, "g", "left_semi")
-    per_doc = occ.groupBy(id_col).agg(
-        F.count("*").alias("n_windows"),
-        F.countDistinct("g").alias("n_distinct_grams"),
-    )
-    per_doc_dup = dup_occ.groupBy(id_col).agg(
-        F.count("*").alias("n_dup_windows"),
-        F.countDistinct("g").alias("n_dup_distinct_grams"),
+    # ONE linear pipeline over the reduced (doc, gram) pair set:
+    # pair-agg (map-side combinable) -> per-gram doc-count window ->
+    # per-doc conditional sums. The earlier draft used two countDistinct
+    # aggs plus a semi-join, which recomputed the explode three times
+    # and tripled the shuffled volume.
+    pairs = occ.groupBy(id_col, "g").agg(F.count("*").alias("__occ"))
+    tagged = pairs.withColumn("__n_docs", F.count("*").over(W.partitionBy("g")))
+    per_doc = tagged.groupBy(id_col).agg(
+        F.sum("__occ").alias("n_windows"),
+        F.count("*").alias("n_distinct_grams"),
+        F.sum(F.when(F.col("__n_docs") >= 2, F.col("__occ")).otherwise(0)).alias(
+            "n_dup_windows"
+        ),
+        F.sum(F.when(F.col("__n_docs") >= 2, 1).otherwise(0)).alias(
+            "n_dup_distinct_grams"
+        ),
     )
     return (
         base.select(id_col)
         .join(per_doc, id_col, "left")
-        .join(per_doc_dup, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
