@@ -143,24 +143,49 @@ def lm_tables(
     df: DataFrame, text_col: str = "text", top_v: int = 10000
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus bigram/unigram count tables for n-gram LM filtering, pruned
-    to the ``top_v`` most frequent grams (count desc, gram asc — a total
-    order, so pruning is deterministic in any engine). Training is one
-    map-side-combinable count aggregation per order; the pruned tables
-    are vocabulary-sized, which is what lets scoring broadcast them."""
+    to the ``top_v`` most frequent grams per order (count desc, gram asc
+    — a total order, so pruning is deterministic in any engine).
+
+    Both orders train in ONE corpus pass: each document explodes to
+    tagged (order, gram) rows, one map-side-combinable count aggregation
+    covers both, and a per-order rank window applies the top-V cut. The
+    pruned result — at most 2*top_v rows — is collected and re-created
+    as local DataFrames (the documented vocabulary-sized driver
+    transfer, same class as the IVF/PQ codebooks), so downstream scoring
+    broadcasts a literal table instead of re-deriving the aggregation
+    subtree. At 100 TB training is one scan, not two."""
+    from pyspark.sql import Window as W
+
     words = word_tokens(F.col(text_col))
-    uni = (
-        df.select(F.explode(words).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c1"))
-        .orderBy(F.desc("c1"), "w")
-        .limit(top_v)
+    both = F.concat(
+        F.transform(
+            words, lambda w: F.struct(F.lit(0).alias("tag"), w.alias("g"))
+        ),
+        F.transform(
+            _bigram_strings(words),
+            lambda g: F.struct(F.lit(1).alias("tag"), g.alias("g")),
+        ),
     )
-    bi = (
-        df.select(F.explode(_bigram_strings(words)).alias("g"))
-        .groupBy("g")
-        .agg(F.count("*").alias("c2"))
-        .orderBy(F.desc("c2"), "g")
-        .limit(top_v)
+    ranked = (
+        df.select(F.explode(both).alias("p"))
+        .select("p.tag", "p.g")
+        .groupBy("tag", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("tag").orderBy(F.desc("c"), "g")
+            ),
+        )
+        .filter(F.col("__rn") <= top_v)
+        .collect()
+    )
+    spark = df.sparkSession
+    uni = spark.createDataFrame(
+        [(r["g"], r["c"]) for r in ranked if r["tag"] == 0], "w string, c1 long"
+    )
+    bi = spark.createDataFrame(
+        [(r["g"], r["c"]) for r in ranked if r["tag"] == 1], "g string, c2 long"
     )
     return uni, bi
 
