@@ -596,41 +596,39 @@ def duplicated_span_stats(
     )
     from pyspark.sql import Window as W
 
-    base = df.select(id_col, grams.alias("__g"))
-    occ = base.select(id_col, F.explode("__g").alias("g"))
+    occ = df.select(id_col, F.explode_outer(grams).alias("g"))
     if hashed:
-        occ = occ.select(id_col, F.xxhash64("g").alias("g"))
+        # Keep the null marker row for gram-less docs: xxhash64(NULL)
+        # returns the seed constant, which would alias every empty doc
+        # onto one phantom "gram" — guard it back to NULL.
+        occ = occ.select(
+            id_col,
+            F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("g"),
+        )
     # ONE linear pipeline over the reduced (doc, gram) pair set:
     # pair-agg (map-side combinable) -> per-gram doc-count window ->
-    # per-doc conditional sums. The earlier draft used two countDistinct
-    # aggs plus a semi-join, which recomputed the explode three times
-    # and tripled the shuffled volume.
+    # per-doc conditional sums. Docs with fewer than k words survive as
+    # a single null-gram row (explode_outer) and are zeroed by the
+    # conditional aggregation — no doc_id join-back to the base scan, so
+    # the corpus is read exactly once. The window partitions null-gram
+    # rows by doc_id (second key) so the empty docs of a 100 TB corpus
+    # don't all hash to one window partition; their __n_docs value is
+    # never used (guarded by g IS NOT NULL).
     pairs = occ.groupBy(id_col, "g").agg(F.count("*").alias("__occ"))
-    tagged = pairs.withColumn("__n_docs", F.count("*").over(W.partitionBy("g")))
-    per_doc = tagged.groupBy(id_col).agg(
-        F.sum("__occ").alias("n_windows"),
-        F.count("*").alias("n_distinct_grams"),
-        F.sum(F.when(F.col("__n_docs") >= 2, F.col("__occ")).otherwise(0)).alias(
-            "n_dup_windows"
-        ),
-        F.sum(F.when(F.col("__n_docs") >= 2, 1).otherwise(0)).alias(
-            "n_dup_distinct_grams"
+    tagged = pairs.withColumn(
+        "__n_docs",
+        F.count("*").over(
+            W.partitionBy(F.col("g"), F.when(F.col("g").isNull(), F.col(id_col)))
         ),
     )
-    return (
-        base.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
-            F.coalesce(F.col("n_distinct_grams"), F.lit(0))
-            .cast("long")
-            .alias("n_distinct_grams"),
-            F.coalesce(F.col("n_dup_windows"), F.lit(0))
-            .cast("long")
-            .alias("n_dup_windows"),
-            F.coalesce(F.col("n_dup_distinct_grams"), F.lit(0))
-            .cast("long")
-            .alias("n_dup_distinct_grams"),
-        )
+    dup = F.col("g").isNotNull() & (F.col("__n_docs") >= 2)
+    return tagged.groupBy(id_col).agg(
+        F.sum(F.when(F.col("g").isNotNull(), F.col("__occ")).otherwise(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.count("g").cast("long").alias("n_distinct_grams"),
+        F.sum(F.when(dup, F.col("__occ")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_distinct_grams"),
     )

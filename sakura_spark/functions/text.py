@@ -66,64 +66,58 @@ def repetition_stats(
     lines / in the top n-gram" quality gates derive. Integer outputs only
     — engine-portable and hash-stable.
 
-    Scale design: line stats are pure map-side array expressions; the
-    word/bigram histogram peaks are two hash aggregations keyed by
-    (doc, gram) with map-side combine — the canonical distributed
-    histogram, sharded by document so no gram hot-key exists. No windows,
-    no driver transfer."""
+    Scale design: ONE corpus scan. Line stats are pure map-side array
+    expressions; the word and 2-gram histograms train together — each
+    document explodes once to tagged (order, gram) rows (explode_outer,
+    so empty documents keep a null row instead of needing a join-back to
+    the base scan), one map-side-combinable (doc, tag, gram) count
+    aggregation builds both histograms, and a per-doc conditional
+    aggregation takes the sums and peaks. The line stats ride along as
+    group-constant columns (16 bytes per pair row — cheaper than the two
+    doc_id join-backs + two extra corpus scans they replace). Sharded by
+    document so no gram hot-key exists. No windows, no driver transfer."""
     t = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
-    base = df.select(
+    words = word_tokens(t)
+    tagged = F.concat(
+        F.transform(
+            words, lambda w: F.struct(F.lit(0).alias("tag"), w.alias("g"))
+        ),
+        F.transform(
+            _bigram_strings(words),
+            lambda g: F.struct(F.lit(1).alias("tag"), g.alias("g")),
+        ),
+    )
+    occ = df.select(
         id_col,
-        word_tokens(t).alias("__w"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+        F.explode_outer(tagged).alias("p"),
     )
-    wc = (
-        base.select(id_col, F.explode("__w").alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").alias("c"))
+    pairs = occ.groupBy(
+        id_col, F.col("p.tag").alias("__tag"), F.col("p.g").alias("__g")
+    ).agg(
+        F.count("*").alias("__c"),
+        F.first("n_lines").alias("n_lines"),
+        F.first("n_distinct_lines").alias("n_distinct_lines"),
     )
-    wstats = wc.groupBy(id_col).agg(
-        F.sum("c").alias("n_words"), F.max("c").alias("max_word_count")
-    )
-    bigram_arr = F.when(F.size(F.col("__w")) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__w")) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("__w"), i + 1),
-                F.element_at(F.col("__w"), i + 2),
-            ),
-        )
-    )
-    bc = (
-        base.select(id_col, F.explode(bigram_arr).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-    )
-    bstats = bc.groupBy(id_col).agg(
-        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram_count")
-    )
-    return (
-        base.select(id_col, "n_lines", "n_distinct_lines")
-        .join(wstats, id_col, "left")
-        .join(bstats, id_col, "left")
-        .select(
-            id_col,
-            "n_lines",
-            "n_distinct_lines",
-            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce(F.col("max_word_count"), F.lit(0))
-            .cast("long")
-            .alias("max_word_count"),
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce(F.col("max_bigram_count"), F.lit(0))
-            .cast("long")
-            .alias("max_bigram_count"),
-        )
+    return pairs.groupBy(id_col).agg(
+        F.first("n_lines").alias("n_lines"),
+        F.first("n_distinct_lines").alias("n_distinct_lines"),
+        F.sum(F.when(F.col("__tag") == 0, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("n_words"),
+        F.coalesce(F.max(F.when(F.col("__tag") == 0, F.col("__c"))), F.lit(0))
+        .cast("long")
+        .alias("max_word_count"),
+        F.sum(F.when(F.col("__tag") == 1, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.coalesce(F.max(F.when(F.col("__tag") == 1, F.col("__c"))), F.lit(0))
+        .cast("long")
+        .alias("max_bigram_count"),
     )
 
 
@@ -207,36 +201,30 @@ def lm_score(
     Scale design: the LM tables are pruned to top_v grams and BROADCAST,
     so scoring is a map-side join — the corpus never shuffles and the
     hot-gram skew of a shuffle join on 'of the' never exists. The only
-    corpus-sized jobs are the two training count aggs."""
+    corpus-sized jobs are the two training count aggs. Empty-bigram
+    documents are kept by ``explode_outer`` (one null-gram row each) and
+    zeroed by conditional aggregation — no join-back to the base scan, so
+    the corpus is read once for scoring and the plan contains only the
+    two broadcast joins (plan-asserted in tests/test_scale.py)."""
     uni, bi = lm_tables(df, text_col=text_col, top_v=top_v)
-    words = word_tokens(F.col(text_col))
-    base = df.select(id_col, words.alias("__w"))
-    occ = base.select(
-        id_col, F.explode(_bigram_strings(F.col("__w"))).alias("g")
+    occ = df.select(
+        id_col,
+        F.explode_outer(_bigram_strings(word_tokens(F.col(text_col)))).alias("g"),
     ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
     scored = occ.join(F.broadcast(bi), "g", "left").join(
         F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left"
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0)).alias("n_unseen"),
-        F.sum(F.coalesce(F.col("c2"), F.lit(0))).alias("sum_bigram_count"),
-        F.sum(F.coalesce(F.col("c1"), F.lit(0))).alias("sum_context_count"),
-    )
-    return (
-        base.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long").alias("n_unseen"),
-            F.coalesce(F.col("sum_bigram_count"), F.lit(0))
-            .cast("long")
-            .alias("sum_bigram_count"),
-            F.coalesce(F.col("sum_context_count"), F.lit(0))
-            .cast("long")
-            .alias("sum_context_count"),
-        )
+    return scored.groupBy(id_col).agg(
+        F.count("g").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("g").isNotNull() & F.col("c2").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.sum(F.coalesce(F.col("c2"), F.lit(0)))
+        .cast("long")
+        .alias("sum_bigram_count"),
+        F.sum(F.coalesce(F.col("c1"), F.lit(0)))
+        .cast("long")
+        .alias("sum_context_count"),
     )
 
 
@@ -247,37 +235,40 @@ def lm_perplexity(
     top_v: int = 10000,
 ) -> DataFrame:
     """Per-document bigram cross-entropy and perplexity under an add-one
-    smoothed corpus LM: logp(w2|w1) = ln((c2+1)/(c1+V)) with V the pruned
-    unigram vocabulary size, counts 0 for pruned/unseen grams. The float
-    layer over :func:`lm_score`'s plan (same broadcast joins); exactness
-    is pytest-checked against a pure-Python reference because ln() is not
-    bit-identical across engines. Documents with no bigrams get NULLs."""
+    smoothed corpus LM: logp(w2|w1) = ln((c2+1)/(c1'+V)) with V the pruned
+    unigram vocabulary size, counts 0 for pruned/unseen grams, and
+    c1' = max(c1, c2) — the context count clamped to at least the bigram
+    count. The clamp matters only when the two tables prune incoherently
+    (a bigram survives top-V while its context unigram is pruned, which
+    real counts can't produce: c(w1) >= c(w1 w2) always); without it,
+    (c2+1)/(0+V) can exceed 1 on skewed corpora, yielding positive logp
+    and perplexity < 1. With it, probabilities stay <= 1 and perplexity
+    >= 1 unconditionally. The float layer over :func:`lm_score`'s plan
+    (same broadcast joins, same explode_outer no-join-back shape);
+    exactness is pytest-checked against a pure-Python reference because
+    ln() is not bit-identical across engines. Documents with no bigrams
+    get NULLs."""
     uni, bi = lm_tables(df, text_col=text_col, top_v=top_v)
     vocab_v = uni.count()
-    words = word_tokens(F.col(text_col))
-    base = df.select(id_col, words.alias("__w"))
-    occ = base.select(
-        id_col, F.explode(_bigram_strings(F.col("__w"))).alias("g")
+    occ = df.select(
+        id_col,
+        F.explode_outer(_bigram_strings(word_tokens(F.col(text_col)))).alias("g"),
     ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
     scored = occ.join(F.broadcast(bi), "g", "left").join(
         F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left"
     )
-    logp = F.log(
-        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
-        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab_v)))
-    )
+    c2 = F.coalesce(F.col("c2"), F.lit(0))
+    c1 = F.greatest(F.coalesce(F.col("c1"), F.lit(0)), c2)
+    logp = F.log((c2 + F.lit(1.0)) / (c1 + F.lit(float(vocab_v))))
     per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"), F.avg(logp).alias("__mean_logp")
+        F.count("g").cast("long").alias("n_bigrams"),
+        F.avg(F.when(F.col("g").isNotNull(), logp)).alias("__mean_logp"),
     )
-    return (
-        base.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            (-F.col("__mean_logp")).alias("cross_entropy"),
-            F.exp(-F.col("__mean_logp")).alias("perplexity"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        (-F.col("__mean_logp")).alias("cross_entropy"),
+        F.exp(-F.col("__mean_logp")).alias("perplexity"),
     )
 
 

@@ -949,6 +949,29 @@ def test_lm_score_and_perplexity(spark):
         assert pruned[i] == expect, (i, pruned[i], expect)
 
 
+def test_lm_perplexity_coherent_under_incoherent_pruning(spark):
+    """The unigram and bigram tables prune independently, so a bigram can
+    survive top-V while its context unigram is pruned (c2>0, c1=0).
+    lm_perplexity clamps the context count to max(c1, c2) so smoothed
+    probabilities stay <= 1: cross-entropy >= 0 and perplexity >= 1 even
+    on corpora engineered to trigger the incoherence. Without the clamp,
+    this corpus yields logp = ln((5+1)/(0+3)) > 0 and perplexity < 1."""
+    # Fillers: 3 unigrams x count 10 each, in single-word docs (no
+    # bigrams). Then 5 docs "x y": unigram counts x=5, y=5 are pruned at
+    # top_v=3, but "x y" (count 5) is the ONLY bigram and survives.
+    rows = [(i, f"w{i % 3}") for i in range(30)] + [
+        (100 + j, "x y") for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.lm_perplexity(df, top_v=3).collect()}
+    for j in range(5):
+        r = out[100 + j]
+        assert r.n_bigrams == 1
+        # clamp: logp = ln((5+1)/(max(0,5)+3)) = ln(6/8) < 0
+        assert math.isclose(r.cross_entropy, -math.log(6.0 / 8.0), rel_tol=1e-12)
+        assert r.cross_entropy > 0 and r.perplexity > 1
+
+
 def test_duplicated_span_stats_known_counts(spark):
     """dedup.duplicated_span_stats: cross-document k-gram overlap on a
     crafted corpus — a sentence shared verbatim by two docs is counted
