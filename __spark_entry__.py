@@ -859,8 +859,23 @@ def q_text_bpe_segment(spark, sf_dir):
 
 
 def q_sim_embedding_near_dup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.95)
+    """LSH-blocked embedding near-dup pairs over a corpus with PLANTED
+    duplicates: every 10th vector re-enters under vec_id+1,000,000 as an
+    exact copy. The synthesized embeddings table has no natural near-dups
+    (max blocked cosine ~0.42 at sf0.01), so without planting this entry
+    returned 0 rows and the driver's rows-only gate verified nothing
+    (VERDICT r6 item 6). With planting, the result is deterministic and
+    non-empty at every sf: exactly one pair per planted copy (identical
+    vectors share every hyperplane sign, so LSH blocking MUST bucket them
+    together, and cosine = 1 >= 0.99), and the id_a < id_b ordering plus
+    threshold exclude everything else."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return similarity.embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.99
+    )
 
 
 def q_multimodal_bytes(spark, sf_dir):
@@ -1878,25 +1893,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extension family (curation, sharding, dedup, similarity, multimodal,
     text, events, TPC-H shapes).
 
-    Round-6 rotation (policy: every oracle-backed family keeps a driver
+    Round-7 rotation (policy: every oracle-backed family keeps a driver
     row within two rounds; entries green across multiple rounds with
-    in-sweep shape siblings cycle past the cap): fourteen entries enter
-    the sweep — the twelve TPC-H shapes that had never had a driver row
-    (q6/q14/q19 added past-cap in round 5 and verified locally; q7/q8/
-    q9/q11/q12/q13/q15/q16/q20 registered this round after the round-5
-    orphan fix) and the two new round-6 oracle-backed entries
-    (sim_pq_encode_fixed — the PQ family's first hash-checked driver
-    row; events_attribution — the stream-stream interval join's batch
-    form). Fourteen long-green entries with in-sweep siblings rotate out
-    (rel_left_outer ~ rel_full_outer, sort_orderby ~ every ORDER BY
-    query, text_vocab_topk/text_fingerprint/text_langid/text_ttr ~
-    text_quality + text_pii_redact, sim_embedding_quantize ~
-    sim_cosine_topk + sim_pq_encode_fixed, agg_rollup ~ agg_pivot,
-    scalar_string_funcs ~ curation_mixture's md5/CASE strings,
-    skew_salted_join + tpch_q18 ~ the flagship/TPC-H join family,
-    events_retention ~ sessionize/funnel/top_paths/attribution,
-    curation_split + curation_sample ~ quota/mixture/contamination/
-    quality_report). The prior rounds' rotation history lives in git.
+    in-sweep shape siblings cycle past the cap): the three round-6
+    operators enter the sweep — text_repetition (Gopher repetition
+    stats), text_lm_score (CCNet-style n-gram LM scoring),
+    dedup_span_stats (ExactSubstr span counting) — all verified
+    hash-green locally in rounds 6 AND 7 but never driver-checked
+    (VERDICT r6 item 4). Three multi-round-green entries with in-sweep
+    siblings rotate out: events_funnel ~ sessionize/top_paths/
+    attribution, curation_quota ~ mixture/contamination/quality_report,
+    tpch_q5_local_supplier_volume ~ the thirteen other TPC-H join
+    shapes still in the sweep. The prior rounds' rotation history lives
+    in git (round 6 rotated in the twelve orphaned TPC-H shapes +
+    sim_pq_encode_fixed + events_attribution).
     The rows-only (non-SQL-expressible) entries stay at the end. ALL
     entries — the count is asserted against COVERAGE.md by
     tests/test_scale.py::test_registry_contract — are verified locally
@@ -1917,6 +1927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
         "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
         "events_attribution": q_events_attribution,
+        "text_repetition": q_text_repetition,
+        "text_lm_score": q_text_lm_score,
+        "dedup_span_stats": q_dedup_span_stats,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "text_pii_redact": q_text_pii_redact,
@@ -1927,7 +1940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
-        "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
@@ -1942,23 +1954,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
         "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "multimodal_bytes": q_multimodal_bytes,
-        "curation_quota": q_curation_quota,
         "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
         "pipeline_curate": q_pipeline_curate,
         "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
-        # rotated out after multiple green driver rounds — or, for the
-        # newest additions, queued to rotate IN next round) ---
-        "text_repetition": q_text_repetition,
-        "text_lm_score": q_text_lm_score,
-        "dedup_span_stats": q_dedup_span_stats,
+        # rotated out after multiple green driver rounds) ---
+        "events_funnel": q_events_funnel,
+        "curation_quota": q_curation_quota,
+        "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "rel_left_outer": q_rel_left_outer,
         "sort_orderby": q_sort_orderby,
         "text_vocab_topk": q_text_vocab_topk,

@@ -72,29 +72,32 @@ EXTENDED = [
     "text_lm_score",
 ]
 
-# Map-only extended entries are forced through the noop sink instead of
-# .count(): Catalyst prunes a count over a pure projection down to a
-# parquet metadata read, so the .count() protocol measured almost none of
-# their md5/tokenization work (~0.12 s "baselines" in round 4 that would
-# jump misleadingly if anything ever defeated the pruning). The noop sink
-# executes every operator and discards rows. Their pre-round-5 numbers
-# are annotated as metadata-count timings in BASELINE.md; round-5 noop
-# measurements are their real baselines. The HEADLINE set stays on the
-# frozen .count() protocol for cross-round comparability.
-MAP_ONLY_NOOP = {
+# Join-elimination-prone extended entries are forced through the noop
+# sink instead of .count(): Catalyst prunes a count over a pure
+# projection down to a parquet metadata read (round-4 lesson: ~0.12 s
+# "baselines" for md5/tokenization work), and also ELIMINATES left joins
+# on unique keys under count (round-6 lesson: ~0.4 s readings vs
+# ~10-28 s of real work). The noop sink executes every operator and
+# discards rows. Pre-noop numbers are annotated as metadata-count
+# timings in BASELINE.md. The HEADLINE set stays on the frozen .count()
+# protocol for cross-round comparability.
+NOOP_SINK = {
     "curation_split",
     "text_ttr",
     "text_pii_redact",
     "sim_embedding_quantize",
-    # Round-6 lesson, second verse of the same song: .count() also lets
-    # Catalyst ELIMINATE left joins on unique keys (output cardinality
-    # provably unchanged -> count collapses to the base scan) and prune
-    # map-only projections, so these round-6 entries measured ~0.4 s
-    # under .count() vs ~10-28 s of real work under the noop sink.
     "sim_pq_encode_fixed",
     "text_repetition",
     "text_lm_score",
 }
+
+# Headline entries with the same .count()-collapse hazard (pure map-only
+# projections: the frozen .count() reading is a parquet metadata scan,
+# not the operator's work). They stay in the frozen total unchanged —
+# but each run ALSO records their noop-sink time in `headline_noop`, so
+# a regression in the actual md5/tokenization/langid work is visible
+# instead of hiding behind the footer read (VERDICT r6 item 5).
+HEADLINE_NOOP = ["text_quality", "tuple_hash", "text_langid"]
 
 
 def environment() -> dict:
@@ -211,13 +214,23 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
 
+    headline_noop: dict[str, float] = {}
+    for name in HEADLINE_NOOP:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            run_query(fn, spark, sf_dir, noop=True)
+            best = min(best, time.time() - t0)
+        headline_noop[name] = round(best, 3)
+
     extended: dict[str, float] = {}
     for name in EXTENDED:
         fn = qs[name]
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()
-            run_query(fn, spark, sf_dir, noop=name in MAP_ONLY_NOOP)
+            run_query(fn, spark, sf_dir, noop=name in NOOP_SINK)
             best = min(best, time.time() - t0)
         extended[name] = round(best, 3)
 
@@ -228,6 +241,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "headline_noop": headline_noop,
                 "extended": extended,
                 "sf": sf,
                 "environment": {
