@@ -70,7 +70,11 @@ class SessionRegistry:
     def fetch(self, cursor_id: str, limit: int = DEFAULT_BATCH) -> list[Row]:
         cur = self._cursors.get(cursor_id)
         if cur is None or cur.closed:
-            raise errors.CursorError(f"unknown or closed cursor: {cursor_id}")
+            # Message verbatim from the reference registry (lib/session.ml:42-44).
+            raise errors.CursorError(
+                f"The cursor with identifier `{cursor_id}` was not found in "
+                "the session registry."
+            )
         batch = list(itertools.islice(cur.iterator, limit))
         cur.position += len(batch)
         if len(batch) < limit:

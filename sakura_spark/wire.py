@@ -122,28 +122,73 @@ def _sexp_atom(v) -> str:
     return str(v)
 
 
+def _atom(v) -> str:
+    """sexplib-style atom: quoted only when it must be (whitespace, parens,
+    quotes, empty); simple symbols — tags, hashes, relation names — render
+    bare, exactly as the reference's serialized responses do."""
+    s = str(v)
+    if s and not any(c in s for c in ' \t\n\r()";|'):
+        return s
+    return _sexp_atom(s)
+
+
+def _ocaml_float(f: float) -> str:
+    """OCaml ``string_of_float`` parity for tuple values: %.12g with a
+    trailing '.' on integral results ("2." not "2.0"); NaN and infinities
+    collapse to "nan" (Conventions.AbstractValue.sexp_of_t,
+    lib/conventions.ml:37-40)."""
+    import math
+
+    if math.isnan(f) or math.isinf(f):
+        return "nan"
+    s = "%.12g" % f
+    return s if ("." in s or "e" in s or "E" in s) else s + "."
+
+
+def _value_atom(v) -> str:
+    """One tuple attribute value, rendered the way the reference's
+    AbstractValue serializer does (lib/conventions.ml:31-41): ints bare
+    (OCaml bools are immediate ints -> 1/0), floats via string_of_float,
+    strings as sexplib atoms (quoted only when needed), anything the
+    reference could not represent as <opaque>."""
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return _ocaml_float(v)
+    if v is None:
+        return "<opaque>"
+    return _atom(v)
+
+
+def _parsed_sexp_str(x) -> str:
+    """Re-render a read_sexp() value structurally — the inverse of the
+    parser's representation (quoted atoms carry a leading '\"' sentinel).
+    Used to embed the offending expression in malformed-expression the way
+    lib/error.ml:30 embeds the parsed Sexp.t, not the source text."""
+    if isinstance(x, list):
+        return "(" + " ".join(_parsed_sexp_str(i) for i in x) + ")"
+    return _atom(x[1:] if isinstance(x, str) and x.startswith('"') else x)
+
+
 def error_sexp(e: Exception) -> str:
     """Render an exception as the reference listener's error response:
-    ``((error (<kebab-variant> (field value) ...)))`` — variant atoms and
-    field spellings exactly per lib/error.ml:17-33 (relation-not-found,
-    relation-already-exists, tuple-not-found, duplicate-tuple,
-    constraint-violation, unrecognized-sublanguage, malformed-expression,
-    syntax-error, conflict, sublanguage-error). Non-Sakura exceptions
-    (Py4J, bugs) keep the InternalError extension — the reference's OCaml
-    type system has no analogue of an escaping runtime exception."""
-
-    def atom(v) -> str:
-        # sexplib quotes an Atom only when it must (whitespace, parens,
-        # quotes, empty); simple symbols — tags, hashes, relation names —
-        # render bare, exactly as the reference's serialized errors do.
-        s = str(v)
-        if s and not any(c in s for c in ' \t\n\r()";|'):
-            return s
-        return _sexp_atom(s)
+    ``(error (<kebab-variant> (field value) ...))`` — the single-List wrap
+    of lib/listener.ml:98, variant atoms and field spellings exactly per
+    lib/error.ml:17-33 (relation-not-found, relation-already-exists,
+    tuple-not-found, duplicate-tuple, constraint-violation,
+    unrecognized-sublanguage, malformed-expression, syntax-error, conflict,
+    sublanguage-error). SCL cursor failures nest the sublanguage's own
+    error sexp — (sublanguage-error (error (cursor-error ...))) — matching
+    Error.SublanguageError (lib/scl/executor.ml:24-28). Non-Sakura
+    exceptions (Py4J, bugs) keep the InternalError extension — the
+    reference's OCaml type system has no analogue of an escaping runtime
+    exception."""
 
     def render(tag: str, *fields: tuple[str, object]) -> str:
-        payload = "".join(f" ({k} {atom(v)})" for k, v in fields)
-        return f"((error ({tag}{payload})))"
+        payload = "".join(f" ({k} {_atom(v)})" for k, v in fields)
+        return f"(error ({tag}{payload}))"
 
     if isinstance(e, errors.UnknownRelation):
         return render("relation-not-found", ("relation", str(e)))
@@ -158,7 +203,11 @@ def error_sexp(e: Exception) -> str:
     if isinstance(e, errors.UnrecognizedSublanguage):
         return render("unrecognized-sublanguage", ("tag", str(e)))
     if isinstance(e, errors.MalformedExpression):
-        return render("malformed-expression", ("expression", str(e)))
+        # lib/error.ml:30 embeds the PARSED sexp structurally, not the
+        # quoted source text; the raiser attaches it as e.sexp.
+        inner = getattr(e, "sexp", None)
+        embedded = _parsed_sexp_str(inner) if inner is not None else _atom(str(e))
+        return f"(error (malformed-expression (expression {embedded})))"
     if isinstance(e, errors.Conflict):
         return render(
             "conflict",
@@ -167,6 +216,10 @@ def error_sexp(e: Exception) -> str:
         )
     if isinstance(e, ParseError):
         return render("syntax-error", ("message", str(e)))
+    if isinstance(e, errors.CursorError):
+        # lib/scl/executor.ml:28 (cursor-error <msg>) nested under the
+        # listener's SublanguageError wrap (lib/listener.ml:38).
+        return f"(error (sublanguage-error (error (cursor-error {_atom(str(e))}))))"
     if isinstance(e, errors.SakuraError):
         # Any other engine diagnostic wraps like the reference's
         # SublanguageError catch-all (lib/error.ml:31).
@@ -241,7 +294,11 @@ class Server:
             base_hash = _atom_str(sexp[1])
             sexp = sexp[2]
         if not (isinstance(sexp, list) and len(sexp) == 2 and isinstance(sexp[0], str)):
-            raise errors.MalformedExpression(text.strip())  # lib/listener.ml:44-45
+            # lib/listener.ml:44-45 — MalformedExpression carries the
+            # PARSED sexp (lib/error.ml:30 embeds it structurally).
+            exc = errors.MalformedExpression(text.strip())
+            exc.sexp = sexp
+            raise exc
         tag, stmt = sexp
         handler = getattr(self, f"_exec_{tag}", None)
         if handler is None:
@@ -254,10 +311,48 @@ class Server:
                 and self.db.hash is not None
                 and base_hash != self.db.hash
             ):
-                raise errors.Conflict(expected=base_hash, actual=self.db.hash)
+                raise self._conflict(base_hash, tag, stmt, handler)
             result = handler(stmt)
             self._advance_head()
         return result
+
+    def _conflict(self, base_hash: str, tag: str, stmt, handler) -> Exception:
+        """Build the Conflict for a stale-base mutation with the REFERENCE's
+        field semantics (lib/listener.ml:53-58): old-hash is the stale base
+        the command executed against, new-hash is the db hash the command
+        WOULD have produced from that base (Conflict.new_db is the rejected
+        transition result, not the head that won the race). We check the
+        CAS before applying, so the would-be result is computed by
+        speculatively replaying the command against the stale snapshot —
+        loaded from the store, mutated, discarded; the live head is never
+        touched, and content-addressed writes of the speculative snapshot
+        are harmless. Restricted to pure db transitions (ddl/dml/icl);
+        DCL mutations also move branch state, which a speculative replay
+        must not do — for those, new-hash reports the winning head and the
+        divergence is documented here. If the stale manifest is not in the
+        store (snapshot-off servers), same fallback."""
+        if tag not in ("ddl", "dml", "icl"):
+            return errors.Conflict(expected=base_hash, actual=self.db.hash)
+        try:
+            stale = Database.load(self.spark, base_hash, self.db.store, name=self.db.name)
+        except Exception:
+            return errors.Conflict(expected=base_hash, actual=self.db.hash)
+        live = self.db
+        try:
+            self.db = stale
+            handler(stmt)
+            out = self.db  # handlers may rebind self.db (CreateDatabase)
+            would_be = out.hash if out.hash is not None else out.commit()
+        except errors.SakuraError as exc:
+            # Reference ordering: execution happens BEFORE the CAS
+            # (lib/listener.ml perform), so a command that fails on its
+            # stale base surfaces ITS error, not Conflict.
+            return exc
+        except Exception:
+            return errors.Conflict(expected=base_hash, actual=live.hash)
+        finally:
+            self.db = live
+        return errors.Conflict(expected=base_hash, actual=would_be)
 
     # --- DRL ---------------------------------------------------------------
 
@@ -268,16 +363,35 @@ class Server:
         except errors.UnknownBranch:
             return "--"
 
-    def _relation_response(self, df, name: str = "derived") -> dict:
+    def _relation_response(self, df, name: str = "derived", schema_pairs=None) -> dict:
         """Query response, field-for-field the reference's serialize shape
         (lib/listener.ml:111-123): name, schema, rows, row_count,
-        truncated, db_hash, db_name, branch."""
+        truncated, db_hash, db_name, branch.
+
+        Truncation edge per lib/listener.ml:67-83 (materialize_generator):
+        the flag means "collection STOPPED at the limit", which is true as
+        soon as `limit` rows were gathered — a relation of EXACTLY 16 rows
+        reports truncated=true (the generator is never advanced past the
+        16th row to learn it was the last). We fetch limit+1 and keep 16,
+        so the flag is >= limit, reproducing that edge.
+
+        ``schema_domains`` carries (attr, declared-domain) pairs for the
+        listener sexp shape (the reference serializes Relation.schema's
+        domain names); derived queries fall back to the Spark-type ->
+        domain mapping used by the sakura:attribute catalog."""
+        from sakura_spark.domains import domain_for_spark_type
+
         rows = df.limit(self.result_limit + 1).collect()
-        truncated = len(rows) > self.result_limit
+        truncated = len(rows) >= self.result_limit
         kept = rows[: self.result_limit]
+        if schema_pairs is None:
+            schema_pairs = [
+                (f.name, domain_for_spark_type(f.dataType)) for f in df.schema.fields
+            ]
         return {
             "relation": name,
             "schema": df.columns,
+            "schema_domains": [tuple(p) for p in schema_pairs],
             "rows": [list(r) for r in kept],
             "row_count": len(kept),
             "truncated": truncated,
@@ -289,7 +403,17 @@ class Server:
     def _exec_drl(self, stmt) -> dict:
         q = _build(stmt)
         df = compile_query(self.spark, q, self.db.resolver, gate=True)
-        return self._relation_response(df)
+        # A plain (Base "x") serializes under the stored relation's name
+        # and declared schema domains, like the reference's Query result
+        # (rel.Relation.name / rel.Relation.schema); derived queries are
+        # anonymous.
+        name, pairs = "derived", None
+        if isinstance(stmt, list) and len(stmt) == 2 and stmt[0] == "Base":
+            name = _atom_str(stmt[1])
+            rel = self.db.state.relations.get(name)
+            if rel is not None:
+                pairs = rel.schema_pairs
+        return self._relation_response(df, name=name, schema_pairs=pairs)
 
     # --- DDL ---------------------------------------------------------------
 
@@ -301,18 +425,18 @@ class Server:
                 self.spark, _atom_str(stmt[1]), store=self.db.store,
                 snapshot_on_mutation=self.db.snapshot_on_mutation,
             )
-            return self._ok()
+            return self._ok(f"Database created: {self.db.name}")
         if tag == "CreateRelation":
             f = _fields(stmt)
             schema = [(_atom_str(p[0]), _atom_str(p[1])) for p in f["schema"]]
             self.db.create_relation(_atom_str(f["name"]), schema)
-            return self._ok()
+            return self._ok(f"Relation created: {_atom_str(f['name'])}")
         if tag == "RetractRelation":
             self.db.retract_relation(_atom_str(stmt[1]))
-            return self._ok()
+            return self._ok(f"Relation retracted: {_atom_str(stmt[1])}")
         if tag == "ClearRelation":
             self.db.clear_relation(_atom_str(stmt[1]))
-            return self._ok()
+            return self._ok(f"Relation cleared: {_atom_str(stmt[1])}")
         if tag == "RegisterDomain":
             from sakura_spark.domains import Domain
             from pyspark.sql import types as T
@@ -325,7 +449,7 @@ class Server:
             self.db.register_domain(
                 Domain(_atom_str(f["name"]), T.StringType(), cardinality=card_name.lower())
             )
-            return self._ok()
+            return self._ok(f"Domain registered: {_atom_str(f['name'])}")
         raise ParseError(f"unknown ddl statement: {tag!r}")
 
     # --- DML ---------------------------------------------------------------
@@ -373,7 +497,7 @@ class Server:
             _atom_str(f["relation_name"]),
             parse_constraint_body(f["body"]),
         )
-        return self._ok()
+        return self._ok(f"Constraint registered: {_atom_str(f['constraint_name'])}")
 
     # --- DCL ---------------------------------------------------------------
 
@@ -383,18 +507,25 @@ class Server:
             f = _fields(stmt)
             h = _atom_str(f["hash"]) if "hash" in f else self.db.hash or self.db.commit()
             self.branches.create_branch(_atom_str(f["name"]), h)
-            return self._ok()
+            return self._ok(f"Branch {_atom_str(f['name'])} created")
         if tag == "Checkout":
             self.db = self.branches.checkout(self.spark, _atom_str(stmt[1]))
-            return self._ok()
+            return self._ok(f"HEAD:{_atom_str(stmt[1])}")
         if tag == "GetHead":
-            return {"head": self.branches.get_head(), "db_hash": self.db.hash}
+            # lib/dcl/executor.ml:61-62: an unset HEAD is not an error —
+            # the Transition message says so ("HEAD is unset").
+            try:
+                head = self.branches.get_head()
+            except errors.UnknownBranch:
+                return {"head": None, "db_hash": self.db.hash, "message": "HEAD is unset"}
+            return {"head": head, "db_hash": self.db.hash, "message": f"HEAD:{head}"}
         if tag == "GetBranchTip":
-            return {"tip": self.branches.get_branch_tip(_atom_str(stmt[1]))}
+            tip = self.branches.get_branch_tip(_atom_str(stmt[1]))
+            return {"tip": tip, "message": f"branch:{_atom_str(stmt[1])}={tip}"}
         if tag == "UpdateBranchTip":
             f = _fields(stmt)
             self.branches.update_branch_tip(_atom_str(f["name"]), _atom_str(f["hash"]))
-            return self._ok()
+            return self._ok(f"Branch {_atom_str(f['name'])} updated")
         if tag == "Merge":
             f = _fields(stmt)
             strategy = _STRATEGIES[
@@ -405,7 +536,11 @@ class Server:
             )
             if self.branches.get_head() == _atom_str(f["left"]):
                 self.db = merged
-            return {"conflicts": conflicts, "db_hash": merged.hash}
+            return {
+                "conflicts": conflicts,
+                "db_hash": merged.hash,
+                "message": f"Merged:{_atom_str(f['right'])}\u2192{_atom_str(f['left'])}",
+            }
         raise ParseError(f"unknown dcl statement: {tag!r}")
 
     # --- SCL ---------------------------------------------------------------
@@ -430,16 +565,22 @@ class Server:
         if tag == "Close":
             f = _fields(stmt)
             self.sessions.close(_atom_str(f["cursor"]))
-            return self._ok()
+            return self._ok("cursor closed")
         raise ParseError(f"unknown scl statement: {tag!r}")
 
     # --- internals ---------------------------------------------------------
 
-    def _ok(self) -> dict:
+    def _ok(self, message: str = "updated") -> dict:
         """Transition response (lib/listener.ml serialize Ok Transition):
-        ok + db_hash + db_name + branch."""
+        ok + message + db_hash + db_name + branch. Message strings follow
+        the reference executors verbatim (lib/ddl/executor.ml:34-61
+        "Relation created: N" etc., lib/dml/sublanguage.ml:19 "updated",
+        lib/icl/executor.ml:52 "Constraint registered: N",
+        lib/dcl/executor.ml:42-96, lib/scl/sublanguage.ml:22
+        "cursor closed")."""
         return {
             "ok": True,
+            "message": message,
             "db_hash": self.db.hash,
             "db_name": self.db.name,
             "branch": self._branch_name(),
@@ -447,8 +588,13 @@ class Server:
 
     def _cursor_response(self, cid: str, batch, schema: list[str] | None = None) -> dict:
         """Cursor response (lib/listener.ml serialize Ok Cursor): id, rows,
-        row_count, has_more, db_hash, db_name, branch (+ schema on Begin)."""
-        out = {
+        row_count, has_more, db_hash, db_name, branch. The schema rides
+        along in the dict (column names for the listener sexp's
+        attribute-pair row shape — the reference's Cursor serialize has no
+        schema field; its rows carry attribute names in-band)."""
+        if schema is None and batch:
+            schema = list(batch[0].__fields__)
+        return {
             "cursor": cid,
             "rows": [list(r) for r in batch],
             "row_count": len(batch),
@@ -456,18 +602,71 @@ class Server:
             "db_hash": self.db.hash,
             "db_name": self.db.name,
             "branch": self._branch_name(),
+            "schema": schema or [],
         }
-        if schema is not None:
-            out["schema"] = schema
-        return out
+
+    def _listener_sexp(self, d: dict) -> str:
+        """Render a response dict as the reference listener's EXACT output
+        shape (lib/listener.ml:96-130 serialize): a tagged list
+        ``(relation ...)`` / ``(cursor ...)`` / ``(ok ...)`` whose rows are
+        attribute-name-sorted (attr value) pairs (tuple_to_sexp over the
+        AttributeMap) with AbstractValue-style value atoms. The richer
+        dict from :meth:`execute` stays the in-process API; this is the
+        byte-level wire surface."""
+
+        def pair(k, v):
+            return f"({k} {_atom(v)})"
+
+        def bool_atom(b):
+            return "true" if b else "false"
+
+        def row_pairs(schema, row):
+            cells = sorted(zip(schema, row), key=lambda kv: kv[0])
+            return "(" + " ".join(f"({a} {_value_atom(v)})" for a, v in cells) + ")"
+
+        db_hash = d.get("db_hash") or "--"
+        tail = (
+            f"{pair('db_hash', db_hash)} "
+            f"{pair('db_name', d.get('db_name', self.db.name))} "
+            f"{pair('branch', d.get('branch', self._branch_name()))}"
+        )
+        if "relation" in d:
+            schema = "(" + " ".join(f"({a} {dom})" for a, dom in d["schema_domains"]) + ")"
+            rows = "(" + " ".join(row_pairs(d["schema"], r) for r in d["rows"]) + ")"
+            return (
+                f"(relation (name {_atom(d['relation'])}) (schema {schema}) "
+                f"(rows {rows}) (row_count {d['row_count']}) "
+                f"(truncated {bool_atom(d['truncated'])}) {tail})"
+            )
+        if "cursor" in d:
+            rows = "(" + " ".join(row_pairs(d["schema"], r) for r in d["rows"]) + ")"
+            return (
+                f"(cursor (id {_atom(d['cursor'])}) (rows {rows}) "
+                f"(row_count {d['row_count']}) "
+                f"(has_more {bool_atom(d['has_more'])}) {tail})"
+            )
+        if d.get("conflicts"):
+            # The reference's Merge surfaces conflicts as the DCL
+            # sublanguage error (lib/dcl/executor.ml:84-91) wrapped by the
+            # listener's SublanguageError (lib/listener.ml:38); the dict
+            # API returns them in-band instead.
+            msg = "Merge failed: " + "; ".join(str(c) for c in d["conflicts"])
+            return f"(error (sublanguage-error (error (conflict {_sexp_atom(msg)}))))"
+        # Transition / informational: (ok (message M) (db_hash ...) ...)
+        # — GetHead/GetBranchTip are Transitions whose payload is the
+        # message string ("HEAD:main", "branch:n=h"), lib/dcl/executor.ml:62,68.
+        msg = d.get("message", "updated")
+        return f"(ok (message {_atom(msg)}) {tail})"
 
     def execute_sexp(self, text: str, base_hash: str | None = None) -> str:
         """Full listener parity: execute and render the response as an
-        S-expression string (lib/listener.ml:111-123 shape); errors render
-        with the reference's kebab-case variant atoms and (field value)
-        payloads (lib/error.ml:17-33) via :func:`error_sexp`."""
+        S-expression string — the reference's serialize shapes
+        (lib/listener.ml:96-130) via :meth:`_listener_sexp`; errors render
+        single-wrapped with the reference's kebab-case variant atoms and
+        (field value) payloads (lib/error.ml:17-33) via
+        :func:`error_sexp`."""
         try:
-            return render_sexp(self.execute(text, base_hash=base_hash))
+            return self._listener_sexp(self.execute(text, base_hash=base_hash))
         except Exception as e:  # noqa: BLE001 — listener parity: EVERY
             # failure serializes as a response (lib/listener.ml renders all
             # exceptions); letting a Py4J/AnalysisException escape would

@@ -161,7 +161,7 @@ def test_tcp_concurrent_writers_serialize(spark, store):
                     )
                     f.flush()
                     resp = f.readline().strip()
-                    if not resp.startswith("((ok true)"):
+                    if not resp.startswith("(ok (message "):
                         errors_seen.append(resp)
                 c.close()
             except Exception as exc:  # noqa: BLE001
@@ -210,7 +210,7 @@ def test_tcp_cas_soak_16_writers(spark, store):
             try:
                 c = pysocket.create_connection((fe.host, fe.port), timeout=300)
 
-                def command(cmd: str) -> dict:
+                def command(cmd: str):
                     c.sendall(cmd.encode())
                     chunks = b""
                     while not chunks.endswith(b"\n"):
@@ -218,12 +218,15 @@ def test_tcp_cas_soak_16_writers(spark, store):
                         if not d:
                             raise ConnectionError("server closed connection")
                         chunks += d
+                    # Listener shape: (tag payload...) — (ok ...)/(relation
+                    # ...) carry (field value) pairs, (error (<variant> ..)).
                     # NOTE: read_sexp keeps a leading '"' sentinel on quoted
                     # atoms (how _atom_str tells "true" from true) — strip
                     # via _atom_str before re-embedding any value in a
                     # command, or the un-balanced quote would stall the
                     # server's stream framing mid-string.
-                    return {it[0]: it[1] for it in read_sexp(chunks.decode().strip())}
+                    parsed = read_sexp(chunks.decode().strip())
+                    return parsed[0], parsed[1:]
 
                 done = attempts = 0
                 while done < INCREMENTS:
@@ -231,19 +234,20 @@ def test_tcp_cas_soak_16_writers(spark, store):
                     if attempts > MAX_ATTEMPTS:
                         failures.append(f"writer {wid}: starved after {attempts} attempts")
                         return
-                    r = command('(drl (Base "counter"))')
-                    v, head = int(r["rows"][0][0]), _atom_str(r["db_hash"])
-                    resp = command(
+                    tag, payload = command('(drl (Base "counter"))')
+                    fields = {p[0]: p[1] for p in payload}
+                    # rows are attribute-pair tuples: (((v 0))) — take the
+                    # value of the single (v N) pair of the single row.
+                    v = int(fields["rows"][0][0][1])
+                    head = _atom_str(fields["db_hash"])
+                    tag, payload = command(
                         f'(cas {head} (dml (Assign (target "counter") '
                         f'(body (Const (("v" (Int {v + 1}))))))))'
                     )
-                    if "ok" in resp:
+                    if tag == "ok":
                         done += 1
-                    elif not (
-                        isinstance(resp.get("error"), list)
-                        and resp["error"][0] == "conflict"
-                    ):
-                        failures.append(f"writer {wid}: {resp}")
+                    elif not (tag == "error" and payload[0][0] == "conflict"):
+                        failures.append(f"writer {wid}: {tag} {payload}")
                         return
                 c.close()
             except Exception as exc:  # noqa: BLE001
@@ -308,7 +312,7 @@ def test_conflict_renders_as_error_sexp(vserver):
     resp = server.execute_sexp(
         '(dml (InsertTuple (relation "t") (attributes (("v" (Int 2))))))', base_hash=base
     )
-    assert resp.startswith("((error (conflict (old-hash")
+    assert resp.startswith("(error (conflict (old-hash")
     assert "(new-hash" in resp
 
 
@@ -332,7 +336,7 @@ def test_tcp_frontend_roundtrip(spark, store):
             return f.readline().strip()
 
         r1 = send('(ddl (CreateRelation (name "users") (schema (("name" "string")))))')
-        assert r1.startswith("((ok true)")
+        assert r1.startswith("(ok (message ")
         # Two commands pipelined in one write -> two responses.
         f.write(
             '(dml (InsertTuple (relation "users") (attributes (("name" (Str "Ada"))))))'
@@ -340,20 +344,20 @@ def test_tcp_frontend_roundtrip(spark, store):
         )
         f.flush()
         r2, r3 = f.readline().strip(), f.readline().strip()
-        assert r2.startswith("((ok true)")
-        assert '"Ada"' in r3 and "(truncated false)" in r3
+        assert r2.startswith("(ok (message ")
+        assert "(name Ada)" in r3 and "(truncated false)" in r3
         # Errors come back as (error ...) without killing the connection.
         r4 = send("(tcl (Nope))")
-        assert r4.startswith("((error (unrecognized-sublanguage (tag tcl)")
+        assert r4.startswith("(error (unrecognized-sublanguage (tag tcl)")
         r5 = send('(drl (Base "users"))')
-        assert '"Ada"' in r5
+        assert "(name Ada)" in r5
         # Multi-byte UTF-8 split across send boundaries must reassemble.
         cmd = '(dml (InsertTuple (relation "users") (attributes (("name" (Str "Zoë"))))))'
         raw = cmd.encode("utf-8")
         split = raw.index("ë".encode("utf-8")) + 1  # mid-codepoint
         c.sendall(raw[:split])
         c.sendall(raw[split:])
-        assert f.readline().strip().startswith("((ok true)")
+        assert f.readline().strip().startswith("(ok (message ")
         r6 = send('(drl (Base "users"))')
         assert "Zoë" in r6
         c.close()
@@ -361,7 +365,7 @@ def test_tcp_frontend_roundtrip(spark, store):
 
 def test_internal_error_serializes_as_response(server, monkeypatch):
     """A non-Sakura exception (Py4J/AnalysisException, bugs) must render as
-    ((error (InternalError ...))) instead of escaping — an escape kills the
+    (error (InternalError ...)) instead of escaping — an escape kills the
     connection thread and leaves the TCP client hanging forever."""
 
     def boom(text, base_hash=None):
@@ -369,7 +373,7 @@ def test_internal_error_serializes_as_response(server, monkeypatch):
 
     monkeypatch.setattr(server, "execute", boom)
     resp = server.execute_sexp('(drl (Base "users"))')
-    assert resp.startswith("((error (InternalError")
+    assert resp.startswith("(error (InternalError")
     assert "RuntimeError" in resp
 
 
@@ -402,9 +406,9 @@ def test_tcp_survives_internal_error(spark, store, monkeypatch):
 
         assert send(
             '(ddl (CreateRelation (name "t") (schema (("x" "integer")))))'
-        ).startswith("((ok true)")
-        assert send('(drl (Base "t"))').startswith("((error (InternalError")
-        assert send('(drl (Base "t"))').startswith("((relation")
+        ).startswith("(ok (message ")
+        assert send('(drl (Base "t"))').startswith("(error (InternalError")
+        assert send('(drl (Base "t"))').startswith("(relation (name ")
         c.close()
         # Handler threads are pruned once connections finish.
         c2 = pysocket.create_connection((fe.host, fe.port), timeout=30)
@@ -441,13 +445,13 @@ def test_unix_socket_frontend_roundtrip(spark, store, tmp_path):
             return f.readline().strip()
 
         r1 = send('(ddl (CreateRelation (name "users") (schema (("name" "string")))))')
-        assert r1.startswith("((ok true)")
+        assert r1.startswith("(ok (message ")
         r2 = send('(dml (InsertTuple (relation "users") (attributes (("name" (Str "Ada"))))))')
-        assert r2.startswith("((ok true)")
+        assert r2.startswith("(ok (message ")
         r3 = send('(drl (Base "users"))')
-        assert '"Ada"' in r3 and "(truncated false)" in r3
+        assert "(name Ada)" in r3 and "(truncated false)" in r3
         r4 = send("(tcl (Nope))")
-        assert r4.startswith("((error (unrecognized-sublanguage (tag tcl)")
+        assert r4.startswith("(error (unrecognized-sublanguage (tag tcl)")
         c.close()
     import os as _os
 
@@ -479,7 +483,7 @@ def test_unix_socket_recovers_from_stale_socket_file(spark, store, tmp_path):
         f = c.makefile("rw", encoding="utf-8")
         f.write('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
         f.flush()
-        assert f.readline().startswith("((ok true)")
+        assert f.readline().startswith("(ok (message ")
         c.close()
     # A non-socket file at the path is preserved and bind fails loudly.
     plain = tmp_path / "notasock"
@@ -502,7 +506,8 @@ def test_unix_socket_rejects_mixed_address_and_path(spark, store, tmp_path):
 
 # --- lib/error.ml:17-33 error-atom conformance --------------------------------
 # The reference listener serializes every failure as
-# ((error (<kebab-variant> (field value) ...))). Each test below mirrors a
+# (error (<kebab-variant> (field value) ...)) — the single-List wrap of
+# lib/listener.ml:98. Each test below mirrors a
 # case from the reference's own corpus (test/test_relational_engine.ml) and
 # pins our wire to the same variant atom + field spelling.
 
@@ -514,7 +519,7 @@ def test_error_atom_relation_not_found(server):
     r = server.execute_sexp(
         '(dml (InsertTuple (relation "ghost") (attributes (("x" (Int 1))))))'
     )
-    assert r.startswith("((error (relation-not-found (relation ghost)")
+    assert r.startswith("(error (relation-not-found (relation ghost)")
 
 
 def test_error_atom_relation_already_exists(server):
@@ -524,7 +529,7 @@ def test_error_atom_relation_already_exists(server):
     r = server.execute_sexp(
         '(ddl (CreateRelation (name "dup") (schema (("x" "integer")))))'
     )
-    assert r.startswith("((error (relation-already-exists (relation dup)")
+    assert r.startswith("(error (relation-already-exists (relation dup)")
 
 
 def test_error_atom_duplicate_tuple(server):
@@ -535,7 +540,7 @@ def test_error_atom_duplicate_tuple(server):
     r = server.execute_sexp(
         '(dml (InsertTuple (relation "s") (attributes (("x" (Int 1))))))'
     )
-    assert r.startswith("((error (duplicate-tuple (hash ")
+    assert r.startswith("(error (duplicate-tuple (hash ")
 
 
 def test_error_atom_constraint_violation(server):
@@ -553,7 +558,7 @@ def test_error_atom_constraint_violation(server):
     r = server.execute_sexp(
         '(dml (InsertTuple (relation "Emp") (attributes (("e" (Int 1)) ("d" (Int 9))))))'
     )
-    assert r.startswith("((error (constraint-violation (message ")
+    assert r.startswith("(error (constraint-violation (message ")
     assert "fk" in r
 
 
@@ -563,11 +568,11 @@ def test_error_atom_unrecognized_and_malformed_and_syntax(server):
     sexp -> (malformed-expression (expression ...)); unparseable text ->
     (syntax-error (message ...))."""
     r = server.execute_sexp("(tcl (Whatever))")
-    assert r.startswith("((error (unrecognized-sublanguage (tag tcl)")
+    assert r.startswith("(error (unrecognized-sublanguage (tag tcl)")
     r = server.execute_sexp('"just-an-atom"')
-    assert r.startswith("((error (malformed-expression (expression ")
+    assert r.startswith("(error (malformed-expression (expression ")
     r = server.execute_sexp("(drl (Base ")
-    assert r.startswith("((error (syntax-error (message ")
+    assert r.startswith("(error (syntax-error (message ")
 
 
 def test_icl_and_constraint_wire_roundtrip(server):
@@ -695,3 +700,165 @@ def test_nway_suite_in_tall_building_wire(server):
     )
     rows = {tuple(r) for r in out["rows"]}
     assert rows == {("Presidential", "Tower A"), ("Standard", "Tower A")}
+
+
+# --- lib/listener.ml serialize-shape conformance ------------------------------
+# Byte-level checks of the listener's tagged response shapes: (relation ...),
+# (ok ...), (cursor ...), (error ...) exactly as lib/listener.ml:96-130 emits
+# them, plus the behavioral edges the reference's materializer and session
+# registry imply (truncation at exactly the limit, db_hash echo, cursor
+# auto-close on exhaustion).
+
+
+def test_listener_relation_response_exact_shape(vserver):
+    """Full-string check of the Query serialize shape (lib/listener.ml:
+    111-123): tagged list, (name) from the stored relation, schema as
+    (attr declared-domain) pairs, rows as attribute-SORTED (attr value)
+    pairs (tuple_to_sexp over the AttributeMap), string_of_bool flags,
+    db_hash/db_name/branch tail."""
+    server = vserver
+    server.execute('(ddl (CreateRelation (name "users") (schema (("name" "string") ("age" "natural")))))')
+    server.execute('(dml (InsertTuple (relation "users") (attributes (("name" (Str "Alice")) ("age" (Int 30))))))')
+    resp = server.execute_sexp('(drl (Base "users"))')
+    assert resp == (
+        "(relation (name users) (schema ((name string) (age natural))) "
+        "(rows (((age 30) (name Alice)))) (row_count 1) (truncated false) "
+        f"(db_hash {server.db.hash}) (db_name shop) (branch --))"
+    )
+
+
+def test_listener_transition_message_parity(vserver):
+    """Transition responses carry the executor's message verbatim
+    (lib/ddl/executor.ml:44 'Relation created: N', lib/dml/sublanguage.ml:19
+    'updated') in the (ok (message ...)) shape."""
+    server = vserver
+    r = server.execute_sexp('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    assert r == (
+        f'(ok (message "Relation created: t") (db_hash {server.db.hash}) '
+        "(db_name shop) (branch --))"
+    )
+    r = server.execute_sexp('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    assert r.startswith("(ok (message updated) (db_hash ")
+
+
+def test_listener_gethead_unset_message(vserver):
+    """lib/dcl/executor.ml:61: GetHead with no HEAD set is a Transition
+    with message 'HEAD is unset', not an error."""
+    r = vserver.execute_sexp("(dcl (GetHead))")
+    assert r.startswith('(ok (message "HEAD is unset")')
+    vserver.execute('(dcl (CreateBranch (name "main")))')
+    vserver.execute('(dcl (Checkout "main"))')
+    assert vserver.execute_sexp("(dcl (GetHead))").startswith("(ok (message HEAD:main)")
+
+
+def test_truncation_flag_edges(server):
+    """lib/listener.ml:67-83 materialize_generator: the truncated flag
+    means 'collection stopped at the limit' — a relation of EXACTLY 16
+    rows reports truncated=true (count >= limit is checked before the
+    generator learns it is exhausted); 15 rows reports false."""
+    for n, expect_trunc in ((15, False), (16, True), (17, True)):
+        name = f"edge{n}"
+        server.execute(f'(ddl (CreateRelation (name "{name}") (schema (("n" "integer")))))')
+        rows = " ".join(f'(("n" (Int {i})))' for i in range(n))
+        server.execute(f'(dml (InsertTuples (relation "{name}") (tuples ({rows}))))')
+        out = server.execute(f'(drl (Base "{name}"))')
+        assert out["truncated"] is expect_trunc, (n, out["truncated"])
+        assert out["row_count"] == min(n, 16)
+        assert f"(truncated {'true' if expect_trunc else 'false'})" in server.execute_sexp(
+            f'(drl (Base "{name}"))'
+        )
+
+
+def test_every_response_echoes_current_db_hash(vserver):
+    """Every serialized response carries the db hash of the state it
+    observed (the (db_hash H) field of all three Ok shapes) — the value a
+    CAS client re-pins on. After each mutation the echoed hash must equal
+    the server's advanced head."""
+    server = vserver
+    for cmd in (
+        '(ddl (CreateRelation (name "t") (schema (("v" "integer")))))',
+        '(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))',
+        '(dml (InsertTuple (relation "t") (attributes (("v" (Int 2))))))',
+    ):
+        r = server.execute_sexp(cmd)
+        assert f"(db_hash {server.db.hash})" in r
+    # Reads echo it too (relation + cursor shapes).
+    assert f"(db_hash {server.db.hash})" in server.execute_sexp('(drl (Base "t"))')
+    assert f"(db_hash {server.db.hash})" in server.execute_sexp(
+        '(scl (Begin (query (Base "t")) (limit 1)))'
+    )
+
+
+def test_cursor_exhaustion_auto_closes_over_wire(server):
+    """lib/session.ml:38-67: a fetch that drains the generator removes the
+    cursor from the registry (has_more=false), and a subsequent Fetch on
+    that id fails with the registry's exact message, serialized as the
+    SCL sublanguage error (cursor-error ...) under the listener's
+    sublanguage-error wrap (lib/scl/executor.ml:28, lib/listener.ml:38)."""
+    server.execute('(ddl (CreateRelation (name "nums") (schema (("n" "integer")))))')
+    rows = " ".join(f'(("n" (Int {i})))' for i in range(7))
+    server.execute(f'(dml (InsertTuples (relation "nums") (tuples ({rows}))))')
+    out = server.execute('(scl (Begin (query (Base "nums")) (limit 3)))')
+    cid = out["cursor"]
+    assert out["has_more"] is True
+    out2 = server.execute(f'(scl (Fetch (cursor "{cid}") (limit 10)))')
+    assert out2["row_count"] == 4 and out2["has_more"] is False
+    # The cursor is GONE — not merely drained.
+    assert cid not in server.sessions.open_cursors()
+    r = server.execute_sexp(f'(scl (Fetch (cursor "{cid}") (limit 1)))')
+    assert r.startswith("(error (sublanguage-error (error (cursor-error ")
+    assert cid in r and "was not found in the session registry" in r
+
+
+def test_listener_cursor_sexp_shape(server):
+    """Cursor serialize shape (lib/listener.ml:99-110): (cursor (id ..)
+    (rows ..) (row_count ..) (has_more ..) tail) with attribute-pair
+    rows; no schema field (attribute names travel in-band)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuples (relation "t") (tuples ((("v" (Int 1))) (("v" (Int 2)))))))')
+    r = server.execute_sexp('(scl (Begin (query (Base "t")) (limit 1)))')
+    assert r.startswith("(cursor (id ")
+    assert "(rows (((v " in r and "(has_more true)" in r
+    assert "(schema" not in r
+
+
+def test_malformed_expression_embeds_parsed_sexp(server):
+    """lib/error.ml:30: MalformedExpression embeds the PARSED sexp
+    structurally — an atom renders bare (sexplib quotes only when
+    needed), a list renders as the list, never as a quoted source
+    string."""
+    assert server.execute_sexp('"just-an-atom"') == (
+        "(error (malformed-expression (expression just-an-atom)))"
+    )
+    assert server.execute_sexp("(a b c)") == (
+        "(error (malformed-expression (expression (a b c))))"
+    )
+
+
+def test_conflict_new_hash_is_rejected_transition_result(vserver, spark):
+    """lib/listener.ml:53-58: Conflict.new_db is the transition result the
+    losing writer computed from its stale base — NOT the head that won
+    the race. The rejected insert of v=2 against the pre-insert base must
+    report the hash that base+v=2 WOULD have produced (verified by
+    replaying it on a loaded copy), while the server's head still holds
+    the winner's hash."""
+    from sakura_spark.database import Database
+
+    server = vserver
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    base = server.db.hash
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    winner = server.db.hash
+    with pytest.raises(errors.Conflict) as exc:
+        server.execute(
+            '(dml (InsertTuple (relation "t") (attributes (("v" (Int 2))))))',
+            base_hash=base,
+        )
+    # Independent replay of the rejected transition on the stale base.
+    replay = Database.load(spark, base, server.db.store)
+    replay.insert_tuples("t", [{"v": 2}])
+    assert exc.value.expected == base
+    assert exc.value.actual == replay.hash
+    assert exc.value.actual not in (base, winner)
+    # Nothing applied; the winner's head stands.
+    assert server.db.hash == winner

@@ -52,7 +52,9 @@ def test_wire_value_roundtrip(spark, tmp_path_factory, vals):
 
     rendered = srv.execute_sexp('(drl (Base "t"))')
     parsed = read_sexp(rendered)
-    fields = {item[0]: item[1] for item in parsed}
+    # Listener shape: (relation (name ..) .. (rows (((s v) ...) ...)) ..)
+    assert parsed[0] == "relation"
+    fields = {item[0]: item[1] for item in parsed[1:]}
     got = {cell[1:] if isinstance(cell, str) and cell.startswith('"') else cell
-           for row in fields["rows"] for cell in row}
+           for row in fields["rows"] for (_attr, cell) in row}
     assert got == set(vals)
