@@ -585,18 +585,24 @@ def duplicated_span_stats(
     instead of the gram string (the contamination fast-path pattern —
     use at corpus scale; collisions at 64 bits are negligible). The
     DuckDB oracle covers the string path."""
+    # Token array materialized in its own projection before the gram
+    # build: slicing an INLINED split+filter expression re-tokenizes the
+    # document once per gram (the round-3 shingle lesson).
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
     )
-    grams = F.when(F.size(words) < k, F.array().cast("array<string>")).otherwise(
+    w = F.col("__w")
+    grams = F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
         )
     )
     from pyspark.sql import Window as W
 
-    occ = df.select(id_col, F.explode_outer(grams).alias("g"))
+    occ = df.select(id_col, words.alias("__w")).select(
+        id_col, F.explode_outer(grams).alias("g")
+    )
     if hashed:
         # Keep the null marker row for gram-less docs: xxhash64(NULL)
         # returns the seed constant, which would alias every empty doc

@@ -80,20 +80,30 @@ def repetition_stats(
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
-    words = word_tokens(t)
+    # Materialize the token array in its own projection BEFORE building
+    # grams from it: _bigram_strings dereferences its input once per
+    # element, and inlining the split+filter expression there makes Spark
+    # re-tokenize the document per gram (the round-3 shingle lesson —
+    # ~9x slower, measured). A multiply-referenced non-cheap alias is not
+    # collapsed by CollapseProject, so __w evaluates once per document.
+    base = df.select(
+        id_col,
+        word_tokens(t).alias("__w"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+    )
+    w = F.col("__w")
     tagged = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit(0).alias("tag"), x.alias("g"))),
         F.transform(
-            words, lambda w: F.struct(F.lit(0).alias("tag"), w.alias("g"))
-        ),
-        F.transform(
-            _bigram_strings(words),
+            _bigram_strings(w),
             lambda g: F.struct(F.lit(1).alias("tag"), g.alias("g")),
         ),
     )
-    occ = df.select(
+    occ = base.select(
         id_col,
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+        "n_lines",
+        "n_distinct_lines",
         F.explode_outer(tagged).alias("p"),
     )
     pairs = occ.groupBy(
@@ -150,18 +160,17 @@ def lm_tables(
     subtree. At 100 TB training is one scan, not two."""
     from pyspark.sql import Window as W
 
-    words = word_tokens(F.col(text_col))
+    w = F.col("__w")
     both = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit(0).alias("tag"), x.alias("g"))),
         F.transform(
-            words, lambda w: F.struct(F.lit(0).alias("tag"), w.alias("g"))
-        ),
-        F.transform(
-            _bigram_strings(words),
+            _bigram_strings(w),
             lambda g: F.struct(F.lit(1).alias("tag"), g.alias("g")),
         ),
     )
     ranked = (
-        df.select(F.explode(both).alias("p"))
+        df.select(word_tokens(F.col(text_col)).alias("__w"))
+        .select(F.explode(both).alias("p"))
         .select("p.tag", "p.g")
         .groupBy("tag", "g")
         .agg(F.count("*").alias("c"))
@@ -207,10 +216,13 @@ def lm_score(
     the corpus is read once for scoring and the plan contains only the
     two broadcast joins (plan-asserted in tests/test_scale.py)."""
     uni, bi = lm_tables(df, text_col=text_col, top_v=top_v)
-    occ = df.select(
-        id_col,
-        F.explode_outer(_bigram_strings(word_tokens(F.col(text_col)))).alias("g"),
-    ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    # Token array materialized in its own projection (see repetition_stats:
+    # inlining it into _bigram_strings re-tokenizes per gram).
+    occ = (
+        df.select(id_col, word_tokens(F.col(text_col)).alias("__w"))
+        .select(id_col, F.explode_outer(_bigram_strings(F.col("__w"))).alias("g"))
+        .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    )
     scored = occ.join(F.broadcast(bi), "g", "left").join(
         F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left"
     )
@@ -250,10 +262,11 @@ def lm_perplexity(
     get NULLs."""
     uni, bi = lm_tables(df, text_col=text_col, top_v=top_v)
     vocab_v = uni.count()
-    occ = df.select(
-        id_col,
-        F.explode_outer(_bigram_strings(word_tokens(F.col(text_col)))).alias("g"),
-    ).withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    occ = (
+        df.select(id_col, word_tokens(F.col(text_col)).alias("__w"))
+        .select(id_col, F.explode_outer(_bigram_strings(F.col("__w"))).alias("g"))
+        .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    )
     scored = occ.join(F.broadcast(bi), "g", "left").join(
         F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left"
     )
