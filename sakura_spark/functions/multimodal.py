@@ -518,15 +518,24 @@ _ZIGZAG = [
 ]
 
 
+_DCT_BASIS = None
+
+
 def _dct_basis():
     """Orthonormal 8x8 DCT-II matrix C: forward block DCT = C @ b @ C.T,
-    inverse = C.T @ b @ C."""
+    inverse = C.T @ b @ C. Memoized — rebuilding it per decode costs more
+    than the IDCT itself on the 8x8 images a synthetic corpus carries."""
     import numpy as np
 
-    k = np.arange(8)
-    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
-    c[0] *= 1 / np.sqrt(2)
-    return c * 0.5
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        k = np.arange(8)
+        c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+        c[0] *= 1 / np.sqrt(2)
+        c.setflags(write=False)
+        _DCT_BASIS = c * 0.5
+        _DCT_BASIS.setflags(write=False)
+    return _DCT_BASIS
 
 
 def _build_huffman(bits: list[int], vals: list[int]) -> dict:
@@ -547,96 +556,50 @@ _HUFF_LUT_CACHE: dict = {}
 
 
 def _build_huffman_lut(bits: list[int], vals: list[int]):
-    """Length-indexed canonical-Huffman LUT: two 2^16 arrays mapping every
+    """Length-indexed canonical-Huffman LUT: two 2^16 LISTS mapping every
     16-bit prefix to (symbol, code length). Codes are <=16 bits and
     prefix-free, so each prefix matches at most one code; filling the
     [code << (16-len), (code+1) << (16-len)) range per symbol makes symbol
     decode a single table lookup instead of up to 16 single-bit reads —
     the round-5 verdict's "precomputed length-indexed tables" item.
+    Plain Python lists, not numpy arrays: the entropy walk is a scalar
+    symbol-at-a-time loop, and list indexing returns cached small ints
+    ~3x faster than numpy scalar extraction (the round-7 decode loop
+    feeds every symbol through exactly one such lookup).
 
     Memoized on the (bits, vals) spec: images in a corpus overwhelmingly
     share DHT segments (most encoders emit the T.81 Annex K tables), so
-    the 128 KiB build cost is paid once per distinct table per worker,
+    the ~1 MiB build cost is paid once per distinct table per worker,
     not once per image — this is what makes small-image decode cheap."""
-    import numpy as np
-
     key = (bytes(bits), bytes(vals))
     cached = _HUFF_LUT_CACHE.get(key)
     if cached is not None:
         return cached
-    if len(_HUFF_LUT_CACHE) >= 64:  # bound worker memory on adversarial input
+    if len(_HUFF_LUT_CACHE) >= 32:  # bound worker memory on adversarial input
         _HUFF_LUT_CACHE.clear()
-    sym = np.zeros(1 << 16, dtype=np.uint8)
-    ln = np.zeros(1 << 16, dtype=np.uint8)
+    sym = [0] * (1 << 16)
+    ln = [0] * (1 << 16)
     code = 0
     i = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             start = code << (16 - length)
             end = (code + 1) << (16 - length)
-            sym[start:end] = vals[i]
-            ln[start:end] = length
+            v = vals[i]
+            sym[start:end] = [v] * (end - start)
+            ln[start:end] = [length] * (end - start)
             code += 1
             i += 1
         code <<= 1
-    sym.setflags(write=False)
-    ln.setflags(write=False)
     _HUFF_LUT_CACHE[key] = (sym, ln)
     return sym, ln
 
 
-class _JpegBits:
-    """MSB-first bit reader over an unstuffed entropy segment.
-
-    One vectorized numpy pass precomputes, for every byte offset, the
-    32-bit big-endian window starting there; every subsequent read is a
-    single shift+mask and every Huffman decode one LUT lookup."""
-
-    def __init__(self, data):
-        import numpy as np
-
-        d = np.frombuffer(bytes(data) + b"\x00\x00\x00", dtype=np.uint8).astype(
-            np.uint32
-        )
-        n = len(d) - 3
-        self.chunks = (
-            (d[:n] << 24) | (d[1 : n + 1] << 16) | (d[2 : n + 2] << 8) | d[3 : n + 3]
-        )
-        self.total = n * 8
-        self.pos = 0  # bit position
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        p = self.pos
-        if p + n > self.total:
-            raise DecodeUnavailable("truncated JPEG entropy data")
-        val = (int(self.chunks[p >> 3]) >> (32 - (p & 7) - n)) & ((1 << n) - 1)
-        self.pos = p + n
-        return val
-
-    def huff(self, lut) -> int:
-        lut_sym, lut_len = lut
-        p = self.pos
-        if p >= self.total:
-            raise DecodeUnavailable("truncated JPEG entropy data")
-        peek = (int(self.chunks[p >> 3]) >> (16 - (p & 7))) & 0xFFFF
-        length = int(lut_len[peek])
-        if length == 0:
-            if p + 16 > self.total:
-                raise DecodeUnavailable("truncated JPEG entropy data")
-            raise DecodeUnavailable("invalid JPEG Huffman code")
-        if p + length > self.total:
-            raise DecodeUnavailable("truncated JPEG entropy data")
-        self.pos = p + length
-        return int(lut_sym[peek])
-
-
-def _jpeg_extend(v: int, t: int) -> int:
-    """T.81 EXTEND: map t magnitude bits to a signed coefficient."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+# T.81 EXTEND constants: a t-bit magnitude v maps to v if v >= 1<<(t-1)
+# else v - ((1<<t)-1). Precomputed per bit-length so the decode loop pays
+# two list lookups instead of shifts.
+_EXT_HALF = [0] + [1 << (t - 1) for t in range(1, 17)]
+_EXT_MASK = [0] + [(1 << t) - 1 for t in range(1, 17)]
 
 
 def _jpeg_decode(b: bytes):
@@ -766,64 +729,133 @@ def _jpeg_decode(b: bytes):
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     basis = _dct_basis()
-    # Per-component coefficient block grids (padded to whole MCUs).
-    planes = []
     for cid, hs, vs, tq in comps:
         if tq not in qt:
             raise DecodeUnavailable("JPEG references a missing quant table")
-        planes.append(
-            np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
-        )
     tables = []
     for cs, dc_id, ac_id in scan_comps:
         if (0, dc_id) not in hufftabs or (1, ac_id) not in hufftabs:
             raise DecodeUnavailable("JPEG references a missing Huffman table")
         tables.append((hufftabs[(0, dc_id)], hufftabs[(1, ac_id)]))
 
+    # Whole-scan entropy walk (round-6 verdict item 8): one inlined
+    # pure-Python symbol loop — no method calls, no per-coefficient numpy
+    # scalar writes. Each symbol costs one 16-bit-window peek (a list
+    # lookup into precomputed 32-bit byte-windows) plus one LUT list
+    # lookup; nonzero coefficients accumulate into (flat index, value)
+    # lists and land in the coefficient array via ONE vectorized scatter
+    # at the end. Sparsity does the rest: a typical block emits a handful
+    # of coefficients, so the scatter is tiny next to the 64x dense grid
+    # the old per-coefficient assignment walked.
+    stride = [mcus_x * hs for (_, hs, _, _) in comps]
+    nblocks = [mcus_y * vs * st for (_, _, vs, _), st in zip(comps, stride)]
+    plane_base = [0]
+    for nb in nblocks:
+        plane_base.append(plane_base[-1] + nb)
+    coef = np.zeros(plane_base[-1] * 64, dtype=np.int32)
+    comp_meta = [
+        (ci, hs, vs, plane_base[ci], stride[ci])
+        for ci, (cid, hs, vs, tq) in enumerate(comps)
+    ]
+    idx_out: list[int] = []
+    val_out: list[int] = []
+    half, mask = _EXT_HALF, _EXT_MASK
+
     mcu_index = 0
     total_mcus = mcus_x * mcus_y
     for seg_bytes in segments:
-        reader = _JpegBits(seg_bytes)
+        # Per-byte 32-bit big-endian windows (as a Python list: the loop
+        # reads one scalar per symbol, and list indexing beats numpy
+        # scalar extraction ~3x).
+        n = len(seg_bytes)
+        d = np.frombuffer(seg_bytes + b"\x00\x00\x00", dtype=np.uint8).astype(
+            np.uint32
+        )
+        chunks = (
+            (d[:n] << 24) | (d[1 : n + 1] << 16) | (d[2 : n + 2] << 8) | d[3 : n + 3]
+        ).tolist()
+        total = n * 8
+        pos = 0
         preds = [0] * len(comps)
-        limit = mcu_index + restart if restart else total_mcus
-        while mcu_index < min(limit, total_mcus):
+        limit = min(mcu_index + restart, total_mcus) if restart else total_mcus
+        while mcu_index < limit:
             my, mx = divmod(mcu_index, mcus_x)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dc_tab, ac_tab = tables[ci]
+            for ci, hs, vs, base_ci, st in comp_meta:
+                (dsym, dlen), (asym, alen) = tables[ci]
+                pred = preds[ci]
                 for by in range(vs):
+                    row = base_ci + (my * vs + by) * st + mx * hs
                     for bx in range(hs):
-                        coeffs = planes[ci][my * vs + by, mx * hs + bx]
-                        t = reader.huff(dc_tab)
-                        diff = _jpeg_extend(reader.read(t), t) if t else 0
-                        preds[ci] += diff
-                        coeffs[0] = preds[ci]
+                        base = (row + bx) * 64
+                        # DC: one Huffman symbol + its magnitude bits.
+                        if pos >= total:
+                            raise DecodeUnavailable("truncated JPEG entropy data")
+                        peek = (chunks[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                        ln = dlen[peek]
+                        if ln == 0 or pos + ln > total:
+                            if pos + 16 > total or pos + ln > total:
+                                raise DecodeUnavailable("truncated JPEG entropy data")
+                            raise DecodeUnavailable("invalid JPEG Huffman code")
+                        pos += ln
+                        t = dsym[peek]
+                        if t:
+                            if pos + t > total:
+                                raise DecodeUnavailable("truncated JPEG entropy data")
+                            v = (chunks[pos >> 3] >> (32 - (pos & 7) - t)) & mask[t]
+                            pos += t
+                            pred += v if v >= half[t] else v - mask[t]
+                        idx_out.append(base)
+                        val_out.append(pred)
+                        # AC run-length: symbols until EOB or index 63.
                         k = 1
                         while k < 64:
-                            rs = reader.huff(ac_tab)
-                            r, s = rs >> 4, rs & 0xF
+                            if pos >= total:
+                                raise DecodeUnavailable("truncated JPEG entropy data")
+                            peek = (chunks[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                            ln = alen[peek]
+                            if ln == 0 or pos + ln > total:
+                                if pos + 16 > total or pos + ln > total:
+                                    raise DecodeUnavailable(
+                                        "truncated JPEG entropy data"
+                                    )
+                                raise DecodeUnavailable("invalid JPEG Huffman code")
+                            pos += ln
+                            rs = asym[peek]
+                            s = rs & 15
                             if s == 0:
-                                if r == 15:  # ZRL: skip 16 zeros
+                                if rs == 240:  # ZRL: skip 16 zeros
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise DecodeUnavailable("JPEG AC index overflow")
-                            coeffs[k] = _jpeg_extend(reader.read(s), s)
+                            if pos + s > total:
+                                raise DecodeUnavailable("truncated JPEG entropy data")
+                            v = (chunks[pos >> 3] >> (32 - (pos & 7) - s)) & mask[s]
+                            pos += s
+                            idx_out.append(base + k)
+                            val_out.append(v if v >= half[s] else v - mask[s])
                             k += 1
+                preds[ci] = pred
             mcu_index += 1
         if mcu_index >= total_mcus:
             break
     if mcu_index < total_mcus:
         raise DecodeUnavailable("truncated JPEG scan")
+    if idx_out:
+        coef[np.array(idx_out, dtype=np.int64)] = np.array(val_out, dtype=np.int32)
 
     # Dequantize -> de-zigzag -> IDCT, vectorized per component.
     zz = np.array(_ZIGZAG)
     out_planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        grid = planes[ci]
-        by, bx = grid.shape[0], grid.shape[1]
-        flat = grid.reshape(-1, 64) * qt[tq][None, :]
+        by, bx = mcus_y * vs, mcus_x * hs
+        flat = (
+            coef[plane_base[ci] * 64 : (plane_base[ci] + nblocks[ci]) * 64]
+            .reshape(-1, 64)
+            * qt[tq][None, :]
+        )
         blocks = np.zeros((flat.shape[0], 64), dtype=np.float64)
         blocks[:, zz] = flat
         blocks = blocks.reshape(-1, 8, 8)
@@ -1047,9 +1079,17 @@ def synthetic_image_payload(
                 payloads.append(encoders[fmt](pixels))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col, text_col).mapInPandas(
-        op, schema=f"{id_col} long, payload binary"
-    )
+    # Per-row Python codec work should run at CORE parallelism, not file
+    # parallelism: a small corpus often scans as a handful of parquet
+    # splits (10 here for sf0.1), leaving 2/3 of the machine idle through
+    # every downstream mapInPandas stage. Widen only (never shrink a
+    # bigger layout), and only for this Python-bound subtree — at 100 TB
+    # the scan already has more splits than cores and this is a no-op.
+    src = df.select(id_col, text_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(op, schema=f"{id_col} long, payload binary")
 
 
 def synthetic_png_payload(
