@@ -38,7 +38,6 @@ from pyspark.sql import SparkSession
 from sakura_spark import errors
 from sakura_spark.database import Database
 from sakura_spark.drl import compile_query
-from sakura_spark.drl import parser as drl_parser
 from sakura_spark.drl.parser import ParseError, _atom_str, _build, _value, read_sexp
 from sakura_spark.icl import ast as icl_ast
 from sakura_spark.management.branches import BranchManager
@@ -227,14 +226,6 @@ def error_sexp(e: Exception) -> str:
     return render("InternalError", ("message", f"{type(e).__name__}: {e}"))
 
 
-def render_sexp(value) -> str:
-    """Render a response value as an S-expression (dicts as (key value)
-    pairs, lists as proper lists) — the wire output format."""
-    if isinstance(value, dict):
-        return "(" + " ".join(f"({k} {render_sexp(v)})" for k, v in value.items()) + ")"
-    if isinstance(value, (list, tuple)):
-        return "(" + " ".join(render_sexp(v) for v in value) + ")"
-    return _sexp_atom(value)
 
 
 class Server:
