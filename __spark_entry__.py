@@ -831,6 +831,19 @@ def q_dedup_span_stats(spark, sf_dir):
     return dedup.duplicated_span_stats(docs, k=5).orderBy("doc_id")
 
 
+def q_dedup_span_removal(spark, sf_dir):
+    """ExactSubstr-style span REMOVAL (dedup.remove_duplicated_spans, Lee
+    et al. 2022 — token-level k-gram variant): drop every token covered
+    by a word 5-gram window that also occurs in another document; emit
+    per-doc token totals, removed counts, and the cleaned text. The
+    removal companion to dedup_span_stats — counting tells you how much
+    cross-document overlap exists, this actually produces the
+    deduplicated corpus. Fully oracle-backed including the cleaned
+    string (both engines join kept tokens with single spaces)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, k=5).orderBy("doc_id")
+
+
 def q_text_lm_score(spark, sf_dir):
     """CCNet-style n-gram LM filtering statistics (text.lm_score): each
     document's bigrams scored against the corpus bigram/unigram LM
@@ -1964,7 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
-        # rotated out after multiple green driver rounds) ---
+        # rotated out after multiple green driver rounds — or, for
+        # dedup_span_removal, new this round and queued to rotate in) ---
+        "dedup_span_removal": q_dedup_span_removal,
         "events_funnel": q_events_funnel,
         "curation_quota": q_curation_quota,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
@@ -2837,6 +2852,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows, "
             "CAST(coalesce(n_dup_distinct_grams, 0) AS BIGINT) AS n_dup_distinct_grams "
             "FROM base b LEFT JOIN pd USING (doc_id) LEFT JOIN pdd USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
+        # Spark posexplode positions are 0-based, this oracle's are
+        # 1-based (unnest+range) — positions never reach the output, so
+        # the comparison is unaffected.
+        "dedup_span_removal": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "garr AS (SELECT doc_id, words, CASE WHEN len(words) < 5 THEN []::VARCHAR[] "
+            "ELSE list_transform(range(1, len(words) - 3), "
+            "i -> array_to_string(words[i:i+4], ' ')) END AS gs FROM base), "
+            "occ AS (SELECT doc_id, unnest(gs) AS g, "
+            "unnest(range(1, len(gs) + 1)) AS s FROM garr), "
+            "gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM occ GROUP BY g), "
+            "dstarts AS (SELECT o.doc_id, o.s FROM occ o "
+            "JOIN gd ON o.g = gd.g WHERE gd.nd >= 2), "
+            "toks AS (SELECT doc_id, unnest(words) AS w, "
+            "unnest(range(1, len(words) + 1)) AS i FROM base), "
+            "covered AS (SELECT DISTINCT t.doc_id, t.i FROM toks t "
+            "JOIN dstarts d ON t.doc_id = d.doc_id "
+            "AND d.s <= t.i AND t.i < d.s + 5), "
+            "kept AS (SELECT t.doc_id, t.i, t.w FROM toks t "
+            "WHERE NOT EXISTS (SELECT 1 FROM covered c "
+            "WHERE c.doc_id = t.doc_id AND c.i = t.i)), "
+            "agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cleaned "
+            "FROM kept GROUP BY doc_id), "
+            "cov AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(len(words) AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(cov.n_removed, 0) AS BIGINT) AS n_removed, "
+            "coalesce(agg.cleaned, '') AS cleaned_text "
+            "FROM base b LEFT JOIN agg USING (doc_id) LEFT JOIN cov USING (doc_id) "
             "ORDER BY doc_id"
         ),
         "text_lm_score": (

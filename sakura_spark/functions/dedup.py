@@ -638,3 +638,110 @@ def duplicated_span_stats(
         .alias("n_dup_windows"),
         F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_distinct_grams"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method; token-level k-gram variant of their byte-level suffix-array
+    dedup): every word k-gram window that also occurs in at least one
+    OTHER document marks its k token positions as duplicated, and the
+    cleaned document drops every marked token. Within-doc repetition
+    alone does not trigger removal (>= 2 distinct docs required), exactly
+    like :func:`duplicated_span_stats` counts it. Output per document:
+    ``n_tokens``, ``n_removed``, ``cleaned_text`` (kept tokens joined by
+    single spaces).
+
+    Scale design: one corpus scan explodes to (doc, pos, gram) rows,
+    reduced by a map-side-combinable (doc, gram) aggregation that carries
+    the start positions; a per-gram doc-count window marks shared grams
+    (null-gram rows from gram-less docs partition by doc_id so they never
+    hot-key the window); a per-doc conditional flatten yields each doc's
+    duplicated-window starts. Rebuilding the text then REQUIRES one
+    doc_id join of those starts back to the token arrays — unlike the
+    stats operator, the payload (the tokens) cannot ride the gram shuffle
+    without multiplying it by k — so the corpus pays exactly one extra
+    exchange; the reference method's suffix-array construction globally
+    sorts every byte of the corpus, strictly more movement. Start lists
+    are merged into disjoint intervals with one aggregate expression, so
+    the per-token coverage test is O(merged intervals), not O(windows);
+    everything is Column expressions — no Python in the plan."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    w = F.col("__w")
+    grams = F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    base = df.select(id_col, words.alias("__w"))
+    occ = base.select(id_col, F.posexplode_outer(grams).alias("pos", "g"))
+    pairs = occ.groupBy(id_col, "g").agg(F.collect_list("pos").alias("__ps"))
+    tagged = pairs.withColumn(
+        "__nd",
+        F.count("*").over(
+            W.partitionBy(F.col("g"), F.when(F.col("g").isNull(), F.col(id_col)))
+        ),
+    )
+    dup = F.col("g").isNotNull() & (F.col("__nd") >= 2)
+    starts = tagged.groupBy(id_col).agg(
+        F.flatten(F.collect_list(F.when(dup, F.col("__ps")))).alias("__starts")
+    )
+    # Merge sorted starts into disjoint [s, e) intervals: one fold, each
+    # step either extends the last interval or appends a new one.
+    ss = F.array_sort(F.coalesce(F.col("__starts"), F.array().cast("array<int>")))
+    merged = F.aggregate(
+        ss,
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(F.element_at(acc, -1)["e"], s + F.lit(k))
+                        .cast("int")
+                        .alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.alias("s"), (s + F.lit(k)).cast("int").alias("e"))
+                ),
+            )
+        ),
+    )
+    iv = F.col("__iv")
+    return (
+        base.join(starts, id_col, "left")
+        .select(id_col, "__w", merged.alias("__iv"))
+        .select(
+            F.col(id_col),
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.aggregate(iv, F.lit(0), lambda a, x: a + x["e"] - x["s"])
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "__w",
+                    lambda x, i: ~F.exists(
+                        iv, lambda r: (r["s"] <= i) & (i < r["e"])
+                    ),
+                ),
+            ).alias("cleaned_text"),
+        )
+    )

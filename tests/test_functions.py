@@ -949,6 +949,33 @@ def test_lm_score_and_perplexity(spark):
         assert pruned[i] == expect, (i, pruned[i], expect)
 
 
+def test_remove_duplicated_spans_known_output(spark):
+    """dedup.remove_duplicated_spans (ExactSubstr removal, token-level):
+    a sentence shared verbatim by two docs is removed from BOTH (every
+    token covered by a cross-doc duplicated 5-gram window); unique docs,
+    too-short docs, and within-doc-only repetition are untouched;
+    overlapping windows merge (no double counting)."""
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 words
+    rows = [
+        (1, shared + " extra tail words here"),
+        (2, "prefix words go first " + shared),
+        (3, "completely unrelated content about spark engines at scale"),
+        (4, "too short"),
+        (5, "rep rep rep rep rep rep rep rep"),  # within-doc repeats only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.remove_duplicated_spans(df, k=5).collect()}
+    # Docs 1/2: the 5 shared 5-gram windows cover exactly the 9 shared
+    # tokens (starts 0..4 merge into one [0,9) interval).
+    assert (got[1].n_tokens, got[1].n_removed) == (13, 9)
+    assert got[1].cleaned_text == "extra tail words here"
+    assert (got[2].n_tokens, got[2].n_removed) == (13, 9)
+    assert got[2].cleaned_text == "prefix words go first"
+    assert got[3].n_removed == 0 and got[3].cleaned_text.startswith("completely")
+    assert got[4] and got[4].n_removed == 0 and got[4].cleaned_text == "too short"
+    assert got[5].n_removed == 0 and got[5].n_tokens == 8
+
+
 def test_lm_perplexity_coherent_under_incoherent_pruning(spark):
     """The unigram and bigram tables prune independently, so a bigram can
     survive top-V while its context unigram is pruned (c2>0, c1=0).
