@@ -844,6 +844,17 @@ def q_dedup_span_removal(spark, sf_dir):
     return dedup.remove_duplicated_spans(docs, k=5).orderBy("doc_id")
 
 
+def q_dedup_line_dedup(spark, sf_dir):
+    """C4-style global line dedup (dedup.remove_duplicate_lines): every
+    non-blank trimmed line keeps only its corpus-wide first occurrence
+    (smallest (doc_id, position)); later occurrences anywhere — other
+    docs or later in the same doc — are dropped, and each document is
+    reassembled in original order. Oracle-backed including the rebuilt
+    newline-joined text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_lines(docs).orderBy("doc_id")
+
+
 def q_text_lm_score(spark, sf_dir):
     """CCNet-style n-gram LM filtering statistics (text.lm_score): each
     document's bigrams scored against the corpus bigram/unigram LM
@@ -1978,8 +1989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
         # rotated out after multiple green driver rounds — or, for
-        # dedup_span_removal, new this round and queued to rotate in) ---
+        # dedup_span_removal / dedup_line_dedup, new this round and
+        # queued to rotate in) ---
         "dedup_span_removal": q_dedup_span_removal,
+        "dedup_line_dedup": q_dedup_line_dedup,
         "events_funnel": q_events_funnel,
         "curation_quota": q_curation_quota,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
@@ -2885,6 +2898,24 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(agg.cleaned, '') AS cleaned_text "
             "FROM base b LEFT JOIN agg USING (doc_id) LEFT JOIN cov USING (doc_id) "
             "ORDER BY doc_id"
+        ),
+        "dedup_line_dedup": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(text, chr(10)), "
+            "x -> trim(x)), x -> x <> '') AS ls FROM documents), "
+            "occ AS (SELECT doc_id, unnest(ls) AS line, "
+            "unnest(range(1, len(ls) + 1)) AS idx FROM base), "
+            "kept AS (SELECT o.doc_id, o.idx, o.line FROM occ o "
+            "WHERE NOT EXISTS (SELECT 1 FROM occ o2 WHERE o2.line = o.line "
+            "AND (o2.doc_id < o.doc_id "
+            "OR (o2.doc_id = o.doc_id AND o2.idx < o.idx)))), "
+            "agg AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY idx) AS cleaned "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+            "CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept, "
+            "coalesce(agg.cleaned, '') AS cleaned_text "
+            "FROM base b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
         ),
         "text_lm_score": (
             "WITH base AS (SELECT doc_id, "

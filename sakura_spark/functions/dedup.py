@@ -745,3 +745,64 @@ def remove_duplicated_spans(
             ).alias("cleaned_text"),
         )
     )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style global line deduplication (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning..." §2.2 describes span-level corpus
+    dedup; the line-granular variant here is the common production form):
+    every non-blank trimmed line keeps ONLY its first occurrence in the
+    whole corpus — first = smallest (doc_id, position) — and every later
+    occurrence (in other documents or later in the same document) is
+    dropped. Output per document: ``n_lines``, ``n_kept``, and
+    ``cleaned_text`` (kept lines joined by newlines, original order).
+
+    Scale design: lines explode once to (doc, idx, line); the global
+    first occurrence per line is a ``min(struct(doc, idx))`` hash
+    aggregation — map-side combinable, so corpus-hot lines ("Home",
+    boilerplate headers) collapse in the combiner instead of hot-keying
+    a rank window; occurrences then join that table on the line key
+    (AQE's skew-join split covers the join side of the same hot lines),
+    and each document reassembles order-locally from
+    ``sort_array(collect_list(...))`` — the line text rides the shuffle
+    it already paid, so unlike :func:`remove_duplicated_spans` there is
+    no join-back to the base scan. Blank/whitespace lines are dropped by
+    the same trim+filter normalization as
+    :func:`sakura_spark.functions.text.repetition_stats` line stats."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    base = df.select(id_col, lines.alias("__l"))
+    occ = base.select(id_col, F.posexplode_outer("__l").alias("idx", "line"))
+    firsts = (
+        occ.where(F.col("line").isNotNull())
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))).alias("__first"))
+    )
+    keep = F.col("line").isNotNull() & (
+        F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i")) == F.col("__first")
+    )
+    return (
+        occ.join(firsts, "line", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("line").cast("long").alias("n_lines"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("idx"), F.col("line")))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )

@@ -976,6 +976,29 @@ def test_remove_duplicated_spans_known_output(spark):
     assert got[5].n_removed == 0 and got[5].n_tokens == 8
 
 
+def test_remove_duplicate_lines_global_first_wins(spark):
+    """dedup.remove_duplicate_lines (C4-style): a line keeps only its
+    corpus-wide first occurrence by (doc_id, position) — later docs lose
+    it, within-doc repeats lose all but the first, blank/whitespace lines
+    are dropped by normalization, and documents reassemble in original
+    order."""
+    rows = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma\nshared line"),  # loses both copies (doc 1 was first)
+        (3, "delta\ndelta\n\n   \nepsilon"),  # within-doc repeat + blanks
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.remove_duplicate_lines(df).collect()}
+    assert (got[1].n_lines, got[1].n_kept) == (3, 3)
+    assert got[1].cleaned_text == "alpha\nshared line\nbeta"
+    assert (got[2].n_lines, got[2].n_kept) == (3, 1)
+    assert got[2].cleaned_text == "gamma"
+    assert (got[3].n_lines, got[3].n_kept) == (3, 2)
+    assert got[3].cleaned_text == "delta\nepsilon"
+    assert (got[4].n_lines, got[4].n_kept) == (0, 0) and got[4].cleaned_text == ""
+
+
 def test_lm_perplexity_coherent_under_incoherent_pruning(spark):
     """The unigram and bigram tables prune independently, so a bigram can
     survive top-V while its context unigram is pruned (c2>0, c1=0).
