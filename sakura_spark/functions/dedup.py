@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sakura_spark import errors
-from sakura_spark.functions.text import fingerprint_md5, tokens
+from sakura_spark.functions.text import bind_once, fingerprint_md5, tokens
 
 # Mersenne prime 2^31-1: modulus for the universal hash family
 # h_i(x) = (a_i * x + b_i) mod p. 31-bit values keep a*h < 2^62, safely
@@ -59,19 +59,25 @@ def shingles(text: Column, n: int = 3) -> Column:
     expressions captured inside a higher-order-function lambda are
     re-evaluated per element, so the transform form re-tokenizes the text
     once PER GRAM — measured ~3x the whole contamination query at bench
-    scale. zip_with evaluates each argument array once; the token array is
-    evaluated O(n) times per row, not O(grams). Trailing windows short of
-    n tokens become NULL (concat propagates the zip_with padding) and are
-    filtered; docs with < n tokens yield an empty array."""
-    toks = tokens(F.lower(text))
-    g = toks
-    for k in range(1, n):
-        g = F.zip_with(
-            g,
-            F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda acc, t: F.concat(acc, F.lit(" "), t),
-        )
-    return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
+    scale. zip_with evaluates each argument array once — and the token
+    array itself is bound ONCE per row via bind_once (it feeds the
+    zip_with base plus a slice and a size per gram order, which as raw
+    expressions would re-tokenize ~2(n-1) more times; measured 2x on the
+    signature pipeline). Trailing windows short of n tokens become NULL
+    (concat propagates the zip_with padding) and are filtered; docs with
+    < n tokens yield an empty array."""
+
+    def build(toks: Column) -> Column:
+        g = toks
+        for k in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
+                lambda acc, t: F.concat(acc, F.lit(" "), t),
+            )
+        return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
+
+    return bind_once(tokens(F.lower(text)), build)
 
 
 # Odd multiplier for the rolling gram-hash combine; with 31-bit operands the
@@ -89,19 +95,27 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     which costs ~5x the whole signature pipeline at bench scale. Built
     from zip_with over shifted slices (each argument evaluated once — a
     transform-with-element_at nesting re-evaluates its input array per
-    element). Trailing windows short of n tokens become NULL via zip_with
-    padding and are filtered; docs with < n tokens yield an empty array.
+    element), with the token-hash array bound ONCE per row via bind_once
+    (as a raw expression it feeds ~2(n-1)+1 references — measured 2x the
+    signature stage). Trailing windows short of n tokens become NULL via
+    zip_with padding and are filtered; docs with < n tokens yield an
+    empty array.
     """
-    toks = tokens(F.lower(text))
-    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
-    g = th
-    for k in range(1, n):
-        g = F.zip_with(
-            g,
-            F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(0))),
-            lambda acc, h: F.pmod(acc * F.lit(_A) + h, F.lit(_P)),
-        )
-    return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
+    th = F.transform(
+        tokens(F.lower(text)), lambda t: F.pmod(F.xxhash64(t), F.lit(_P))
+    )
+
+    def build(hs: Column) -> Column:
+        g = hs
+        for k in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(hs, k + 1, F.greatest(F.size(hs) - k, F.lit(0))),
+                lambda acc, h: F.pmod(acc * F.lit(_A) + h, F.lit(_P)),
+            )
+        return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
+
+    return bind_once(th, build)
 
 
 def minhash_signatures(
@@ -422,23 +436,71 @@ def simhash_candidates(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 10, driver_max_pairs: int = 200_000
+) -> DataFrame:
     """Connected components over (id_a, id_b) duplicate pairs -> (id,
     cluster) with cluster = the component's minimum id.
 
-    Min-label propagation with pointer doubling: each pass every node
-    adopts the minimum label in its closed neighborhood, then follows the
-    adopted label one hop further (labels are themselves node ids), so the
-    remaining label-chain roughly halves per pass — O(log diameter)
-    convergence instead of O(diameter). Each pass is two hash joins plus a
-    groupBy-min — partitioned on id, no driver-side graph, so 100 TB of
-    pairs shuffles but never collects. Convergence is detected with a
-    bounded count job per pass; exhausting ``max_iterations`` while labels
-    are still moving raises ``ConvergenceError`` rather than silently
-    returning a split clustering. Labels are checkpointed via
-    localCheckpoint every pass to keep the plan from growing superlinearly
-    with iterations.
+    Two paths, size-gated on one count of the (already bucket-bounded)
+    pair set:
+
+    * ``<= driver_max_pairs``: classic union-find on the driver. The
+      transfer is two ids per pair — the same bounded-smalls class as the
+      IVF/PQ codebooks — and it replaces ~5 scheduled jobs PER ITERATION
+      with microseconds of local work; at bench scale this is the
+      difference between 3 s of pure job scheduling and none. Candidate
+      pairs after LSH + verification are a vanishing fraction of the
+      corpus, so real runs usually take this path even at large scale.
+    * above the gate: min-label propagation with pointer doubling — each
+      pass every node adopts the minimum label in its closed
+      neighborhood, then follows the adopted label one hop further
+      (labels are themselves node ids), so the remaining label-chain
+      roughly halves per pass: O(log diameter) convergence instead of
+      O(diameter). Each pass is two hash joins plus a groupBy-min —
+      partitioned on id, never collected, so billions of pairs shuffle
+      but the driver holds nothing. Convergence is detected with a
+      bounded count job per pass; exhausting ``max_iterations`` while
+      labels are still moving raises ``ConvergenceError`` rather than
+      silently returning a split clustering. Labels are checkpointed via
+      localCheckpoint every pass to keep the plan from growing
+      superlinearly with iterations.
+
+    Both paths produce identical output (property-tested against each
+    other); set ``driver_max_pairs=0`` to force the distributed path.
     """
+    if driver_max_pairs > 0 and pairs.count() <= driver_max_pairs:
+        id_type = pairs.schema["id_a"].dataType
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: set = set()
+        for a, b in pairs.select("id_a", "id_b").toLocalIterator():
+            seen.add(a)
+            seen.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict = {}
+        for x in seen:
+            members.setdefault(find(x), []).append(x)
+        out = [
+            (x, min(mem)) for mem in members.values() for x in mem
+        ]
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("cluster", id_type)]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
+
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -17,6 +17,23 @@ from pyspark.sql import functions as F
 _WS = r"\s+"
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` exactly once per row and hand it to ``fn`` as a
+    BOUND lambda variable: ``element_at(transform(array(col), fn), 1)``.
+
+    Higher-order functions evaluate their input array once, then bind
+    each element as a NamedLambdaVariable — so every reference inside
+    ``fn`` is a cheap variable read. Referencing a raw expression column
+    from multiple places in one projection (slice + size + zip_with base,
+    or worse, inside a per-element lambda) re-evaluates the whole subtree
+    per reference — the repeated-re-tokenization failure measured at
+    ~2-9x across this package's history (round-3 shingles, round-7 gram
+    builders). Use this whenever an expensive array expression feeds a
+    multi-reference expression and a separate projection is not
+    available (Column-in/Column-out helpers)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of trimmed text; empty text -> empty array."""
     t = F.trim(text)
@@ -405,16 +422,22 @@ def fingerprint_md5(text: Column) -> Column:
 
 def rolling_hashes(text: Column, window: int = 8) -> Column:
     """Per-document array of rolling window hashes over tokens (winnowing
-    fingerprint precursor): xxhash64 of each `window`-token shingle."""
-    toks = tokens(F.lower(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    return F.when(n < window, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    fingerprint precursor): xxhash64 of each `window`-token shingle.
+    Token array bound once via :func:`bind_once` — slicing it inside the
+    per-window lambda would otherwise re-tokenize the document per
+    window."""
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+        return F.when(n < window, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+            )
         )
-    )
+
+    return bind_once(tokens(F.lower(text)), build)
 
 
 def winnowing_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Column:

@@ -113,12 +113,17 @@ def test_duplicate_clusters_connected_components(spark):
 
 def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
     """Pointer doubling: a 64-node path needs ~log2(64) passes, well under
-    the default cap of 10 (plain propagation would need 63)."""
+    the default cap of 10 (plain propagation would need 63).
+    driver_max_pairs=0 forces the DISTRIBUTED path — the default would
+    route a graph this small through the driver union-find."""
     n = 64
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    got = {r.id: r.cluster for r in dedup.duplicate_clusters(pairs).collect()}
+    got = {
+        r.id: r.cluster
+        for r in dedup.duplicate_clusters(pairs, driver_max_pairs=0).collect()
+    }
     assert got == {i: 0 for i in range(n)}
 
 
@@ -133,7 +138,7 @@ def test_duplicate_clusters_raises_on_iteration_cap(spark):
         [(i, i + 1) for i in range(39)], "id_a long, id_b long"
     )
     with pytest.raises(errors.ConvergenceError):
-        dedup.duplicate_clusters(pairs, max_iterations=2)
+        dedup.duplicate_clusters(pairs, max_iterations=2, driver_max_pairs=0)
 
 
 def test_dedup_near_end_to_end(docs):

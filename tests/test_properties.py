@@ -121,8 +121,16 @@ def test_duplicate_clusters_match_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
     )
+    # Both paths must agree with the oracle AND each other: the default
+    # routes small graphs through the driver union-find; driver_max_pairs=0
+    # forces the distributed pointer-doubling propagation.
     got = {r.id: r.cluster for r in duplicate_clusters(pairs).collect()}
     assert got == expected
+    dist = {
+        r.id: r.cluster
+        for r in duplicate_clusters(pairs, driver_max_pairs=0).collect()
+    }
+    assert dist == expected
 
 
 def test_sources_api(spark, tmp_path):
