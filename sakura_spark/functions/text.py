@@ -350,21 +350,47 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
 
 
 def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the standard quality columns (one codegen'd projection)."""
+    """Attach the standard quality columns.
+
+    The lowercased token array is computed ONCE per row (bind_once) and
+    every token-derived metric (count, mean length, stopword ratio) reads
+    the bound value — the independent per-metric expressions each
+    re-tokenized the text, ~4 tokenizations per row. Character-class
+    ratios work on the raw text. Two projections (compute the metric
+    struct, then unpack it) keep the bound struct from being re-evaluated
+    per extracted field."""
     t = F.col(text_col)
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+
+    def metrics(toks: Column) -> Column:
+        n = F.size(toks)
+        nonspace = F.length(F.regexp_replace(F.trim(t), _WS, ""))
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(nonspace.cast("double") / n.cast("double"))
+            .alias("mean_token_len"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(hits.cast("double") / n.cast("double"))
+            .alias("stopword_ratio"),
+        )
+
+    staged = df.withColumn("__q", bind_once(tokens(F.lower(t)), metrics))
     return (
-        df.withColumn("n_tokens", token_count(t))
+        staged.withColumn("n_tokens", F.col("__q.n_tokens"))
         .withColumn("n_chars_m", char_count(t))
         .withColumn("digit_ratio", digit_ratio(t))
         .withColumn("space_ratio", space_ratio(t))
-        .withColumn("mean_token_len", mean_token_len(t))
-        .withColumn("stopword_ratio", stopword_ratio(t))
+        .withColumn("mean_token_len", F.col("__q.mean_token_len"))
+        .withColumn("stopword_ratio", F.col("__q.stopword_ratio"))
         .withColumn(
             "quality_ok",
             (F.col("n_tokens") >= 5)
             & (F.col("digit_ratio") < 0.3)
             & (F.col("mean_token_len") > 1.0),
         )
+        .drop("__q")
     )
 
 
@@ -396,18 +422,29 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Argmax language with CJK regex override; 'und' when no marker hits.
-    Deterministic tie-break: language name order en < de? No — fixed
-    priority list below (first max wins)."""
-    scores = lang_scores(text)
+    Deterministic tie-break: fixed priority list below (first max wins).
+    The space-padded lowercase text is bound ONCE (bind_once) — the
+    argmax fold references each language score twice and each score is
+    five LIKEs, so the raw expression form lowercases+pads the document
+    ~40 times per row."""
     has_cjk = F.length(F.regexp_replace(text, "[一-鿿]", "")) < F.length(text)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # Iterate in fixed priority; strict > keeps the earliest max.
-    for lang in ["en", "de", "fr", "es"]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+    def pick(padded: Column) -> Column:
+        best = F.lit("und")
+        best_score = F.lit(0)
+        # Iterate in fixed priority; strict > keeps the earliest max.
+        for lang, words in [(lg, LANG_MARKERS[lg]) for lg in ["en", "de", "fr", "es"]]:
+            score = None
+            for w in words:
+                hit = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+                score = hit if score is None else score + hit
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+        return best
+
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return F.when(has_cjk, F.lit("zh")).otherwise(bind_once(padded, pick))
 
 
 # --- fingerprinting ---------------------------------------------------------
