@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sakura_spark.functions.text import bind_once
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -42,16 +44,26 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    denom = norm(a) * norm(b)
-    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    # The denominator (two norm folds) is bound once — as a raw
+    # expression it is referenced by the zero-guard AND the division,
+    # doubling both norm passes.
+    return bind_once(
+        norm(a) * norm(b),
+        lambda denom: F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom),
+    )
 
 
 def l2_normalize(vec: Column) -> Column:
     """Unit-norm copy of the vector (zero vectors pass through unchanged —
-    no NaN poison downstream). Pure array expressions, map-only."""
-    n = norm(vec)
-    return F.when(n == 0, _as_double(vec)).otherwise(
-        F.transform(_as_double(vec), lambda x: x / n)
+    no NaN poison downstream). Pure array expressions, map-only. The norm
+    is bound once per row (bind_once): referencing the norm fold inside
+    the per-element lambda re-runs the O(d) fold PER ELEMENT — an O(d^2)
+    projection, measured on the quantize pipeline."""
+    return bind_once(
+        norm(vec),
+        lambda n: F.when(n == 0, _as_double(vec)).otherwise(
+            F.transform(_as_double(vec), lambda x: x / n)
+        ),
     )
 
 
@@ -63,11 +75,15 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     differs across engines while floor(x + 0.5) is bit-reproducible
     everywhere. An all-zero vector gets scale 0.0 and an all-zero code.
     8x memory reduction for ANN candidate storage; dequantize is x/scale.
-    """
+    The scale is bound once (bind_once) — inside the per-element lambda
+    the array_max fold would otherwise recompute per element (O(d^2))."""
     v = _as_double(vec)
     amax = F.array_max(F.transform(v, F.abs))
     scale = F.when(amax == 0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
-    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    q = bind_once(
+        scale,
+        lambda s: F.transform(v, lambda x: F.floor(x * s + F.lit(0.5)).cast("int")),
+    )
     return q, scale
 
 
