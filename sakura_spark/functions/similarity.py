@@ -229,8 +229,14 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
         F.array(*[_lit_vec(c) for c in centroids]),
         lambda c: _l2sq(F.col(vec_col), c),
     )
+    # Bind the distance array once: array_position + array_min reference
+    # it twice, which as a raw expression doubles the k l2-fold passes.
     return df.withColumn(
-        "cluster_id", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        "cluster_id",
+        bind_once(
+            dists,
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        ),
     )
 
 
@@ -472,12 +478,23 @@ def _pq_code_exprs(codebooks: list[list[list[float]]], vec_col: str) -> list:
     exprs = []
     for j, book in enumerate(codebooks):
         piece = F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub)
-        dists = F.transform(
-            F.array(*[_lit_vec(c) for c in book]), lambda c: _l2sq(piece, c)
-        )
-        exprs.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
+
+        def code_for(book):
+            # Bind the subspace slice once (the per-codeword lambda
+            # would re-slice per codeword), then bind the distance
+            # array once (argmin references it twice).
+            return bind_once(
+                piece,
+                lambda p: bind_once(
+                    F.transform(
+                        F.array(*[_lit_vec(c) for c in book]),
+                        lambda c: _l2sq(p, c),
+                    ),
+                    lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+                ),
+            )
+
+        exprs.append(code_for(book))
     return exprs
 
 
