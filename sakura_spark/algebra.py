@@ -148,3 +148,47 @@ def materialize(df: DataFrame) -> list[Row]:
     """Drain to a tuple list (lib/algebra.ml:324-331). Driver-side by
     definition — use only for small/final results."""
     return df.collect()
+
+
+# --- constraint propagation through the algebra (lib/algebra.ml:82,112-129,
+# 158-170) ---------------------------------------------------------------------
+# Spark DataFrames carry no relation metadata, so the reference's
+# constraints-on-derived-relations travel as an explicit companion value:
+# callers holding a relation's [(name, icl_ast.Body)] list thread it through
+# the same operator that transformed the data. Semantics are the
+# reference's: σ preserves every constraint, π keeps the ones whose
+# referenced attributes survive (Constraint.filter_by_attrs — Or requires
+# all branches, quantifiers bind their variable), ρ renames the references
+# (Constraint.rename_vars).
+
+
+def select_constraints(constraints: list[tuple[str, object]]) -> list[tuple[str, object]]:
+    """σ: filtering rows never invalidates a row-level constraint
+    (lib/algebra.ml:82 passes the list through untouched)."""
+    return list(constraints)
+
+
+def project_constraints(
+    constraints: list[tuple[str, object]], attrs: Iterable[str]
+) -> list[tuple[str, object]]:
+    """π: keep constraints expressible over the surviving attributes
+    (lib/algebra.ml:112-129 + Constraint.filter_by_attrs)."""
+    from sakura_spark.icl import ast as icl_ast
+
+    attrs = list(attrs)
+    kept = []
+    for name, body in constraints:
+        filtered = icl_ast.filter_by_attrs(attrs, body)
+        if filtered is not None:
+            kept.append((name, filtered))
+    return kept
+
+
+def rename_constraints(
+    constraints: list[tuple[str, object]], mapping: dict[str, str]
+) -> list[tuple[str, object]]:
+    """ρ: constraint variable references follow the attribute renames
+    (lib/algebra.ml:158-170 + Constraint.rename_vars)."""
+    from sakura_spark.icl import ast as icl_ast
+
+    return [(name, icl_ast.rename_vars(mapping, body)) for name, body in constraints]

@@ -177,3 +177,116 @@ def body_from_json(d: dict) -> Body:
             _binding_from_json(d["high"]),
         )
     raise ValueError(f"unknown body tag: {t}")
+
+
+# --- algebra propagation transforms (lib/constraint.ml:65-119) ---------------
+
+
+def _root(name: str) -> str:
+    """A namespaced quantifier reference "r.attr" resolves by its root
+    variable "r" (this engine's spelling for the reference's quantified
+    lookups; the reference matches variable atoms literally)."""
+    return name.split(".", 1)[0] if "." in name else name
+
+
+def _binding_vars(b: Binding) -> set[str]:
+    return {_root(b.name)} if isinstance(b, Var) else set()
+
+
+def filter_by_attrs(attrs: list[str], body: Body) -> Body | None:
+    """Drop a constraint that references attributes outside ``attrs``;
+    returns None when it cannot be kept (Constraint.filter_by_attrs,
+    lib/constraint.ml:95-119). Rules: a MemberOf/comparison survives iff
+    every variable it references is present; Not follows its body; And
+    keeps the surviving branches (None only if none survive); Or needs
+    ALL branches to survive (a pruned disjunct would strengthen the
+    constraint — unsound); Exists/Forall add their bound variable to the
+    allowed set for the body."""
+    allowed = set(attrs)
+
+    def go(b: Body, allowed: set[str]) -> Body | None:
+        if isinstance(b, MemberOf):
+            used = set()
+            for _, expr in b.bindings:
+                used |= _binding_vars(expr)
+            return b if used <= allowed else None
+        if isinstance(b, (Cmp, Between)):
+            used = set()
+            for expr in (
+                (b.left, b.right) if isinstance(b, Cmp) else (b.value, b.low, b.high)
+            ):
+                used |= _binding_vars(expr)
+            return b if used <= allowed else None
+        if isinstance(b, Not):
+            inner = go(b.body, allowed)
+            return Not(inner) if inner is not None else None
+        if isinstance(b, (And, Or)):
+            # The binary tree flattens to the reference's n-ary list form.
+            cls = And if isinstance(b, And) else Or
+            branches: list[Body] = []
+
+            def flat(x: Body) -> None:
+                if isinstance(x, cls):
+                    flat(x.left)
+                    flat(x.right)
+                else:
+                    branches.append(x)
+
+            flat(b)
+            kept = [k for k in (go(br, allowed) for br in branches) if k is not None]
+            if isinstance(b, Or) and len(kept) != len(branches):
+                return None
+            if not kept:
+                return None
+            out = kept[0]
+            for k in kept[1:]:
+                out = cls(out, k)
+            return out
+        if isinstance(b, (Exists, Forall)):
+            inner = go(b.body, allowed | {b.var})
+            if inner is None:
+                return None
+            cls2 = Exists if isinstance(b, Exists) else Forall
+            return cls2(b.var, b.quantifier, inner)
+        raise TypeError(f"unknown constraint body: {b!r}")
+
+    return go(body, allowed)
+
+
+def rename_vars(mapping: dict[str, str], body: Body) -> Body:
+    """Rename attribute references per {old: new} (Constraint.rename_vars,
+    lib/constraint.ml:65-93): binding KEYS and Var names both rename (the
+    reference renames both), quantifier bound variables rename, Consts
+    pass through. Namespaced "r.attr" references rename by their root."""
+
+    def nm(name: str) -> str:
+        if "." in name:
+            root, rest = name.split(".", 1)
+            return f"{mapping.get(root, root)}.{rest}"
+        return mapping.get(name, name)
+
+    def rb(expr: Binding) -> Binding:
+        return Var(nm(expr.name)) if isinstance(expr, Var) else expr
+
+    def go(b: Body) -> Body:
+        if isinstance(b, MemberOf):
+            return MemberOf(
+                b.target, tuple((nm(k), rb(v)) for k, v in b.bindings)
+            )
+        if isinstance(b, Cmp):
+            return Cmp(b.op, rb(b.left), rb(b.right))
+        if isinstance(b, Between):
+            return Between(rb(b.value), rb(b.low), rb(b.high))
+        if isinstance(b, Not):
+            return Not(go(b.body))
+        if isinstance(b, And):
+            return And(go(b.left), go(b.right))
+        if isinstance(b, Or):
+            return Or(go(b.left), go(b.right))
+        if isinstance(b, Exists):
+            return Exists(nm(b.var), b.quantifier, go(b.body))
+        if isinstance(b, Forall):
+            return Forall(nm(b.var), b.quantifier, go(b.body))
+        raise TypeError(f"unknown constraint body: {b!r}")
+
+    return go(body)

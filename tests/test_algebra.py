@@ -121,3 +121,85 @@ def test_join_symmetric_on_keys(emp_dept):
     a = algebra.equijoin(emp, dept, ["dept_id"]).select("emp_id", "dname")
     b = algebra.equijoin(dept, emp, ["dept_id"]).select("emp_id", "dname")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- constraint propagation (lib/algebra.ml:82,112-129,158-170 +
+# lib/constraint.ml:65-119; reference tests "constraint propagation: ...") ---
+
+
+def test_constraint_propagation_select_preserves():
+    """Reference 'constraint propagation: select preserves constraints':
+    σ passes the constraint list through untouched."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    cs = [("c1", ast.MemberOf("some_rel", (("left", ast.Var("x")),)))]
+    assert algebra.select_constraints(cs) == cs
+
+
+def test_constraint_propagation_project_filters():
+    """Reference 'constraint propagation: project filters constraints':
+    π keeps a constraint iff its referenced attributes survive."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    c_on_x = ("x_only", ast.MemberOf("some_rel", (("left", ast.Var("x")),)))
+    c_on_y = ("y_only", ast.MemberOf("some_rel", (("left", ast.Var("y")),)))
+    cs = [c_on_x, c_on_y]
+    assert algebra.project_constraints(cs, ["x"]) == [c_on_x]
+    assert algebra.project_constraints(cs, ["y"]) == [c_on_y]
+    assert algebra.project_constraints(cs, ["x", "y"]) == cs
+    assert algebra.project_constraints(cs, ["z"]) == []
+
+
+def test_constraint_propagation_project_connectives():
+    """filter_by_attrs branch rules (lib/constraint.ml:105-119): And keeps
+    surviving branches, Or requires ALL branches (a pruned disjunct would
+    strengthen the constraint), Exists binds its variable for the body."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    on_x = ast.Cmp("gte", ast.Var("x"), ast.ConstVal(0))
+    on_y = ast.Cmp("lte", ast.Var("y"), ast.ConstVal(9))
+    both_and = [("range", ast.And(on_x, on_y))]
+    # And: the x-branch survives a projection to x alone.
+    assert algebra.project_constraints(both_and, ["x"]) == [("range", on_x)]
+    # Or: losing a branch drops the whole constraint.
+    both_or = [("either", ast.Or(on_x, on_y))]
+    assert algebra.project_constraints(both_or, ["x"]) == []
+    assert algebra.project_constraints(both_or, ["x", "y"]) == both_or
+    # Exists: the bound variable (and its namespaced fields) is allowed.
+    ex = [
+        (
+            "linked",
+            ast.Exists(
+                "r",
+                "Room",
+                ast.Cmp("eq", ast.Var("r.room_id"), ast.Var("room_id")),
+            ),
+        )
+    ]
+    assert algebra.project_constraints(ex, ["room_id"]) == ex
+    assert algebra.project_constraints(ex, ["other"]) == []
+
+
+def test_constraint_propagation_rename():
+    """ρ renames Var references, binding keys, and quantifier variables
+    (Constraint.rename_vars, lib/constraint.ml:65-93)."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    cs = [
+        ("fk", ast.MemberOf("dept", (("dept_id", ast.Var("dept_id")),))),
+        (
+            "q",
+            ast.Exists(
+                "r", "Room", ast.Cmp("eq", ast.Var("r.x"), ast.Var("x"))
+            ),
+        ),
+    ]
+    out = dict(algebra.rename_constraints(cs, {"dept_id": "d", "x": "x2", "r": "rr"}))
+    assert out["fk"] == ast.MemberOf("dept", (("d", ast.Var("d")),))
+    assert out["q"] == ast.Exists(
+        "rr", "Room", ast.Cmp("eq", ast.Var("rr.x"), ast.Var("x2"))
+    )
