@@ -1919,18 +1919,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 rotation (policy: every oracle-backed family keeps a driver
     row within two rounds; entries green across multiple rounds with
-    in-sweep shape siblings cycle past the cap): the three round-6
-    operators enter the sweep — text_repetition (Gopher repetition
-    stats), text_lm_score (CCNet-style n-gram LM scoring),
-    dedup_span_stats (ExactSubstr span counting) — all verified
-    hash-green locally in rounds 6 AND 7 but never driver-checked
-    (VERDICT r6 item 4). Three multi-round-green entries with in-sweep
-    siblings rotate out: events_funnel ~ sessionize/top_paths/
-    attribution, curation_quota ~ mixture/contamination/quality_report,
-    tpch_q5_local_supplier_volume ~ the thirteen other TPC-H join
-    shapes still in the sweep. The prior rounds' rotation history lives
-    in git (round 6 rotated in the twelve orphaned TPC-H shapes +
-    sim_pq_encode_fixed + events_attribution).
+    in-sweep shape siblings cycle past the cap; brand-new oracle-backed
+    operators enter immediately, per the round-6 precedent): five enter
+    the sweep — the three round-6 operators never driver-checked
+    (text_repetition, text_lm_score, dedup_span_stats; VERDICT r6 item
+    4) and the two NEW round-7 removal operators (dedup_span_removal,
+    dedup_line_dedup). Five multi-round-green entries with in-sweep
+    siblings rotate out: events_funnel + events_top_paths ~ sessionize/
+    attribution, curation_quota + curation_contamination ~ mixture/
+    quality_report, tpch_q5_local_supplier_volume ~ the thirteen other
+    TPC-H join shapes still in the sweep. The prior rounds' rotation
+    history lives in git (round 6 rotated in the twelve orphaned TPC-H
+    shapes + sim_pq_encode_fixed + events_attribution).
     The rows-only (non-SQL-expressible) entries stay at the end. ALL
     entries — the count is asserted against COVERAGE.md by
     tests/test_scale.py::test_registry_contract — are verified locally
@@ -1954,13 +1954,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_lm_score": q_text_lm_score,
         "dedup_span_stats": q_dedup_span_stats,
+        "dedup_span_removal": q_dedup_span_removal,
+        "dedup_line_dedup": q_dedup_line_dedup,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "text_pii_redact": q_text_pii_redact,
         "rel_diff": q_rel_diff,
         "curation_mixture": q_curation_mixture,
         "window_topk_per_group": q_window_topk_per_group,
-        "events_top_paths": q_events_top_paths,
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -1983,16 +1984,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "multimodal_bytes": q_multimodal_bytes,
-        "curation_contamination": q_curation_contamination,
         "shard_pack": q_shard_pack,
         "pipeline_curate": q_pipeline_curate,
         "rel_full_outer": q_rel_full_outer,
         # --- past the driver's 50-query cap (all still locally verified;
-        # rotated out after multiple green driver rounds — or, for
-        # dedup_span_removal / dedup_line_dedup, new this round and
-        # queued to rotate in) ---
-        "dedup_span_removal": q_dedup_span_removal,
-        "dedup_line_dedup": q_dedup_line_dedup,
+        # rotated out after multiple green driver rounds —
+        # see the rotation history in the queries() docstring) ---
+        "curation_contamination": q_curation_contamination,
+        "events_top_paths": q_events_top_paths,
         "events_funnel": q_events_funnel,
         "curation_quota": q_curation_quota,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
