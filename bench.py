@@ -70,6 +70,9 @@ EXTENDED = [
     "sim_pq_encode_fixed",
     "text_repetition",
     "text_lm_score",
+    # round 7 additions (first measurements recorded in BASELINE.md):
+    "dedup_span_removal",
+    "dedup_line_dedup",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -89,6 +92,11 @@ NOOP_SINK = {
     "sim_pq_encode_fixed",
     "text_repetition",
     "text_lm_score",
+    # Round-7: both removal operators end in a 1:1 doc-keyed join or
+    # groupBy whose output cardinality equals the base scan, so .count()
+    # would join-eliminate them too.
+    "dedup_span_removal",
+    "dedup_line_dedup",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only
