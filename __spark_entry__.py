@@ -810,6 +810,16 @@ def q_events_attribution(spark, sf_dir):
     )
 
 
+def q_curation_gopher_filter(spark, sf_dir):
+    """Gopher repetition quality gate (curation.gopher_repetition_filter):
+    the FILTER application of the repetition statistics — integer-exact
+    inequality gates (dup-line fraction <= 0.3, top-word mass <= 0.2,
+    top-2-gram mass <= 0.18, n_words >= 50), so the surviving documents
+    and their stats hash-match the DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.gopher_repetition_filter(docs).orderBy("doc_id")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition statistics (text.repetition_stats):
     duplicate-line counts + word/2-gram histogram peaks per document —
@@ -1990,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-query cap (all still locally verified;
         # rotated out after multiple green driver rounds —
         # see the rotation history in the queries() docstring) ---
+        "curation_gopher_filter": q_curation_gopher_filter,
         "curation_contamination": q_curation_contamination,
         "events_top_paths": q_events_top_paths,
         "events_funnel": q_events_funnel,
@@ -2134,6 +2145,35 @@ def _pq_fixed_oracle_sql() -> str:
         + " + ".join(dist_terms)
         + " AS pq_dist FROM codes ORDER BY vec_id"
     )
+
+
+_REPETITION_SQL = (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+            "x -> x <> '') AS lines, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "lstats AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines FROM base), "
+            "w AS (SELECT doc_id, unnest(words) AS w FROM base), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+            "wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "CAST(max(c) AS BIGINT) AS max_word_count FROM wc GROUP BY doc_id), "
+            "bgarr AS (SELECT doc_id, CASE WHEN len(words) < 2 THEN []::VARCHAR[] "
+            "ELSE list_transform(range(1, len(words)), "
+            "i -> words[i] || ' ' || words[i+1]) END AS bgs FROM base), "
+            "b AS (SELECT doc_id, unnest(bgs) AS g FROM bgarr), "
+            "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g), "
+            "bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+            "CAST(max(c) AS BIGINT) AS max_bigram_count FROM bc GROUP BY doc_id) "
+            "SELECT l.doc_id, n_lines, n_distinct_lines, "
+            "coalesce(n_words, 0) AS n_words, "
+            "coalesce(max_word_count, 0) AS max_word_count, "
+            "coalesce(n_bigrams, 0) AS n_bigrams, "
+            "coalesce(max_bigram_count, 0) AS max_bigram_count "
+            "FROM lstats l LEFT JOIN wstats USING (doc_id) "
+            "LEFT JOIN bstats USING (doc_id) ORDER BY doc_id"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2942,32 +2982,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(sum_context_count, 0) AS BIGINT) AS sum_context_count "
             "FROM base b LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
         ),
-        "text_repetition": (
-            "WITH base AS (SELECT doc_id, "
-            "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
-            "x -> x <> '') AS lines, "
-            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
-            "x -> x <> '') AS words FROM documents), "
-            "lstats AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
-            "CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines FROM base), "
-            "w AS (SELECT doc_id, unnest(words) AS w FROM base), "
-            "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
-            "wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
-            "CAST(max(c) AS BIGINT) AS max_word_count FROM wc GROUP BY doc_id), "
-            "bgarr AS (SELECT doc_id, CASE WHEN len(words) < 2 THEN []::VARCHAR[] "
-            "ELSE list_transform(range(1, len(words)), "
-            "i -> words[i] || ' ' || words[i+1]) END AS bgs FROM base), "
-            "b AS (SELECT doc_id, unnest(bgs) AS g FROM bgarr), "
-            "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g), "
-            "bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
-            "CAST(max(c) AS BIGINT) AS max_bigram_count FROM bc GROUP BY doc_id) "
-            "SELECT l.doc_id, n_lines, n_distinct_lines, "
-            "coalesce(n_words, 0) AS n_words, "
-            "coalesce(max_word_count, 0) AS max_word_count, "
-            "coalesce(n_bigrams, 0) AS n_bigrams, "
-            "coalesce(max_bigram_count, 0) AS max_bigram_count "
-            "FROM lstats l LEFT JOIN wstats USING (doc_id) "
-            "LEFT JOIN bstats USING (doc_id) ORDER BY doc_id"
+        "text_repetition": _REPETITION_SQL,
+        # The same stats subquery with the integer gate inequalities on
+        # top (thresholds cleared of division so the hash is exact).
+        "curation_gopher_filter": (
+            "SELECT * FROM ("
+            + _REPETITION_SQL.replace(" ORDER BY doc_id", "")
+            + ") WHERE 10 * n_distinct_lines >= 7 * n_lines "
+            "AND 5 * max_word_count <= n_words "
+            "AND 50 * max_bigram_count <= 9 * n_bigrams "
+            "AND n_words >= 50 ORDER BY doc_id"
         ),
         "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
         "events_attribution": (

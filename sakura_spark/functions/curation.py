@@ -226,3 +226,33 @@ def contamination(
         F.col("__bench_n").alias("bench_ngrams"),
         score.alias("containment"),
     ).filter(F.col("containment") >= threshold)
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+) -> DataFrame:
+    """Gopher-style repetition quality GATE (Rae et al. 2021, Appendix A
+    — the filter application of text.repetition_stats' measurements):
+    keep documents where
+
+    * duplicate-line fraction <= 0.3  (10*n_distinct_lines >= 7*n_lines),
+    * top-word mass <= 0.2            (5*max_word_count <= n_words),
+    * top-2-gram mass <= 0.18         (50*max_bigram_count <= 9*n_bigrams),
+    * n_words >= min_words            (Gopher's minimum length gate).
+
+    Every gate is an INTEGER inequality (the fraction thresholds cleared
+    of division), so the output — the surviving docs with their stats —
+    is hash-stable across engines; one filter over the repetition-stats
+    plan, nothing new shuffles."""
+    from sakura_spark.functions.text import repetition_stats
+
+    s = repetition_stats(df, id_col=id_col, text_col=text_col)
+    return s.where(
+        (10 * F.col("n_distinct_lines") >= 7 * F.col("n_lines"))
+        & (5 * F.col("max_word_count") <= F.col("n_words"))
+        & (50 * F.col("max_bigram_count") <= 9 * F.col("n_bigrams"))
+        & (F.col("n_words") >= min_words)
+    )

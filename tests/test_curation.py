@@ -163,3 +163,26 @@ def test_mixture_sample_rejects_negative_rate(docs):
 
     with pytest.raises(ValueError):
         curation.mixture_sample(docs, ["doc_id"], {"src0": -0.1})
+
+
+def test_gopher_repetition_filter_gates(spark):
+    """curation.gopher_repetition_filter: a clean long document passes;
+    documents failing each gate (duplicate lines, top-word mass, top-bigram
+    mass, minimum length) are dropped."""
+    from sakura_spark.functions import curation
+
+    filler = " ".join(f"w{i}" for i in range(60))  # 60 distinct words
+    # Doc 4 isolates the BIGRAM gate: "xx yy" x19 + 62 distinct fillers
+    # gives top-word mass 19/100 = 0.19 (under the 0.2 word gate) but
+    # top-bigram mass 19/99 > 0.18 — only the 2-gram rule rejects it.
+    filler62 = " ".join(f"v{i}" for i in range(62))
+    rows = [
+        (1, filler),                                   # passes all gates
+        (2, "line\n" * 10 + filler),                   # 10 dup lines of 11 -> fails
+        (3, ("spam " * 20) + filler),                  # top word 20/80 = 0.25 -> fails
+        (4, ("xx yy " * 19) + filler62),               # bigram gate only -> fails
+        (5, "too short to pass"),                      # < 50 words -> fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in curation.gopher_repetition_filter(df).collect()}
+    assert kept == {1}
