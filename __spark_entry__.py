@@ -1621,6 +1621,40 @@ def q_tpch_q20_promotion_suppliers(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Whitespace/control normalization over the corpus: inject
+    deterministic web-scrape mess (CRLF runs, tabs, zero-width space,
+    NBSP, a BEL control, doc_id-dependent trailing space runs — the test
+    tables are clean), then run text.normalize_text's nine JVM regex
+    passes. Map-only at any scale; the DuckDB oracle replays the exact
+    same pattern chain with 'g' so the normalized text must match
+    byte-for-byte (verified: Java regex and RE2 agree on every pattern
+    used — no bare \\s, no multiline anchors)."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  \t\u200b"),
+        F.col("text"),
+        F.lit(" tail\x07ctl"),
+        F.repeat(F.lit(" "), (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit("\r\n\r\n\r\n\r\nend  "),
+    )
+    base = docs.select("doc_id", messy.alias("__m"))
+    return base.select(
+        "doc_id",
+        F.length("__m").cast("long").alias("raw_chars"),
+        text.normalize_text(F.col("__m")).alias("norm_text"),
+    ).withColumn("norm_chars", F.length("norm_text").cast("long"))
+
+
+def q_curation_length_buckets(spark, sf_dir):
+    """Sequence-length bucketing report (curation.length_buckets): the
+    padding/chunking planning step before shard packing. One map-side
+    projection + a groupBy on <=7 keys — aggregate state is O(buckets)
+    regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.length_buckets(docs)
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrub over the corpus: inject synthetic identifiers (the test
     tables carry none), count matches per class, and redact. Three
@@ -1969,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "text_pii_redact": q_text_pii_redact,
+        "text_normalize": q_text_normalize,
+        "curation_length_buckets": q_curation_length_buckets,
         "rel_diff": q_rel_diff,
         "curation_mixture": q_curation_mixture,
         "window_topk_per_group": q_window_topk_per_group,
@@ -2177,6 +2213,13 @@ _REPETITION_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    # DuckDB replay of text.NORMALIZE_STEPS — generated from the same list
+    # the Spark side applies, so the two chains cannot drift.
+    norm_chain = "m"
+    for _pat, _rep in text.NORMALIZE_STEPS:
+        _p = _pat.replace("'", "''")
+        _r = _rep.replace("'", "''")
+        norm_chain = f"regexp_replace({norm_chain}, '{_p}', '{_r}', 'g')"
     lang_scores = {
         lang: " + ".join(
             f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
@@ -2627,6 +2670,31 @@ def oracle_sql() -> dict[str, str]:
             "< (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) "
             "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)) "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "text_normalize": (
+            "WITH t AS (SELECT doc_id, '  ' || chr(9) || chr(8203) || text || "
+            "' tail' || chr(7) || 'ctl' || "
+            "repeat(' ', CAST(doc_id % 3 + 1 AS INTEGER)) || "
+            "repeat(chr(13) || chr(10), 4) || 'end  ' AS m FROM documents), "
+            "n AS (SELECT doc_id, CAST(length(m) AS BIGINT) AS raw_chars, "
+            + norm_chain + " AS norm_text FROM t) "
+            "SELECT doc_id, raw_chars, norm_text, "
+            "CAST(length(norm_text) AS BIGINT) AS norm_chars FROM n"
+        ),
+        "curation_length_buckets": (
+            "WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+            "FROM documents), "
+            "b AS (SELECT n, CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 "
+            "WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 "
+            "WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048 "
+            "ELSE -1 END AS bucket FROM t) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs, "
+            "CAST(sum(n) AS BIGINT) AS total_tokens, "
+            "CAST(CASE WHEN bucket < 0 THEN 0 "
+            "ELSE bucket * count(*) - sum(n) END AS BIGINT) AS pad_tokens, "
+            "CAST(max(n) AS BIGINT) AS max_tokens FROM b "
+            "GROUP BY bucket ORDER BY bucket"
         ),
         "text_pii_redact": (
             "WITH t AS (SELECT doc_id, text || ' contact u' || "

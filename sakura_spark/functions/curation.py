@@ -256,3 +256,68 @@ def gopher_repetition_filter(
         & (50 * F.col("max_bigram_count") <= 9 * F.col("n_bigrams"))
         & (F.col("n_words") >= min_words)
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundaries: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048),
+) -> DataFrame:
+    """Sequence-length bucketing report for padded-batch training — the
+    planning step before :func:`sakura_spark.functions.sharding.shard_pack`
+    decides between padding short sequences and chunking long ones.
+
+    Each document is assigned the smallest bucket (from ``boundaries``,
+    ascending) that fits its whitespace token count; documents longer than
+    the largest boundary land in bucket -1 (the "chunk me" overflow class).
+    Per bucket the report carries::
+
+        bucket        smallest fitting sequence length (-1 = overflow)
+        n_docs        documents assigned
+        total_tokens  real token mass
+        pad_tokens    bucket * n_docs - total_tokens (0 for overflow)
+        max_tokens    longest member (pad-efficiency tail diagnostic)
+
+    All outputs are integers, so the report is hash-stable across engines.
+    Plan: one map-side projection (token count + a literal CASE ladder —
+    no log2/pow floats, so engines can't round differently) into a
+    map-side-combinable groupBy on at most ``len(boundaries)+1`` keys —
+    the aggregate state is a handful of rows regardless of corpus size,
+    the exact shape that stays cheap at 100 TB."""
+    from sakura_spark.functions.text import bind_once, token_count
+
+    bounds = sorted(boundaries)
+    n = token_count(F.col(text_col))
+
+    def ladder(nv: Column) -> Column:
+        # nv is a bound lambda variable: the token count evaluates once,
+        # not once per CASE branch (the multi-reference re-tokenization
+        # trap bind_once exists for).
+        b: Column = F.lit(-1)
+        for bnd in reversed(bounds):
+            b = F.when(nv <= bnd, F.lit(bnd)).otherwise(b)
+        return b
+
+    per_doc = df.select(
+        F.col(id_col), n.alias("__n"), bind_once(n, ladder).cast("long").alias("bucket")
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(F.col("bucket") * F.col("n_docs") - F.col("total_tokens"))
+            .cast("long")
+            .alias("pad_tokens"),
+            "max_tokens",
+        )
+        .orderBy("bucket")
+    )

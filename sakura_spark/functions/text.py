@@ -515,3 +515,74 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4, "<IP>")
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+# --- whitespace / control normalization -------------------------------------
+
+# Ordered (pattern, replacement) passes. Patterns restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle): literal
+# \x{...} escapes, plain classes, bounded/greedy repetition, and ^/$ in their
+# default non-multiline meaning. Order matters:
+#   1. line endings unify first so later newline rules see only \n;
+#   2. C0 controls (minus \t\n) and DEL are stripped — notably \x0B, the one
+#      char where Java's \s and RE2's \s disagree, so no later pass may use
+#      bare \s;
+#   3. zero-width chars and soft hyphens vanish (they break tokenizers while
+#      being invisible to humans — classic web-scrape noise);
+#   4. exotic Unicode spaces become ASCII space BEFORE horizontal runs
+#      collapse, so "a  b" ends as "a b" not "a  b";
+#   5-7. horizontal runs collapse, spaces hugging newlines drop, 3+ blank
+#      lines become one paragraph break;
+#   8-9. outer trim. After pass 5 only ' ' and '\n' whitespace remain, so the
+#      trim classes are exact.
+NORMALIZE_STEPS: list[tuple[str, str]] = [
+    (r"\r\n?", "\n"),
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),
+    (r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]", ""),
+    (r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]", " "),
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^[ \n]+", ""),
+    (r"[ \n]+$", ""),
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical whitespace/control cleanup — the first map of every
+    web-corpus ingestion pipeline (C4 and Dolma both start here; cf.
+    reference quality gates lib/algebra.ml:66 select over scalar exprs).
+
+    Nine chained regexp_replace passes (NORMALIZE_STEPS), all JVM-side
+    inside one whole-stage-codegen projection: CRLF unification, control
+    stripping, zero-width/soft-hyphen removal, Unicode-space folding,
+    run collapsing, paragraph-break limiting, outer trim. Map-only at any
+    scale — at 100 TB this fuses with the parquet scan and whatever
+    filter follows; no shuffle, no Python."""
+    out = text
+    for pat, rep in NORMALIZE_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def nfkc_normalize(df: DataFrame, text_col: str = "text", out_col: str = "nfkc_text") -> DataFrame:
+    """Unicode NFKC compatibility normalization (ligatures, fullwidth forms,
+    compatibility digits → canonical ASCII-ish forms) as an Arrow-batched
+    pandas UDF — the one normalization step the JVM expression library
+    cannot express. Python, but vectorized per Arrow batch and map-only;
+    keep it AFTER cheap JVM-side filters so it only touches surviving rows."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfkc_fn(s):
+        return s.map(lambda t: unicodedata.normalize("NFKC", t) if t is not None else None)
+
+    # Annotations set as live objects (not strings): this module's
+    # `from __future__ import annotations` would otherwise hand pyspark's
+    # hint-inference unresolvable "pd.Series" strings.
+    _nfkc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfkc = pandas_udf(_nfkc_fn, "string")
+
+    return df.withColumn(out_col, _nfkc(F.col(text_col)))

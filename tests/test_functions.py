@@ -1057,3 +1057,60 @@ def test_duplicated_span_stats_known_counts(spark):
         for r in dedup.duplicated_span_stats(df, k=5, hashed=True).collect()
     }
     assert hashed == got
+
+
+def test_normalize_text_cleanup_and_idempotence(spark):
+    """text.normalize_text: CRLF unification, control strip, zero-width
+    removal, Unicode-space folding, run collapse, paragraph-break limit,
+    outer trim — and the fixpoint property (normalizing twice changes
+    nothing), which guards against pass-ordering bugs."""
+    messy = (
+        "  \t​Title line\r\n\r\n\r\n\r\n"
+        "body with\x07ctl­and emsp  \r"
+        "last‍ line  "
+    )
+    df = spark.createDataFrame([(1, messy), (2, ""), (3, "already clean")],
+                               "id long, text string")
+    out = {r.id: r.n for r in df.select(
+        "id", text.normalize_text(F.col("text")).alias("n")).collect()}
+    assert out[1] == "Title line\n\nbody withctland emsp\nlast line"
+    assert out[2] == ""
+    assert out[3] == "already clean"
+    again = {r.id: r.n2 for r in spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "id long, text string"
+    ).select("id", text.normalize_text(F.col("text")).alias("n2")).collect()}
+    assert again == out
+
+
+def test_nfkc_normalize_compatibility_forms(spark):
+    """text.nfkc_normalize (Arrow pandas UDF): ligatures, fullwidth forms,
+    and compatibility digits fold to canonical forms; None passes through."""
+    df = spark.createDataFrame(
+        [(1, "ﬁle ＮＯ．２５"), (2, None), (3, "plain")],
+        "id long, text string",
+    )
+    out = {r.id: r.nfkc_text for r in text.nfkc_normalize(df).collect()}
+    assert out[1] == "file NO.25"
+    assert out[2] is None
+    assert out[3] == "plain"
+
+
+def test_length_buckets_exact(spark):
+    """curation.length_buckets: smallest fitting bucket, overflow class,
+    integer pad accounting."""
+    from sakura_spark.functions import curation
+
+    rows = [
+        (1, "one two three"),            # 3 tokens -> bucket 4
+        (2, "a b c d"),                  # 4 tokens -> bucket 4
+        (3, " ".join(["w"] * 7)),        # 7 tokens -> bucket 8
+        (4, " ".join(["w"] * 20)),       # 20 tokens -> overflow (-1)
+        (5, ""),                         # 0 tokens -> bucket 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bucket: (r.n_docs, r.total_tokens, r.pad_tokens, r.max_tokens)
+           for r in curation.length_buckets(df, boundaries=(4, 8, 16)).collect()}
+    assert out[4] == (3, 7, 5, 4)
+    assert out[8] == (1, 7, 1, 7)
+    assert out[-1] == (1, 20, 0, 20)
+    assert set(out) == {4, 8, -1}
