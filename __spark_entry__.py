@@ -718,6 +718,24 @@ def q_sim_ann_ivf(spark, sf_dir):
     )
 
 
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """IVFADC (Jégou et al. 2011; the Faiss IndexIVFPQ architecture):
+    coarse IVF cells + product-quantized RESIDUALS + asymmetric-distance
+    shortlist + exact re-rank of the bounded candidate set. All three
+    trained codebooks are driver-side literals; the corpus scan is m
+    element_at lookups per vector, the probe filter becomes partition
+    pruning on cluster-partitioned storage, and only k*rerank_factor
+    rows ever see per-dimension float math. Iterative k-means training
+    is not SQL-expressible — rows-only; exactness on planted
+    zero-residual fixtures and recall/determinism are pinned by
+    tests/test_functions.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ann_ivfpq_topk(
+        emb, qvec, k=10, n_centroids=8, n_probe=3, m=8, n_codes=32, rerank_factor=10
+    )
+
+
 def q_sim_pq_topk(spark, sf_dir):
     """Product-quantized ANN: train per-subspace codebooks (deterministic
     distributed k-means; driver transfer = the m*k*(dim/m)-double
@@ -2094,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
         "text_bpe_segment": q_text_bpe_segment,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
     }
 
 

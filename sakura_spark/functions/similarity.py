@@ -545,3 +545,190 @@ def pq_search(
         .orderBy("pq_dist", F.col(id_col))
         .limit(k)
     )
+
+
+# --- IVF-PQ composition (IVFADC) ---------------------------------------------
+
+
+def _centroid_of(centroids: list[list[float]], cluster_col: Column) -> Column:
+    """The literal centroid array indexed by a cluster-id column (1-based
+    element_at). The coarse codebook inlines as literals — the IVF
+    analogue of a broadcast."""
+    return F.element_at(
+        F.array(*[_lit_vec(c) for c in centroids]), cluster_col + 1
+    )
+
+
+def ivf_residuals(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster_id, residual): coarse-assign each vector, then subtract
+    its cell centroid. Pure expressions (argmin + zip_with over literal
+    centroids), map-only at any scale — the preprocessing step of IVFADC
+    (Jégou, Douze & Schmid 2011 §IV: quantize the RESIDUAL, whose energy
+    is far lower than the raw vector's, so the same PQ budget buys a much
+    finer quantization)."""
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    res = F.zip_with(
+        _as_double(F.col(vec_col)),
+        _centroid_of(centroids, F.col("cluster_id")),
+        lambda x, y: x - y,
+    )
+    return assigned.select(F.col(id_col), F.col("cluster_id"), res.alias("residual"))
+
+
+def ivfpq_train(
+    df: DataFrame,
+    n_centroids: int = 8,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the full IVFADC index: IVF coarse codebook (ivf_train), then
+    PQ codebooks over the coarse RESIDUALS (pq_train on ivf_residuals).
+    Both trainers are the deterministic distributed k-means used
+    standalone; only the codebooks — n_centroids*dim + m*k*(dim/m)
+    doubles — ever reach the driver. This is the Faiss IndexIVFPQ
+    architecture re-expressed as Catalyst expression pipelines."""
+    centroids = ivf_train(
+        df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    res = ivf_residuals(df, centroids, vec_col=vec_col, id_col=id_col)
+    books = pq_train(res, m=m, k=k, iters=iters, vec_col="residual", id_col=id_col)
+    return centroids, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster_id, codes): the compressed IVFADC representation —
+    coarse cell + m residual codes per vector. Map-only argmin
+    expressions; at 100 TB persist this partitioned/bucketed by
+    cluster_id so probe queries prune to n_probe partitions at the
+    scan (the same layout contract as ivf_assign)."""
+    res = ivf_residuals(df, centroids, vec_col=vec_col, id_col=id_col)
+    return res.select(
+        F.col(id_col),
+        "cluster_id",
+        F.array(*_pq_code_exprs(codebooks, "residual")).alias("codes"),
+    )
+
+
+def ann_ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    rerank_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVFADC search (Jégou et al. 2011: IVF probe + asymmetric distance
+    over residual PQ codes): pick the n_probe cells nearest the query
+    DRIVER-side (n_centroids distances on a codebook that already lives
+    on the driver), compute one m*n_codes ADC table per probed cell from
+    the query's RESIDUAL in that cell, and rank the probed fraction of
+    the corpus with m element_at lookups per vector — no per-dimension
+    float math touches any corpus row.
+
+    ``rerank_factor > 0`` adds the standard refine stage (Faiss
+    IndexRefineFlat): ADC shortlists k*rerank_factor candidates, exact
+    cosine re-ranks ONLY those — per-dimension math runs on a bounded
+    candidate set, never the corpus, and recall approaches exact search
+    while the scan stays m lookups/vector. Output is then
+    (id, cluster_id, cosine_sim) like ann_ivf_topk; with
+    ``rerank_factor=0`` the raw (id, cluster_id, pq_dist) ADC ranking
+    returns (on l2-normalized vectors the L2 order IS the cosine
+    order, so the two modes differ only by quantization error).
+
+    Plan: map-only filter+projection into TakeOrderedAndProject (the
+    shortlist carries the vector column through, so no join-back); with
+    cluster-partitioned storage the isin(probe) filter is partition
+    pruning — the query reads n_probe/n_centroids of the data and the
+    driver ships only literals."""
+    if centroids is None or codebooks is None:
+        centroids, codebooks = ivfpq_train(
+            df,
+            n_centroids=n_centroids,
+            m=m,
+            k=n_codes,
+            iters=iters,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    qd = [
+        sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
+        for c in centroids
+    ]
+    probe_ids = sorted(range(len(centroids)), key=lambda i: (qd[i], i))[:n_probe]
+
+    sub = len(codebooks[0][0])
+    res = ivf_residuals(df, centroids, vec_col=vec_col, id_col=id_col)
+    keep = [F.col(id_col), F.col("cluster_id")]
+    if rerank_factor > 0:
+        # Carry the original vector into the shortlist so the refine
+        # stage needs no join-back (rows are wider, but only
+        # k*rerank_factor survive the TakeOrderedAndProject).
+        res = ivf_assign(df, centroids, vec_col=vec_col).select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col(vec_col).alias("__vec"),
+            F.zip_with(
+                _as_double(F.col(vec_col)),
+                _centroid_of(centroids, F.col("cluster_id")),
+                lambda x, y: x - y,
+            ).alias("residual"),
+        )
+        keep.append(F.col("__vec"))
+    enc = res.select(
+        *keep, F.array(*_pq_code_exprs(codebooks, "residual")).alias("codes")
+    ).filter(F.col("cluster_id").isin(probe_ids))
+    # Per probed cell: ADC table on the query residual in that cell.
+    dist = None
+    for c in probe_ids:
+        rq = [float(x) - float(y) for x, y in zip(query_vec, centroids[c])]
+        cell = None
+        for j, book in enumerate(codebooks):
+            qs = rq[j * sub : (j + 1) * sub]
+            table = [sum((a - b) ** 2 for a, b in zip(qs, cw)) for cw in book]
+            term = F.element_at(
+                _lit_vec(table), F.col("codes").getItem(j).cast("int") + 1
+            )
+            cell = term if cell is None else cell + term
+        dist = (
+            F.when(F.col("cluster_id") == c, cell)
+            if dist is None
+            else dist.when(F.col("cluster_id") == c, cell)
+        )
+    scored = enc.withColumn("pq_dist", dist)
+    if rerank_factor <= 0:
+        return (
+            scored.select(id_col, "cluster_id", "pq_dist")
+            .orderBy("pq_dist", F.col(id_col))
+            .limit(k)
+        )
+    shortlist = scored.orderBy("pq_dist", F.col(id_col)).limit(k * rerank_factor)
+    return (
+        shortlist.select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            cosine(F.col("__vec"), _lit_vec(query_vec)).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1114,3 +1114,86 @@ def test_length_buckets_exact(spark):
     assert out[8] == (1, 7, 1, 7)
     assert out[-1] == (1, 20, 0, 20)
     assert set(out) == {4, 8, -1}
+
+
+def test_ivfpq_exact_on_planted_residuals(spark):
+    """IVFADC with FIXED centroids/codebooks: vectors planted at
+    centroid + codeword concatenations quantize with zero residual
+    error, so the ADC distance equals the true L2 distance and the
+    ranking equals brute force — exactness without recall thresholds."""
+    import itertools
+
+    cents = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0]]
+    words = [[1.0, 0.0], [0.0, 1.0]]  # per 2-dim subspace, m=2
+    books = [words, words]
+    rows = []
+    i = 0
+    for c in cents:
+        for a, b in itertools.product(words, words):
+            res = a + b
+            rows.append((i, [c[d] + res[d] for d in range(4)]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    enc = {r.vec_id: (r.cluster_id, list(r.codes))
+           for r in similarity.ivfpq_encode(df, cents, books).collect()}
+    for vid, vec in rows:
+        cl, codes = enc[vid]
+        decoded = [cents[cl][d] for d in range(4)]
+        decoded = [
+            x + y
+            for x, y in zip(decoded, books[0][codes[0]] + books[1][codes[1]])
+        ]
+        assert decoded == list(map(float, vec)), (vid, decoded, vec)
+
+    q = [0.9, 0.1, 0.2, 0.8]
+    got = similarity.ann_ivfpq_topk(
+        df, q, k=4, n_probe=1, rerank_factor=0, centroids=cents, codebooks=books
+    ).collect()
+    # probe 1 cell -> only cell-0 vectors; ADC == exact L2 on them
+    def l2(v):
+        return sum((a - b) ** 2 for a, b in zip(q, v))
+
+    cell0 = sorted((l2(v), vid) for vid, v in rows[:4])
+    assert [r.vec_id for r in got] == [vid for _, vid in cell0]
+    for r in got:
+        assert math.isclose(r.pq_dist, l2(dict(rows)[r.vec_id]), rel_tol=1e-9)
+
+
+def test_ann_ivfpq_recall_and_determinism(spark):
+    """End-to-end trained IVFADC on the synthetic embeddings: decent
+    recall vs brute-force cosine (l2-normalized corpus -> L2 order is
+    cosine order) and run-to-run determinism."""
+    from sakura_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    run = lambda: [
+        r.vec_id
+        for r in similarity.ann_ivfpq_topk(
+            emb, q, k=10, n_centroids=8, n_probe=3, m=8, n_codes=32, rerank_factor=10
+        ).collect()
+    ]
+    first = run()
+    assert len(set(exact) & set(first)) >= 7
+    assert first == run()
+
+
+def test_ivfpq_encode_is_map_only(spark):
+    rows = [(i, [float(i % 3), float(i % 5), float(i % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.0] * 4, [5.0] * 4]
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+    plan = (
+        similarity.ivfpq_encode(df, cents, books)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # codebooks are literals; no shuffle
+    search = similarity.ann_ivfpq_topk(
+        df, [0.0, 1.0, 2.0, 3.0], k=5, n_probe=2, centroids=cents, codebooks=books
+    )  # default rerank: shortlist carries the vector, still no shuffle
+    splan = search._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in splan
+    assert "TakeOrderedAndProject" in splan
+    assert search.count() == 5
