@@ -559,6 +559,35 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Per-type 3-sigma outlier detection over event values, in EXACT
+    arithmetic: values scale to integers via the engine-portable
+    floor(x*1e6 + 0.5) form, and the sigma test rearranges to
+    (n*x - s)^2 > 9*(n*s2 - s^2) — population-variance cleared of
+    division — evaluated in decimal(38,0) (Spark) / HUGEINT (DuckDB), so
+    membership in the result is bit-deterministic (no float stddev
+    enters any comparison). Plan: one map-side-combinable groupBy on the
+    handful of event types, stats broadcast back, map-side filter. At
+    100 TB the exact decimal form holds while n*s2 < 1e38 (~1e10 rows at
+    these magnitudes); beyond that relax the scaled stats to double —
+    the test becomes approximate at the boundary but the plan shape is
+    unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("decimal(38,0)")
+    base = ev.select("event_id", "event_type", x.alias("__x"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+    )
+    j = base.join(F.broadcast(stats), "event_type")
+    dev = F.col("__n") * F.col("__x") - F.col("__s")
+    spread = F.col("__n") * F.col("__s2") - F.col("__s") * F.col("__s")
+    return j.filter(dev * dev > 9 * spread).select(
+        "event_id", "event_type", F.col("__x").cast("long").alias("value_scaled")
+    )
+
+
 def q_events_json_props(spark, sf_dir):
     """Semi-structured column handling: parse the JSON props column and
     aggregate on an extracted field (from_json stays in codegen)."""
@@ -2085,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_hash": q_tuple_hash,
         "agg_percentiles": q_agg_percentiles,
         "events_json_props": q_events_json_props,
+        "events_anomaly": q_events_anomaly,
         "text_token_stats": q_text_token_stats,
         "drl_point_select": q_drl_point_select,
         "rel_project": q_rel_project,
@@ -2530,6 +2560,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "icl_range_violations": (
             "SELECT event_id, value FROM events WHERE value < 0 OR value > 1000"
+        ),
+        "events_anomaly": (
+            "WITH b AS (SELECT event_id, event_type, "
+            "CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS x FROM events), "
+            "st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(x) AS s, sum(x * x) AS s2 FROM b GROUP BY event_type) "
+            "SELECT event_id, b.event_type, CAST(x AS BIGINT) AS value_scaled "
+            "FROM b JOIN st ON b.event_type = st.event_type "
+            "WHERE (n * x - s) * (n * x - s) > 9 * (n * s2 - s * s)"
         ),
         "events_hourly": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, "

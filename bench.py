@@ -73,6 +73,9 @@ EXTENDED = [
     # round 7 additions (first measurements recorded in BASELINE.md):
     "dedup_span_removal",
     "dedup_line_dedup",
+    "text_normalize",
+    "curation_length_buckets",
+    "sim_ann_ivfpq",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -97,6 +100,8 @@ NOOP_SINK = {
     # would join-eliminate them too.
     "dedup_span_removal",
     "dedup_line_dedup",
+    # Pure map-only projection: .count() would be a parquet footer read.
+    "text_normalize",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only
