@@ -761,7 +761,8 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return similarity.ann_ivfpq_topk(
-        emb, qvec, k=10, n_centroids=8, n_probe=3, m=8, n_codes=32, rerank_factor=10
+        emb, qvec, k=10, n_centroids=8, n_probe=3, m=4, n_codes=16,
+        rerank_factor=10, max_train_rows=100_000
     )
 
 

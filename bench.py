@@ -76,6 +76,7 @@ EXTENDED = [
     "text_normalize",
     "curation_length_buckets",
     "sim_ann_ivfpq",
+    "events_anomaly",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -586,6 +586,7 @@ def ivfpq_train(
     m: int = 4,
     k: int = 16,
     iters: int = 2,
+    max_train_rows: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
@@ -594,11 +595,28 @@ def ivfpq_train(
     Both trainers are the deterministic distributed k-means used
     standalone; only the codebooks — n_centroids*dim + m*k*(dim/m)
     doubles — ever reach the driver. This is the Faiss IndexIVFPQ
-    architecture re-expressed as Catalyst expression pipelines."""
+    architecture re-expressed as Catalyst expression pipelines.
+
+    ``max_train_rows`` bounds the TRAINING scans to a deterministic
+    md5-bucket sample (standard quantizer practice — Faiss trains IndexIVFPQ
+    on ~100k-1M sampled vectors regardless of corpus size): codebook quality
+    needs a representative sample, not the corpus, so at 100 TB the k-means
+    scans touch a fixed-size slice while encode/search still cover every
+    row. The sample is engine/cluster/run-stable (no RNG), so training
+    stays deterministic."""
+    train_df = df
+    if max_train_rows is not None:
+        total = df.count()
+        if total > max_train_rows:
+            from sakura_spark.functions.curation import sample_bucket
+
+            frac = max_train_rows / total
+            keep = format(max(1, int(frac * 16**4)), "04x")
+            train_df = df.filter(sample_bucket([id_col]) < F.lit(keep))
     centroids = ivf_train(
-        df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+        train_df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    res = ivf_residuals(df, centroids, vec_col=vec_col, id_col=id_col)
+    res = ivf_residuals(train_df, centroids, vec_col=vec_col, id_col=id_col)
     books = pq_train(res, m=m, k=k, iters=iters, vec_col="residual", id_col=id_col)
     return centroids, books
 
@@ -633,6 +651,7 @@ def ann_ivfpq_topk(
     n_codes: int = 16,
     iters: int = 2,
     rerank_factor: int = 5,
+    max_train_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -668,6 +687,7 @@ def ann_ivfpq_topk(
             m=m,
             k=n_codes,
             iters=iters,
+            max_train_rows=max_train_rows,
             vec_col=vec_col,
             id_col=id_col,
         )

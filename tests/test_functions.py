@@ -1197,3 +1197,17 @@ def test_ivfpq_encode_is_map_only(spark):
     assert "Exchange hashpartitioning" not in splan
     assert "TakeOrderedAndProject" in splan
     assert search.count() == 5
+
+
+def test_ivfpq_sampled_training_deterministic(spark):
+    """max_train_rows: the md5-bucket training sample is engine/run-stable,
+    so two sampled trainings produce identical codebooks; a bound above
+    the corpus size is a no-op (trains on everything)."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = similarity.ivfpq_train(df, n_centroids=2, m=2, k=4, iters=1, max_train_rows=40)
+    b = similarity.ivfpq_train(df, n_centroids=2, m=2, k=4, iters=1, max_train_rows=40)
+    assert a == b
+    full = similarity.ivfpq_train(df, n_centroids=2, m=2, k=4, iters=1)
+    capped = similarity.ivfpq_train(df, n_centroids=2, m=2, k=4, iters=1, max_train_rows=10_000)
+    assert capped == full
