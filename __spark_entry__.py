@@ -1694,6 +1694,25 @@ def q_text_normalize(spark, sf_dir):
     ).withColumn("norm_chars", F.length("norm_text").cast("long"))
 
 
+def q_text_chunk(spark, sf_dir):
+    """Context-window chunking (text.chunk_text): split every document
+    into 160-char windows with 32 chars of overlap — the splitter that
+    feeds an embedding model or a fixed-length trainer. Map-only
+    sequence+explode+substr, no shuffle; all boundary arithmetic is
+    integer `div`, so the DuckDB oracle reproduces every chunk
+    byte-for-byte. Returns one row per chunk with its id, count, text,
+    and length; md5 keeps the hash comparison on the full chunk text."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.chunk_text(docs.select("doc_id", "text"), size=160, overlap=32)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        "chunk",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
+
+
 def q_curation_length_buckets(spark, sf_dir):
     """Sequence-length bucketing report (curation.length_buckets): the
     padding/chunking planning step before shard packing. One map-side
@@ -2052,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "text_pii_redact": q_text_pii_redact,
         "text_normalize": q_text_normalize,
+        "text_chunk": q_text_chunk,
         "curation_length_buckets": q_curation_length_buckets,
         "rel_diff": q_rel_diff,
         "curation_mixture": q_curation_mixture,
@@ -2739,6 +2759,18 @@ def oracle_sql() -> dict[str, str]:
             + norm_chain + " AS norm_text FROM t) "
             "SELECT doc_id, raw_chars, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_chars FROM n"
+        ),
+        "text_chunk": (
+            "WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+            "k AS (SELECT doc_id, text, CASE WHEN n <= 160 THEN 1 "
+            "ELSE 1 + (n - 160 + 127) // 128 END AS nc FROM b), "
+            "e AS (SELECT doc_id, text, nc, "
+            "unnest(range(0, nc)) AS chunk_id FROM k) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "CAST(nc AS BIGINT) AS n_chunks, "
+            "substr(text, CAST(chunk_id * 128 + 1 AS BIGINT), 160) AS chunk, "
+            "CAST(length(substr(text, CAST(chunk_id * 128 + 1 AS BIGINT), 160)) "
+            "AS BIGINT) AS chunk_len FROM e"
         ),
         "curation_length_buckets": (
             "WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0 "

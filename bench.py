@@ -77,6 +77,7 @@ EXTENDED = [
     "curation_length_buckets",
     "sim_ann_ivfpq",
     "events_anomaly",
+    "text_chunk",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -103,6 +104,9 @@ NOOP_SINK = {
     "dedup_line_dedup",
     # Pure map-only projection: .count() would be a parquet footer read.
     "text_normalize",
+    # Map-only explode+substr: .count() keeps the explode (row count
+    # depends on it) but prunes the substr chunk column away.
+    "text_chunk",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -586,3 +586,50 @@ def nfkc_normalize(df: DataFrame, text_col: str = "text", out_col: str = "nfkc_t
     _nfkc = pandas_udf(_nfkc_fn, "string")
 
     return df.withColumn(out_col, _nfkc(F.col(text_col)))
+
+
+# --- context-window chunking ------------------------------------------------
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 160,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into fixed-width character windows with
+    ``overlap`` characters of context shared between consecutive chunks —
+    the standard context-window splitter in front of an embedding model or
+    a fixed-sequence-length trainer (RAG chunking / long-doc truncation).
+
+    Chunk ``i`` covers characters ``[i*step, i*step + size)`` where
+    ``step = size - overlap``; the number of chunks is
+    ``1 + ceil((n - size) / step)`` (one chunk when ``n <= size``, and an
+    empty document still yields its one empty chunk so no row is silently
+    dropped). All arithmetic is integer (`div`), so chunk boundaries are
+    engine-exact and the DuckDB oracle reproduces them bit-for-bit.
+
+    Plan: pure Column expressions — ``sequence`` + ``explode`` + dynamic
+    ``substr`` — one map-only stage, no shuffle, no Python. At 100 TB the
+    explode multiplies rows ~n/step per document but stays fused with the
+    parquet scan; output size is input * (1 + overlap/step), the only
+    amplification. Adds ``chunk_id``, ``n_chunks``, ``chunk``,
+    ``chunk_len`` to every input row.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(length({text_col}) - {size} + {step - 1}) div {step}")
+    )
+    out = df.withColumn("n_chunks", n_chunks.cast("int"))
+    out = out.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+    )
+    chunk = F.col(text_col).substr(
+        F.col("chunk_id") * step + 1, F.lit(size)
+    )
+    return out.withColumn("chunk", chunk).withColumn(
+        "chunk_len", F.length(F.col("chunk"))
+    )

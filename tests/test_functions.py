@@ -1211,3 +1211,54 @@ def test_ivfpq_sampled_training_deterministic(spark):
     full = similarity.ivfpq_train(df, n_centroids=2, m=2, k=4, iters=1)
     capped = similarity.ivfpq_train(df, n_centroids=2, m=2, k=4, iters=1, max_train_rows=10_000)
     assert capped == full
+
+
+def test_chunk_text_exact_windows(spark):
+    """text.chunk_text: exact character windows with overlap, lossless
+    reconstruction (stripping the overlap prefix of every later chunk
+    rebuilds the document), and the documented edge cases — empty text
+    still yields one empty chunk, n == size yields exactly one chunk,
+    n == size+1 spills into a second."""
+    from sakura_spark.functions import text as t
+
+    size, overlap = 10, 4
+    step = size - overlap
+    docs = [
+        (1, ""),                       # empty -> 1 empty chunk
+        (2, "x" * 10),                 # == size -> 1 chunk
+        (3, "abcdefghijk"),            # size+1 -> 2 chunks
+        (4, "0123456789" * 3),         # 30 chars -> ceil(20/6)+1 = 5 chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = t.chunk_text(df, size=size, overlap=overlap)
+    rows = out.orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert [c.chunk for c in by_doc[1]] == [""]
+    assert [c.chunk for c in by_doc[2]] == ["x" * 10]
+    assert [c.chunk for c in by_doc[3]] == ["abcdefghij", "ghijk"]
+    assert len(by_doc[4]) == 5 and by_doc[4][0].n_chunks == 5
+
+    # every chunk is the exact substring it claims to be, and
+    # reconstruction is lossless
+    for doc_id, orig in docs:
+        chunks = by_doc[doc_id]
+        for c in chunks:
+            assert c.chunk == orig[c.chunk_id * step : c.chunk_id * step + size]
+            assert c.chunk_len == len(c.chunk)
+        rebuilt = chunks[0].chunk + "".join(c.chunk[overlap:] for c in chunks[1:])
+        assert rebuilt == orig
+
+    # consecutive chunks share exactly `overlap` chars of context
+    c4 = by_doc[4]
+    for a, b in zip(c4, c4[1:]):
+        assert a.chunk[-overlap:] == b.chunk[:overlap]
+
+    # map-only: no shuffle anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with __import__("pytest").raises(ValueError):
+        t.chunk_text(df, size=4, overlap=4)
