@@ -960,6 +960,42 @@ def q_sim_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings corpus with the
+    same planted duplicates as q_sim_embedding_near_dup (every 10th
+    vector re-enters as an exact copy under vec_id+1,000,000 — the
+    natural corpus has no near-dups at 0.95). Identical vectors share an
+    argmin cluster by construction, so every planted copy MUST be
+    dropped by the keep-lowest-id rule and every natural vector kept
+    (max natural cosine ~0.42): n_dropped per cluster is deterministic
+    and non-zero for clusters holding planted rows. Returns the
+    per-cluster curation report (total/kept/dropped) — 8 rows whose
+    values a rows-only gate can at least pin for cardinality, with the
+    exactness covered by pytest planted-cluster fixtures."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    cents = similarity.ivf_train(corpus, n_centroids=8, iters=2)
+    kept = similarity.semantic_dedup(corpus, threshold=0.95, centroids=cents)
+    totals = corpus.transform(lambda d: similarity.ivf_assign(d, cents)).groupBy(
+        "cluster_id"
+    ).agg(F.count(F.lit(1)).alias("n_total"))
+    kept_counts = kept.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_counts, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def q_multimodal_bytes(spark, sf_dir):
     docs = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_metadata(docs)
@@ -2072,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "text_normalize": q_text_normalize,
         "text_chunk": q_text_chunk,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
         "curation_length_buckets": q_curation_length_buckets,
         "rel_diff": q_rel_diff,
         "curation_mixture": q_curation_mixture,

@@ -78,6 +78,7 @@ EXTENDED = [
     "sim_ann_ivfpq",
     "events_anomaly",
     "text_chunk",
+    "sim_semantic_dedup",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -107,6 +108,9 @@ NOOP_SINK = {
     # Map-only explode+substr: .count() keeps the explode (row count
     # depends on it) but prunes the substr chunk column away.
     "text_chunk",
+    # Final report is a left join on a unique key: .count() would
+    # join-eliminate the whole kept-side dedup computation.
+    "sim_semantic_dedup",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -752,3 +752,67 @@ def ann_ivfpq_topk(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+# --- semantic deduplication (SemDeDup) ---------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine pruning.
+    Documents whose embeddings land in the same coarse cluster and exceed
+    ``threshold`` cosine similarity are semantic duplicates; one
+    representative per duplicate group survives.
+
+    Keep rule: a row is DROPPED iff some lower-id row in its cluster is
+    >= threshold similar (greedy keep-lowest-id — deterministic and
+    engine-reproducible; the paper keeps a random/centroid-proximal
+    example, a divergence documented here). Transitive chains therefore
+    collapse onto the lowest id reachable through pairwise-similar steps
+    within the cluster, matching the paper's epsilon-ball pruning.
+
+    Scale design: the ONLY quadratic term is within-cluster pair
+    expansion, which is the paper's own architecture (clusters bound the
+    pair cost; choose n_centroids so corpus/n_centroids fits a
+    partition — at 100 TB that is k in the tens of thousands, trained on
+    a sample). The cluster self-join is a plain hash-partitioned
+    equijoin on cluster_id (no CartesianProduct), dropped ids shrink to
+    a distinct id set, and the final anti-join returns the kept corpus.
+    ``max_cluster_size`` is a hard guard: oversized clusters raise
+    instead of silently exploding the pair count.
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    sizes = assigned.groupBy("cluster_id").count().collect()
+    oversized = [(r["cluster_id"], r["count"]) for r in sizes if r["count"] > max_cluster_size]
+    if oversized:
+        raise ValueError(
+            f"semantic_dedup: clusters over max_cluster_size={max_cluster_size}: "
+            f"{oversized[:5]} — raise n_centroids (more, smaller cells) or the cap"
+        )
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__v_a"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__v_b"), "cluster_id"
+    )
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(cosine(F.col("__v_a"), F.col("__v_b")) >= threshold)
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti")

@@ -1262,3 +1262,46 @@ def test_chunk_text_exact_windows(spark):
 
     with __import__("pytest").raises(ValueError):
         t.chunk_text(df, size=4, overlap=4)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """similarity.semantic_dedup: with FIXED centroids, planted duplicate
+    groups collapse to their lowest id; chain components collapse onto
+    the component minimum even when the endpoints are not directly
+    similar; singletons survive; the pair join never degenerates to a
+    cartesian product; oversized clusters raise."""
+    import math
+
+    import pytest as _pytest
+    from sakura_spark.functions import similarity as sim
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+
+    def unit(theta, scale=1.0, center=(0.0, 0.0)):
+        return [
+            center[0] + scale * math.cos(theta),
+            center[1] + scale * math.sin(theta),
+        ]
+
+    # Cluster 0: ids 1,2,3 exact copies (cos=1) -> keep 1.
+    # Cluster 0: ids 5,6 a chain around id 4: cos(4,5) and cos(5,6) high,
+    #   cos(4,6) lower than threshold -> all collapse onto 4 anyway.
+    # Cluster 1: id 9 singleton -> kept.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [2.0, 0.0]),          # cos=1 with id 1 (colinear)
+        (4, unit(1.0)),           # rotated away from ids 1-3 (cos ~= 0.54)
+        (5, unit(1.28)),          # cos(4,5) ~= 0.961
+        (6, unit(1.56)),          # cos(5,6) ~= 0.961, cos(4,6) ~= 0.847
+        (9, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sim.semantic_dedup(df, threshold=0.95, centroids=cents)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 4, 9]
+
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    with _pytest.raises(ValueError, match="max_cluster_size"):
+        sim.semantic_dedup(df, threshold=0.95, centroids=cents, max_cluster_size=3)
