@@ -2110,6 +2110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": q_text_chunk,
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "curation_length_buckets": q_curation_length_buckets,
+        # Round-7 rotation: events_anomaly (new, oracle-backed) moves into
+        # the driver's first-50 sweep window.
+        "events_anomaly": q_events_anomaly,
         "rel_diff": q_rel_diff,
         "curation_mixture": q_curation_mixture,
         "window_topk_per_group": q_window_topk_per_group,
@@ -2172,7 +2175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_hash": q_tuple_hash,
         "agg_percentiles": q_agg_percentiles,
         "events_json_props": q_events_json_props,
-        "events_anomaly": q_events_anomaly,
         "text_token_stats": q_text_token_stats,
         "drl_point_select": q_drl_point_select,
         "rel_project": q_rel_project,
