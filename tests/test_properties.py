@@ -191,3 +191,42 @@ def test_sketch_aggregates_track_exact(spark):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
     assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.01
+
+
+CHUNK_DOCS = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=0,
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=CHUNK_DOCS, size=st.integers(2, 24), overlap_frac=st.integers(0, 99))
+@settings(**_SETTINGS)
+def test_chunk_text_reconstruction_property(spark, docs, size, overlap_frac):
+    """chunk_text laws, for arbitrary text (incl. non-ASCII, where char
+    and byte offsets diverge) and arbitrary (size, overlap):
+    every chunk equals the exact python slice it claims, stripping each
+    later chunk's overlap prefix rebuilds the document losslessly, and
+    the chunk count matches the closed form 1 + ceil((n-size)/step)."""
+    from sakura_spark.functions import text as t
+
+    overlap = (size - 1) * overlap_frac // 100  # 0 <= overlap < size
+    step = size - overlap
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = t.chunk_text(df, size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, orig in enumerate(docs):
+        chunks = by_doc[doc_id]
+        n = len(orig)
+        expect_k = 1 if n <= size else 1 + -((n - size) // -step)
+        assert len(chunks) == expect_k == chunks[0].n_chunks
+        for c in chunks:
+            assert c.chunk == orig[c.chunk_id * step : c.chunk_id * step + size]
+        rebuilt = chunks[0].chunk + "".join(c.chunk[overlap:] for c in chunks[1:])
+        assert rebuilt == orig
