@@ -230,3 +230,54 @@ def test_chunk_text_reconstruction_property(spark, docs, size, overlap_frac):
             assert c.chunk == orig[c.chunk_id * step : c.chunk_id * step + size]
         rebuilt = chunks[0].chunk + "".join(c.chunk[overlap:] for c in chunks[1:])
         assert rebuilt == orig
+
+
+SEM_VECS = st.lists(
+    st.lists(st.integers(-3, 3), min_size=2, max_size=2).filter(
+        lambda v: any(x != 0 for x in v)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(vecs=SEM_VECS, thresh_pct=st.integers(50, 99))
+@settings(**_SETTINGS)
+def test_semantic_dedup_matches_bruteforce(spark, vecs, thresh_pct):
+    """Differential: similarity.semantic_dedup against a driver-side
+    brute-force replay of the keep-lowest-id rule (drop i iff some j < i
+    in the same argmin cluster has cos(i,j) >= threshold), over random
+    small integer vectors — integer coords keep the cosine comparisons
+    away from float-boundary flakiness only when the threshold is too,
+    so thresholds are sampled away from any achievable cosine by using
+    odd percents (cosines of +-3-bounded 2d integer vectors hit few
+    exact percent values; equality at the boundary follows IEEE the
+    same way in both implementations since both compute in float64)."""
+    from sakura_spark.functions import similarity as sim
+
+    threshold = thresh_pct / 100.0
+    cents = [[2.0, 0.0], [-2.0, 0.0]]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+
+    def l2sq(a, c):
+        return sum((x - y) ** 2 for x, y in zip(a, c))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    cluster = {i: min(range(2), key=lambda c: (l2sq(v, cents[c]), c)) for i, v in rows}
+    expect_kept = []
+    for i, v in rows:
+        dup = any(
+            cluster[j] == cluster[i] and cos(w, v) >= threshold
+            for j, w in rows
+            if j < i
+        )
+        if not dup:
+            expect_kept.append(i)
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sim.semantic_dedup(df, threshold=threshold, centroids=cents)
+    assert sorted(r.vec_id for r in kept.collect()) == expect_kept
