@@ -969,15 +969,24 @@ def q_sim_semantic_dedup(spark, sf_dir):
     dropped by the keep-lowest-id rule and every natural vector kept
     (max natural cosine ~0.42): n_dropped per cluster is deterministic
     and non-zero for clusters holding planted rows. Returns the
-    per-cluster curation report (total/kept/dropped) — 8 rows whose
-    values a rows-only gate can at least pin for cardinality, with the
-    exactness covered by pytest planted-cluster fixtures."""
+    per-cluster curation report (total/kept/dropped) — one row per
+    cluster (8 at sf0.01; auto-k grows the cluster count with the
+    corpus) whose values a rows-only gate can at least pin for
+    cardinality, with exactness covered by pytest planted-cluster
+    fixtures and the brute-force differential."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    cents = similarity.ivf_train(corpus, n_centroids=8, iters=2)
+    # Auto-k (semantic_dedup's default rule, inlined so the trained
+    # centroids can be shared with the totals report): cluster count
+    # grows with the corpus so per-cluster population — and therefore
+    # the quadratic pair term — stays constant. Measured at the
+    # sf0.1->sf1 decade: fixed k=8 gave per-row ratio 1.53; auto-k
+    # restored sub-linear scaling.
+    k = max(8, -(-corpus.count() // 256))
+    cents = similarity.ivf_train(corpus, n_centroids=k, iters=2)
     kept = similarity.semantic_dedup(corpus, threshold=0.95, centroids=cents)
     totals = corpus.transform(lambda d: similarity.ivf_assign(d, cents)).groupBy(
         "cluster_id"

