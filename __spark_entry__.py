@@ -2117,7 +2117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "text_normalize": q_text_normalize,
         "text_chunk": q_text_chunk,
-        "sim_semantic_dedup": q_sim_semantic_dedup,
         "curation_length_buckets": q_curation_length_buckets,
         # Round-7 rotation: events_anomaly (new, oracle-backed) moves into
         # the driver's first-50 sweep window.
@@ -2212,6 +2211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_segment": q_text_bpe_segment,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
+        # rows-only (no SQL-expressible oracle): must sit past the driver's
+        # 50-entry sweep cap — test_registry_contract enforces this.
+        "sim_semantic_dedup": q_sim_semantic_dedup,
     }
 
 
