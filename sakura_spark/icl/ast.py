@@ -253,6 +253,69 @@ def filter_by_attrs(attrs: list[str], body: Body) -> Body | None:
     return go(body, allowed)
 
 
+def vars_in(body: Body) -> set[str]:
+    """Every variable name referenced in the body (Constraint.vars_in,
+    lib/constraint.ml:43-63): Var bindings anywhere in the tree, by their
+    root for namespaced "r.attr" references; Consts contribute nothing;
+    Exists/Forall contribute their bound variable."""
+    if isinstance(body, MemberOf):
+        out: set[str] = set()
+        for _, expr in body.bindings:
+            out |= _binding_vars(expr)
+        return out
+    if isinstance(body, Cmp):
+        return _binding_vars(body.left) | _binding_vars(body.right)
+    if isinstance(body, Between):
+        return _binding_vars(body.value) | _binding_vars(body.low) | _binding_vars(body.high)
+    if isinstance(body, Not):
+        return vars_in(body.body)
+    if isinstance(body, (And, Or)):
+        return vars_in(body.left) | vars_in(body.right)
+    if isinstance(body, (Exists, Forall)):
+        return {body.var} | vars_in(body.body)
+    raise TypeError(f"unknown constraint body: {body!r}")
+
+
+def and_(bodies: list[Body]) -> Body:
+    """Smart conjunction (Constraint.and_, lib/constraint.ml:548-556):
+    a singleton list IS its element (no wrapper node); longer lists fold
+    into the binary And tree (this engine's spelling of the reference's
+    n-ary And list)."""
+    if not bodies:
+        raise ValueError("and_ of empty list")
+    out = bodies[0]
+    for b in bodies[1:]:
+        out = And(out, b)
+    return out
+
+
+def or_(bodies: list[Body]) -> Body:
+    """Smart disjunction (Constraint.or_, lib/constraint.ml:558-566);
+    singleton unwraps like :func:`and_`."""
+    if not bodies:
+        raise ValueError("or_ of empty list")
+    out = bodies[0]
+    for b in bodies[1:]:
+        out = Or(out, b)
+    return out
+
+
+def merge_constraints(
+    named: list[tuple[str, Body]],
+) -> list[tuple[str, Body]]:
+    """Merge a named-constraint list (Constraint.merge,
+    lib/constraint.ml:121-139): distinct names all survive in first-seen
+    order; duplicate names conjoin into one entry via :func:`and_`."""
+    order: list[str] = []
+    grouped: dict[str, list[Body]] = {}
+    for name, body in named:
+        if name not in grouped:
+            order.append(name)
+            grouped[name] = []
+        grouped[name].append(body)
+    return [(name, and_(grouped[name])) for name in order]
+
+
 def rename_vars(mapping: dict[str, str], body: Body) -> Body:
     """Rename attribute references per {old: new} (Constraint.rename_vars,
     lib/constraint.ml:65-93): binding KEYS and Var names both rename (the

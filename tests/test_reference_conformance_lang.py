@@ -1,0 +1,1073 @@
+"""Reference conformance, language layers: one test per reference case
+name from test/test_relational_engine.ml sections algebra/drl/constraint/
+constraint scenario/constraint propagation/ddl/dml/dcl/branch/diff/merge/
+polarity/focused_filter/trigger_constants/substitute_transition/cascade/
+commit.
+
+Each test cites the reference case (file:line). S-expression statements go
+through the wire Server dispatcher (the repo's parse+execute surface);
+pure AST laws hit sakura_spark.icl.ast / icl.compiler directly. Reference
+round-trip tests (parse(to_string x) = x) map to parse+execute equivalence
+here: the repo's canonical serialization for constraint bodies is the
+manifest JSON (body_to_json/body_from_json), asserted as an exact
+round-trip.
+"""
+
+import pytest
+
+from sakura_spark import algebra, errors
+from sakura_spark.database import DEFERRED, Database
+from sakura_spark.drl import Base, Const, Join, Select, parse
+from sakura_spark.icl import ast as icl
+from sakura_spark.icl import compiler as iclc
+from sakura_spark.icl.compiler import BOTH, NEGATIVE, POSITIVE
+from sakura_spark.management.branches import BranchManager
+from sakura_spark.management.diff import diff_databases
+from sakura_spark.management.merge import merge_databases
+from sakura_spark.wire import Server
+
+
+@pytest.fixture()
+def db(spark, store):
+    return Database(spark, "test", store=store, snapshot_on_mutation=False)
+
+
+@pytest.fixture()
+def vdb(spark, store):
+    return Database(spark, "test", store=store, snapshot_on_mutation=True)
+
+
+@pytest.fixture()
+def server(spark, store):
+    return Server(spark, "shop", store=store, snapshot_on_mutation=False)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _resolver(**dfs):
+    def resolve(name):
+        if name in dfs:
+            return dfs[name]
+        raise errors.UnknownRelation(name)
+
+    return resolve
+
+
+# --------------------------------------------------------------------------
+# algebra (ml:1284-1583)
+# --------------------------------------------------------------------------
+
+
+def test_algebra_const_relation_single_tuple(spark):
+    """algebra: const_relation single tuple (ml:1284)."""
+    df = algebra.const_relation(spark, [{"age": 18}])
+    assert [r.age for r in df.collect()] == [18]
+
+
+def test_algebra_select_fn_with_predicate(spark):
+    """algebra: select_fn with predicate (ml:1300)."""
+    df = _df(spark, [(18, "Alice"), (25, "Bob")], "age int, name string")
+    out = algebra.select(df, "age = 18")
+    assert [r.name for r in out.collect()] == ["Alice"]
+
+
+def test_algebra_project_restricts_schema(spark):
+    """algebra: project restricts schema (ml:1337)."""
+    df = _df(spark, [(1, "a")], "x int, y string")
+    out = algebra.project(df, ["x"])
+    assert out.columns == ["x"]
+
+
+def test_algebra_rename_changes_attr_names(spark):
+    """algebra: rename changes attr names (ml:1377)."""
+    df = _df(spark, [(1,)], "old int")
+    out = algebra.rename(df, {"old": "new"})
+    assert out.columns == ["new"]
+
+
+def test_algebra_equijoin_merges_matching_tuples(spark):
+    """algebra: equijoin merges matching tuples (ml:1403): joined tuples
+    carry both sides' attributes, shared keys appearing once
+    (left-wins merge, lib/algebra.ml:172-246)."""
+    left = _df(spark, [(1, "L")], "id int, lval string")
+    right = _df(spark, [(1, "R")], "id int, rval string")
+    out = algebra.equijoin(left, right, ["id"])
+    assert set(out.columns) == {"id", "lval", "rval"}
+    [row] = out.collect()
+    assert (row.id, row.lval, row.rval) == (1, "L", "R")
+
+
+def test_algebra_equijoin_empty_match(spark):
+    """algebra: equijoin empty match (ml:1487)."""
+    left = _df(spark, [(1, "L")], "id int, lval string")
+    right = _df(spark, [(2, "R")], "id int, rval string")
+    assert algebra.equijoin(left, right, ["id"]).count() == 0
+
+
+def test_algebra_union_concatenates_streams(spark):
+    """algebra: union concatenates streams (ml:1507): bag semantics — the
+    duplicate survives (lib/algebra.ml:248-262)."""
+    a = _df(spark, [(1,), (2,)], "n int")
+    b = _df(spark, [(2,), (3,)], "n int")
+    assert sorted(r.n for r in algebra.union(a, b).collect()) == [1, 2, 2, 3]
+
+
+def test_algebra_diff_removes_right_from_left(spark):
+    """algebra: diff removes right from left (ml:1540)."""
+    a = _df(spark, [(1,), (2,), (3,)], "n int")
+    b = _df(spark, [(2,)], "n int")
+    assert sorted(r.n for r in algebra.diff(a, b).collect()) == [1, 3]
+
+
+def test_algebra_take_limits_output(spark):
+    """algebra: take limits output (ml:1567)."""
+    df = _df(spark, [(i,) for i in range(10)], "n int")
+    assert algebra.take(df, 3).count() == 3
+
+
+# --------------------------------------------------------------------------
+# drl (ml:1585-1687)
+# --------------------------------------------------------------------------
+
+
+def test_drl_parse_base():
+    """drl: parse Base (ml:1585)."""
+    assert parse('(Base "users")') == Base("users")
+
+
+def test_drl_parse_const():
+    """drl: parse Const (ml:1591)."""
+    assert parse('(Const (("age" (Int 18))))') == Const((("age", 18),))
+
+
+def test_drl_parse_join():
+    """drl: parse Join (ml:1597)."""
+    assert parse('(Join (id) (Base "L") (Base "R"))') == Join(
+        ("id",), Base("L"), Base("R")
+    )
+
+
+def test_drl_parse_select():
+    """drl: parse Select (ml:1603)."""
+    q = parse('(Select (Const (("age" (Int 18)))) (Base "users"))')
+    assert isinstance(q, Select) and q.source == Base("users")
+
+
+def test_drl_execute_base(db):
+    """drl: execute Base (ml:1610)."""
+    db.create_relation("users", [("name", "string")])
+    db.insert_tuples("users", [{"name": "Alice"}])
+    assert [r.name for r in db.drl('(Base "users")').collect()] == ["Alice"]
+
+
+def test_drl_execute_select_const(db):
+    """drl: execute Select+Const (ml:1640): Select with a Const filter
+    behaves as a point-select."""
+    db.create_relation("users", [("age", "natural"), ("name", "string")])
+    db.insert_tuples("users", [{"age": 18, "name": "Alice"}, {"age": 25, "name": "Bob"}])
+    out = db.drl('(Select (Const (("age" (Int 18)))) (Base "users"))')
+    assert [r.name for r in out.collect()] == ["Alice"]
+
+
+# --------------------------------------------------------------------------
+# constraint construction (ml:1688-1813)
+# --------------------------------------------------------------------------
+
+
+def test_constraint_vars_in_memberof():
+    """constraint: vars_in MemberOf (ml:1688): Vars counted, Consts not."""
+    c = icl.MemberOf(
+        "less_than", (("left", icl.Var("x")), ("right", icl.ConstVal(10)))
+    )
+    vars_ = icl.vars_in(c)
+    assert "x" in vars_ and "right" not in vars_
+
+
+def test_constraint_vars_in_and():
+    """constraint: vars_in And (ml:1699)."""
+    c = icl.And(
+        icl.MemberOf("t1", (("left", icl.Var("a")),)),
+        icl.MemberOf("t2", (("left", icl.Var("b")),)),
+    )
+    assert {"a", "b"} <= icl.vars_in(c)
+
+
+def test_constraint_rename_vars():
+    """constraint: rename_vars (ml:1713)."""
+    c = icl.MemberOf("t", (("left", icl.Var("old_name")),))
+    c2 = icl.rename_vars({"old_name": "new_name"}, c)
+    vars_ = icl.vars_in(c2)
+    assert "new_name" in vars_ and "old_name" not in vars_
+
+
+def test_constraint_filter_by_attrs_keeps_relevant():
+    """constraint: filter_by_attrs keeps relevant (ml:1721)."""
+    on_x = icl.MemberOf("r", (("left", icl.Var("x")),))
+    assert icl.filter_by_attrs(["x"], on_x) == on_x
+    assert icl.filter_by_attrs(["y"], on_x) is None
+
+
+def test_constraint_merge_named_constraints():
+    """constraint: merge named constraints (ml:1727): distinct names all
+    survive."""
+    c1 = icl.MemberOf("a", ())
+    c2 = icl.MemberOf("b", ())
+    merged = icl.merge_constraints([("n1", c1), ("n2", c2)])
+    assert merged == [("n1", c1), ("n2", c2)]
+
+
+def test_constraint_merge_duplicate_names_produces_and():
+    """constraint: merge duplicate names produces And (ml:1734)."""
+    c1 = icl.MemberOf("a", ())
+    c2 = icl.MemberOf("b", ())
+    merged = icl.merge_constraints([("n", c1), ("n", c2)])
+    assert merged == [("n", icl.And(c1, c2))]
+
+
+def test_constraint_and_singleton():
+    """constraint: and_ singleton (ml:1746): a one-element conjunction IS
+    its element."""
+    c = icl.MemberOf("r", ())
+    assert icl.and_([c]) is c
+
+
+def test_constraint_or_singleton():
+    """constraint: or_ singleton (ml:1753)."""
+    c = icl.MemberOf("r", ())
+    assert icl.or_([c]) is c
+
+
+def test_constraint_lt_shorthand(spark):
+    """constraint: lt shorthand (ml:1762): the comparison shorthand is a
+    first-class node that enforces l < r (the reference models it as
+    MemberOf an infinite less_than relation; same semantics)."""
+    df = _df(spark, [(1, 2), (5, 3)], "a int, b int")
+    body = icl.Cmp("lt", icl.Var("a"), icl.Var("b"))
+    bad = iclc.violations(df, body, _resolver())
+    assert [(r.a, r.b) for r in bad.collect()] == [(5, 3)]
+
+
+def test_constraint_between_shorthand(spark):
+    """constraint: between shorthand (ml:1767)."""
+    df = _df(spark, [(50,), (101,)], "score int")
+    body = icl.Between(icl.Var("score"), icl.ConstVal(0), icl.ConstVal(100))
+    bad = iclc.violations(df, body, _resolver())
+    assert [r.score for r in bad.collect()] == [101]
+
+
+def test_constraint_bind_resolves_var_and_const(spark):
+    """constraint: bind resolves Var and Const (ml:1778): a MemberOf
+    binding mixes a Var (joined to the checked tuple) and a Const
+    (literal); both resolve during evaluation."""
+    target = _df(spark, [(1, "active"), (2, "closed")], "id int, status string")
+    checked = _df(spark, [(1,), (2,)], "id int")
+    body = icl.MemberOf(
+        "t", (("id", icl.Var("id")), ("status", icl.ConstVal("active")))
+    )
+    ok = iclc.satisfied_rows(checked, body, _resolver(t=target))
+    assert [r.id for r in ok.collect()] == [1]
+
+
+# --------------------------------------------------------------------------
+# constraint evaluation (ml:1814-2109)
+# --------------------------------------------------------------------------
+
+
+def test_constraint_evaluate_memberof_success(spark):
+    """constraint: evaluate MemberOf success (ml:1814)."""
+    target = _df(spark, [(7,)], "k int")
+    checked = _df(spark, [(7,)], "k int")
+    body = icl.MemberOf("t", (("k", icl.Var("k")),))
+    assert iclc.violations(checked, body, _resolver(t=target)).count() == 0
+
+
+def test_constraint_evaluate_memberof_failure(spark):
+    """constraint: evaluate MemberOf failure (ml:1823)."""
+    target = _df(spark, [(7,)], "k int")
+    checked = _df(spark, [(8,)], "k int")
+    body = icl.MemberOf("t", (("k", icl.Var("k")),))
+    assert iclc.violations(checked, body, _resolver(t=target)).count() == 1
+
+
+def test_constraint_evaluate_and_short_circuits(spark):
+    """constraint: evaluate And short-circuits (ml:1834). Set-based
+    divergence, documented: there is no observable evaluation order in a
+    dataflow engine; the reference's observable contract — And fails when
+    its first failing branch fails, regardless of the rest — maps to
+    'a row violates And iff it violates either branch'."""
+    t1 = _df(spark, [(1,)], "k int")
+    t2 = _df(spark, [(99,)], "k int")
+    checked = _df(spark, [(1,)], "k int")
+    body = icl.And(
+        icl.MemberOf("t1", (("k", icl.Var("k")),)),
+        icl.MemberOf("t2", (("k", icl.Var("k")),)),
+    )
+    assert iclc.violations(checked, body, _resolver(t1=t1, t2=t2)).count() == 1
+
+
+def test_constraint_evaluate_or_succeeds_on_first_match(spark):
+    """constraint: evaluate Or succeeds on first match (ml:1868): one
+    satisfied disjunct satisfies the row."""
+    t1 = _df(spark, [(1,)], "k int")
+    t2 = _df(spark, [(99,)], "k int")
+    checked = _df(spark, [(1,)], "k int")
+    body = icl.Or(
+        icl.MemberOf("t1", (("k", icl.Var("k")),)),
+        icl.MemberOf("t2", (("k", icl.Var("k")),)),
+    )
+    assert iclc.violations(checked, body, _resolver(t1=t1, t2=t2)).count() == 0
+
+
+def test_constraint_evaluate_not_negates(spark):
+    """constraint: evaluate Not negates (ml:1885)."""
+    target = _df(spark, [(1,)], "k int")
+    checked = _df(spark, [(1,), (2,)], "k int")
+    body = icl.Not(icl.MemberOf("t", (("k", icl.Var("k")),)))
+    bad = iclc.violations(checked, body, _resolver(t=target))
+    assert [r.k for r in bad.collect()] == [1]
+
+
+def test_constraint_evaluate_exists_over_finite_relation(spark):
+    """constraint: evaluate Exists over finite relation (ml:1910)."""
+    q = _df(spark, [(1,), (2,)], "v int")
+    checked = _df(spark, [(1,), (3,)], "v int")
+    body = icl.Exists(
+        "x", "q", icl.Cmp("eq", icl.Var("x.v"), icl.Var("v"))
+    )
+    bad = iclc.violations(checked, body, _resolver(q=q))
+    assert [r.v for r in bad.collect()] == [3]
+
+
+def test_constraint_evaluate_forall_fails_when_not_all_match(spark):
+    """constraint: evaluate Forall fails when not all match (ml:1953)."""
+    q = _df(spark, [(1,), (2,)], "v int")
+    checked = _df(spark, [(0,), (5,)], "v int")
+    # Forall x in q: x.v < v  — holds for v=5, fails for v=0.
+    body = icl.Forall("x", "q", icl.Cmp("lt", icl.Var("x.v"), icl.Var("v")))
+    bad = iclc.violations(checked, body, _resolver(q=q))
+    assert [r.v for r in bad.collect()] == [0]
+
+
+def test_constraint_forall_unbounded_quantifier_errors(spark):
+    """constraint: Forall unbounded quantifier errors (ml:1993): a
+    quantifier too large to enumerate raises UnboundedQuantifier instead
+    of silently crossJoining (icl/compiler.py:208; the reference's
+    diagnostic is lib/constraint.ml:184-212)."""
+    q = _df(spark, [(i,) for i in range(60)], "v int")
+    checked = _df(spark, [(0,)], "v int")
+    body = icl.Forall("x", "q", icl.Cmp("lt", icl.Var("x.v"), icl.Var("v")))
+    old = iclc.MAX_QUANTIFIER_ROWS
+    iclc.MAX_QUANTIFIER_ROWS = 50
+    try:
+        with pytest.raises(errors.UnboundedQuantifier):
+            iclc.violations(checked, body, _resolver(q=q)).count()
+    finally:
+        iclc.MAX_QUANTIFIER_ROWS = old
+
+
+def test_constraint_create_tuple_with_passing_constraint(db):
+    """constraint: create_tuple with passing constraint (ml:2015)."""
+    db.create_relation("t", [("v", "natural")])
+    db.register_constraint("pos", "t", icl.Cmp("gte", icl.Var("v"), icl.ConstVal(0)))
+    db.insert_tuples("t", [{"v": 5}])
+    assert db.relation("t").count() == 1
+
+
+def test_constraint_create_tuple_with_failing_constraint(db):
+    """constraint: create_tuple with failing constraint (ml:2058)."""
+    db.create_relation("t", [("v", "integer")])
+    db.register_constraint("pos", "t", icl.Cmp("gte", icl.Var("v"), icl.ConstVal(0)))
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("t", [{"v": -1}])
+    assert db.relation("t").count() == 0
+
+
+# --------------------------------------------------------------------------
+# constraint scenarios (ml:2110-2587)
+# --------------------------------------------------------------------------
+
+
+def test_constraint_scenario_mutual_exclusion_subtypes(db):
+    """constraint scenario: mutual exclusion subtypes (ml:2110): a
+    manager id must not be an employee id."""
+    db.create_relation("employee", [("id", "natural")])
+    db.create_relation("manager", [("id", "natural")])
+    db.register_constraint(
+        "not_employee",
+        "manager",
+        icl.Not(icl.MemberOf("employee", (("id", icl.Var("id")),))),
+    )
+    db.insert_tuples("employee", [{"id": 1}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("manager", [{"id": 1}])
+    db.insert_tuples("manager", [{"id": 2}])
+
+
+def test_constraint_scenario_foreign_key(db):
+    """constraint scenario: foreign key (ml:2193)."""
+    db.create_relation("orders", [("order_id", "natural")])
+    db.create_relation(
+        "order_items", [("item_id", "natural"), ("order_id", "natural")]
+    )
+    db.register_constraint(
+        "fk_order",
+        "order_items",
+        icl.MemberOf("orders", (("order_id", icl.Var("order_id")),)),
+    )
+    db.insert_tuples("orders", [{"order_id": 100}])
+    db.insert_tuples("order_items", [{"item_id": 1, "order_id": 100}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("order_items", [{"item_id": 2, "order_id": 999}])
+
+
+def test_constraint_scenario_self_reference_neq(db):
+    """constraint scenario: self-reference neq (ml:2301): the reference
+    routes this through the infinite not_equal relation; this engine's
+    Cmp('neq') is that relation's compiled form (prelude.py registers
+    natural_natural_not_equal for the DRL join path)."""
+    db.create_relation("reports_to", [("emp_id", "natural"), ("mgr_id", "natural")])
+    db.register_constraint(
+        "no_self_manage",
+        "reports_to",
+        icl.Cmp("neq", icl.Var("emp_id"), icl.Var("mgr_id")),
+    )
+    db.insert_tuples("reports_to", [{"emp_id": 1, "mgr_id": 2}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("reports_to", [{"emp_id": 3, "mgr_id": 3}])
+
+
+def test_constraint_scenario_open_vs_closed_ticket(db):
+    """constraint scenario: open vs closed ticket (ml:2400)."""
+    db.create_relation("open_ticket", [("ticket_id", "natural")])
+    db.create_relation("closed_ticket", [("ticket_id", "natural")])
+    db.register_constraint(
+        "not_closed",
+        "open_ticket",
+        icl.Not(icl.MemberOf("closed_ticket", (("ticket_id", icl.Var("ticket_id")),))),
+    )
+    db.insert_tuples("closed_ticket", [{"ticket_id": 1}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("open_ticket", [{"ticket_id": 1}])
+
+
+def test_constraint_scenario_weak_entity_dependency(db):
+    """constraint scenario: weak entity dependency (ml:2484)."""
+    db.create_relation("parent", [("parent_id", "natural")])
+    db.create_relation("dependent", [("dep_id", "natural"), ("parent_id", "natural")])
+    db.register_constraint(
+        "parent_exists",
+        "dependent",
+        icl.MemberOf("parent", (("parent_id", icl.Var("parent_id")),)),
+    )
+    db.insert_tuples("parent", [{"parent_id": 10}])
+    db.insert_tuples("dependent", [{"dep_id": 1, "parent_id": 10}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.insert_tuples("dependent", [{"dep_id": 2, "parent_id": 999}])
+
+
+def test_constraint_propagation_select_preserves():
+    """constraint propagation: select preserves constraints (ml:2588)."""
+    cs = [("c1", icl.MemberOf("r", (("left", icl.Var("x")),)))]
+    assert algebra.select_constraints(cs) == cs
+
+
+def test_constraint_propagation_project_filters():
+    """constraint propagation: project filters constraints (ml:2623): a
+    constraint on x survives π(x) and drops under π(y)."""
+    cs = [("x_only", icl.MemberOf("some_rel", (("left", icl.Var("x")),)))]
+    assert algebra.project_constraints(cs, ["x"]) == cs
+    assert algebra.project_constraints(cs, ["y"]) == []
+
+
+# --------------------------------------------------------------------------
+# ddl / dml parse+execute (ml:2673-3162) via the wire Server
+# --------------------------------------------------------------------------
+
+
+def test_ddl_parse_create_database(server):
+    """ddl: parse CreateDatabase (ml:2673)."""
+    out = server.execute('(ddl (CreateDatabase "shop2"))')
+    assert server.db.name == "shop2" and "shop2" in out["message"]
+
+
+def test_ddl_parse_retract_relation(server):
+    """ddl: parse RetractRelation (ml:2679)."""
+    server.execute('(ddl (CreateRelation (name "users") (schema ())))')
+    out = server.execute('(ddl (RetractRelation "users"))')
+    assert "users" in out["message"]
+
+
+def test_ddl_parse_clear_relation(server):
+    """ddl: parse ClearRelation (ml:2685)."""
+    server.execute('(ddl (CreateRelation (name "users") (schema (("n" "integer")))))')
+    out = server.execute('(ddl (ClearRelation "users"))')
+    assert "users" in out["message"]
+
+
+def test_dml_roundtrip_insert_tuple(server):
+    """dml: round-trip InsertTuple (ml:2691): the parsed statement
+    executes to exactly the stated tuple."""
+    server.execute(
+        '(ddl (CreateRelation (name "users") (schema (("name" "string") ("age" "natural")))))'
+    )
+    server.execute(
+        '(dml (InsertTuple (relation "users") (attributes (("name" (Str "Alice")) ("age" (Int 30))))))'
+    )
+    out = server.execute('(drl (Base "users"))')
+    assert out["rows"] == [["Alice", 30]]
+
+
+def test_ddl_roundtrip_create_relation(server):
+    """ddl: round-trip CreateRelation (ml:2702): name and typed schema
+    survive parse+execute (observable through the catalog)."""
+    server.execute(
+        '(ddl (CreateRelation (name "users") (schema (("name" "string") ("age" "natural")))))'
+    )
+    cat = server.execute('(drl (Base "sakura:attribute"))')
+    assert ["users", "name", "string"] in cat["rows"]
+    assert ["users", "age", "natural"] in cat["rows"]
+
+
+def test_dml_roundtrip_insert_tuples(server):
+    """dml: round-trip InsertTuples (ml:2710)."""
+    server.execute(
+        '(ddl (CreateRelation (name "users") (schema (("name" "string") ("age" "natural")))))'
+    )
+    server.execute(
+        '(dml (InsertTuples (relation "users") (tuples ('
+        '(("name" (Str "Alice")) ("age" (Int 30))) '
+        '(("name" (Str "Bob")) ("age" (Int 25)))))))'
+    )
+    out = server.execute('(drl (Base "users"))')
+    assert sorted(map(tuple, out["rows"])) == [("Alice", 30), ("Bob", 25)]
+
+
+def test_ddl_roundtrip_register_domain(server):
+    """ddl: round-trip RegisterDomain (ml:2725)."""
+    server.execute('(ddl (RegisterDomain (name "color") (cardinality ConstrainedFinite)))')
+    doms = server.execute('(drl (Base "sakura:domain"))')
+    assert ["color"] in doms["rows"]
+
+
+def test_ddl_execute_create_database(server):
+    """ddl: execute CreateDatabase (ml:2734)."""
+    server.execute('(ddl (CreateDatabase "fresh"))')
+    assert server.db.name == "fresh"
+    assert server.db.state.relations == {}
+
+
+def test_ddl_execute_create_relation(server):
+    """ddl: execute CreateRelation (ml:2740)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    assert "t" in server.db.state.relations
+
+
+def test_dml_execute_insert_tuple(server):
+    """dml: execute InsertTuple (ml:2752)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    assert server.db.relation("t").count() == 1
+
+
+def test_dml_execute_insert_tuples(server):
+    """dml: execute InsertTuples (ml:2760)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute(
+        '(dml (InsertTuples (relation "t") (tuples ((("v" (Int 1))) (("v" (Int 2)))))))'
+    )
+    assert server.db.relation("t").count() == 2
+
+
+def test_dml_execute_delete_tuple(server):
+    """dml: execute DeleteTuple (ml:2772)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute(
+        '(dml (InsertTuples (relation "t") (tuples ((("v" (Int 1))) (("v" (Int 2)))))))'
+    )
+    server.execute('(dml (DeleteTuple (relation "t") (attributes (("v" (Int 1))))))')
+    out = server.execute('(drl (Base "t"))')
+    assert out["rows"] == [[2]]
+
+
+def test_ddl_execute_retract_relation(server):
+    """ddl: execute RetractRelation (ml:2784)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema ())))')
+    server.execute('(ddl (RetractRelation "t"))')
+    assert "t" not in server.db.state.relations
+
+
+def test_ddl_execute_clear_relation(server):
+    """ddl: execute ClearRelation (ml:2790)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    server.execute('(ddl (ClearRelation "t"))')
+    assert server.db.relation("t").count() == 0
+
+
+def test_ddl_execute_register_domain(server):
+    """ddl: execute RegisterDomain (ml:2932)."""
+    server.execute('(ddl (RegisterDomain (name "mood") (cardinality ConstrainedFinite)))')
+    assert "mood" in server.db.registry.names()
+
+
+def test_dml_insert_into_nonexistent_relation_errors(server):
+    """dml: insert into nonexistent relation returns error (ml:2947)."""
+    with pytest.raises(errors.UnknownRelation):
+        server.execute('(dml (InsertTuple (relation "ghost") (attributes (("v" (Int 1))))))')
+
+
+# --------------------------------------------------------------------------
+# dcl (ml:2962-3162)
+# --------------------------------------------------------------------------
+
+
+def test_dcl_roundtrip_register_constraint_memberof():
+    """dcl: round-trip RegisterConstraint MemberOf (ml:2962): the
+    canonical serialization (manifest JSON) round-trips exactly."""
+    body = icl.MemberOf("orders", (("order_id", icl.Var("order_id")),))
+    assert icl.body_from_json(icl.body_to_json(body)) == body
+
+
+def test_dcl_roundtrip_and_constraint():
+    """dcl: round-trip And constraint (ml:2980)."""
+    body = icl.And(
+        icl.MemberOf("a", (("x", icl.Var("x")),)),
+        icl.MemberOf("b", (("y", icl.ConstVal(3)),)),
+    )
+    assert icl.body_from_json(icl.body_to_json(body)) == body
+
+
+def test_dcl_roundtrip_not_constraint():
+    """dcl: round-trip Not constraint (ml:3014)."""
+    body = icl.Not(icl.MemberOf("r", (("k", icl.Var("k")),)))
+    assert icl.body_from_json(icl.body_to_json(body)) == body
+
+
+def test_dcl_execute_register_constraint_attaches(server):
+    """dcl: execute RegisterConstraint attaches constraint (ml:3037)."""
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "c") (relation_name "t") '
+        '(body (MemberOf (target "t") (binding (("v" (Var "v"))))))))'
+    )
+    assert "c" in server.db.state.constraints
+
+
+def test_dcl_fk_constraint_enforced_on_insert(server):
+    """dcl: FK constraint enforced on insert (ml:3076)."""
+    server.execute('(ddl (CreateRelation (name "Department") (schema (("dept_id" "integer")))))')
+    server.execute(
+        '(ddl (CreateRelation (name "Employee") (schema (("emp_id" "integer") ("dept_id" "integer")))))'
+    )
+    server.execute('(dml (InsertTuple (relation "Department") (attributes (("dept_id" (Int 1))))))')
+    server.execute(
+        '(icl (RegisterConstraint (constraint_name "fk") (relation_name "Employee") '
+        '(body (MemberOf (target "Department") (binding (("dept_id" (Var "dept_id"))))))))'
+    )
+    server.execute(
+        '(dml (InsertTuple (relation "Employee") (attributes (("emp_id" (Int 1)) ("dept_id" (Int 1))))))'
+    )
+    with pytest.raises(errors.ConstraintViolation):
+        server.execute(
+            '(dml (InsertTuple (relation "Employee") (attributes (("emp_id" (Int 2)) ("dept_id" (Int 9))))))'
+        )
+
+
+# --------------------------------------------------------------------------
+# branch (lib/dcl tests) — BranchManager
+# --------------------------------------------------------------------------
+
+
+def test_branch_create_and_get_tip(vdb):
+    """branch: create and get_tip (reference branch suite)."""
+    mgr = BranchManager(vdb.store)
+    mgr.create_branch("main", vdb.hash)
+    assert mgr.get_branch_tip("main") == vdb.hash
+
+
+def test_branch_get_tip_unknown_branch(vdb):
+    """branch: get_tip returns None for unknown branch — spelled
+    UnknownBranch here (total functions over errors, not options)."""
+    mgr = BranchManager(vdb.store)
+    with pytest.raises(errors.UnknownBranch):
+        mgr.get_branch_tip("nope")
+
+
+def test_branch_checkout_and_get_head(vdb):
+    """branch: checkout and get_head."""
+    mgr = BranchManager(vdb.store)
+    mgr.create_branch("main", vdb.hash)
+    mgr.checkout(vdb.spark, "main")
+    assert mgr.get_head() == "main"
+
+
+def test_branch_get_head_none_when_not_set(store):
+    """branch: get_head returns None when not set — UnknownBranch here."""
+    mgr = BranchManager(store)
+    with pytest.raises(errors.UnknownBranch):
+        mgr.get_head()
+
+
+def test_branch_update_tip_advances(vdb):
+    """branch: update_tip advances the branch."""
+    mgr = BranchManager(vdb.store)
+    mgr.create_branch("main", vdb.hash)
+    vdb.create_relation("t", [("v", "integer")])
+    mgr.update_branch_tip("main", vdb.hash)
+    assert mgr.get_branch_tip("main") == vdb.hash
+
+
+def test_branch_update_tip_fails_on_unknown(vdb):
+    """branch: update_tip fails on unknown branch."""
+    mgr = BranchManager(vdb.store)
+    with pytest.raises(errors.UnknownBranch):
+        mgr.update_branch_tip("ghost", vdb.hash)
+
+
+def test_branch_multiple_branches_independent(vdb):
+    """branch: multiple branches are independent."""
+    mgr = BranchManager(vdb.store)
+    h0 = vdb.hash
+    mgr.create_branch("a", h0)
+    mgr.create_branch("b", h0)
+    vdb.create_relation("t", [("v", "integer")])
+    mgr.update_branch_tip("a", vdb.hash)
+    assert mgr.get_branch_tip("a") == vdb.hash
+    assert mgr.get_branch_tip("b") == h0
+
+
+# --------------------------------------------------------------------------
+# diff (management/diff.ml tests)
+# --------------------------------------------------------------------------
+
+
+def test_diff_identical_databases_empty(vdb):
+    """diff: identical databases produce empty diff."""
+    d = diff_databases(vdb.spark, vdb.store, vdb.hash, vdb.hash)
+    assert d.is_empty
+
+
+def test_diff_added_relation_detected(vdb):
+    """diff: added relation detected."""
+    h0 = vdb.hash
+    vdb.create_relation("t", [("v", "integer")])
+    d = diff_databases(vdb.spark, vdb.store, h0, vdb.hash)
+    assert d.deltas["t"].kind == "added"
+
+
+def test_diff_removed_relation_detected(vdb):
+    """diff: removed relation detected."""
+    vdb.create_relation("t", [("v", "integer")])
+    h1 = vdb.hash
+    vdb.retract_relation("t")
+    d = diff_databases(vdb.spark, vdb.store, h1, vdb.hash)
+    assert d.deltas["t"].kind == "removed"
+
+
+def test_diff_modified_relation_with_added_tuple(vdb):
+    """diff: modified relation detected with added tuple."""
+    vdb.create_relation("t", [("v", "integer")])
+    h1 = vdb.hash
+    vdb.insert_tuples("t", [{"v": 42}])
+    d = diff_databases(vdb.spark, vdb.store, h1, vdb.hash)
+    delta = d.deltas["t"]
+    assert delta.kind == "modified"
+    assert [r.v for r in delta.added.collect()] == [42]
+
+
+# --------------------------------------------------------------------------
+# merge (management/merge.ml tests)
+# --------------------------------------------------------------------------
+
+
+def test_merge_fast_forward_one_side(vdb):
+    """merge: fast-forward when only one side changed — merging base with
+    an advanced branch yields the branch's content, no conflicts."""
+    vdb.create_relation("t", [("v", "integer")])
+    base = vdb.hash
+    vdb.insert_tuples("t", [{"v": 1}])
+    res = merge_databases(vdb.spark, vdb.store, base, vdb.hash)
+    assert res.conflicts == []
+    assert [r.v for r in res.merged_relations["t"].collect()] == [1]
+
+
+def test_merge_independent_additions_union(vdb):
+    """merge: independent tuple additions produce union."""
+    vdb.create_relation("t", [("v", "integer")])
+    base = vdb.hash
+    vdb.insert_tuples("t", [{"v": 1}])
+    left = vdb.hash
+    other = Database.load(vdb.spark, base, vdb.store)
+    other.insert_tuples("t", [{"v": 2}])
+    res = merge_databases(vdb.spark, vdb.store, left, other.hash)
+    assert res.conflicts == []
+    assert sorted(r.v for r in res.merged_relations["t"].collect()) == [1, 2]
+
+
+def test_merge_noop_when_identical(vdb):
+    """merge: no-op when both sides are identical."""
+    vdb.create_relation("t", [("v", "integer")])
+    vdb.insert_tuples("t", [{"v": 1}])
+    res = merge_databases(vdb.spark, vdb.store, vdb.hash, vdb.hash)
+    assert res.conflicts == []
+    assert [r.v for r in res.merged_relations["t"].collect()] == [1]
+
+
+# --------------------------------------------------------------------------
+# polarity (ml:3487-3618)
+# --------------------------------------------------------------------------
+
+
+def test_polarity_memberof_positive():
+    """polarity: MemberOf target is Positive (ml:3487)."""
+    assert iclc.polarity(icl.MemberOf("R", ())).get("R") == POSITIVE
+
+
+def test_polarity_not_memberof_negative():
+    """polarity: Not MemberOf flips to Negative (ml:3494)."""
+    assert iclc.polarity(icl.Not(icl.MemberOf("R", ()))).get("R") == NEGATIVE
+
+
+def test_polarity_exists_quantifier_positive():
+    """polarity: Exists quantifier is Positive (ml:3507)."""
+    c = icl.Exists("x", "Q", icl.MemberOf("Q", ()))
+    assert iclc.polarity(c).get("Q") == POSITIVE
+
+
+def test_polarity_forall_quantifier_negative():
+    """polarity: Forall quantifier is Negative (ml:3521)."""
+    c = icl.Forall("x", "Q", icl.MemberOf("T", ()))
+    p = iclc.polarity(c)
+    assert p.get("Q") == NEGATIVE and p.get("T") == POSITIVE
+
+
+def test_polarity_both_polarities_merge_to_both():
+    """polarity: same relation with both polarities merges to Both
+    (ml:3537)."""
+    c = icl.And(icl.Not(icl.MemberOf("R", ())), icl.MemberOf("R", ()))
+    assert iclc.polarity(c).get("R") == BOTH
+
+
+def test_polarity_forall_body_memberof_keeps_positive():
+    """polarity: Forall body MemberOf keeps Positive (ml:3555)."""
+    c = icl.Forall("x", "Q", icl.MemberOf("T", ()))
+    assert iclc.polarity(c).get("T") == POSITIVE
+
+
+def test_polarity_double_negation_restores_positive():
+    """polarity: nested Not double-negation restores Positive (ml:3570)."""
+    c = icl.Not(icl.Not(icl.MemberOf("R", ())))
+    assert iclc.polarity(c).get("R") == POSITIVE
+
+
+def test_polarity_unrelated_relation_absent():
+    """polarity: unrelated relation absent from result (ml:3588)."""
+    assert "S" not in iclc.polarity(icl.MemberOf("R", ()))
+
+
+# --------------------------------------------------------------------------
+# focused_filter (ml:3596-3683) — focused_values is the repo's spelling:
+# it returns the (target, target_attr, constrained_attr) link triples the
+# cascade narrows by (database.py applies them against the mutated rows).
+# --------------------------------------------------------------------------
+
+
+def test_focused_filter_const_binding_ignored():
+    """focused_filter: Const binding is ignored (no var link) (ml:3619)."""
+    c = icl.MemberOf("Dept", (("code", icl.ConstVal("eng")),))
+    assert iclc.focused_values(c) == []
+
+
+def test_focused_filter_exists_body_followed():
+    """focused_filter: Exists body MemberOf same relation is followed
+    (ml:3644): the FK link is found inside the Exists body."""
+    c = icl.Exists(
+        "d", "Dept", icl.MemberOf("Dept", (("dept_id", icl.Var("dept_id")),))
+    )
+    assert iclc.focused_values(c) == [("Dept", "dept_id", "dept_id")]
+
+
+def test_focused_filter_unrelated_dep_rel_empty():
+    """focused_filter: unrelated dep_rel yields empty filter (ml:3672):
+    the triples never mention a relation absent from the constraint."""
+    c = icl.MemberOf("R", (("x", icl.Var("x")),))
+    assert all(t[0] != "S" for t in iclc.focused_values(c))
+
+
+# --------------------------------------------------------------------------
+# trigger_constants (ml:3685-3740)
+# --------------------------------------------------------------------------
+
+
+def test_trigger_constants_const_extracted():
+    """trigger_constants: Const value in binding is extracted (ml:3685)."""
+    c = icl.MemberOf("R", (("status", icl.ConstVal("active")),))
+    assert iclc.trigger_constants(c, "R") == [("status", "active")]
+
+
+def test_trigger_constants_var_binding_none():
+    """trigger_constants: Var binding produces no constant (ml:3706)."""
+    c = icl.MemberOf("R", (("id", icl.Var("id")),))
+    assert iclc.trigger_constants(c, "R") == []
+
+
+def test_trigger_constants_unrelated_dep_rel_empty():
+    """trigger_constants: unrelated dep_rel yields empty (ml:3719)."""
+    c = icl.MemberOf("R", (("x", icl.ConstVal(1)),))
+    assert iclc.trigger_constants(c, "S") == []
+
+
+# --------------------------------------------------------------------------
+# substitute_transition (ml:3768-3890)
+# --------------------------------------------------------------------------
+
+
+def test_substitute_transition_base_var_not_substituted():
+    """substitute_transition: base-tuple Var is not substituted
+    (ml:3768): only 'var.attr' references under an applying quantifier
+    rewrite; the constrained tuple's own Vars stay symbolic."""
+    body = icl.Exists(
+        "d",
+        "Dept",
+        icl.Cmp("eq", icl.Var("d.dept_id"), icl.Var("dept_id")),
+    )
+    out = iclc.substitute_transition(body, "Dept", {"dept_id": 99})
+    assert isinstance(out, icl.Exists)
+    assert out.body == icl.Cmp("eq", icl.ConstVal(99), icl.Var("dept_id"))
+
+
+def test_substitute_transition_applies_through_and_and_not():
+    """substitute_transition: substitution applies through And and Not
+    (ml:3826)."""
+    inner = icl.And(
+        icl.Cmp("eq", icl.Var("d.k"), icl.Var("k")),
+        icl.Not(icl.Cmp("eq", icl.Var("d.v"), icl.ConstVal(0))),
+    )
+    body = icl.Exists("d", "T", inner)
+    out = iclc.substitute_transition(body, "T", {"k": 5, "v": 7})
+    assert out.body == icl.And(
+        icl.Cmp("eq", icl.ConstVal(5), icl.Var("k")),
+        icl.Not(icl.Cmp("eq", icl.ConstVal(7), icl.ConstVal(0))),
+    )
+
+
+# --------------------------------------------------------------------------
+# cascade (ml:3976-4458)
+# --------------------------------------------------------------------------
+
+
+def _fk_db(db):
+    db.create_relation("Dept", [("dept_id", "integer")])
+    db.create_relation("Emp", [("emp_id", "integer"), ("dept_id", "integer")])
+    db.register_constraint(
+        "fk",
+        "Emp",
+        icl.Exists(
+            "d", "Dept", icl.MemberOf("Dept", (("dept_id", icl.Var("dept_id")),))
+        ),
+    )
+    db.insert_tuples("Dept", [{"dept_id": 1}, {"dept_id": 2}])
+    db.insert_tuples("Emp", [{"emp_id": 10, "dept_id": 1}])
+    return db
+
+
+def test_cascade_delete_referenced_row_rejected(db):
+    """cascade: delete referenced row violates FK and is rejected
+    (ml:3976)."""
+    _fk_db(db)
+    with pytest.raises(errors.ConstraintViolation):
+        db.delete_tuples("Dept", [{"dept_id": 1}])
+    assert db.relation("Dept").count() == 2  # state unchanged
+
+
+def test_cascade_delete_unreferenced_row_succeeds(db):
+    """cascade: delete unreferenced row succeeds (ml:4029)."""
+    _fk_db(db)
+    db.delete_tuples("Dept", [{"dept_id": 2}])
+    assert db.relation("Dept").count() == 1
+
+
+def test_cascade_negative_polarity_deletion_not_checked(db):
+    """cascade: Negative-polarity relation deletion is not checked
+    (ml:4100): the blacklist (under Not) is Negative — deleting from it
+    can only WEAKEN the constraint, so the cascade skips the re-check."""
+    db.create_relation("Emp", [("emp_id", "integer")])
+    db.create_relation("blacklist", [("emp_id", "integer")])
+    db.register_constraint(
+        "not_blacklisted",
+        "Emp",
+        icl.Not(icl.MemberOf("blacklist", (("emp_id", icl.Var("emp_id")),))),
+    )
+    db.insert_tuples("blacklist", [{"emp_id": 99}])
+    db.insert_tuples("Emp", [{"emp_id": 1}])
+    db.delete_tuples("blacklist", [{"emp_id": 99}])  # must not raise
+    assert db.relation("blacklist").count() == 0
+
+
+def test_cascade_deferred_not_checked_during_retract(db):
+    """cascade: deferred constraint not checked during retract_tuple
+    (ml:4191): the violation waits for commit."""
+    db.create_relation("Dept", [("dept_id", "integer")])
+    db.create_relation("Emp", [("emp_id", "integer"), ("dept_id", "integer")])
+    db.register_constraint(
+        "fk_deferred",
+        "Emp",
+        icl.MemberOf("Dept", (("dept_id", icl.Var("dept_id")),)),
+        timing=DEFERRED,
+    )
+    db.insert_tuples("Dept", [{"dept_id": 1}])
+    db.insert_tuples("Emp", [{"emp_id": 10, "dept_id": 1}])
+    db.delete_tuples("Dept", [{"dept_id": 1}])  # allowed now…
+    db.deferred_pending.add("fk_deferred")
+    with pytest.raises(errors.ConstraintViolation):
+        db.commit()  # …caught here
+
+
+# --------------------------------------------------------------------------
+# commit (ml:4460-4589)
+# --------------------------------------------------------------------------
+
+
+def test_commit_no_deferred_returns_ok(db):
+    """commit: no deferred constraints, returns Ok with db unchanged
+    (ml:4460)."""
+    db.create_relation("t", [("v", "integer")])
+    db.insert_tuples("t", [{"v": 1}])
+    h = db.commit()
+    assert h == db.hash
+    assert db.relation("t").count() == 1
+
+
+def test_commit_deferred_violation_caught(db):
+    """commit: deferred violation is caught at commit boundary (ml:4493)."""
+    db.create_relation("Dept", [("dept_id", "integer")])
+    db.create_relation("Emp", [("dept_id", "integer")])
+    db.register_constraint(
+        "fk",
+        "Emp",
+        icl.MemberOf("Dept", (("dept_id", icl.Var("dept_id")),)),
+        timing=DEFERRED,
+    )
+    db.insert_tuples("Emp", [{"dept_id": 7}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.commit()
+
+
+def test_commit_clears_deferred_second_passes(db):
+    """commit: clears deferred list, second commit passes (ml:4550)."""
+    db.create_relation("Dept", [("dept_id", "integer")])
+    db.create_relation("Emp", [("dept_id", "integer")])
+    db.register_constraint(
+        "fk",
+        "Emp",
+        icl.MemberOf("Dept", (("dept_id", icl.Var("dept_id")),)),
+        timing=DEFERRED,
+    )
+    db.insert_tuples("Emp", [{"dept_id": 7}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.commit()
+    db.insert_tuples("Dept", [{"dept_id": 7}])  # repair
+    db.commit()  # deferred list re-armed by the insert; now satisfied
+    db.commit()  # cleared — second commit trivially passes
