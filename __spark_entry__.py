@@ -2055,6 +2055,64 @@ def q_text_vocab_topk(spark, sf_dir):
     )
 
 
+def q_text_tfidf_topk(spark, sf_dir):
+    """TF-IDF keyword extraction, integer-exact surface (ir.tfidf_topk):
+    top-5 characteristic terms per document by term frequency after
+    dropping corpus-wide terms (df > N/2 — the integer spelling of idf
+    down-weighting; the float tf*ln((1+N)/(1+df)) layer is ir.tfidf,
+    pytest-checked since ln() is not bit-stable across engines). Plan:
+    map-side-combinable (doc,term) groupBy, broadcast vocab-sized df
+    table, one doc_id window for the top-k."""
+    from sakura_spark.functions import ir
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return ir.tfidf_topk(docs, k=5, max_df=n // 2)
+
+
+def q_text_collocations(spark, sf_dir):
+    """Collocation mining (ir.collocations_topk): the 20 most frequent
+    adjacent word pairs with pair and unigram counts — the integer-exact
+    inputs to PMI (float PMI layer = ir.pmi, pytest-checked). Plan: one
+    bigram groupBy (map-side combine), two broadcast joins against the
+    vocab-sized unigram table, TakeOrderedAndProject top-k."""
+    from sakura_spark.functions import ir
+
+    docs = _t(spark, sf_dir, "documents")
+    return ir.collocations_topk(docs, k=20, min_count=2)
+
+
+def q_text_inverted_index(spark, sf_dir):
+    """Rare-term inverted index (ir.inverted_index): for every term below
+    the df cutoff, the sorted posting list as a comma-joined string. The
+    df filter runs BEFORE collect_list, so no posting list exceeds the
+    cap — stopword hot keys never reach the collect; common-term postings
+    at corpus scale are compressed-bitmap territory, out of scope by
+    contract. The operator takes an ABSOLUTE cap (the production
+    contract, e.g. 1000); this entry passes 4N/5 because the synthetic
+    corpus has a fixed 31-term vocabulary whose doc frequencies grow
+    proportionally with N — an absolute cap would be vacuous at one sf
+    and total at another."""
+    from sakura_spark.functions import ir
+
+    docs = _t(spark, sf_dir, "documents")
+    return ir.inverted_index(docs, max_df=(4 * docs.count()) // 5)
+
+
+def q_er_name_pairs(spark, sf_dir):
+    """Entity resolution (er.blocked_name_pairs): near-duplicate part
+    listings — distinct p_name values blocked on their head noun, paired
+    within block, kept at Levenshtein distance <= 4, with per-name row
+    counts. The distinct collapses the fact table to its name vocabulary
+    before any join (bounded-smalls class); within-block pairing is
+    guarded by max_block_size. levenshtein() is JVM-side and identical
+    to DuckDB's, so the whole surface is integer-exact."""
+    from sakura_spark.functions import er
+
+    part = _t(spark, sf_dir, "part")
+    return er.blocked_name_pairs(part, "p_name", max_distance=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2199,6 +2257,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_stats": q_agg_distinct_stats,
         "agg_cube": q_agg_cube,
         "window_running_sum": q_window_running_sum,
+        # --- round-7 session 3: IR + entity-resolution family (oracle-
+        # backed, past-cap; rotate into the sweep window next round) ---
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_collocations": q_text_collocations,
+        "text_inverted_index": q_text_inverted_index,
+        "er_name_pairs": q_er_name_pairs,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "multimodal_decode": q_multimodal_decode,
@@ -3255,6 +3319,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN nt >= 5 AND digit_ratio < 0.3 AND mean_token_len > 1.0 "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_ok "
             "FROM m GROUP BY source ORDER BY source"
+        ),
+        "text_tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "ranked AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, tf.term ASC) AS rn "
+            "FROM tf JOIN dfreq USING (term) "
+            "WHERE dfreq.df <= (SELECT count(*) // 2 FROM documents)) "
+            "SELECT doc_id, term, tf, df FROM ranked WHERE rn <= 5"
+        ),
+        "text_collocations": (
+            "WITH t AS (SELECT list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "pairs AS (SELECT unnest(list_transform(range(1, len(w)), "
+            "i -> w[i] || ' ' || w[i+1])) AS p FROM t WHERE len(w) >= 2), "
+            "bg AS (SELECT split_part(p, ' ', 1) AS w1, split_part(p, ' ', 2) AS w2, "
+            "count(*) AS n_xy FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "un AS (SELECT unnest(w) AS tok FROM t), "
+            "uni AS (SELECT tok, count(*) AS n FROM un GROUP BY 1) "
+            "SELECT w1, w2, n_xy, ux.n AS n_x, uy.n AS n_y "
+            "FROM bg JOIN uni ux ON bg.w1 = ux.tok JOIN uni uy ON bg.w2 = uy.tok "
+            "ORDER BY n_xy DESC, w1, w2 LIMIT 20"
+        ),
+        "text_inverted_index": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) "
+            "SELECT tf.term, dfreq.df, "
+            "string_agg(CAST(tf.doc_id AS VARCHAR), ',' ORDER BY tf.doc_id) AS postings "
+            "FROM tf JOIN dfreq USING (term) "
+            "WHERE dfreq.df <= (SELECT (4 * count(*)) // 5 FROM documents) GROUP BY 1, 2"
+        ),
+        "er_name_pairs": (
+            "WITH names AS (SELECT p_name AS name, count(*) AS n "
+            "FROM part GROUP BY 1), "
+            "blk AS (SELECT name, n, "
+            "regexp_split_to_array(trim(name), '\\s+')[-1] AS b FROM names) "
+            "SELECT a.name AS name_a, b.name AS name_b, "
+            "levenshtein(a.name, b.name) AS distance, a.n AS n_a, b.n AS n_b "
+            "FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name "
+            "WHERE levenshtein(a.name, b.name) <= 4"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

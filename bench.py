@@ -79,6 +79,10 @@ EXTENDED = [
     "events_anomaly",
     "text_chunk",
     "sim_semantic_dedup",
+    "text_tfidf_topk",
+    "text_collocations",
+    "text_inverted_index",
+    "er_name_pairs",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -111,6 +115,9 @@ NOOP_SINK = {
     # Final report is a left join on a unique key: .count() would
     # join-eliminate the whole kept-side dedup computation.
     "sim_semantic_dedup",
+    # groupBy whose output cardinality is the group-key count: .count()
+    # would prune the collect_list postings aggregate entirely.
+    "text_inverted_index",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

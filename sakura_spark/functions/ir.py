@@ -1,0 +1,207 @@
+"""Information-retrieval operators over the documents corpus: TF-IDF,
+bigram collocations (PMI), and a rare-term inverted index.
+
+The reference's query surface stops at relational algebra + the curation
+families; these are the standard IR statistics a training-data pipeline
+layers on top (keyword extraction for topic quotas, collocation mining for
+tokenizer merge seeding, a rare-term index for targeted decontamination
+lookups). Design rules follow the repo conventions:
+
+- The ORACLE-CHECKED surface is integer/string-exact (term counts, doc
+  frequencies, joined posting strings). Float layers (tf-idf weight, PMI)
+  are separate functions pytest-checked against driver-side math — ln()
+  is not bit-stable across engines (same split as text.lm_score vs
+  text.lm_perplexity).
+- Tokenization is text.word_tokens: lower + split on non-alphanumeric
+  runs, the contract DuckDB's regexp split reproduces byte-for-byte.
+
+Scale shape (100 TB):
+- (doc, term) / (w1, w2) counts are map-side-combinable groupBys — the
+  combiner collapses each partition's repeats before the shuffle.
+- Vocabulary-keyed tables (doc_freq, unigram counts) are vocab-sized;
+  joins against them broadcast (plan-asserted in tests/test_scale.py).
+- Per-doc top-k is one window over doc_id; global collocation top-k is a
+  TakeOrderedAndProject (no full sort).
+- The inverted index collects postings ONLY for terms at or below a doc-
+  frequency cap: rare terms by construction, so no stopword hot key and
+  every posting list is short. Common-term postings at corpus scale are
+  compressed-bitmap territory, out of scope by contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sakura_spark.functions.text import word_tokens
+
+
+def term_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf): per-document term frequencies. One explode + one
+    map-side-combinable groupBy; nothing else touches the corpus."""
+    return (
+        df.select(id_col, F.explode(word_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_freq(tc: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, df): number of documents containing each term. Input is
+    term_counts (already one row per (doc, term)), so this is a plain
+    count — vocab-sized output, broadcastable."""
+    return tc.groupBy("term").agg(F.count(id_col).alias("df"))
+
+
+def tfidf(
+    df: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, term, tf, df, tfidf): smoothed tf-idf weight per (doc, term):
+    ``tf * ln((1 + n_docs) / (1 + df))``. Float layer — pytest-checked,
+    not oracle-hashed (ln() bit-stability). ``n_docs`` is passed in so the
+    plan stays action-free."""
+    tc = term_counts(df, id_col, text_col)
+    dfreq = doc_freq(tc, id_col)
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df")))
+    return tc.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * idf).alias("tfidf"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, term, tf, df): the top-k characteristic terms per document —
+    ranked by term frequency with a deterministic term-asc tiebreak,
+    after dropping terms whose document frequency exceeds ``max_df``
+    (the integer-exact spelling of idf down-weighting: corpus-wide terms
+    carry no signal and are excluded outright; the float-weighted variant
+    is :func:`tfidf`). Oracle-checked surface: all integers/strings.
+
+    Plan: groupBy (doc, term) -> broadcast join against the vocab-sized
+    df table -> one doc_id window for the top-k."""
+    tc = term_counts(df, id_col, text_col)
+    dfreq = doc_freq(tc, id_col)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    joined = tc.join(F.broadcast(dfreq), "term")
+    w = Window.partitionBy(id_col).orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "df")
+    )
+
+
+def bigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w1, w2, n_xy): corpus-wide adjacent-pair counts. The pair array
+    is built per row (zip of the token array with its tail) and exploded
+    once; the groupBy is map-side-combinable."""
+    toks = word_tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+    )
+
+
+def unigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w, n): corpus-wide token counts — vocab-sized, broadcastable."""
+    return (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def collocations_topk(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n_xy, n_x, n_y): the k most frequent adjacent word pairs
+    with their pair and unigram counts — the integer-exact inputs to PMI
+    (the float PMI layer is :func:`pmi`). Deterministic order: count
+    desc, then (w1, w2) asc. Oracle-checked surface.
+
+    Plan: one bigram groupBy + two broadcast joins against the vocab-
+    sized unigram table; the top-k is a TakeOrderedAndProject."""
+    bg = bigram_counts(df, id_col, text_col).filter(F.col("n_xy") >= min_count)
+    uni = unigram_counts(df, id_col, text_col)
+    joined = (
+        bg.join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .withColumnRenamed("n", "n_x")
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("w", "w2").withColumnRenamed("n", "n_y")
+            ),
+            "w2",
+        )
+    )
+    return joined.select("w1", "w2", "n_xy", "n_x", "n_y").orderBy(
+        F.col("n_xy").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
+def pmi(colloc: DataFrame, total_tokens: int) -> DataFrame:
+    """Pointwise mutual information over :func:`collocations_topk`
+    output: ``ln(n_xy * N / (n_x * n_y))``. Float layer — pytest-checked
+    against driver-side math, not oracle-hashed."""
+    n = F.lit(float(total_tokens))
+    return colloc.withColumn(
+        "pmi",
+        F.log(F.col("n_xy").cast("double") * n / (F.col("n_x") * F.col("n_y"))),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, df, postings): rare-term inverted index — for every term
+    appearing in at most ``max_df`` documents, the sorted doc-id posting
+    list as a comma-joined string (string form so the oracle compare is
+    canonical; a list column stringifies differently across engines).
+
+    The df-cap filter runs BEFORE collect_list, so no posting list ever
+    exceeds ``max_df`` entries: stopword hot keys never reach the
+    collect. Lookup use case: targeted decontamination / provenance
+    queries on rare identifiers."""
+    tc = term_counts(df, id_col, text_col)
+    dfreq = doc_freq(tc, id_col).filter(F.col("df") <= max_df)
+    return (
+        tc.join(F.broadcast(dfreq), "term")
+        .groupBy("term", "df")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list(F.col(id_col))), ",").alias(
+                "postings"
+            )
+        )
+    )

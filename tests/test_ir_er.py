@@ -1,0 +1,166 @@
+"""IR operators (TF-IDF / collocations / inverted index) and blocked
+entity resolution: exactness on planted corpora, float layers against
+driver-side math, and plan-shape assertions for the scale-critical
+properties (vocab tables broadcast, no Python nodes, no cartesian)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sakura_spark.functions import er, ir
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha beta beta"),
+        (3, "gamma delta epsilon"),
+        (4, "zeta zeta zeta alpha beta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_term_counts_exact(corpus):
+    tc = {
+        (r.doc_id, r.term): r.tf
+        for r in ir.term_counts(corpus).collect()
+    }
+    assert tc[(1, "alpha")] == 2
+    assert tc[(2, "beta")] == 2
+    assert tc[(4, "zeta")] == 3
+    assert (3, "alpha") not in tc
+
+
+def test_doc_freq_exact(corpus):
+    dfreq = {r.term: r.df for r in ir.doc_freq(ir.term_counts(corpus)).collect()}
+    assert dfreq == {
+        "alpha": 3,
+        "beta": 3,
+        "gamma": 2,
+        "delta": 1,
+        "epsilon": 1,
+        "zeta": 1,
+    }
+
+
+def test_tfidf_float_layer_matches_driver_math(corpus):
+    """tfidf = tf * ln((1+N)/(1+df)), checked against math.log exactly —
+    the expression is a single multiply of JVM-computed ln, bit-equal to
+    CPython's libm double for these magnitudes."""
+    n = corpus.count()
+    rows = ir.tfidf(corpus, n_docs=n).collect()
+    assert rows
+    for r in rows:
+        expected = r.tf * math.log((1 + n) / (1 + r.df))
+        assert r.tfidf == pytest.approx(expected, abs=1e-12)
+
+
+def test_tfidf_topk_rank_and_filter(corpus):
+    """max_df drops corpus-wide terms; ranking is (tf desc, term asc)."""
+    out = ir.tfidf_topk(corpus, k=2, max_df=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.term, r.tf, r.df))
+    # alpha/beta (df=3) are filtered everywhere; doc 4's top term is zeta.
+    assert all(term not in ("alpha", "beta") for terms in by_doc.values() for term, _, _ in terms)
+    assert by_doc[4] == [("zeta", 3, 1)]
+    # doc 3: delta/epsilon/gamma all tf=1 -> term-asc tiebreak, k=2.
+    assert by_doc[3] == [("delta", 1, 1), ("epsilon", 1, 1)]
+
+
+def test_bigram_counts_exact(corpus):
+    bg = {(r.w1, r.w2): r.n_xy for r in ir.bigram_counts(corpus).collect()}
+    assert bg[("alpha", "beta")] == 3  # docs 1, 2, 4
+    assert bg[("zeta", "zeta")] == 2
+    assert bg[("gamma", "alpha")] == 1
+
+
+def test_collocations_topk_and_pmi(corpus):
+    top = ir.collocations_topk(corpus, k=3, min_count=2)
+    rows = top.collect()
+    assert [(r.w1, r.w2, r.n_xy) for r in rows] == [
+        ("alpha", "beta", 3),
+        ("zeta", "zeta", 2),
+    ]  # only pairs with n_xy >= 2; order count desc then lexical
+    [ab] = [r for r in rows if r.w1 == "alpha"]
+    assert (ab.n_x, ab.n_y) == (4, 4)
+    total = 15  # corpus token count
+    [p] = ir.pmi(top.filter("w1 = 'alpha'"), total_tokens=total).collect()
+    assert p.pmi == pytest.approx(math.log(3 * 15 / (4 * 4)), abs=1e-12)
+
+
+def test_inverted_index_postings_and_cap(corpus):
+    out = {r.term: (r.df, r.postings) for r in ir.inverted_index(corpus, max_df=2).collect()}
+    assert out["gamma"] == (2, "1,3")
+    assert out["zeta"] == (1, "4")
+    assert "alpha" not in out  # df=3 > cap
+
+
+def test_ir_plans_broadcast_vocab_and_stay_jvm(corpus):
+    """The df/unigram joins must broadcast (vocab-sized dictionary
+    lookup, never a corpus shuffle on term), and nothing may fall out of
+    the JVM."""
+    for df in (
+        ir.tfidf_topk(corpus, k=2, max_df=2),
+        ir.collocations_topk(corpus, k=3),
+        ir.inverted_index(corpus, max_df=2),
+    ):
+        plan = _physical(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+
+
+@pytest.fixture(scope="module")
+def listings(spark):
+    rows = [
+        (1, "cold widget"),
+        (2, "cold widget"),
+        (3, "gold widget"),
+        (4, "blue rod"),
+        (5, "glue rod"),
+        (6, "large bolt"),
+    ]
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_er_blocked_pairs_planted(listings):
+    out = {(r.name_a, r.name_b): (r.distance, r.n_a, r.n_b)
+           for r in er.blocked_name_pairs(listings, "name", max_distance=2).collect()}
+    assert out[("cold widget", "gold widget")] == (1, 2, 1)
+    assert out[("blue rod", "glue rod")] == (1, 1, 1)
+    # cross-block pair never compared
+    assert all("bolt" not in a and "bolt" not in b for a, b in out)
+
+
+def test_er_distance_bound_respected(listings):
+    """A tighter bound excludes pairs above it: 'cold'->'large' (distance
+    > 1) never appears, the two distance-1 pairs survive."""
+    out = er.blocked_name_pairs(listings, "name", max_distance=1).collect()
+    assert sorted((r.name_a, r.name_b) for r in out) == [
+        ("blue rod", "glue rod"),
+        ("cold widget", "gold widget"),
+    ]
+
+
+def test_er_degenerate_block_guard(listings):
+    """A block key that fails to discriminate trips the quadratic guard
+    instead of silently exploding."""
+    with pytest.raises(ValueError, match="largest block"):
+        er.blocked_name_pairs(
+            listings, "name", block_key=lambda n: F.lit("all"), max_block_size=3
+        )
+
+
+def test_er_plan_no_cartesian(listings):
+    plan = _physical(er.blocked_name_pairs(listings, "name"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
