@@ -2145,6 +2145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     TPC-H join shapes still in the sweep. The prior rounds' rotation
     history lives in git (round 6 rotated in the twelve orphaned TPC-H
     shapes + sim_pq_encode_fixed + events_attribution).
+    Round-7 session 3: sim_semantic_dedup (rows-only) moved OUT of the
+    sweep window to the rows-only tail (the sweep must stay 100%
+    oracle-backed); the new IR/ER family (text_tfidf_topk,
+    text_collocations, text_inverted_index, er_name_pairs) enters
+    past-cap, queued to rotate into the sweep next round.
     The rows-only (non-SQL-expressible) entries stay at the end. ALL
     entries — the count is asserted against COVERAGE.md by
     tests/test_scale.py::test_registry_contract — are verified locally
