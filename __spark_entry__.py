@@ -2113,6 +2113,53 @@ def q_er_name_pairs(spark, sf_dir):
     return er.blocked_name_pairs(part, "p_name", max_distance=4)
 
 
+def q_sketch_hll_registers(spark, sf_dir):
+    """HyperLogLog registers (sketches.hll_registers): per-returnflag
+    distinct-partkey HLL state at p=5 — for each of the 32 buckets the max
+    leading-zero rank among sha256-hashed partkeys routed to it. The
+    integer-exact register table IS the sketch (mergeable by MAX); the
+    float harmonic-mean estimate layer is sketches.hll_estimate,
+    pytest-checked within the published 1.04/sqrt(m) error. Plan: one
+    projection + one (group, bucket) groupBy MAX — at most groups x 32
+    rows leave any partition after the map-side combine, so the shuffle
+    is register-sized regardless of input scale."""
+    from sakura_spark.functions import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.hll_registers(li, ["l_returnflag"], "l_partkey", p=5)
+
+
+def q_sketch_cms_estimate(spark, sf_dir):
+    """Count-min sketch end-to-end (sketches.cms_sketch + cms_lookup):
+    build a depth-4 x width-64 CMS over all document tokens, then point-
+    estimate every distinct token's corpus count as the MIN over its four
+    counters — integer-exact (never undercounts; the eps*N overcount
+    guarantee is pytest-asserted). Plan: the sketch is a map-side-
+    combinable (row, bucket) SUM bounded at 256 counters; lookups
+    broadcast the sketch, so the probe join is map-only plus one
+    item-keyed MIN."""
+    from sakura_spark.functions import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(text.word_tokens(F.col("text"))).alias("w"))
+    sketch = sketches.cms_sketch(words, "w", depth=4, width=64)
+    return sketches.cms_lookup(sketch, words.distinct(), "w", depth=4, width=64)
+
+
+def q_sketch_kmv(spark, sf_dir):
+    """KMV bottom-k sketch (sketches.kmv_sketch): per-returnflag the 32
+    smallest distinct 60-bit sha256 hash values of partkey — a mergeable
+    signature supporting cardinality, union and Jaccard estimates between
+    groups/corpora (float layers kmv_estimate / kmv_jaccard,
+    pytest-checked). Plan: project to (group, hash), distinct (map-side
+    combine bounds the shuffle by per-partition distinct count), one
+    window keeps k rows per group."""
+    from sakura_spark.functions import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.kmv_sketch(li, ["l_returnflag"], "l_partkey", k=32)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2268,6 +2315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "text_inverted_index": q_text_inverted_index,
         "er_name_pairs": q_er_name_pairs,
+        "sketch_hll_registers": q_sketch_hll_registers,
+        "sketch_cms_estimate": q_sketch_cms_estimate,
+        "sketch_kmv": q_sketch_kmv,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "multimodal_decode": q_multimodal_decode,
@@ -3372,6 +3422,45 @@ def oracle_sql() -> dict[str, str]:
             "levenshtein(a.name, b.name) AS distance, a.n AS n_a, b.n AS n_b "
             "FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name "
             "WHERE levenshtein(a.name, b.name) <= 4"
+        ),
+        # Sketch registers: the hash is 60-bit words cut from sha256 hex,
+        # identical across engines (Spark conv(substr(h),16,10) == DuckDB
+        # ('0x'||substr(h))::BIGINT), so the register tables are exact.
+        "sketch_hll_registers": (
+            "WITH h AS (SELECT l_returnflag, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(l_partkey AS VARCHAR))), 1, 15))::BIGINT % 32 AS bucket, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(l_partkey AS VARCHAR))), 16, 15))::BIGINT AS v "
+            "FROM lineitem) "
+            "SELECT l_returnflag, bucket, CAST(MAX(CASE WHEN v = 0 THEN 61 "
+            "ELSE 61 - length(bin(v)) END) AS INTEGER) AS rho "
+            "FROM h GROUP BY l_returnflag, bucket"
+        ),
+        "sketch_cms_estimate": (
+            "WITH words AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
+            "FROM documents), "
+            "probes AS (SELECT w, i, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'cms' || CAST(i AS VARCHAR), "
+            "w)), 1, 15))::BIGINT % 64 AS bucket "
+            "FROM words, range(4) t(i)), "
+            "sketch AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM probes GROUP BY 1, 2), "
+            "item_probes AS (SELECT DISTINCT w, i, bucket FROM probes) "
+            "SELECT ip.w AS item, MIN(COALESCE(s.cnt, 0)) AS est "
+            "FROM item_probes ip LEFT JOIN sketch s "
+            "ON ip.i = s.i AND ip.bucket = s.bucket GROUP BY 1"
+        ),
+        "sketch_kmv": (
+            "WITH d AS (SELECT DISTINCT l_returnflag, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'kmv', "
+            "CAST(l_partkey AS VARCHAR))), 1, 15))::BIGINT AS hval "
+            "FROM lineitem), "
+            "r AS (SELECT l_returnflag, hval, row_number() OVER ("
+            "PARTITION BY l_returnflag ORDER BY hval) AS rk FROM d) "
+            "SELECT l_returnflag, CAST(rk AS INTEGER) AS rank, hval "
+            "FROM r WHERE rk <= 32"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

@@ -83,6 +83,9 @@ EXTENDED = [
     "text_collocations",
     "text_inverted_index",
     "er_name_pairs",
+    "sketch_hll_registers",
+    "sketch_cms_estimate",
+    "sketch_kmv",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -118,6 +121,12 @@ NOOP_SINK = {
     # groupBy whose output cardinality is the group-key count: .count()
     # would prune the collect_list postings aggregate entirely.
     "text_inverted_index",
+    # Sketch registers/estimates: .count() would prune the aggregated
+    # register columns (MAX rho / MIN cnt / hval) and with them most of
+    # the sha256 hashing work.
+    "sketch_hll_registers",
+    "sketch_cms_estimate",
+    "sketch_kmv",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -1,0 +1,284 @@
+"""Mergeable sketch summaries: HyperLogLog registers, count-min sketch,
+and KMV (k-minimum-values) bottom-k sketches.
+
+The reference's aggregate surface is exact (lib/algebra.ml folds); at
+100 TB a curation pipeline also needs CONSTANT-SIZE mergeable summaries —
+distinct-URL counts per source without a distinct shuffle of the full key
+set, heavy-hitter term counts without materializing the long tail, and
+corpus-overlap estimates without joining two corpora. Each sketch here is
+a tiny table of integer registers produced by one map-side-combinable
+aggregation, so partial sketches combine on the map side and only
+register-sized state crosses the shuffle; merging two corpora's sketches
+is the same aggregate over the union of their register tables.
+
+Design rules (repo conventions):
+
+- The ORACLE-CHECKED surface is integer-exact: register tables (bucket ->
+  max rho, (row, bucket) -> count, rank -> hash value) and the count-min
+  point estimates (a MIN of integer counters). The float estimate layers
+  (harmonic-mean HLL cardinality, KMV cardinality/Jaccard) are separate
+  functions pytest-checked against exact counts with the sketches'
+  published error bounds (Flajolet et al. 2007; Cormode & Muthukrishnan
+  2005; Bar-Yossef et al. 2002).
+- The hash is engine-portable and deterministic: 60-bit words cut from
+  sha256 hex (``conv(substr(h, ..), 16, 10)`` in Spark == ``('0x' ||
+  substr(h, ..))::BIGINT`` in DuckDB — same parity trick as
+  sakura_spark/hashing.py), so every register is reproducible by the SQL
+  oracle and across engines/runs. No Python in any plan.
+
+Scale shape (100 TB):
+- hll_registers: groupBy (group, bucket) MAX — at most groups x 2^p rows
+  survive the combiner per partition; the shuffle moves registers, not
+  values.
+- cms_sketch: groupBy (row, bucket) SUM — depth x width rows total; the
+  sketch itself is broadcastable for lookups.
+- kmv_sketch: per-group bottom-k over DISTINCT hashes; the window sees
+  the distinct set, and only k rows per group survive.
+- Register tables from disjoint corpora merge with the same aggregate
+  (max / sum / bottom-k) — tested as the mergeability law in
+  tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash words (15 hex chars) — inside a signed long, same cut as
+# hashing.py's relation_hash words.
+WORD_BITS = 60
+WORD_SPAN = 1 << WORD_BITS
+_FS = "\x1f"
+
+
+def hash_word(value: Column, salt: str, word: int = 0) -> Column:
+    """A deterministic 60-bit integer hash word of ``value``.
+
+    ``word`` selects a disjoint 15-hex-char slice of the sha256 digest
+    (0..3), so one digest yields four independent words. The salt
+    namespaces sketches so e.g. HLL buckets and CMS rows never share a
+    hash function.
+    """
+    if not 0 <= word <= 3:
+        raise ValueError(f"word must be 0..3, got {word}")
+    digest = F.sha2(F.concat_ws(_FS, F.lit(salt), value.cast("string")), 256)
+    return F.conv(F.substring(digest, 1 + 15 * word, 15), 16, 10).cast("long")
+
+
+def _rho(v: Column) -> Column:
+    """Position of the leftmost 1-bit of a 60-bit word (1-indexed), i.e.
+    leading zeros + 1; 0 maps to WORD_BITS + 1 by HLL convention.
+
+    Exact integer arithmetic in both engines: ``length(bin(v))`` is
+    floor(log2 v) + 1 with no float in sight.
+    """
+    return F.when(v == 0, F.lit(WORD_BITS + 1)).otherwise(
+        F.lit(WORD_BITS + 1) - F.length(F.bin(v))
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 5,
+    salt: str = "hll",
+) -> DataFrame:
+    """(group..., bucket, rho): HyperLogLog registers per group — for each
+    of the 2^p buckets the maximum leading-zero rank observed among the
+    hashed values routed to it (Flajolet et al. 2007). Integer-exact,
+    oracle-checked; empty buckets are simply absent (the estimate layer
+    accounts for them).
+
+    Plan: one projection + one groupBy MAX on (group, bucket) — at most
+    groups x 2^p rows leave each partition after the map-side combine,
+    regardless of input size. Registers from disjoint inputs merge with
+    the same MAX."""
+    if not 1 <= p <= 12:
+        raise ValueError(f"p must be 1..12, got {p}")
+    v = F.col(value_col)
+    bucket = hash_word(v, salt, word=0) % (1 << p)
+    rho = _rho(hash_word(v, salt, word=1))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+# Bias-correction constants alpha_m for m >= 16 (Flajolet et al. 2007 §4).
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 5
+) -> DataFrame:
+    """(group..., estimate): harmonic-mean cardinality estimate from
+    :func:`hll_registers` output, with the small-range linear-counting
+    correction. Float layer — pytest-checked against exact distinct
+    counts within the published ~1.04/sqrt(m) error, not oracle-hashed."""
+    m = 1 << p
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("present_sum"),
+        F.count("bucket").alias("present"),
+    )
+    zeros = F.lit(m) - F.col("present")
+    raw = F.lit(_alpha(m) * m * m) / (F.col("present_sum") + zeros)
+    # Linear counting when the raw estimate is small and empty buckets exist.
+    corrected = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    return agg.select(*group_cols, corrected.alias("estimate"))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """(row, bucket, cnt): a count-min sketch of the value column
+    (Cormode & Muthukrishnan 2005) — ``depth`` independent hash rows of
+    ``width`` counters; each value increments one counter per row (by the
+    optional integer weight). Integer-exact, oracle-checked.
+
+    Plan: each input row expands to exactly ``depth`` (row, bucket)
+    pairs; the groupBy SUM combines map-side, so at most depth x width
+    counters leave each partition. Sketches of disjoint inputs merge by
+    summing counters."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (hash_word(v, f"{salt}{i}", word=0) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"), w.alias("w"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """(item, est): count-min point estimates for each item — the MIN
+    over the item's ``depth`` counters. Never undercounts; overcounts by
+    at most eps * total with probability 1 - delta (the classic CMS
+    guarantee, asserted in tests). Integer-exact, oracle-checked.
+
+    Plan: items expand to (row, bucket) probes and join the depth x
+    width-sized sketch — the sketch side is broadcast, so lookups are
+    map-only plus one item-keyed MIN."""
+    v = F.col(item_col)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (hash_word(v, f"{salt}{i}", word=0) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = items.select(v.alias("item"), F.explode(probes).alias("rb")).select(
+        "item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """(group..., rank, hval): the k smallest DISTINCT 60-bit hash values
+    per group (Bar-Yossef et al. 2002) — a bottom-k signature supporting
+    cardinality, union (bottom-k of the union of sketches) and Jaccard /
+    intersection estimates between groups. Integer-exact, oracle-checked.
+
+    Plan: project to (group, hval), distinct, one window for the
+    bottom-k — only k rows per group survive. The distinct's map-side
+    combine bounds the shuffle by the per-partition distinct count."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    hval = hash_word(F.col(value_col), salt, word=0)
+    distinct = df.select(*group_cols, hval.alias("hval")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("hval").asc())
+    return (
+        distinct.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "hval")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """(group..., n_vals, estimate): KMV cardinality estimate per group —
+    ``(k - 1) * SPAN / h_k`` when the sketch is full (h_k = k-th smallest
+    hash), else the exact distinct count n_vals. Float layer —
+    pytest-checked within the published ~1/sqrt(k-2) error."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("hval").alias("n_vals"), F.max("hval").alias("h_max")
+    )
+    est = F.when(
+        F.col("n_vals") < k, F.col("n_vals").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(WORD_SPAN)) / F.col("h_max"))
+    return agg.select(*group_cols, "n_vals", est.alias("estimate"))
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """(shared, union_k, jaccard): Jaccard similarity estimate between two
+    single-group KMV sketches — the fraction of the union's bottom-k
+    hashes present in both sketches (the standard KMV set-resemblance
+    estimator). Float layer — pytest-checked on planted overlaps.
+
+    Plan: both inputs are k-sized register tables; everything here is
+    sketch-sized, nothing touches the original corpora."""
+    a = sketch_a.select(F.col("hval").alias("hval"))
+    b = sketch_b.select(F.col("hval").alias("hval"))
+    union_bottom = (
+        a.union(b)
+        .distinct()
+        .orderBy(F.col("hval").asc())
+        .limit(k)
+        .withColumn("in_a", F.lit(None).cast("int"))
+        .drop("in_a")
+    )
+    both = a.intersect(b)
+    shared = union_bottom.join(both, "hval", "semi").agg(
+        F.count("*").alias("shared")
+    )
+    total = union_bottom.agg(F.count("*").alias("union_k"))
+    return shared.crossJoin(total).select(
+        "shared",
+        "union_k",
+        (F.col("shared") / F.col("union_k")).alias("jaccard"),
+    )

@@ -1,0 +1,233 @@
+"""Sketch family: HLL registers/estimate, count-min sketch, KMV bottom-k.
+
+Each sketch's ORACLE surface (integer register tables, CMS MIN estimates)
+is driver-hashed vs DuckDB; these tests cover the laws the oracle can't:
+the published accuracy bounds of the float estimate layers, the
+never-undercount CMS guarantee, and — the property that IS the 100 TB
+story — mergeability: sketching two halves and combining registers must
+equal sketching the whole.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sakura_spark.functions import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 2000 distinct ids, each appearing 1-3 times, two groups.
+    rows = [
+        (i % 2, f"v{i}", j)
+        for i in range(2000)
+        for j in range(1 + (i % 3))
+    ]
+    return spark.createDataFrame(rows, "grp int, val string, rep int")
+
+
+def _py_word(value: str, salt: str, word: int = 0) -> int:
+    """Driver-side replica of sketches.hash_word for differentials."""
+    digest = hashlib.sha256(f"{salt}\x1f{value}".encode()).hexdigest()
+    return int(digest[15 * word : 15 * word + 15], 16)
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_match_python_reference(spark, values):
+    p = 4
+    got = {
+        (r["grp"], r["bucket"]): r["rho"]
+        for r in sk.hll_registers(values, ["grp"], "val", p=p).collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for row in values.select("grp", "val").collect():
+        bucket = _py_word(row["val"], "hll", 0) % (1 << p)
+        v = _py_word(row["val"], "hll", 1)
+        rho = 61 if v == 0 else 61 - v.bit_length()
+        key = (row["grp"], bucket)
+        want[key] = max(want.get(key, 0), rho)
+    assert got == want
+
+
+def test_hll_estimate_within_published_error(spark, values):
+    p = 6  # m=64 -> relative error ~ 1.04/8 = 13%; allow 3 sigma.
+    reg = sk.hll_registers(values, ["grp"], "val", p=p)
+    est = {r["grp"]: r["estimate"] for r in sk.hll_estimate(reg, ["grp"], p=p).collect()}
+    exact = {
+        r["grp"]: r["n"]
+        for r in values.groupBy("grp").agg(F.countDistinct("val").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 3 * 1.04 / math.sqrt(1 << p)
+
+
+def test_hll_registers_merge_by_max(spark, values):
+    """Sketch(A) merged with Sketch(B) by MAX == Sketch(A union B)."""
+    a = values.filter(F.col("val") < "v5")
+    b = values.filter(~(F.col("val") < "v5"))
+    merged = (
+        sk.hll_registers(a, ["grp"], "val", p=4)
+        .union(sk.hll_registers(b, ["grp"], "val", p=4))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = sk.hll_registers(values, ["grp"], "val", p=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_estimate_insensitive_to_duplicates(spark, values):
+    """Registers depend only on the distinct value set."""
+    reg_all = sk.hll_registers(values, [], "val", p=5)
+    reg_distinct = sk.hll_registers(values.select("val").distinct(), [], "val", p=5)
+    assert sorted(map(tuple, reg_all.collect())) == sorted(
+        map(tuple, reg_distinct.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # Zipf-ish: item k appears ~ 600/k times.
+    rows = [(f"w{k}",) for k in range(1, 40) for _ in range(600 // k)]
+    return spark.createDataFrame(rows, "w string")
+
+
+def test_cms_never_undercounts_and_bounded_overcount(spark, skewed):
+    depth, width = 4, 128
+    sketch = sk.cms_sketch(skewed, "w", depth=depth, width=width)
+    est = {
+        r["item"]: r["est"]
+        for r in sk.cms_lookup(
+            sketch, skewed.distinct(), "w", depth=depth, width=width
+        ).collect()
+    }
+    true = {
+        r["w"]: r["t"]
+        for r in skewed.groupBy("w").agg(F.count("*").alias("t")).collect()
+    }
+    total = sum(true.values())
+    # Classic guarantee: true <= est <= true + (e/width) * total with
+    # probability 1 - exp(-depth); assert the deterministic lower bound and
+    # a loose multiple of the expected overcount for the upper.
+    for w, t in true.items():
+        assert est[w] >= t, f"{w}: undercount {est[w]} < {t}"
+        assert est[w] <= t + 4 * math.e / width * total
+
+
+def test_cms_weight_column_sums_weights(spark):
+    rows = [(f"k{i % 5}", i % 3 + 1) for i in range(60)]
+    sdf = spark.createDataFrame(rows, "w string, wt int")
+    sketch = sk.cms_sketch(sdf, "w", depth=4, width=64, weight_col="wt")
+    est = {
+        r["item"]: r["est"]
+        for r in sk.cms_lookup(sketch, sdf.distinct().select("w"), "w", 4, 64).collect()
+    }
+    true = {
+        r["w"]: r["s"]
+        for r in sdf.groupBy("w").agg(F.sum("wt").alias("s")).collect()
+    }
+    for w, s in true.items():
+        assert est[w] >= s
+
+
+def test_cms_merge_by_sum(spark, skewed):
+    half_a = skewed.limit(1000)
+    half_b = skewed.exceptAll(half_a)
+    merged = (
+        sk.cms_sketch(half_a, "w", depth=3, width=64)
+        .union(sk.cms_sketch(half_b, "w", depth=3, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.cms_sketch(skewed, "w", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_is_bottom_k_of_python_reference(spark, values):
+    k = 16
+    got = sorted(
+        (r["grp"], r["rank"], r["hval"])
+        for r in sk.kmv_sketch(values, ["grp"], "val", k=k).collect()
+    )
+    by_grp: dict[int, set[int]] = {}
+    for row in values.select("grp", "val").distinct().collect():
+        by_grp.setdefault(row["grp"], set()).add(_py_word(row["val"], "kmv", 0))
+    want = sorted(
+        (g, i + 1, h)
+        for g, hs in by_grp.items()
+        for i, h in enumerate(sorted(hs)[:k])
+    )
+    assert got == want
+
+
+def test_kmv_estimate_within_published_error(spark, values):
+    k = 64  # error ~ 1/sqrt(k-2) ~ 12.7%; allow 3 sigma.
+    sketch = sk.kmv_sketch(values, ["grp"], "val", k=k)
+    est = {
+        r["grp"]: r["estimate"]
+        for r in sk.kmv_estimate(sketch, ["grp"], k=k).collect()
+    }
+    exact = {
+        r["grp"]: r["n"]
+        for r in values.groupBy("grp").agg(F.countDistinct("val").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 3 / math.sqrt(k - 2)
+
+
+def test_kmv_estimate_exact_when_under_k(spark):
+    sdf = spark.createDataFrame([(f"x{i}",) for i in range(7)], "val string")
+    sketch = sk.kmv_sketch(sdf, [], "val", k=64)
+    [row] = sk.kmv_estimate(sketch, [], k=64).collect()
+    assert row["n_vals"] == 7 and row["estimate"] == 7.0
+
+
+def test_kmv_jaccard_on_planted_overlap(spark):
+    # |A|=600, |B|=600, |A∩B|=300 -> true J = 1/3; k=128 -> sigma ~ 4%.
+    a = spark.createDataFrame([(f"s{i}",) for i in range(600)], "val string")
+    b = spark.createDataFrame([(f"s{i}",) for i in range(300, 900)], "val string")
+    k = 128
+    ska = sk.kmv_sketch(a, [], "val", k=k)
+    skb = sk.kmv_sketch(b, [], "val", k=k)
+    [row] = sk.kmv_jaccard(ska, skb, k=k).collect()
+    assert abs(row["jaccard"] - 1 / 3) < 0.15
+    assert row["union_k"] == k
+
+
+# ---------------------------------------------------------------------------
+# Plans
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_plans_stay_jvm_and_shuffle_registers_only(spark, values):
+    """No Python in any sketch plan; the CMS lookup broadcasts the sketch."""
+    for df in (
+        sk.hll_registers(values, ["grp"], "val", p=5),
+        sk.cms_sketch(values, "val", depth=4, width=64),
+        sk.kmv_sketch(values, ["grp"], "val", k=16),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    sketch = sk.cms_sketch(values, "val", depth=4, width=64)
+    lookup = sk.cms_lookup(sketch, values.select("val").distinct(), "val", 4, 64)
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
