@@ -2160,6 +2160,28 @@ def q_sketch_kmv(spark, sf_dir):
     return sketches.kmv_sketch(li, ["l_returnflag"], "l_partkey", k=32)
 
 
+def q_sketch_hll_hourly_users(spark, sf_dir):
+    """Windowed distinct-user HLL (sketches.hll_registers over event-time
+    hours): per-hour registers of the distinct user_id set at p=4 — the
+    batch twin of the streaming windowed_user_hll
+    (sakura_spark/streaming/events.py), built from the same hll_exprs so
+    a closed streaming window's registers are bit-identical to this
+    oracle-checked batch form (equivalence asserted in
+    tests/test_streaming.py). Plan: project to (hour, bucket, rho), one
+    map-side-combined MAX — per-hour distinct-user state is 2^p rows, so
+    the shuffle carries registers, not user ids."""
+    from sakura_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+            "hour"
+        ),
+        "user_id",
+    )
+    return sketches.hll_registers(hourly, ["hour"], "user_id", p=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2318,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "sketch_kmv": q_sketch_kmv,
+        "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "multimodal_decode": q_multimodal_decode,
@@ -3461,6 +3484,18 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY l_returnflag ORDER BY hval) AS rk FROM d) "
             "SELECT l_returnflag, CAST(rk AS INTEGER) AS rank, hval "
             "FROM r WHERE rk <= 32"
+        ),
+        "sketch_hll_hourly_users": (
+            "WITH h AS (SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:%M') AS hour, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 16 AS bucket, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(user_id AS VARCHAR))), 16, 15))::BIGINT AS v "
+            "FROM events) "
+            "SELECT hour, bucket, CAST(MAX(CASE WHEN v = 0 THEN 61 "
+            "ELSE 61 - length(bin(v)) END) AS INTEGER) AS rho "
+            "FROM h GROUP BY hour, bucket"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

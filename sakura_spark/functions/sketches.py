@@ -77,6 +77,19 @@ def _rho(v: Column) -> Column:
     )
 
 
+def hll_exprs(value: Column, p: int = 5, salt: str = "hll") -> tuple[Column, Column]:
+    """The (bucket, rho) column pair for one value — the per-row HLL
+    contribution before the MAX aggregation. Shared by the batch
+    :func:`hll_registers` and the streaming windowed variant
+    (sakura_spark/streaming/events.py) so both produce bit-identical
+    registers."""
+    if not 1 <= p <= 12:
+        raise ValueError(f"p must be 1..12, got {p}")
+    bucket = hash_word(value, salt, word=0) % (1 << p)
+    rho = _rho(hash_word(value, salt, word=1))
+    return bucket, rho
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: list[str],
@@ -94,11 +107,7 @@ def hll_registers(
     groups x 2^p rows leave each partition after the map-side combine,
     regardless of input size. Registers from disjoint inputs merge with
     the same MAX."""
-    if not 1 <= p <= 12:
-        raise ValueError(f"p must be 1..12, got {p}")
-    v = F.col(value_col)
-    bucket = hash_word(v, salt, word=0) % (1 << p)
-    rho = _rho(hash_word(v, salt, word=1))
+    bucket, rho = hll_exprs(F.col(value_col), p=p, salt=salt)
     return (
         df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")

@@ -101,6 +101,40 @@ def deduped_stream(
     )
 
 
+def windowed_user_hll(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    p: int = 4,
+) -> DataFrame:
+    """Watermarked per-window distinct-user HLL registers: (window_start,
+    window_end, bucket, rho) — the streaming twin of the batch
+    sketch_hll_hourly_users entry, built from the SAME hll_exprs so a
+    closed window's registers are bit-identical to the batch computation
+    (asserted in tests/test_streaming.py).
+
+    Scale shape: state per window is at most 2^p register rows (the MAX
+    agg keeps one value per (window, bucket)), evicted by the watermark —
+    the streaming state store holds registers, never user ids, so a
+    100 TB/day stream carries kilobytes of distinct-count state per
+    window. The float estimate layer (sketches.hll_estimate, grouped by
+    window_start) applies unchanged to the emitted rows."""
+    from sakura_spark.functions.sketches import hll_exprs
+
+    bucket, rho = hll_exprs(F.col("user_id"), p=p)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), bucket.alias("bucket"))
+        .agg(F.max(rho).alias("rho"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bucket",
+            "rho",
+        )
+    )
+
+
 def attributed_purchases(
     views: DataFrame,
     purchases: DataFrame,

@@ -176,3 +176,44 @@ def test_attributed_purchases_stream_matches_batch(spark, stream):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_windowed_user_hll_matches_batch_registers(spark, stream):
+    """Closed streaming windows must carry bit-identical HLL registers to
+    the batch computation over the same rows — the mergeable-sketch
+    guarantee extended to event time."""
+    from sakura_spark.functions import sketches
+
+    q = ev.run_to_memory(
+        ev.windowed_user_hll(
+            ev.read_event_stream(spark, stream), window="1 hour", p=4
+        ),
+        "user_hll",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r["window_start"], r["bucket"]): r["rho"]
+            for r in spark.table("user_hll").collect()
+        }
+        assert got, "no watermark-closed windows emitted"
+        batch = spark.read.parquet(stream).select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        want = {
+            (r["window_start"], r["bucket"]): r["rho"]
+            for r in sketches.hll_registers(
+                batch, ["window_start"], "user_id", p=4
+            ).collect()
+        }
+        # Append mode emits only closed windows: every emitted register
+        # must equal its batch twin exactly.
+        for key, rho in got.items():
+            assert want.get(key) == rho, f"register mismatch at {key}"
+        # The estimate layer applies unchanged to the emitted registers.
+        est = sketches.hll_estimate(
+            spark.table("user_hll"), ["window_start"], p=4
+        ).collect()
+        assert all(r["estimate"] > 0 for r in est)
+    finally:
+        q.stop()
