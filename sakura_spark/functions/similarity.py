@@ -260,32 +260,43 @@ def ivf_train(
     the codebook itself (n_centroids x dim doubles), the standard
     distributed-kmeans pattern.
     """
-    seed_rows = (
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .groupBy("v")
-        .agg(F.min(id_col).alias("__sid"))
-        .orderBy(F.hash(F.col("__sid")), F.col("__sid"))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [list(r["v"]) for r in seed_rows]
-    for _ in range(iters):
-        assigned = ivf_assign(df, centroids, vec_col=vec_col)
-        means = (
-            assigned.select(
-                "cluster_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
-            )
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
+    # Training touches only (id, vector-as-double); persist that narrow
+    # projection so the seed scan and every Lloyd iteration read the cache
+    # instead of re-reading (and re-converting) the source — the Spark ML
+    # convention (MLlib KMeans warns when its training input is uncached).
+    # Training inputs are bounded by contract (ivfpq_train's
+    # max_train_rows sample at corpus scale), so the cache is sample-sized.
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)).persist()
+    try:
+        seed_rows = (
+            base.select(F.col(id_col), F.col(vec_col).alias("v"))
+            .groupBy("v")
+            .agg(F.min(id_col).alias("__sid"))
+            .orderBy(F.hash(F.col("__sid")), F.col("__sid"))
+            .limit(n_centroids)
             .collect()
         )
-        new = {c: dict() for c in range(len(centroids))}
-        for r in means:
-            new[r["cluster_id"]][r["pos"]] = r["m"]
-        centroids = [
-            [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
-            for c in range(len(centroids))
-        ]
+        centroids = [list(r["v"]) for r in seed_rows]
+        for _ in range(iters):
+            assigned = ivf_assign(base, centroids, vec_col=vec_col)
+            means = (
+                assigned.select(
+                    "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+                )
+                .groupBy("cluster_id", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new = {c: dict() for c in range(len(centroids))}
+            for r in means:
+                new[r["cluster_id"]][r["pos"]] = r["m"]
+            centroids = [
+                [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
+                for c in range(len(centroids))
+            ]
+    finally:
+        # Codebook is driver-side; nothing returned references the cache.
+        base.unpersist()
     return centroids
 
 
@@ -388,10 +399,26 @@ def pq_train(
     cost of training, so this is an m-fold reduction."""
     from pyspark.sql import Window as W
 
-    dim = len(df.select(vec_col).first()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
+    # Same caching convention as ivf_train: the dim probe, the fused seed
+    # job and every Lloyd iteration re-scan the input — and when the input
+    # is ivfpq_train's residual frame, each scan would re-run the coarse
+    # argmin + subtraction. One narrow persisted projection feeds them all;
+    # training inputs are sample-bounded by contract.
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)).persist()
+    try:
+        dim = len(base.select(vec_col).first()[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        return _pq_train_cached(base, m, k, iters, sub, vec_col, id_col)
+    finally:
+        base.unpersist()
+
+
+def _pq_train_cached(
+    df: DataFrame, m: int, k: int, iters: int, sub: int, vec_col: str, id_col: str
+) -> list[list[list[float]]]:
+    from pyspark.sql import Window as W
 
     # One job: seeds for every subspace. Per subspace j this reproduces
     # ivf_train's seeding exactly — distinct subvectors keyed by their
@@ -809,7 +836,13 @@ def semantic_dedup(
         centroids = ivf_train(
             df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
         )
-    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    # The assignment is consumed four times (size guard, both sides of the
+    # cluster self-join, and the returned anti-join base); persist it so
+    # the O(k*dim)-per-row argmin runs once. The cache backs the RETURNED
+    # frame, so it stays alive — callers may unpersist via
+    # result.sparkSession catalog after consuming, or rely on Spark's
+    # reference-tracking cleaner.
+    assigned = ivf_assign(df, centroids, vec_col=vec_col).persist()
     sizes = assigned.groupBy("cluster_id").count().collect()
     oversized = [(r["cluster_id"], r["count"]) for r in sizes if r["count"] > max_cluster_size]
     if oversized:
