@@ -2182,6 +2182,25 @@ def q_sketch_hll_hourly_users(spark, sf_dir):
     return sketches.hll_registers(hourly, ["hour"], "user_id", p=4)
 
 
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """Audience overlap via KMV sketches (sketches.kmv_pairwise_overlap):
+    for every pair of event types, the bottom-64 union sketch's size and
+    shared-hash count over their user_id sets — the integer-exact inputs
+    to the KMV resemblance estimate (jaccard ~ shared/union_k). The
+    corpus is scanned ONCE (by kmv_sketch); every pairwise comparison
+    runs on k-row register tables, which is how corpus-overlap questions
+    (shared users across surfaces, shared vocab/contamination across
+    corpora) are answered at 100 TB without joining the corpora. The
+    pair enumeration is a bounded-smalls nested loop over the event-type
+    LIST (|types|^2 at sketch scale, data-size-independent — the lint's
+    scalar-subquery class)."""
+    from sakura_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    return sketches.kmv_pairwise_overlap(sk, "event_type", k=64)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2216,25 +2235,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shapes + sim_pq_encode_fixed + events_attribution).
     Round-7 session 3: sim_semantic_dedup (rows-only) moved OUT of the
     sweep window to the rows-only tail (the sweep must stay 100%
-    oracle-backed); the new IR/ER family (text_tfidf_topk,
-    text_collocations, text_inverted_index, er_name_pairs) enters
-    past-cap, queued to rotate into the sweep next round.
+    oracle-backed). Round-7 session 4 rotation: the IR/ER family
+    (text_tfidf_topk, text_collocations, text_inverted_index,
+    er_name_pairs) and the new sketch family (sketch_hll_registers,
+    sketch_cms_estimate, sketch_kmv, sketch_hll_hourly_users) enter the
+    sweep — all verified hash-green locally at sf0.001/0.01/0.1; eight
+    r6-driver-green TPC-H shapes with eleven TPC-H siblings still in the
+    sweep rotate past the cap (q6, q14, q19, q7, q8, q12, q13, q15).
     The rows-only (non-SQL-expressible) entries stay at the end. ALL
     entries — the count is asserted against COVERAGE.md by
     tests/test_scale.py::test_registry_contract — are verified locally
     by scripts/check_correctness.py regardless of order.
     """
     return {
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
-        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_collocations": q_text_collocations,
+        "text_inverted_index": q_text_inverted_index,
+        "er_name_pairs": q_er_name_pairs,
+        "sketch_hll_registers": q_sketch_hll_registers,
+        "sketch_cms_estimate": q_sketch_cms_estimate,
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
-        "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
-        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
         "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
@@ -2333,14 +2357,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         # --- round-7 session 3: IR + entity-resolution family (oracle-
         # backed, past-cap; rotate into the sweep window next round) ---
-        "text_tfidf_topk": q_text_tfidf_topk,
-        "text_collocations": q_text_collocations,
-        "text_inverted_index": q_text_inverted_index,
-        "er_name_pairs": q_er_name_pairs,
-        "sketch_hll_registers": q_sketch_hll_registers,
-        "sketch_cms_estimate": q_sketch_cms_estimate,
-        "sketch_kmv": q_sketch_kmv,
-        "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
+        # rotated past the cap in the round-7 session-4 rotation (all
+        # r6-driver-green; eleven TPC-H siblings remain in the sweep):
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
+        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         # rows-only (hash families / iterative codebooks not expressible in
         # oracle SQL — pytest oracles instead):
         "multimodal_decode": q_multimodal_decode,
@@ -3496,6 +3522,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT hour, bucket, CAST(MAX(CASE WHEN v = 0 THEN 61 "
             "ELSE 61 - length(bin(v)) END) AS INTEGER) AS rho "
             "FROM h GROUP BY hour, bucket"
+        ),
+        "sketch_kmv_overlap": (
+            "WITH d AS (SELECT DISTINCT event_type, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'kmv', "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT AS hval FROM events), "
+            "sk AS (SELECT event_type, hval FROM (SELECT event_type, hval, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY hval) AS rk "
+            "FROM d) WHERE rk <= 64), "
+            "gs AS (SELECT DISTINCT event_type FROM events), "
+            "pairs AS (SELECT a.event_type AS ga, b.event_type AS gb "
+            "FROM gs a JOIN gs b ON a.event_type < b.event_type), "
+            "u AS (SELECT ga, gb, hval, max(in_a) AS in_a, max(in_b) AS in_b "
+            "FROM (SELECT p.ga, p.gb, s.hval, 1 AS in_a, 0 AS in_b "
+            "FROM pairs p JOIN sk s ON s.event_type = p.ga "
+            "UNION ALL SELECT p.ga, p.gb, s.hval, 0, 1 "
+            "FROM pairs p JOIN sk s ON s.event_type = p.gb) t "
+            "GROUP BY ga, gb, hval), "
+            "r AS (SELECT ga, gb, in_a, in_b, "
+            "row_number() OVER (PARTITION BY ga, gb ORDER BY hval) AS rk FROM u) "
+            "SELECT ga AS group_a, gb AS group_b, "
+            "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS shared, CAST(COUNT(*) AS BIGINT) AS union_k "
+            "FROM r WHERE rk <= 64 GROUP BY 1, 2"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

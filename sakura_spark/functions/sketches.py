@@ -261,6 +261,58 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
     return agg.select(*group_cols, "n_vals", est.alias("estimate"))
 
 
+def kmv_pairwise_overlap(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """(group_a, group_b, shared, union_k): for every unordered pair of
+    groups in a :func:`kmv_sketch`, the bottom-k union sketch's size and
+    how many of those hashes occur in BOTH groups — the integer-exact
+    inputs to the KMV set-resemblance estimate (jaccard ~ shared /
+    union_k, and |A u B| ~ kmv_estimate over the union rows). The
+    all-pairs form of :func:`kmv_jaccard`. Oracle-checked surface.
+
+    Plan: everything downstream of the sketch is sketch-sized — the pair
+    list is |groups|^2 rows and each pair carries at most 2k register
+    rows, so the corpus is touched exactly once (by kmv_sketch) no
+    matter how many group pairs are compared. That is the point: corpus
+    overlap questions (shared users across event types, shared vocab
+    across sources, contamination across corpora) answered without ever
+    joining the corpora themselves."""
+    groups = sketch.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    sk = sketch.select(F.col(group_col).alias("g"), "hval")
+    rows_a = pairs.join(sk, sk.g == pairs.ga).select(
+        "ga", "gb", "hval", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    rows_b = pairs.join(sk, sk.g == pairs.gb).select(
+        "ga", "gb", "hval", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        rows_a.union(rows_b)
+        .groupBy("ga", "gb", "hval")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy(F.col("hval").asc())
+    bottom = merged.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    return bottom.groupBy("ga", "gb").agg(
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).cast("long").alias("shared"),
+        F.count("*").cast("long").alias("union_k"),
+    ).select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "shared",
+        "union_k",
+    )
+
+
 def kmv_jaccard(
     sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
 ) -> DataFrame:

@@ -248,10 +248,15 @@ def test_all_registered_query_plans_are_scale_clean(spark):
     # loops are scalar-subquery broadcasts — a ONE-row build side (global
     # avg / global total), so the "loop" is a constant-time probe per row
     # at any scale.
+    # sketch_kmv_overlap's pair enumeration is a nested loop over the
+    # DISTINCT GROUP LIST (event types) — |groups|^2 rows at sketch scale,
+    # independent of corpus size; everything downstream is k-row register
+    # tables (the same bounded-build-side class as the scalar subqueries).
     allowed_nested_loop = {
         "rel_cartesian",
         "tpch_q22_idle_customers",
         "tpch_q11_important_parts",
+        "sketch_kmv_overlap",
     }
     flagged = {}
 

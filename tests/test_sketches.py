@@ -231,3 +231,32 @@ def test_sketch_plans_stay_jvm_and_shuffle_registers_only(spark, values):
     plan = lookup._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmv_pairwise_overlap_matches_per_pair_jaccard(spark):
+    """The all-pairs form must agree with kmv_jaccard run pair-by-pair,
+    and recover the planted overlap structure."""
+    sets = {
+        "a": [f"u{i}" for i in range(0, 400)],
+        "b": [f"u{i}" for i in range(200, 600)],  # J(a,b)=200/600=1/3
+        "c": [f"x{i}" for i in range(300)],       # disjoint from a and b
+    }
+    rows = [(g, v) for g, vs in sets.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    k = 96
+    sketch = sk.kmv_sketch(df, ["grp"], "val", k=k)
+    got = {
+        (r["group_a"], r["group_b"]): (r["shared"], r["union_k"])
+        for r in sk.kmv_pairwise_overlap(sketch, "grp", k=k).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (ga, gb), (shared, union_k) in got.items():
+        one = sk.kmv_jaccard(
+            sketch.filter(F.col("grp") == ga),
+            sketch.filter(F.col("grp") == gb),
+            k=k,
+        ).collect()[0]
+        assert (one["shared"], one["union_k"]) == (shared, union_k)
+    assert got[("a", "c")][0] == 0 and got[("b", "c")][0] == 0
+    ab = got[("a", "b")]
+    assert abs(ab[0] / ab[1] - 1 / 3) < 0.15
