@@ -2201,6 +2201,29 @@ def q_sketch_kmv_overlap(spark, sf_dir):
     return sketches.kmv_pairwise_overlap(sk, "event_type", k=64)
 
 
+def q_sketch_cms_hourly_users(spark, sf_dir):
+    """Windowed count-min sketch (sketches.cms_sketch with group_cols):
+    per-hour user-activity counters at depth 4 x width 64 — the batch
+    twin of the watermarked streaming windowed_user_cms, built from the
+    same cms_exprs so closed streaming windows carry identical counters
+    (asserted in tests/test_streaming.py). Integer-exact; per-hour
+    heavy-hitter state is bounded at depth x width counters no matter
+    the user cardinality. Plan: one explode to depth probe structs, one
+    map-side-combined SUM."""
+    from sakura_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+            "hour"
+        ),
+        "user_id",
+    )
+    return sketches.cms_sketch(
+        hourly, "user_id", depth=4, width=64, group_cols=["hour"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2257,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv": q_sketch_kmv,
         "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "sketch_cms_hourly_users": q_sketch_cms_hourly_users,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
@@ -3545,6 +3569,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS shared, CAST(COUNT(*) AS BIGINT) AS union_k "
             "FROM r WHERE rk <= 64 GROUP BY 1, 2"
+        ),
+        "sketch_cms_hourly_users": (
+            "WITH h AS (SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:%M') AS hour, user_id FROM events), "
+            "probes AS (SELECT hour, i, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'cms' || CAST(i AS VARCHAR), "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 64 AS bucket "
+            "FROM h, range(4) t(i)) "
+            "SELECT hour, i AS row, bucket, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM probes GROUP BY 1, 2, 3"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

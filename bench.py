@@ -86,6 +86,9 @@ EXTENDED = [
     "sketch_hll_registers",
     "sketch_cms_estimate",
     "sketch_kmv",
+    "sketch_hll_hourly_users",
+    "sketch_kmv_overlap",
+    "sketch_cms_hourly_users",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -127,6 +130,9 @@ NOOP_SINK = {
     "sketch_hll_registers",
     "sketch_cms_estimate",
     "sketch_kmv",
+    "sketch_hll_hourly_users",
+    "sketch_kmv_overlap",
+    "sketch_cms_hourly_users",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

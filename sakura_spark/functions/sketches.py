@@ -147,6 +147,27 @@ def hll_estimate(
     return agg.select(*group_cols, corrected.alias("estimate"))
 
 
+def cms_exprs(
+    value: Column, depth: int = 4, width: int = 256, salt: str = "cms"
+) -> Column:
+    """The array of (row, bucket) probe structs for one value — the
+    per-row CMS contribution before the SUM aggregation. Shared by the
+    batch :func:`cms_sketch` and the streaming windowed variant
+    (sakura_spark/streaming/events.py) so both produce identical
+    counters."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (hash_word(value, f"{salt}{i}", word=0) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     value_col: str,
@@ -154,32 +175,30 @@ def cms_sketch(
     width: int = 256,
     weight_col: str | None = None,
     salt: str = "cms",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(row, bucket, cnt): a count-min sketch of the value column
-    (Cormode & Muthukrishnan 2005) — ``depth`` independent hash rows of
-    ``width`` counters; each value increments one counter per row (by the
-    optional integer weight). Integer-exact, oracle-checked.
+    """(group..., row, bucket, cnt): a count-min sketch of the value
+    column (Cormode & Muthukrishnan 2005) — ``depth`` independent hash
+    rows of ``width`` counters; each value increments one counter per
+    row (by the optional integer weight). With ``group_cols`` one
+    independent sketch per group (e.g. per event-time hour). Integer-
+    exact, oracle-checked.
 
     Plan: each input row expands to exactly ``depth`` (row, bucket)
-    pairs; the groupBy SUM combines map-side, so at most depth x width
-    counters leave each partition. Sketches of disjoint inputs merge by
-    summing counters."""
-    if depth < 1 or width < 1:
-        raise ValueError("depth and width must be positive")
+    pairs; the groupBy SUM combines map-side, so at most groups x depth
+    x width counters leave each partition. Sketches of disjoint inputs
+    merge by summing counters."""
+    group_cols = list(group_cols or [])
     v = F.col(value_col)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                (hash_word(v, f"{salt}{i}", word=0) % width).alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
+    rows = cms_exprs(v, depth=depth, width=width, salt=salt)
     return (
-        df.select(F.explode(rows).alias("rb"), w.alias("w"))
-        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        df.select(*group_cols, F.explode(rows).alias("rb"), w.alias("w"))
+        .groupBy(
+            *group_cols,
+            F.col("rb.row").alias("row"),
+            F.col("rb.bucket").alias("bucket"),
+        )
         .agg(F.sum("w").alias("cnt"))
     )
 

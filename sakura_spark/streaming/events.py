@@ -135,6 +135,46 @@ def windowed_user_hll(
     )
 
 
+def windowed_user_cms(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Watermarked per-window count-min sketch of user activity:
+    (window_start, window_end, row, bucket, cnt) — the streaming twin of
+    the batch sketch_cms_hourly_users entry, built from the SAME
+    cms_exprs so a closed window's counters are identical to the batch
+    computation (asserted in tests/test_streaming.py). Downstream,
+    sketches.cms_lookup answers "how active was user X in hour H"
+    without the stream ever storing per-user counters.
+
+    Scale shape: state per window is at most depth x width counter rows
+    regardless of user cardinality — heavy-hitter state for an abuse
+    monitor stays kilobytes per window at any stream volume."""
+    from sakura_spark.functions.sketches import cms_exprs
+
+    rows = cms_exprs(F.col("user_id"), depth=depth, width=width)
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.explode(rows).alias("rb"))
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("rb.row").alias("row"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "row",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def attributed_purchases(
     views: DataFrame,
     purchases: DataFrame,

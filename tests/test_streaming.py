@@ -217,3 +217,36 @@ def test_windowed_user_hll_matches_batch_registers(spark, stream):
         assert all(r["estimate"] > 0 for r in est)
     finally:
         q.stop()
+
+
+def test_windowed_user_cms_matches_batch_counters(spark, stream):
+    """Closed streaming windows must carry identical CMS counters to the
+    batch grouped sketch over the same rows."""
+    from sakura_spark.functions import sketches
+
+    q = ev.run_to_memory(
+        ev.windowed_user_cms(
+            ev.read_event_stream(spark, stream), window="1 hour", depth=3, width=32
+        ),
+        "user_cms",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r["window_start"], r["row"], r["bucket"]): r["cnt"]
+            for r in spark.table("user_cms").collect()
+        }
+        assert got, "no watermark-closed windows emitted"
+        batch = spark.read.parquet(stream).select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        want = {
+            (r["window_start"], r["row"], r["bucket"]): r["cnt"]
+            for r in sketches.cms_sketch(
+                batch, "user_id", depth=3, width=32, group_cols=["window_start"]
+            ).collect()
+        }
+        for key, cnt in got.items():
+            assert want.get(key) == cnt, f"counter mismatch at {key}"
+    finally:
+        q.stop()
