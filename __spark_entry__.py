@@ -2224,6 +2224,25 @@ def q_sketch_cms_hourly_users(spark, sf_dir):
     )
 
 
+def q_sketch_quantile_registers(spark, sf_dir):
+    """Dyadic count-min quantile structure (sketches.dyadic_sketch): the
+    per-level CMS counters of order-value dyadic prefixes
+    (floor(o_totalprice) >> level, 20 levels x depth 3 x width 128) —
+    the integer-exact, SUM-mergeable state behind rank/percentile
+    queries; sketches.dyadic_quantiles binary-searches ranks over the
+    collected (codebook-class) counter table, pytest-checked against
+    exact percentiles. Mergeable quantiles are what percentile
+    dashboards need across executors/days without resorting: combine
+    counter tables by SUM, never re-scan. Plan: one explode to
+    levels x depth probes, one map-side-combined SUM."""
+    from sakura_spark.functions import sketches
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice")).cast("long").alias("x")
+    )
+    return sketches.dyadic_sketch(orders, "x", levels=20, depth=3, width=128)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2281,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "sketch_cms_hourly_users": q_sketch_cms_hourly_users,
+        "sketch_quantile_registers": q_sketch_quantile_registers,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
@@ -3578,6 +3598,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 64 AS bucket "
             "FROM h, range(4) t(i)) "
             "SELECT hour, i AS row, bucket, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM probes GROUP BY 1, 2, 3"
+        ),
+        "sketch_quantile_registers": (
+            "WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS x "
+            "FROM orders), "
+            "probes AS (SELECT l, i, "
+            "('0x' || substr(sha256(concat_ws(chr(31), "
+            "'qd' || CAST(l AS VARCHAR) || '_' || CAST(i AS VARCHAR), "
+            "CAST(x >> l AS VARCHAR))), 1, 15))::BIGINT % 128 AS bucket "
+            "FROM v, range(20) tl(l), range(3) ti(i)) "
+            "SELECT CAST(l AS INTEGER) AS level, CAST(i AS INTEGER) AS row, "
+            "bucket, CAST(count(*) AS BIGINT) AS cnt "
             "FROM probes GROUP BY 1, 2, 3"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family

@@ -89,6 +89,7 @@ EXTENDED = [
     "sketch_hll_hourly_users",
     "sketch_kmv_overlap",
     "sketch_cms_hourly_users",
+    "sketch_quantile_registers",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -133,6 +134,7 @@ NOOP_SINK = {
     "sketch_hll_hourly_users",
     "sketch_kmv_overlap",
     "sketch_cms_hourly_users",
+    "sketch_quantile_registers",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -239,6 +239,127 @@ def cms_lookup(
     )
 
 
+def dyadic_sketch(
+    df: DataFrame,
+    value_col: str,
+    levels: int = 20,
+    depth: int = 3,
+    width: int = 128,
+    group_cols: list[str] | None = None,
+    salt: str = "qd",
+) -> DataFrame:
+    """(group..., level, row, bucket, cnt): a dyadic count-min structure
+    for rank/quantile queries over a non-negative integer domain
+    < 2^levels (Cormode & Muthukrishnan 2005 §4, range queries): one CMS
+    per level l counting the dyadic prefixes ``value >> l``. rank(x) is
+    then the sum of at most ``levels`` CMS point estimates (one per set
+    bit of x), and quantiles are a binary search over ranks — see
+    :func:`dyadic_quantiles`. Integer-exact, oracle-checked; sketches of
+    disjoint inputs merge by summing counters, which is what makes
+    percentile dashboards mergeable across executors/days without
+    resorting the data.
+
+    Plan: each input row expands to levels x depth probe structs (the
+    amplification IS the structure's cost — practical systems sketch a
+    sample when that matters); the groupBy SUM combines map-side, so at
+    most groups x levels x depth x width counters leave a partition."""
+    if not 1 <= levels <= 62:
+        raise ValueError(f"levels must be 1..62, got {levels}")
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("level"),
+                F.lit(i).alias("row"),
+                (
+                    hash_word(F.shiftright(v, l), f"{salt}{l}_{i}", word=0) % width
+                ).alias("bucket"),
+            )
+            for l in range(levels)
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(probes).alias("p"))
+        .groupBy(
+            *group_cols,
+            F.col("p.level").alias("level"),
+            F.col("p.row").alias("row"),
+            F.col("p.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _py_bucket(prefix: int, salt: str, width: int) -> int:
+    """Driver-side replica of the probe-bucket hash for lookups."""
+    import hashlib as _hl
+
+    digest = _hl.sha256(f"{salt}\x1f{prefix}".encode()).hexdigest()
+    return int(digest[:15], 16) % width
+
+
+def dyadic_rank(
+    counters: dict[tuple[int, int, int], int],
+    x: int,
+    levels: int,
+    depth: int,
+    width: int,
+    salt: str = "qd",
+) -> int:
+    """Estimated rank(x) = |{v : v < x}| from collected dyadic counters
+    {(level, row, bucket): cnt}: decompose [0, x) into one dyadic cell
+    per set bit of x and sum the cells' CMS estimates (MIN over rows).
+    Never undercounts (CMS one-sided error per cell)."""
+    rank = 0
+    for l in range(levels):
+        if (x >> l) & 1:
+            prefix = 2 * (x >> (l + 1))
+            rank += min(
+                counters.get((l, i, _py_bucket(prefix, f"{salt}{l}_{i}", width)), 0)
+                for i in range(depth)
+            )
+    return rank
+
+
+def dyadic_quantiles(
+    sketch: DataFrame,
+    phis: list[float],
+    levels: int = 20,
+    depth: int = 3,
+    width: int = 128,
+    salt: str = "qd",
+) -> dict[float, int]:
+    """{phi: value}: quantile estimates from a single-group
+    :func:`dyadic_sketch` — binary search for the smallest x whose
+    estimated rank reaches phi * total. The ONLY driver transfer is the
+    counter table itself (bounded at levels x depth x width rows,
+    codebook-class); the search runs on that dict. Float-free output
+    (domain values are integers); accuracy pytest-checked against exact
+    percentiles."""
+    rows = sketch.select("level", "row", "bucket", "cnt").collect()
+    counters = {(r["level"], r["row"], r["bucket"]): r["cnt"] for r in rows}
+    total = sum(
+        cnt for (l, i, _b), cnt in counters.items() if l == 0 and i == 0
+    )
+    out: dict[float, int] = {}
+    for phi in phis:
+        target = max(1, int(phi * total))
+        lo, hi = 0, 1 << levels
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if dyadic_rank(counters, mid, levels, depth, width, salt) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        # lo is the smallest x with rank(x) >= target; the value itself
+        # is lo - 1's cell, report lo - 1 clamped at 0 (rank counts
+        # strictly-less values).
+        out[phi] = max(0, lo - 1)
+    return out
+
+
 def kmv_sketch(
     df: DataFrame,
     group_cols: list[str],

@@ -260,3 +260,67 @@ def test_kmv_pairwise_overlap_matches_per_pair_jaccard(spark):
     assert got[("a", "c")][0] == 0 and got[("b", "c")][0] == 0
     ab = got[("a", "b")]
     assert abs(ab[0] / ab[1] - 1 / 3) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# Dyadic quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_dyadic_quantiles_track_exact_percentiles(spark):
+    # Skewed integer distribution over [0, 2^14).
+    rows = [(int((i * i) % 16000),) for i in range(4000)]
+    df = spark.createDataFrame(rows, "x long")
+    levels, depth, width = 14, 3, 128
+    sketch = sk.dyadic_sketch(df, "x", levels=levels, depth=depth, width=width)
+    got = sk.dyadic_quantiles(
+        sketch, [0.25, 0.5, 0.75, 0.95], levels=levels, depth=depth, width=width
+    )
+    exact = df.selectExpr(
+        "percentile(x, array(0.25, 0.5, 0.75, 0.95)) AS p"
+    ).collect()[0]["p"]
+    domain = 16384
+    for (phi, est), ex in zip(sorted(got.items()), exact):
+        # CMS noise adds at most ~levels * e/width * N to a rank, which
+        # translates to a bounded value error on this smooth-enough
+        # distribution; assert a generous 10%-of-domain band.
+        assert abs(est - ex) < 0.1 * domain, (phi, est, ex)
+
+
+def test_dyadic_rank_never_undercounts_and_is_monotone(spark):
+    rows = [(i % 257,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "x long")
+    levels, depth, width = 10, 3, 64
+    sketch = sk.dyadic_sketch(df, "x", levels=levels, depth=depth, width=width)
+    counters = {
+        (r["level"], r["row"], r["bucket"]): r["cnt"]
+        for r in sketch.collect()
+    }
+    true_sorted = sorted(r["x"] for r in df.collect())
+    import bisect
+
+    prev = 0
+    for x in [0, 1, 17, 100, 256, 257, 300, 1023]:
+        est = sk.dyadic_rank(counters, x, levels, depth, width)
+        true = bisect.bisect_left(true_sorted, x)
+        assert est >= true, f"rank({x}): undercount {est} < {true}"
+        assert est >= prev, "rank must be monotone in x"
+        prev = est
+
+
+def test_dyadic_sketch_merge_by_sum(spark):
+    rows = [(i % 500,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "x long")
+    half_a = df.limit(1500)
+    half_b = df.exceptAll(half_a)
+    kw = dict(levels=10, depth=2, width=32)
+    merged = (
+        sk.dyadic_sketch(half_a, "x", **kw)
+        .union(sk.dyadic_sketch(half_b, "x", **kw))
+        .groupBy("level", "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.dyadic_sketch(df, "x", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
