@@ -246,6 +246,7 @@ def ivf_train(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rebalance: bool | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for the IVF coarse codebook.
 
@@ -266,7 +267,20 @@ def ivf_train(
     # convention (MLlib KMeans warns when its training input is uncached).
     # Training inputs are bounded by contract (ivfpq_train's
     # max_train_rows sample at corpus scale), so the cache is sample-sized.
-    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)).persist()
+    # Rebalance BEFORE persist when the per-row argmin is expensive: a
+    # single-row-group parquet file reads as one non-empty task regardless
+    # of claimed splits, and a cache keeps its layout — so without the
+    # rebalance every iteration's O(k*dim) argmin runs on one core. The
+    # exchange itself costs O(dim) per row, so it pays only when k is
+    # large; the auto rule (k >= 32) sits at the measured crossover
+    # (k=215 semantic-dedup training: -35% wall; k=8 IVFADC coarse
+    # training: the exchange was a net loss).
+    if rebalance is None:
+        rebalance = n_centroids >= 32
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col))
+    if rebalance:
+        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    base = base.persist()
     try:
         seed_rows = (
             base.select(F.col(id_col), F.col(vec_col).alias("v"))
@@ -403,7 +417,10 @@ def pq_train(
     # job and every Lloyd iteration re-scan the input — and when the input
     # is ivfpq_train's residual frame, each scan would re-run the coarse
     # argmin + subtraction. One narrow persisted projection feeds them all;
-    # training inputs are sample-bounded by contract.
+    # training inputs are sample-bounded by contract. No rebalance here:
+    # the per-subspace argmin is k*dim per row like ivf_train's, but
+    # measured at the registered sizes (m=4, k=16) the extra exchange was
+    # a net loss — pq_train's heavy means stage shuffles anyway.
     base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)).persist()
     try:
         dim = len(base.select(vec_col).first()[0])
@@ -838,11 +855,18 @@ def semantic_dedup(
         )
     # The assignment is consumed four times (size guard, both sides of the
     # cluster self-join, and the returned anti-join base); persist it so
-    # the O(k*dim)-per-row argmin runs once. The cache backs the RETURNED
-    # frame, so it stays alive — callers may unpersist via
-    # result.sparkSession catalog after consuming, or rely on Spark's
-    # reference-tracking cleaner.
-    assigned = ivf_assign(df, centroids, vec_col=vec_col).persist()
+    # the O(k*dim)-per-row argmin runs once. The rebalance ahead of the
+    # argmin keeps that one computation at core parallelism even when the
+    # input reads as a single non-empty task (single-row-group parquet);
+    # its cost is one linear exchange of (id, vec), small against the
+    # k*dim argmin it parallelizes. The cache backs the RETURNED frame, so
+    # it stays alive — callers may unpersist after consuming, or rely on
+    # Spark's reference-tracking cleaner.
+    assigned = ivf_assign(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        centroids,
+        vec_col=vec_col,
+    ).persist()
     sizes = assigned.groupBy("cluster_id").count().collect()
     oversized = [(r["cluster_id"], r["count"]) for r in sizes if r["count"] > max_cluster_size]
     if oversized:
