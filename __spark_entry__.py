@@ -2000,6 +2000,26 @@ def q_curation_mixture(spark, sf_dir):
     )
 
 
+def q_curation_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (curation.weighted_sample, Efraimidis-Spirakis A-ES): 20 documents
+    per source with selection probability proportional to document
+    length — the fixed-budget, quality/length-biased draw a curation
+    pipeline uses where mixture_sample's per-group RATES and
+    quota_per_group's UNIFORM top-k don't fit. The exponential key
+    -ln(u)/w orders rows (u from the engine-portable sha256 word of
+    doc_id, so the draw is RNG-free and stable across engines/runs); the
+    float key exists only in the ordering — the returned columns are the
+    original integer/string row values, so the driver hash is exact.
+    Plan: map-side key, lossless two-phase top-k (no whole-group
+    single-task sort), no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.weighted_sample(
+        docs, k=20, weight_col="n_chars", id_col="doc_id",
+        group_cols=["source"],
+    ).select("source", "doc_id", "n_chars")
+
+
 def q_curation_quality_report(spark, sf_dir):
     """Per-source quality-gate attribution: how many documents each gate
     (too-short, too-many-digits, short-token gibberish) rejects, and how
@@ -2243,6 +2263,78 @@ def q_sketch_quantile_registers(spark, sf_dir):
     return sketches.dyadic_sketch(orders, "x", levels=20, depth=3, width=128)
 
 
+def q_sketch_bloom_bits(spark, sf_dir):
+    """Bloom filter register table (sketches.bloom_sketch): per-order-
+    priority the SET bit positions of an m=4096, k=3 Bloom filter over
+    the customer keys placing such orders — the sparse form of the dense
+    bit array. Integer-exact (salted sha256 bit positions, the family's
+    engine-portable hash contract) and mergeable by distinct-union
+    (bitwise OR), the law asserted in tests/test_sketches.py. At 100 TB
+    the dense filter is m BITS, broadcastable where the key set itself
+    is not. Plan: each row expands to exactly k bit rows; the distinct
+    combines map-side, so at most groups x m rows leave any partition."""
+    from sakura_spark.functions import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    return sketches.bloom_sketch(
+        orders, "o_custkey", m=4096, k=3, group_cols=["o_orderpriority"]
+    )
+
+
+def q_sketch_bloom_semijoin(spark, sf_dir):
+    """Bloom-pruned EXACT semi-join (sketches.bloom_filtered_semijoin):
+    customers with at least one order above 480k, computed by pruning
+    the customer scan map-side through a kilobyte Bloom filter of the
+    qualifying custkeys (no false negatives — no match is ever lost)
+    and exact-joining only the survivors (false positives die there).
+    The result provably equals the plain semi-join, so the oracle is
+    plain ANSI `IN (SELECT ...)` — a sketch-ACCELERATED exact operator,
+    the explicit engine-portable form of Spark's own runtime bloom-join
+    filter. At 100 TB the filter broadcasts where the key set cannot,
+    and the probe side never shuffles rows that cannot match."""
+    from sakura_spark.functions import sketches
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    return sketches.bloom_filtered_semijoin(
+        cust, big, "c_custkey", "o_custkey", m=65536, k=3
+    )
+
+
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """CMS-pruned EXACT heavy hitters (sketches.heavy_hitters): every
+    document 3-gram occurring at least 5 times, with its exact count.
+    Pass 1 builds a depth-4 x width-8192 count-min sketch (register-
+    sized shuffle regardless of key cardinality); pass 2 filters rows
+    map-side against the broadcast counter tables (CMS never
+    undercounts, so every true hitter survives) and exact-counts only
+    the candidates. Provably equal to plain GROUP BY/HAVING — which is
+    the oracle. The point at 100 TB: web-corpus n-gram heavy hitters
+    without ever shuffling the billions-of-keys long tail; the exact
+    count's exchange carries only candidate-key rows, bounded by
+    N/min_count plus the eps-bounded false-positive mass."""
+    from sakura_spark.functions import sketches
+    from sakura_spark.functions import text as text_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    # Token array materialized in its own projection before the gram
+    # transform references it three times per element (the round-3
+    # re-tokenization lesson).
+    grams = docs.select(text_mod.word_tokens(F.col("text")).alias("w")).select(
+        F.explode(
+            # CASE guard, not greatest(): sequence(1, 0) is the DESCENDING
+            # [1, 0] in Spark, which would fabricate grams for <3-word docs.
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN "
+                "transform(sequence(1, size(w) - 2), "
+                "i -> concat_ws(' ', w[i-1], w[i], w[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("g")
+    )
+    return sketches.heavy_hitters(grams, "g", min_count=5, depth=4, width=8192)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2290,6 +2382,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by scripts/check_correctness.py regardless of order.
     """
     return {
+        # Round-7 session 5: the Bloom family + CMS-pruned heavy hitters
+        # enter the sweep immediately (new-oracle-backed policy); three
+        # r6-driver-green TPC-H shapes with many in-sweep siblings rotate
+        # past the cap (q9, q11, q16).
+        "sketch_bloom_bits": q_sketch_bloom_bits,
+        "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "curation_weighted_sample": q_curation_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_collocations": q_text_collocations,
         "text_inverted_index": q_text_inverted_index,
@@ -2301,10 +2401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "sketch_cms_hourly_users": q_sketch_cms_hourly_users,
         "sketch_quantile_registers": q_sketch_quantile_registers,
-        "tpch_q9_product_profit": q_tpch_q9_product_profit,
-        "tpch_q11_important_parts": q_tpch_q11_important_parts,
-        "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
-        "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
         "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
         "events_attribution": q_events_attribution,
         "text_repetition": q_text_repetition,
@@ -2403,6 +2499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # backed, past-cap; rotate into the sweep window next round) ---
         # rotated past the cap in the round-7 session-4 rotation (all
         # r6-driver-green; eleven TPC-H siblings remain in the sweep):
+        # round-7 session-5 rotation (r6-driver-green, siblings in-sweep):
+        "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
@@ -3611,6 +3712,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(l AS INTEGER) AS level, CAST(i AS INTEGER) AS row, "
             "bucket, CAST(count(*) AS BIGINT) AS cnt "
             "FROM probes GROUP BY 1, 2, 3"
+        ),
+        "sketch_bloom_bits": (
+            "WITH b AS (SELECT o_orderpriority, unnest(["
+            "('0x' || substr(sha256(concat_ws(chr(31), 'bloom0', "
+            "CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 4096, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'bloom1', "
+            "CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 4096, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'bloom2', "
+            "CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 4096"
+            "]) AS bit FROM orders) "
+            "SELECT DISTINCT o_orderpriority, bit FROM b"
+        ),
+        # The Bloom filter and CMS below are internal ACCELERATORS whose
+        # results provably equal the exact operator (no false negatives +
+        # exact verify), so the oracles are the plain ANSI forms.
+        "sketch_bloom_semijoin": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+            "WHERE o_totalprice > 480000)"
+        ),
+        "sketch_heavy_hitters": (
+            "WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT unnest(CASE WHEN len(ws) >= 3 THEN "
+            "list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+            "ELSE [] END) AS g FROM w) "
+            "SELECT g AS item, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM g GROUP BY 1 HAVING count(*) >= 5"
+        ),
+        # Float appears in the ORDERING only (ln/pow over doubles, both
+        # IEEE in both engines); the selected rows — and therefore the
+        # hashed values — are integer/string-exact.
+        "curation_weighted_sample": (
+            "WITH keyed AS (SELECT source, doc_id, n_chars, "
+            "-ln((('0x' || substr(sha256(concat_ws(chr(31), 'ws', "
+            "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT + 1) "
+            "/ 1152921504606846976.0) / n_chars AS key "
+            "FROM documents WHERE n_chars > 0), "
+            "r AS (SELECT source, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY key, doc_id) AS rk FROM keyed) "
+            "SELECT source, doc_id, n_chars FROM r WHERE rk <= 20"
         ),
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh: hash-family
         # internals (xxhash64 permutations / hyperplane LSH) are not

@@ -90,6 +90,10 @@ EXTENDED = [
     "sketch_kmv_overlap",
     "sketch_cms_hourly_users",
     "sketch_quantile_registers",
+    "sketch_bloom_bits",
+    "sketch_bloom_semijoin",
+    "sketch_heavy_hitters",
+    "curation_weighted_sample",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

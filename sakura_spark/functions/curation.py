@@ -321,3 +321,69 @@ def length_buckets(
         )
         .orderBy("bucket")
     )
+
+
+# --- weighted sampling without replacement ----------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    (per group, if ``group_cols``), where selection probability is
+    proportional to the row's weight — the Efraimidis-Spirakis
+    exponential-key method (A-ES, Inf. Proc. Letters 2006): each row gets
+    key = -ln(u) / w with u uniform in (0, 1], and the k SMALLEST keys
+    win. This is how a curation pipeline samples a fixed token budget
+    biased toward quality scores or document length without RNG state: u
+    comes from the engine-portable sha256 word of the id
+    (sketches.hash_word), so the selected set is stable across runs,
+    engines, and partitionings, and re-sampling after corpus growth
+    perturbs only what the new rows displace.
+
+    The float key exists only in the ORDERING; the output is the
+    original rows, so driver hashes stay engine-exact (ties are
+    impossible — distinct ids give distinct 60-bit hash words).
+
+    Plan: the same lossless two-phase top-k as :func:`quota_per_group` —
+    phase 1 ranks within (group, input-partition) so no single task
+    sorts a whole group, phase 2 ranks the at-most k-per-partition
+    survivors. Map-side key computation, two bounded window passes, no
+    Python."""
+    from sakura_spark.functions.sketches import WORD_SPAN, hash_word
+
+    if k < 1:
+        raise ValueError("k must be positive")
+    group_cols = list(group_cols or [])
+    w = F.col(weight_col).cast("double")
+    u = (hash_word(F.col(id_col), salt, word=0) + 1).cast("double") / F.lit(
+        float(WORD_SPAN)
+    )
+    key = -F.log(u) / w
+    w1 = Window.partitionBy(*group_cols, "__pid").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        # A-ES is defined for positive weights; non-positive-weight rows
+        # have zero selection probability and are excluded up front (the
+        # filter also keeps -ln(u)/w from producing NaN orderings).
+        df.filter(w > 0)
+        .withColumn("__key", key)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__pid", "__rk")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__key")
+    )

@@ -502,3 +502,164 @@ def kmv_jaccard(
         "union_k",
         (F.col("shared") / F.col("union_k")).alias("jaccard"),
     )
+
+
+# --- Bloom filter ------------------------------------------------------------
+
+
+def bloom_exprs(
+    value: Column, m: int = 8192, k: int = 3, salt: str = "bloom"
+) -> list[Column]:
+    """The ``k`` bit positions (each < ``m``) one value sets in a Bloom
+    filter (Bloom 1970) — the per-row contribution before the distinct
+    aggregation. Independent hash functions come from salted sha256
+    words, so every position is engine-portable and reproducible by the
+    SQL oracle (same hash contract as the other sketches here)."""
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be positive")
+    return [hash_word(value, f"{salt}{i}", word=0) % m for i in range(k)]
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    m: int = 8192,
+    k: int = 3,
+    salt: str = "bloom",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., bit): the SET bit positions of a Bloom filter over the
+    value column — the sparse register table IS the sketch. Integer-exact,
+    oracle-checked. Sketches of disjoint inputs merge by the same
+    distinct-union (bitwise OR in the dense view), the mergeability law
+    asserted in tests/test_sketches.py.
+
+    Plan: each row expands to exactly ``k`` bit rows; the distinct
+    combines map-side, so at most groups x m rows leave any partition
+    regardless of input size. The dense filter is m BITS (kilobytes for
+    m = 64k), which is what makes it broadcastable where the key set
+    itself is not — the entire point at 100 TB."""
+    group_cols = list(group_cols or [])
+    bits = F.array(*bloom_exprs(F.col(value_col), m=m, k=k, salt=salt))
+    return (
+        df.select(*group_cols, F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_member_expr(
+    value: Column, set_bits: set[int], m: int = 8192, k: int = 3, salt: str = "bloom"
+) -> Column:
+    """Boolean Column: does ``value`` pass the Bloom filter given the
+    driver-side set-bit collection (from :func:`bloom_sketch`)? All ``k``
+    probe positions must be set. No false negatives ever; false positive
+    probability ~ fill_ratio^k. The dense m-element boolean literal is
+    the documented kilobyte-class driver transfer (same class as the
+    IVF/PQ codebooks) and ships to executors as a plan literal — a
+    hand-rolled runtime filter the way Spark's own
+    InSubqueryExec/bloom-join pushdown would at cluster scale.
+
+    The dense form is a '0'/'1' STRING literal, not an array<boolean>
+    literal: a boxed boolean Seq serializes at ~32 bytes/element (a
+    measured 2.1 MiB task binary at m=64k), while the string is one byte
+    per bit — 64 KB in the plan, and substr on a literal string is a
+    cheap codegen'd offset read."""
+    dense = bytearray(b"0") * m
+    for b in set_bits:
+        dense[int(b)] = 0x31  # '1'
+    lut = F.lit(dense.decode("ascii"))
+    cond = None
+    for pos in bloom_exprs(value, m=m, k=k, salt=salt):
+        hit = lut.substr((pos + 1).cast("int"), F.lit(1)) == "1"
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_filtered_semijoin(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    m: int = 65536,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """EXACT semi-join (left rows with a match in right), computed as a
+    Bloom-pruned two-phase plan whose result provably equals the plain
+    semi-join: a Bloom filter of the right key set prunes left rows
+    map-side (no false negatives, so no match is ever lost), and the
+    surviving minority joins exactly (false positives die here). The
+    oracle for this operator is therefore plain ANSI `IN (SELECT ...)`.
+
+    Scale design: this is the runtime-filter / sideways-information-
+    passing pattern (Spark's own spark.sql.optimizer.runtime.bloomFilter
+    does it inside the engine; this is the explicit, engine-portable
+    form). At 100 TB the win is that the m-BIT filter (kilobytes)
+    broadcasts where the right key set (gigabytes) cannot, and the left
+    corpus never shuffles rows that cannot match — with a selective
+    right side the exchange shrinks by the true match rate. Two jobs:
+    the right-side distinct (register-sized shuffle) and the pruned
+    exact join."""
+    sketch = bloom_sketch(right.select(right_col), right_col, m=m, k=k, salt=salt)
+    set_bits = {r["bit"] for r in sketch.collect()}
+    member = bloom_member_expr(F.col(left_col), set_bits, m=m, k=k, salt=salt)
+    pruned = left.filter(member)
+    keys = right.select(F.col(right_col).alias(left_col)).distinct()
+    return pruned.join(keys, left_col, "semi")
+
+
+# --- CMS-pruned exact heavy hitters -----------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 8192,
+    salt: str = "cms",
+) -> DataFrame:
+    """(item, cnt): EXACT counts of every value occurring at least
+    ``min_count`` times, computed with a count-min prefilter whose
+    result provably equals the plain GROUP BY ... HAVING: CMS estimates
+    never undercount, so filtering rows to ``est >= min_count`` map-side
+    keeps every true heavy hitter; the exact count over survivors then
+    kills the (eps * N)-bounded false positives. The oracle for this
+    operator is therefore plain ANSI GROUP BY / HAVING.
+
+    Scale design: the standard two-pass heavy-hitter plan (Cormode &
+    Muthukrishnan 2005 §3.1 applications). Pass 1 builds the sketch —
+    the only full-cardinality-free aggregation: at most depth x width
+    counters leave any partition, vs a full GROUP BY whose shuffle
+    carries the entire long-tail key set (for web-corpus n-grams,
+    billions of keys that are mostly singletons). Pass 2 re-hashes each
+    row (depth sha256s), reads its counters from the depth dense
+    width-arrays shipped as plan literals (codebook-class driver
+    transfer), and drops the long tail BEFORE the exchange — the exact
+    count's shuffle carries only rows of candidate keys, bounded by
+    N/min_count true hitters plus the eps-bounded false-positive mass.
+    Fused, map-only prefilter; no distinct, no window, no Python."""
+    if min_count < 1:
+        raise ValueError("min_count must be positive")
+    values = df.select(F.col(value_col).alias("item"))
+    sketch = cms_sketch(values, "item", depth=depth, width=width, salt=salt)
+    dense: list[list[int]] = [[0] * width for _ in range(depth)]
+    for r in sketch.collect():
+        dense[r["row"]][r["bucket"]] = r["cnt"]
+    est = F.least(
+        *[
+            F.element_at(
+                F.lit(dense[i]),
+                (
+                    (hash_word(F.col("item"), f"{salt}{i}", word=0) % width) + 1
+                ).cast("int"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        values.filter(est >= min_count)
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

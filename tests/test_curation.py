@@ -186,3 +186,75 @@ def test_gopher_repetition_filter_gates(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r.doc_id for r in curation.gopher_repetition_filter(df).collect()}
     assert kept == {1}
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _aes_key(doc_id: int, weight: float, salt: str = "ws") -> float:
+    import hashlib
+    import math
+
+    h = int(
+        hashlib.sha256(f"{salt}\x1f{doc_id}".encode()).hexdigest()[:15], 16
+    )
+    u = (h + 1) / float(1 << 60)
+    return -math.log(u) / weight
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The selected set equals the k smallest exponential keys per group,
+    computed independently in pure Python."""
+    rows = [(i, f"g{i % 2}", 1 + (i % 7) * 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    got = {
+        (r["grp"], r["doc_id"])
+        for r in curation.weighted_sample(
+            df, k=15, weight_col="w", id_col="doc_id", group_cols=["grp"]
+        ).collect()
+    }
+    want = set()
+    for g in ("g0", "g1"):
+        keyed = sorted(
+            ((_aes_key(i, w), i) for i, gg, w in rows if gg == g),
+        )
+        want |= {(g, i) for _k, i in keyed[:15]}
+    assert got == want
+
+
+def test_weighted_sample_bias_and_exclusions(spark):
+    """Heavy rows are selected far more often than light ones (weight 100
+    vs 1 over many ids), rows with non-positive weight never appear, and
+    the draw is stable across invocations."""
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(1000)] + [
+        (2000, 0),
+        (2001, -5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    sel = [
+        r["doc_id"]
+        for r in curation.weighted_sample(
+            df, k=100, weight_col="w", id_col="doc_id"
+        ).collect()
+    ]
+    assert len(sel) == 100
+    assert 2000 not in sel and 2001 not in sel
+    heavy = sum(1 for i in sel if i % 2 == 0)
+    # E[heavy] ~ 99%+ under 100:1 odds; even a loose bound separates it
+    # decisively from the uniform 50%.
+    assert heavy >= 85
+    again = [
+        r["doc_id"]
+        for r in curation.weighted_sample(
+            df, k=100, weight_col="w", id_col="doc_id"
+        ).collect()
+    ]
+    assert sorted(sel) == sorted(again)
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+    with pytest.raises(ValueError):
+        curation.weighted_sample(df, k=0, weight_col="w", id_col="doc_id")

@@ -324,3 +324,129 @@ def test_dyadic_sketch_merge_by_sum(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter + CMS-pruned heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_sketch_matches_python_reference(spark, values):
+    m, k = 256, 3
+    got = {
+        (r["grp"], r["bit"])
+        for r in sk.bloom_sketch(
+            values, "val", m=m, k=k, group_cols=["grp"]
+        ).collect()
+    }
+    want = {
+        (grp, _py_word(val, f"bloom{i}") % m)
+        for grp, val in {(r["grp"], r["val"]) for r in values.collect()}
+        for i in range(k)
+    }
+    assert got == want
+
+
+def test_bloom_merge_by_distinct_union(spark, values):
+    """Mergeability: bloom(A) ∪ bloom(B) (distinct) == bloom(A ∪ B) —
+    bitwise OR in the dense view."""
+    whole = sk.bloom_sketch(values, "val", m=128, k=3, group_cols=["grp"])
+    a = values.filter(F.col("rep") % 2 == 0)
+    b = values.filter(F.col("rep") % 2 == 1)
+    merged = (
+        sk.bloom_sketch(a, "val", m=128, k=3, group_cols=["grp"])
+        .union(sk.bloom_sketch(b, "val", m=128, k=3, group_cols=["grp"]))
+        .distinct()
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_bloom_member_no_false_negatives_and_bounded_fpr(spark):
+    """Every inserted key passes; disjoint keys pass at ~fill^k, asserted
+    with a generous margin over the expected rate."""
+    m, k = 4096, 3
+    members = [f"in{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in members], "val string")
+    bits = {r["bit"] for r in sk.bloom_sketch(df, "val", m=m, k=k).collect()}
+    probe = spark.createDataFrame(
+        [(v, 1) for v in members] + [(f"out{i}", 0) for i in range(2000)],
+        "val string, is_member int",
+    )
+    got = probe.withColumn(
+        "hit", sk.bloom_member_expr(F.col("val"), bits, m=m, k=k)
+    ).collect()
+    assert all(r["hit"] for r in got if r["is_member"] == 1)
+    fill = len(bits) / m
+    fp = sum(1 for r in got if r["is_member"] == 0 and r["hit"]) / 2000
+    assert fp <= max(0.02, 4 * fill**k), f"fp={fp}, fill={fill}"
+
+
+def test_bloom_filtered_semijoin_equals_plain_semijoin(spark):
+    """The headline law: the bloom-pruned two-phase plan returns EXACTLY
+    the plain semi-join (no false negatives lose matches; the exact join
+    kills false positives)."""
+    left = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(500)], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(i * 3,) for i in range(100)], "rid long"
+    )
+    got = sk.bloom_filtered_semijoin(left, right, "id", "rid", m=1024, k=3)
+    want = left.join(
+        right.select(F.col("rid").alias("id")).distinct(), "id", "semi"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_heavy_hitters_equals_group_by_having(spark):
+    """CMS-pruned exact heavy hitters == plain GROUP BY/HAVING, including
+    under a deliberately tiny sketch (width 8) where nearly everything
+    is a false positive — the exact verify must kill them all."""
+    rows = [(f"hot{i % 3}",) for i in range(300)] + [
+        (f"tail{i}",) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "val string")
+    for width in (8, 1024):
+        got = sorted(
+            map(tuple, sk.heavy_hitters(df, "val", min_count=50, width=width).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.groupBy(F.col("val").alias("item"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .filter(F.col("cnt") >= 50)
+                .collect(),
+            )
+        )
+        assert got == want
+
+
+def test_heavy_hitters_prefilter_prunes_the_tail(spark):
+    """The scale property: with an adequate sketch the map-side prefilter
+    drops long-tail rows BEFORE the exchange — candidate mass stays near
+    the true heavy mass, not the corpus size."""
+    rows = [(f"hot{i % 2}",) for i in range(400)] + [
+        (f"tail{i}",) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "val string")
+    sketch = sk.cms_sketch(df.select(F.col("val").alias("item")), "item", depth=4, width=2048)
+    dense = [[0] * 2048 for _ in range(4)]
+    for r in sketch.collect():
+        dense[r["row"]][r["bucket"]] = r["cnt"]
+    est = F.least(
+        *[
+            F.element_at(
+                F.lit(dense[i]),
+                ((sk.hash_word(F.col("item"), f"cms{i}", word=0) % 2048) + 1).cast(
+                    "int"
+                ),
+            )
+            for i in range(4)
+        ]
+    )
+    survivors = (
+        df.select(F.col("val").alias("item")).filter(est >= 50).count()
+    )
+    # True heavy mass is 400 rows; allow a small false-positive margin.
+    assert 400 <= survivors <= 450
