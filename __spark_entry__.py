@@ -2281,6 +2281,31 @@ def q_sketch_bloom_bits(spark, sf_dir):
     )
 
 
+def q_sketch_bloom_hourly_users(spark, sf_dir):
+    """Windowed membership Bloom filter (sketches.bloom_sketch over
+    event-time hours): per-hour set bits of an m=1024, k=3 filter over
+    the active user_id set — the batch twin of the streaming
+    windowed_user_bloom (sakura_spark/streaming/events.py), built from
+    the same bloom_exprs so a closed streaming window's bits are
+    identical to this oracle-checked batch form (asserted in
+    tests/test_streaming.py). Completes the windowed-sketch symmetry:
+    HLL = cardinality, CMS = frequency, Bloom = membership. Plan: k bit
+    rows per event, map-side-combined distinct — per-hour state bounded
+    at m rows at any user cardinality."""
+    from sakura_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+            "hour"
+        ),
+        "user_id",
+    )
+    return sketches.bloom_sketch(
+        hourly, "user_id", m=1024, k=3, group_cols=["hour"]
+    )
+
+
 def q_sketch_bloom_semijoin(spark, sf_dir):
     """Bloom-pruned EXACT semi-join (sketches.bloom_filtered_semijoin):
     customers with at least one order above 480k, computed by pruning
@@ -2389,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_bloom_hourly_users": q_sketch_bloom_hourly_users,
         "curation_weighted_sample": q_curation_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_collocations": q_text_collocations,
@@ -2408,7 +2434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats": q_dedup_span_stats,
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_line_dedup": q_dedup_line_dedup,
-        "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "text_pii_redact": q_text_pii_redact,
         "text_normalize": q_text_normalize,
@@ -2500,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated past the cap in the round-7 session-4 rotation (all
         # r6-driver-green; eleven TPC-H siblings remain in the sweep):
         # round-7 session-5 rotation (r6-driver-green, siblings in-sweep):
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
@@ -3723,6 +3749,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 4096"
             "]) AS bit FROM orders) "
             "SELECT DISTINCT o_orderpriority, bit FROM b"
+        ),
+        "sketch_bloom_hourly_users": (
+            "WITH b AS (SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:%M') AS hour, unnest(["
+            "('0x' || substr(sha256(concat_ws(chr(31), 'bloom0', "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 1024, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'bloom1', "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 1024, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'bloom2', "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 1024"
+            "]) AS bit FROM events) "
+            "SELECT DISTINCT hour, bit FROM b"
         ),
         # The Bloom filter and CMS below are internal ACCELERATORS whose
         # results provably equal the exact operator (no false negatives +

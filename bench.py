@@ -93,6 +93,7 @@ EXTENDED = [
     "sketch_bloom_bits",
     "sketch_bloom_semijoin",
     "sketch_heavy_hitters",
+    "sketch_bloom_hourly_users",
     "curation_weighted_sample",
 ]
 

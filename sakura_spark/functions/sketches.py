@@ -559,18 +559,27 @@ def bloom_member_expr(
     hand-rolled runtime filter the way Spark's own
     InSubqueryExec/bloom-join pushdown would at cluster scale.
 
-    The dense form is a '0'/'1' STRING literal, not an array<boolean>
-    literal: a boxed boolean Seq serializes at ~32 bytes/element (a
-    measured 2.1 MiB task binary at m=64k), while the string is one byte
-    per bit — 64 KB in the plan, and substr on a literal string is a
-    cheap codegen'd offset read."""
-    dense = bytearray(b"0") * m
+    The dense form is an array<long> literal packing 60 bits per word
+    (the package's WORD_BITS convention keeps every value positive in a
+    signed long), probed with O(1) element_at + bitwiseAND. The two
+    rejected representations both hid per-row costs that SCALE WITH m:
+    a '0'/'1' string literal probed via substr pays UTF8String's O(pos)
+    code-point scan per probe (measured 0.69 s vs 0.22 s packed for 45k
+    probes at m=64k), and an array<boolean> literal was slower still
+    (1.49 s) besides serializing boxed at ~32 bytes/element. Packed
+    words are 8 bytes per 60 bits — ~9 KB in the plan at m=64k — and
+    probe cost is flat in m."""
+    nwords = -(-m // WORD_BITS)
+    words = [0] * nwords
     for b in set_bits:
-        dense[int(b)] = 0x31  # '1'
-    lut = F.lit(dense.decode("ascii"))
+        words[int(b) // WORD_BITS] |= 1 << (int(b) % WORD_BITS)
+    wlit = F.lit(words)
+    masks = F.lit([1 << i for i in range(WORD_BITS)])
     cond = None
     for pos in bloom_exprs(value, m=m, k=k, salt=salt):
-        hit = lut.substr((pos + 1).cast("int"), F.lit(1)) == "1"
+        word = F.element_at(wlit, (F.floor(pos / WORD_BITS) + 1).cast("int"))
+        mask = F.element_at(masks, ((pos % WORD_BITS) + 1).cast("int"))
+        hit = word.bitwiseAND(mask) != 0
         cond = hit if cond is None else (cond & hit)
     return cond
 
@@ -638,27 +647,39 @@ def heavy_hitters(
     transfer), and drops the long tail BEFORE the exchange — the exact
     count's shuffle carries only rows of candidate keys, bounded by
     N/min_count true hitters plus the eps-bounded false-positive mass.
-    Fused, map-only prefilter; no distinct, no window, no Python."""
+    Fused, map-only prefilter; no distinct, no window, no Python.
+
+    The prefilter tests ``min_i cnt_i >= min_count``, which is
+    ``AND_i (cnt_i >= min_count)`` — a BIT per (row, bucket), not a
+    count. Each CMS row's pass/fail bits pack into 60-bit long words
+    probed with O(1) element_at + bitwiseAND (the bloom_member_expr
+    representation): probing literal COUNT arrays instead paid the
+    boxed-array interpreted-eval tax per probe (measured 16.5 s -> 2.2 s
+    at sf0.1 for 260k x 4 probes when the count tables were the
+    width-sized array<long> literals)."""
     if min_count < 1:
         raise ValueError("min_count must be positive")
     values = df.select(F.col(value_col).alias("item"))
     sketch = cms_sketch(values, "item", depth=depth, width=width, salt=salt)
-    dense: list[list[int]] = [[0] * width for _ in range(depth)]
+    nwords = -(-width // WORD_BITS)
+    passes: list[list[int]] = [[0] * nwords for _ in range(depth)]
     for r in sketch.collect():
-        dense[r["row"]][r["bucket"]] = r["cnt"]
-    est = F.least(
-        *[
-            F.element_at(
-                F.lit(dense[i]),
-                (
-                    (hash_word(F.col("item"), f"{salt}{i}", word=0) % width) + 1
-                ).cast("int"),
-            )
-            for i in range(depth)
-        ]
-    )
+        if r["cnt"] >= min_count:
+            b = r["bucket"]
+            passes[r["row"]][b // WORD_BITS] |= 1 << (b % WORD_BITS)
+    masks = F.lit([1 << i for i in range(WORD_BITS)])
+    cond = None
+    for i in range(depth):
+        pos = hash_word(F.col("item"), f"{salt}{i}", word=0) % width
+        word = F.element_at(
+            F.lit(passes[i]), (F.floor(pos / WORD_BITS) + 1).cast("int")
+        )
+        hit = word.bitwiseAND(
+            F.element_at(masks, ((pos % WORD_BITS) + 1).cast("int"))
+        ) != 0
+        cond = hit if cond is None else (cond & hit)
     return (
-        values.filter(est >= min_count)
+        values.filter(cond)
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_count)

@@ -175,6 +175,42 @@ def windowed_user_cms(
     )
 
 
+def windowed_user_bloom(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    m: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Watermarked per-window Bloom filter of the active user set:
+    (window_start, window_end, bit) — the streaming twin of the batch
+    sketch_bloom_hourly_users entry, built from the SAME bloom_exprs so
+    a closed window's set bits are identical to the batch computation
+    (asserted in tests/test_streaming.py). Downstream,
+    sketches.bloom_member_expr answers "was user X active in hour H"
+    (no false negatives) from kilobytes of state — the membership
+    counterpart of the HLL (cardinality) and CMS (frequency) twins.
+
+    Scale shape: the dedup-to-bits aggregation keeps at most m rows of
+    state per window regardless of user cardinality, evicted by the
+    watermark; merging two streams' windows is the same distinct-union
+    (bitwise OR)."""
+    from sakura_spark.functions.sketches import bloom_exprs
+
+    bits = F.array(*bloom_exprs(F.col("user_id"), m=m, k=k))
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.explode(bits).alias("bit"))
+        .groupBy(F.window("ts", window).alias("win"), "bit")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bit",
+        )
+    )
+
+
 def attributed_purchases(
     views: DataFrame,
     purchases: DataFrame,

@@ -250,3 +250,38 @@ def test_windowed_user_cms_matches_batch_counters(spark, stream):
             assert want.get(key) == cnt, f"counter mismatch at {key}"
     finally:
         q.stop()
+
+
+def test_windowed_user_bloom_matches_batch_bits(spark, stream):
+    """Closed streaming windows must carry exactly the batch Bloom set
+    bits over the same rows — the membership twin of the HLL/CMS laws."""
+    from sakura_spark.functions import sketches
+
+    q = ev.run_to_memory(
+        ev.windowed_user_bloom(
+            ev.read_event_stream(spark, stream), window="1 hour", m=256, k=3
+        ),
+        "user_bloom",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r["window_start"], r["bit"])
+            for r in spark.table("user_bloom").collect()
+        }
+        assert got, "no watermark-closed windows emitted"
+        batch = spark.read.parquet(stream).select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        want = {
+            (r["window_start"], r["bit"])
+            for r in sketches.bloom_sketch(
+                batch, "user_id", m=256, k=3, group_cols=["window_start"]
+            ).collect()
+        }
+        emitted_windows = {w for w, _ in got}
+        # Append mode emits only closed windows; within those windows the
+        # bit sets must match exactly (both directions).
+        assert got == {(w, b) for w, b in want if w in emitted_windows}
+    finally:
+        q.stop()
