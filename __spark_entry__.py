@@ -2281,6 +2281,29 @@ def q_sketch_bloom_bits(spark, sf_dir):
     )
 
 
+def q_sketch_hll_cumulative_users(spark, sf_dir):
+    """Running distinct-users-to-date HLL registers
+    (sketches.hll_cumulative over the hourly registers): for each hour
+    the registers of the UNION of all hours up to it — MAX(rho) OVER
+    (PARTITION BY bucket ORDER BY hour) — so hll_estimate per hour gives
+    the cumulative-unique-users curve without re-scanning history. The
+    mergeability law applied along event time; integer-exact. Plan: the
+    corpus is touched once (hourly hll_registers); the cumulative window
+    runs over the register table only — hours x 2^p rows at any corpus
+    size."""
+    from sakura_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+            "hour"
+        ),
+        "user_id",
+    )
+    regs = sketches.hll_registers(hourly, ["hour"], "user_id", p=4)
+    return sketches.hll_cumulative(regs, "hour", p=4)
+
+
 def q_sketch_bloom_hourly_users(spark, sf_dir):
     """Windowed membership Bloom filter (sketches.bloom_sketch over
     event-time hours): per-hour set bits of an m=1024, k=3 filter over
@@ -2415,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_bloom_hourly_users": q_sketch_bloom_hourly_users,
+        "sketch_hll_cumulative_users": q_sketch_hll_cumulative_users,
         "curation_weighted_sample": q_curation_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_collocations": q_text_collocations,
@@ -2434,7 +2458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats": q_dedup_span_stats,
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_line_dedup": q_dedup_line_dedup,
-        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "text_pii_redact": q_text_pii_redact,
         "text_normalize": q_text_normalize,
         "text_chunk": q_text_chunk,
@@ -2525,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated past the cap in the round-7 session-4 rotation (all
         # r6-driver-green; eleven TPC-H siblings remain in the sweep):
         # round-7 session-5 rotation (r6-driver-green, siblings in-sweep):
+        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q20_promotion_suppliers": q_tpch_q20_promotion_suppliers,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
@@ -3749,6 +3773,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 4096"
             "]) AS bit FROM orders) "
             "SELECT DISTINCT o_orderpriority, bit FROM b"
+        ),
+        "sketch_hll_cumulative_users": (
+            "WITH h AS (SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:%M') AS hour, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 16 AS bucket, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(user_id AS VARCHAR))), 16, 15))::BIGINT AS v "
+            "FROM events), "
+            "regs AS (SELECT hour, bucket, CAST(MAX(CASE WHEN v = 0 THEN 61 "
+            "ELSE 61 - length(bin(v)) END) AS INTEGER) AS rho "
+            "FROM h GROUP BY hour, bucket), "
+            "grid AS (SELECT hour, unnest(range(16)) AS bucket "
+            "FROM (SELECT DISTINCT hour FROM regs)), "
+            "dense AS (SELECT g.hour, g.bucket, r.rho FROM grid g "
+            "LEFT JOIN regs r ON g.hour = r.hour AND g.bucket = r.bucket) "
+            "SELECT hour, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(MAX(rho) OVER (PARTITION BY bucket ORDER BY hour "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) "
+            "AS rho FROM dense "
+            "QUALIFY MAX(rho) OVER (PARTITION BY bucket ORDER BY hour "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL"
         ),
         "sketch_bloom_hourly_users": (
             "WITH b AS (SELECT strftime(date_trunc('hour', ts), "

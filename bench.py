@@ -94,6 +94,7 @@ EXTENDED = [
     "sketch_bloom_semijoin",
     "sketch_heavy_hitters",
     "sketch_bloom_hourly_users",
+    "sketch_hll_cumulative_users",
     "curation_weighted_sample",
 ]
 

@@ -684,3 +684,62 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+def hll_cumulative(
+    registers: DataFrame,
+    order_col: str,
+    p: int = 5,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., order, bucket, rho): running union of HLL register
+    tables along an ordering — for each key of ``order_col`` (hour, day,
+    shard) the COMPLETE registers of the union of all inputs up to and
+    including it. Feeding one order-key's rows to :func:`hll_estimate`
+    yields the "distinct users to date" curve every dashboard wants,
+    without ever re-scanning history — the mergeability law applied
+    along time. Integer-exact, oracle-checked.
+
+    A bare running-max window over the sparse register table is NOT
+    enough: a bucket hit at hour 1 but not hour 2 would have no hour-2
+    row to carry its rho, so hour 2's registers would silently lose it
+    (caught by the prefix-union differential in tests/test_sketches.py).
+    The registers are therefore densified first over the full
+    (order, bucket) grid — an EXPLODE of the literal 0..2^p-1 bucket
+    list per order key, not a cross join — then the per-bucket running
+    max forward-fills, and never-yet-hit buckets (null) drop out, which
+    is exactly the absent-register convention hll_estimate expects.
+
+    Plan: the corpus is touched once (by hll_registers); everything here
+    is sketch-sized — periods x 2^p grid rows per group, one equi-join,
+    one window. Lint-clean: no cartesian, no nested-loop join."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    grid = (
+        registers.select(*group_cols, order_col)
+        .distinct()
+        .select(
+            *group_cols,
+            order_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"),
+        )
+    )
+    dense = grid.join(
+        registers.withColumnRenamed("rho", "__rho"),
+        [*group_cols, order_col, "bucket"],
+        "left",
+    )
+    w = (
+        Window.partitionBy(*group_cols, "bucket")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.select(
+            *group_cols,
+            order_col,
+            "bucket",
+            F.max("__rho").over(w).alias("rho"),
+        )
+        .filter(F.col("rho").isNotNull())
+    )

@@ -450,3 +450,37 @@ def test_heavy_hitters_prefilter_prunes_the_tail(spark):
     )
     # True heavy mass is 400 rows; allow a small false-positive margin.
     assert 400 <= survivors <= 450
+
+
+def test_hll_cumulative_equals_prefix_union_registers(spark):
+    """hll_cumulative at order key t must equal hll_registers over all
+    rows with key <= t — the mergeability law applied along an ordering —
+    and the per-key estimates must be monotone non-decreasing."""
+    rows = [(t, f"u{(t * 31 + j) % 57}") for t in range(1, 6) for j in range(20)]
+    df = spark.createDataFrame(rows, "t int, uid string")
+    regs = sk.hll_registers(df, ["t"], "uid", p=4)
+    cum = sk.hll_cumulative(regs, "t")
+    got = {
+        (r["t"], r["bucket"]): r["rho"] for r in cum.collect()
+    }
+    for t in range(1, 6):
+        want = {
+            (t, r["bucket"]): r["rho"]
+            for r in sk.hll_registers(
+                df.filter(F.col("t") <= t).withColumn("t", F.lit(t)), ["t"], "uid", p=4
+            ).collect()
+        }
+        # A bucket may be absent at t in `got` only if absent in the
+        # prefix union too; present buckets must match exactly.
+        assert {k: v for k, v in got.items() if k[0] == t} == want, t
+    # Estimates are NOT strictly monotone (the linear-counting correction
+    # switch can dip); the guaranteed property is per-prefix accuracy:
+    # each t's estimate tracks the exact prefix distinct count within a
+    # generous multiple of the published 1.04/sqrt(16) error.
+    est = {
+        r["t"]: r["estimate"]
+        for r in sk.hll_estimate(cum, ["t"], p=4).collect()
+    }
+    for t in range(1, 6):
+        exact = len({u for tt, u in rows if tt <= t})
+        assert abs(est[t] - exact) <= 3 * 1.04 / 4 * exact + 2, (t, est[t], exact)
