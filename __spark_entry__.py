@@ -2383,6 +2383,65 @@ def q_sketch_heavy_hitters(spark, sf_dir):
     return sketches.heavy_hitters(grams, "g", min_count=5, depth=4, width=8192)
 
 
+def q_sketch_merge_law(spark, sf_dir):
+    """The mergeability LAW, driver-oracle-checked (sketches.hll_merge /
+    cms_merge / kmv_merge): lineitem is split into two disjoint halves by
+    orderkey parity, each half is sketched INDEPENDENTLY (HLL p=5 and
+    KMV bottom-32 of distinct partkeys per returnflag; an ungrouped
+    depth-4 x width-64 CMS of partkey frequency), and the halves are
+    merged register-wise (MAX / SUM / distinct-bottom-k). The oracle
+    computes the same three register families over the WHOLE table in one
+    pass — a hash match proves merged(parts) == whole(input) bit-for-bit,
+    the property that makes the family usable as partial aggregates
+    across 1000 executors or daily partition builds. Unified rows
+    (family, grp, i1, i2, val); plan cost: two corpus scans (one per
+    half; a real deployment sketches each shard where it lives), every
+    merge input and output register-sized."""
+    from sakura_spark.functions import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    hll = sketches.hll_merge(
+        sketches.hll_registers(half_a, ["l_returnflag"], "l_partkey", p=5).unionByName(
+            sketches.hll_registers(half_b, ["l_returnflag"], "l_partkey", p=5)
+        ),
+        ["l_returnflag"],
+    ).select(
+        F.lit("hll").alias("family"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("bucket").cast("long").alias("i1"),
+        F.lit(0).cast("long").alias("i2"),
+        F.col("rho").cast("long").alias("val"),
+    )
+    cms = sketches.cms_merge(
+        sketches.cms_sketch(half_a, "l_partkey", depth=4, width=64).unionByName(
+            sketches.cms_sketch(half_b, "l_partkey", depth=4, width=64)
+        )
+    ).select(
+        F.lit("cms").alias("family"),
+        F.lit("").alias("grp"),
+        F.col("row").cast("long").alias("i1"),
+        F.col("bucket").cast("long").alias("i2"),
+        F.col("cnt").cast("long").alias("val"),
+    )
+    kmv = sketches.kmv_merge(
+        sketches.kmv_sketch(half_a, ["l_returnflag"], "l_partkey", k=32).unionByName(
+            sketches.kmv_sketch(half_b, ["l_returnflag"], "l_partkey", k=32)
+        ),
+        ["l_returnflag"],
+        k=32,
+    ).select(
+        F.lit("kmv").alias("family"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("rank").cast("long").alias("i1"),
+        F.lit(0).cast("long").alias("i2"),
+        F.col("hval").alias("val"),
+    )
+    return hll.unionByName(cms).unionByName(kmv)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2428,12 +2487,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries — the count is asserted against COVERAGE.md by
     tests/test_scale.py::test_registry_contract — are verified locally
     by scripts/check_correctness.py regardless of order.
+
+    Round-8 rotation: curation_gopher_filter in (the one oracle-backed
+    entry never driver-swept — VERDICT r7 item 3) and sketch_merge_law in
+    (NEW oracle-backed, enters immediately); tpch_q10 + tpch_q17 out
+    (both green r6+r7, three join-agg TPC-H siblings q3/q21/q2 remain in
+    sweep).
     """
     return {
         # Round-7 session 5: the Bloom family + CMS-pruned heavy hitters
         # enter the sweep immediately (new-oracle-backed policy); three
         # r6-driver-green TPC-H shapes with many in-sweep siblings rotate
         # past the cap (q9, q11, q16).
+        # Round-8: sketch_merge_law (NEW, oracle-backed — the mergeability
+        # law as a driver row, VERDICT r7 item 6) enters the sweep;
+        # tpch_q17_small_quantity_revenue (driver-green r6+r7, siblings
+        # q3/q21/q2 still in sweep) rotates past the cap.
+        "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -2465,16 +2535,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-7 rotation: events_anomaly (new, oracle-backed) moves into
         # the driver's first-50 sweep window.
         "events_anomaly": q_events_anomaly,
+        # Round-8 rotation: curation_gopher_filter — the ONE oracle-backed
+        # entry never driver-checked (VERDICT r7 item 3) — enters the
+        # sweep; tpch_q10_returned_items (driver-green r6+r7, join-agg-topk
+        # siblings q3/q21/q2 still in sweep) rotates past the cap.
+        "curation_gopher_filter": q_curation_gopher_filter,
         "rel_diff": q_rel_diff,
         "curation_mixture": q_curation_mixture,
         "window_topk_per_group": q_window_topk_per_group,
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
-        "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
         "drl_fk_join": q_drl_fk_join,
         "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
@@ -2496,7 +2569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-query cap (all still locally verified;
         # rotated out after multiple green driver rounds —
         # see the rotation history in the queries() docstring) ---
-        "curation_gopher_filter": q_curation_gopher_filter,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
         "curation_contamination": q_curation_contamination,
         "events_top_paths": q_events_top_paths,
         "events_funnel": q_events_funnel,
@@ -3795,6 +3869,38 @@ def oracle_sql() -> dict[str, str]:
             "AS rho FROM dense "
             "QUALIFY MAX(rho) OVER (PARTITION BY bucket ORDER BY hour "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL"
+        ),
+        # The oracle computes all three register families over the WHOLE
+        # table in one pass; the Spark side sketches two disjoint halves
+        # and merges — a hash match IS the mergeability law.
+        "sketch_merge_law": (
+            "WITH hh AS (SELECT l_returnflag, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(l_partkey AS VARCHAR))), 1, 15))::BIGINT % 32 AS bucket, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(l_partkey AS VARCHAR))), 16, 15))::BIGINT AS v "
+            "FROM lineitem), "
+            "hll AS (SELECT 'hll' AS family, l_returnflag AS grp, "
+            "CAST(bucket AS BIGINT) AS i1, CAST(0 AS BIGINT) AS i2, "
+            "CAST(MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) "
+            "AS BIGINT) AS val FROM hh GROUP BY l_returnflag, bucket), "
+            "cp AS (SELECT i, ('0x' || substr(sha256(concat_ws(chr(31), "
+            "'cms' || CAST(i AS VARCHAR), CAST(l_partkey AS VARCHAR))), "
+            "1, 15))::BIGINT % 64 AS bucket FROM lineitem, range(4) t(i)), "
+            "cms AS (SELECT 'cms' AS family, '' AS grp, "
+            "CAST(i AS BIGINT) AS i1, CAST(bucket AS BIGINT) AS i2, "
+            "CAST(count(*) AS BIGINT) AS val FROM cp GROUP BY i, bucket), "
+            "kd AS (SELECT DISTINCT l_returnflag, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'kmv', "
+            "CAST(l_partkey AS VARCHAR))), 1, 15))::BIGINT AS hval "
+            "FROM lineitem), "
+            "kr AS (SELECT l_returnflag, hval, row_number() OVER ("
+            "PARTITION BY l_returnflag ORDER BY hval) AS rk FROM kd), "
+            "kmv AS (SELECT 'kmv' AS family, l_returnflag AS grp, "
+            "CAST(rk AS BIGINT) AS i1, CAST(0 AS BIGINT) AS i2, hval AS val "
+            "FROM kr WHERE rk <= 32) "
+            "SELECT * FROM hll UNION ALL SELECT * FROM cms "
+            "UNION ALL SELECT * FROM kmv"
         ),
         "sketch_bloom_hourly_users": (
             "WITH b AS (SELECT strftime(date_trunc('hour', ts), "

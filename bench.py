@@ -307,6 +307,26 @@ def main() -> None:
             }
         )
     )
+    # The driver records only a fixed-size TAIL of stdout; the full line
+    # above has outgrown it (BENCH_r07 "parsed": null — the line's head,
+    # including the headline total, fell outside the capture window). Emit
+    # a compact summary LAST so the tail window always ends with a complete
+    # parseable JSON line carrying the headline numbers; the full line
+    # stays for humans and local tooling.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpu_probe_md5_64mib_sec": env.get("cpu_probe_md5_64mib_sec"),
+                "loadavg_1m_at_start": env.get("loadavg_1m_at_start"),
+                "note": "compact twin of the full line above (driver tail-capture safety)",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -211,20 +211,105 @@ def _lit_vec(v: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
-def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+# Auto-switch point between ivf_assign's two physical strategies.
+# MEASURED (200k rows x dim 64, local[32], best-of-3 — full table in
+# SCALE.md "ivf_assign crossover"): the Arrow/BLAS kernel dominates at
+# EVERY k — 2.4x at k=8 (3.15 -> 1.32 s) widening to 174x at k=512
+# (98.9 -> 0.57 s); there is NO throughput crossover above it. The
+# literal tree's per-row fold work and its Catalyst planning cost both
+# grow with k*dim, while the kernel is one GEMM per Arrow batch. The
+# switch point is therefore a POLICY bound, not a throughput crossover:
+# at k <= 16 absolute costs are small either way and the literal path
+# keeps the plan Python-free (whole-stage codegen end-to-end, fold-order
+# float arithmetic identical to a SQL oracle's); past it the kernel's
+# advantage is decisive and growing. Callers can force either with
+# method=.
+IVF_ASSIGN_LITERAL_MAX_K = 16
+
+
+def _ivf_assign_broadcast(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Large-k assignment: the codebook rides the (broadcast) task binary
+    to every executor and each Arrow batch is scored in ONE BLAS call.
+
+    argmin_i ||x - c_i||^2 = argmin_i (||c_i||^2 - 2 x.c_i) — the ||x||^2
+    term is constant per row and dropped, so the kernel is a single
+    (batch x dim) @ (dim x k) GEMM plus a row argmin. This is the FAISS
+    assignment design (Johnson et al. 2017, arXiv:1702.08734 §3) and it
+    beats BOTH rejected alternatives at scale: the O(k*dim)-literal
+    expression tree (Catalyst planning/eval blowup — its docstring'd
+    crossover at k ~ hundreds is exactly SemDeDup's auto-k regime), and a
+    broadcast-joined centroid table + min_by aggregation (which
+    materializes n*k joined rows through the aggregate just to throw
+    k-1 of them away). Map-only: zero shuffle, zero join; the plan is
+    scan -> ArrowEvalPython -> project at ANY k.
+
+    Ties resolve to the lowest centroid index (np.argmin takes the first
+    minimum), the same contract as the literal path — duplicate
+    centroids therefore never attract points, which ivf_train's
+    distinct-seed invariant relies on.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    half_csq = 0.5 * np.einsum("ij,ij->i", C, C)  # (k,)
+
+    def _assign(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vecs.to_numpy())  # Arrow hands array<double> as ndarrays
+        # score_i = ||c_i||^2/2 - x.c_i  (monotone in the true distance)
+        scores = half_csq[None, :] - X @ C.T
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf cannot resolve against this closure — attach real types.
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _assign = pandas_udf("int")(_assign)
+
+    return df.withColumn("cluster_id", _assign(_as_double(F.col(vec_col))))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    method: str | None = None,
+) -> DataFrame:
     """Add `cluster_id` = argmin_i L2(vec, centroid_i).
 
-    Centroids are literal arrays folded into the projection (the coarse
-    codebook is always small enough to inline — the IVF analogue of a
-    broadcast). argmin as one transform over the nested literal centroid
-    array + array_position of the min (first match = smallest index on
-    ties, the same contract as the struct-argmin form this replaced,
-    whose O(k) separate fold expressions made Catalyst planning dominate
-    at k>=16 — see _pq_code_exprs): pure expressions, whole-stage
-    codegen, zero shuffle. At 100 TB this is the partitioning step:
-    write the table bucketed/partitioned by cluster_id so probe queries
-    prune to n_probe partitions at the scan.
+    Two physical strategies, auto-switched at the measured
+    ``IVF_ASSIGN_LITERAL_MAX_K`` crossover (``method`` forces
+    "literal"/"broadcast" explicitly):
+
+    * ``literal`` (small k): centroids folded into the projection as one
+      nested literal array + transform/array_position argmin (first
+      match = smallest index on ties, the same contract as the
+      struct-argmin form this replaced, whose O(k) separate fold
+      expressions made Catalyst planning dominate at k>=16 — see
+      _pq_code_exprs): pure expressions, whole-stage codegen, zero
+      shuffle, no Python boundary.
+    * ``broadcast`` (large k): Arrow-batched numpy GEMM against the
+      executor-broadcast codebook (:func:`_ivf_assign_broadcast`) —
+      SemDeDup's auto-k regime (k = n/256, tens of thousands at corpus
+      scale) needs this; the literal tree's planning/eval cost grows
+      with k while the kernel stays one BLAS call per batch.
+
+    Both are map-only (zero shuffle). At 100 TB this is the partitioning
+    step: write the table bucketed/partitioned by cluster_id so probe
+    queries prune to n_probe partitions at the scan.
     """
+    if method is None:
+        method = (
+            "literal" if len(centroids) <= IVF_ASSIGN_LITERAL_MAX_K else "broadcast"
+        )
+    if method == "broadcast":
+        return _ivf_assign_broadcast(df, centroids, vec_col)
+    if method != "literal":
+        raise ValueError(f"ivf_assign: unknown method {method!r}")
     dists = F.transform(
         F.array(*[_lit_vec(c) for c in centroids]),
         lambda c: _l2sq(F.col(vec_col), c),
@@ -836,10 +921,12 @@ def semantic_dedup(
     ``k = max(8, ceil(n / target_cluster_size))`` — the paper's regime
     (k in the tens of thousands at LAION scale, trained on a sample;
     ivf_train already bounds its seed/means transfers to the codebook).
-    Past k ~ a few hundred the literal-array argmin in ivf_assign
-    should flip to a broadcast-joined centroid table — the expression
-    tree is O(k*dim) literals; documented crossover, not reached by the
-    registered entries. The cluster self-join is a plain
+    Past ``IVF_ASSIGN_LITERAL_MAX_K`` the assignment auto-switches from
+    the literal-argmin expression tree (O(k*dim) literals — Catalyst
+    planning and per-row eval grow with k) to the Arrow/BLAS broadcast
+    kernel (one GEMM per batch, k-independent plan — measured 174x
+    faster at k=512, see ivf_assign), so the auto-k regime works at
+    corpus scale. The cluster self-join is a plain
     hash-partitioned equijoin on cluster_id (no CartesianProduct),
     dropped ids shrink to a distinct id set, and the final anti-join
     returns the kept corpus. ``max_cluster_size`` is a hard guard:

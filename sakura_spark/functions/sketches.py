@@ -115,6 +115,17 @@ def hll_registers(
     )
 
 
+def hll_merge(parts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge HLL register tables (any number, stacked by union) into one:
+    register-wise MAX. THE property that makes the family usable as a
+    partial aggregate across 1000 executors / daily partitions — each
+    shard sketches independently, merge cost is register-sized, and the
+    merged table is BIT-IDENTICAL to sketching the whole input at once
+    (MAX is associative/commutative/idempotent, so overlapping inputs
+    are also fine). Driver-oracle-checked by `sketch_merge_law`."""
+    return parts.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
 # Bias-correction constants alpha_m for m >= 16 (Flajolet et al. 2007 §4).
 def _alpha(m: int) -> float:
     if m == 16:
@@ -200,6 +211,17 @@ def cms_sketch(
             F.col("rb.bucket").alias("bucket"),
         )
         .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(parts: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge CMS counter tables (stacked by union) into one: counter-wise
+    SUM. Exact multiset-union semantics — counts from disjoint shards
+    add; the merged table is bit-identical to sketching the concatenated
+    input. The partial-aggregate twin of :func:`hll_merge`; driver-
+    oracle-checked by `sketch_merge_law`."""
+    return parts.groupBy(*(group_cols or []), "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
     )
 
 
@@ -420,8 +442,26 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
     return agg.select(*group_cols, "n_vals", est.alias("estimate"))
 
 
+def kmv_merge(parts: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge KMV bottom-k sketches (stacked by union) into one: DISTINCT
+    hash values, re-ranked, bottom k. Correct because bottom-k(A u B) is
+    a subset of bottom-k(A) u bottom-k(B) whenever each part kept >= k
+    values — so the merged sketch is bit-identical to sketching the whole
+    input (distinct absorbs values present in several parts). Driver-
+    oracle-checked by `sketch_merge_law`."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    distinct = parts.select(*group_cols, "hval").distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("hval").asc())
+    return (
+        distinct.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "hval")
+    )
+
+
 def kmv_pairwise_overlap(
-    sketch: DataFrame, group_col: str, k: int = 64
+    sketch: DataFrame, group_col: str, k: int = 64, max_groups: int = 1_000
 ) -> DataFrame:
     """(group_a, group_b, shared, union_k): for every unordered pair of
     groups in a :func:`kmv_sketch`, the bottom-k union sketch's size and
@@ -436,8 +476,25 @@ def kmv_pairwise_overlap(
     matter how many group pairs are compared. That is the point: corpus
     overlap questions (shared users across event types, shared vocab
     across sources, contamination across corpora) answered without ever
-    joining the corpora themselves."""
+    joining the corpora themselves.
+
+    ``max_groups`` is a hard guard (the `er.blocked_name_pairs` /
+    `dedup.jaccard_pairs` convention): the pair list is |groups|^2, which
+    is fine for CATEGORY-like group columns (event types, sources) but a
+    caller passing a high-cardinality key (user_id) would enumerate
+    billions^2 pairs. Counting the distinct group list is one eager
+    sketch-sized job at call time — cheap because the input is already a
+    sketch, and the alternative (lazy detonation inside a shuffle) is
+    unrecoverable."""
     groups = sketch.select(F.col(group_col).alias("g")).distinct()
+    n_groups = groups.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"kmv_pairwise_overlap: {n_groups} distinct groups in "
+            f"{group_col!r} (> max_groups={max_groups}) — the all-pairs "
+            "comparison is quadratic in the group count; pass a "
+            "category-like group column or raise max_groups explicitly"
+        )
     pairs = (
         groups.select(F.col("g").alias("ga"))
         .join(groups.select(F.col("g").alias("gb")))

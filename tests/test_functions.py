@@ -218,6 +218,64 @@ def test_ivf_assign_partitions_every_vector(spark):
     assert ids <= {0, 1, 2}
 
 
+def test_ivf_assign_paths_agree(spark):
+    """The literal expression-tree path and the Arrow/BLAS broadcast path
+    must produce the SAME assignment on real embeddings, at a small k and
+    at a k past the auto-switch point — including the ties-to-lowest-index
+    contract (checked with a duplicated centroid)."""
+    from sakura_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.limit(200).collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+
+    for k in (8, 150):
+        cents = vecs[:k]
+        got = {}
+        for method in ("literal", "broadcast"):
+            got[method] = {
+                r["vec_id"]: r["cluster_id"]
+                for r in similarity.ivf_assign(emb, cents, method=method).collect()
+            }
+        assert got["literal"] == got["broadcast"], f"paths diverge at k={k}"
+
+    # Duplicate centroid: every point equidistant from cents[0] and its
+    # copy appended at the END — both paths must pick the lower index, so
+    # the duplicate index never appears.
+    dup = vecs[:4] + [vecs[0]]
+    for method in ("literal", "broadcast"):
+        hit = (
+            similarity.ivf_assign(emb, dup, method=method)
+            .filter(F.col("cluster_id") == len(dup) - 1)
+            .count()
+        )
+        assert hit == 0, f"{method} path broke ties away from lowest index"
+
+
+def test_ivf_assign_auto_switch_and_large_k_plan(spark):
+    """Past IVF_ASSIGN_LITERAL_MAX_K the auto path must be the Arrow
+    kernel: the physical plan carries an ArrowEvalPython stage, stays
+    map-only (no Exchange), and — the round-7 scale-killer — contains NO
+    O(k*dim) literal subtree: its size must not grow with k (asserted at
+    k=4096, SemDeDup's auto-k regime at corpus scale)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    big_cents = rng.rand(4096, dim).tolist()
+    rows = [(i, rng.rand(dim).tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = similarity.ivf_assign(df, big_cents)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "auto path at k=4096 is not the Arrow kernel"
+    assert "Exchange" not in plan  # map-only: scan -> eval -> project
+    assert len(plan) < 20_000, f"plan grew with k ({len(plan)} chars)"
+    # And it actually computes: every vector lands in a real cell.
+    assert auto.filter(F.col("cluster_id").isNull()).count() == 0
+    assert auto.count() == 10
+
+
 def test_pq_exact_on_codebook_vectors(spark):
     """Vectors built FROM the codebook entries quantize with zero error,
     so ADC distances are exact and pq_search must equal brute-force

@@ -233,6 +233,20 @@ def test_registry_contract():
     m = re.search(r"(\d+) rows-only", text)
     assert m and int(m.group(1)) == len(qs) - len(oracles)
 
+    # README.md carries the same counters in its driver-contract section;
+    # it drifted in round 7 (said 128/117 at a 129/118 registry) because
+    # only COVERAGE.md was asserted. Enforce both documents.
+    readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    rtext = readme.read_text()
+    m = re.search(r"\((\d+) registered queries, (\d+) DuckDB oracle\b", rtext)
+    assert m, "README.md driver-contract counter line missing/reworded"
+    assert int(m.group(1)) == len(qs), (
+        f"README.md says {m.group(1)} registered queries, registry has {len(qs)}"
+    )
+    assert int(m.group(2)) == len(oracles), (
+        f"README.md says {m.group(2)} oracle twins, registry has {len(oracles)}"
+    )
+
 
 def test_all_registered_query_plans_are_scale_clean(spark):
     """Plan lint over the ENTIRE driver registry: no cartesian/nested-loop

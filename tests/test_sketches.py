@@ -83,6 +83,51 @@ def test_hll_registers_merge_by_max(spark, values):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
 
 
+def test_merge_functions_equal_whole_even_with_overlap(spark, values):
+    """The named merge APIs (hll_merge / cms_merge / kmv_merge): merging
+    per-part sketches equals sketching the whole input. HLL (MAX,
+    idempotent) and KMV (distinct bottom-k) must tolerate OVERLAPPING
+    parts; CMS (SUM) is multiset-union, checked on a disjoint split."""
+    a = values.filter(F.col("val") < "v5")
+    b = values.filter(~(F.col("val") < "v3"))  # overlaps a on v3..v4xx
+    assert a.join(b, ["grp", "val", "rep"]).count() > 0  # genuine overlap
+
+    hll = sk.hll_merge(
+        sk.hll_registers(a, ["grp"], "val", p=4).unionByName(
+            sk.hll_registers(b, ["grp"], "val", p=4)
+        ),
+        ["grp"],
+    )
+    hll_whole = sk.hll_registers(values, ["grp"], "val", p=4)
+    assert sorted(map(tuple, hll.collect())) == sorted(
+        map(tuple, hll_whole.collect())
+    )
+
+    kmv = sk.kmv_merge(
+        sk.kmv_sketch(a, ["grp"], "val", k=16).unionByName(
+            sk.kmv_sketch(b, ["grp"], "val", k=16)
+        ),
+        ["grp"],
+        k=16,
+    )
+    kmv_whole = sk.kmv_sketch(values, ["grp"], "val", k=16)
+    assert sorted(map(tuple, kmv.collect())) == sorted(
+        map(tuple, kmv_whole.collect())
+    )
+
+    da = values.filter(F.col("val") < "v5")
+    db = values.filter(~(F.col("val") < "v5"))
+    cms = sk.cms_merge(
+        sk.cms_sketch(da, "val", depth=3, width=32).unionByName(
+            sk.cms_sketch(db, "val", depth=3, width=32)
+        )
+    )
+    cms_whole = sk.cms_sketch(values, "val", depth=3, width=32)
+    assert sorted(map(tuple, cms.collect())) == sorted(
+        map(tuple, cms_whole.collect())
+    )
+
+
 def test_hll_estimate_insensitive_to_duplicates(spark, values):
     """Registers depend only on the distinct value set."""
     reg_all = sk.hll_registers(values, [], "val", p=5)
@@ -260,6 +305,22 @@ def test_kmv_pairwise_overlap_matches_per_pair_jaccard(spark):
     assert got[("a", "c")][0] == 0 and got[("b", "c")][0] == 0
     ab = got[("a", "b")]
     assert abs(ab[0] / ab[1] - 1 / 3) < 0.15
+
+
+def test_kmv_pairwise_overlap_guards_group_cardinality(spark):
+    """A high-cardinality group column (user_id-like) must hard-raise
+    instead of silently enumerating |groups|^2 pairs; raising max_groups
+    is the explicit opt-in."""
+    import pytest
+
+    rows = [(f"g{i}", f"v{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    sketch = sk.kmv_sketch(df, ["grp"], "val", k=8)
+    with pytest.raises(ValueError, match="max_groups"):
+        sk.kmv_pairwise_overlap(sketch, "grp", k=8, max_groups=10)
+    # Explicit opt-in past the guard still works.
+    out = sk.kmv_pairwise_overlap(sketch, "grp", k=8, max_groups=2_000)
+    assert out.count() == 50 * 49 // 2
 
 
 # ---------------------------------------------------------------------------
