@@ -211,6 +211,99 @@ def windowed_user_bloom(
     )
 
 
+_KMV_STATE_SCHEMA = "hvals array<long>"
+_KMV_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, rank int, hval long"
+)
+
+
+def windowed_user_kmv(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    k: int = 32,
+) -> DataFrame:
+    """Watermarked per-window KMV bottom-k sketch of the distinct user
+    set: (window_start, window_end, rank, hval) — the streaming twin of
+    the batch sketches.kmv_sketch, completing the windowed-sketch
+    symmetry (HLL = cardinality, CMS = frequency, Bloom = membership,
+    KMV = cardinality + set resemblance: the emitted rows feed
+    kmv_estimate / kmv_jaccard / kmv_merge unchanged).
+
+    Unlike the other three twins, bottom-k is not expressible as a
+    built-in streaming aggregate with BOUNDED state (collect_set would
+    hold every distinct hash per window), so this is the custom stateful
+    operator path: applyInPandasWithState keeps AT MOST k hash values
+    per open window — new arrivals merge-and-trim against the stored
+    bottom-k — and the window's final rows are emitted exactly once,
+    when the event-time timeout fires as the watermark passes
+    window_end (append semantics, matching the closed-window contract
+    of the agg-based twins). The hash is the SAME JVM-side
+    sketches.hash_word expression the batch sketch uses, applied BEFORE
+    the Python boundary, so a closed window's (rank, hval) rows are
+    bit-identical to kmv_sketch over the same rows (asserted in
+    tests/test_streaming.py).
+
+    Scale shape: state per window is k longs regardless of user
+    cardinality; late rows are dropped by the watermark before the
+    operator, and a timed-out window can never be resurrected (any
+    surviving row's window_end exceeds the watermark that fired the
+    timeout), so the once-per-window emission is exact."""
+    from sakura_spark.functions.sketches import hash_word
+
+    hv = hash_word(F.col("user_id"), "kmv", word=0)
+    # `ts` rides along untouched: the event-time watermark tag lives on
+    # it, and EventTimeTimeout requires a watermarked column to reach the
+    # stateful operator (projecting only the window-struct fields strips
+    # the tag and fails analysis).
+    prepped = (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", window).alias("win"), hv.alias("hval"), "ts")
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "hval",
+            "ts",
+        )
+    )
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        ws, we = key
+        if state.hasTimedOut:
+            (hvals,) = state.get
+            state.remove()
+            vals = sorted(hvals)
+            yield pd.DataFrame(
+                {
+                    "window_start": [ws] * len(vals),
+                    "window_end": [we] * len(vals),
+                    "rank": list(range(1, len(vals) + 1)),
+                    "hval": vals,
+                }
+            )
+            return
+        vals = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            vals.update(int(h) for h in pdf["hval"])
+            if len(vals) > k:
+                vals = set(sorted(vals)[:k])
+        state.update((sorted(vals),))
+        # Fire once the watermark passes the window end. window_end is
+        # always > any admitted row's ts >= the current watermark, but
+        # guard anyway (setTimeoutTimestamp requires a future timestamp).
+        we_ms = int(we.timestamp() * 1000)
+        state.setTimeoutTimestamp(max(we_ms, state.getCurrentWatermarkMs() + 1))
+        return
+
+    return prepped.groupBy("window_start", "window_end").applyInPandasWithState(
+        update,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 def attributed_purchases(
     views: DataFrame,
     purchases: DataFrame,

@@ -285,3 +285,51 @@ def test_windowed_user_bloom_matches_batch_bits(spark, stream):
         assert got == {(w, b) for w, b in want if w in emitted_windows}
     finally:
         q.stop()
+
+
+def test_windowed_user_kmv_matches_batch_sketch(spark, stream):
+    """Closed streaming windows must carry bit-identical KMV bottom-k
+    rows to batch kmv_sketch over the same rows — the set-resemblance
+    twin completing the HLL/CMS/Bloom symmetry. Exercises the
+    applyInPandasWithState path: bounded k-value state + event-time
+    timeout emission."""
+    from sakura_spark.functions import sketches
+
+    kk = 16
+    q = ev.run_to_memory(
+        ev.windowed_user_kmv(
+            ev.read_event_stream(spark, stream), window="1 hour", k=kk
+        ),
+        "user_kmv",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r["window_start"], r["rank"]): r["hval"]
+            for r in spark.table("user_kmv").collect()
+        }
+        assert got, "no watermark-closed windows emitted"
+        batch = spark.read.parquet(stream).select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        want = {
+            (r["window_start"], r["rank"]): r["hval"]
+            for r in sketches.kmv_sketch(
+                batch, ["window_start"], "user_id", k=kk
+            ).collect()
+        }
+        emitted_windows = {w for w, _ in got}
+        # Exactly-once per closed window, and within an emitted window the
+        # full (rank, hval) bottom-k must match batch bit-for-bit.
+        assert got == {
+            (w, rk): h for (w, rk), h in want.items() if w in emitted_windows
+        }
+        # The merge/estimate layers accept the emitted rows unchanged.
+        est = sketches.kmv_estimate(
+            spark.table("user_kmv").withColumnRenamed("window_start", "ws"),
+            ["ws"],
+            k=kk,
+        ).collect()
+        assert all(r["n_vals"] <= kk for r in est)
+    finally:
+        q.stop()
