@@ -342,13 +342,21 @@ def weighted_sample(
     win. This is how a curation pipeline samples a fixed token budget
     biased toward quality scores or document length without RNG state: u
     comes from the engine-portable sha256 word of the id
-    (sketches.hash_word), so the selected set is stable across runs,
-    engines, and partitionings, and re-sampling after corpus growth
-    perturbs only what the new rows displace.
+    (sketches.hash_word), so the selected set is stable across runs and
+    partitionings, and re-sampling after corpus growth perturbs only
+    what the new rows displace.
 
     The float key exists only in the ORDERING; the output is the
-    original rows, so driver hashes stay engine-exact (ties are
-    impossible — distinct ids give distinct 60-bit hash words).
+    original rows, so driver hashes compare the exact source values
+    (exact key TIES are impossible — distinct ids give distinct 60-bit
+    hash words). Cross-ENGINE determinism is near- but not strictly
+    guaranteed: both engines evaluate -ln(u)/w in IEEE double, but IEEE
+    754 does not require correctly-rounded transcendentals, so java
+    Math.log and libm log may differ in the last ulp; two rows whose
+    keys straddle the rank-k boundary within ~1 ulp could in principle
+    swap between Spark and a SQL oracle. With 60-bit u the probability
+    is negligible (and no such flip has been observed across the driver
+    sweeps), but it is a probabilistic, not structural, guarantee.
 
     Plan: the same lossless two-phase top-k as :func:`quota_per_group` —
     phase 1 ranks within (group, input-partition) so no single task

@@ -665,7 +665,15 @@ def bloom_filtered_semijoin(
     corpus never shuffles rows that cannot match — with a selective
     right side the exchange shrinks by the true match rate. Two jobs:
     the right-side distinct (register-sized shuffle) and the pruned
-    exact join."""
+    exact join.
+
+    .. note:: CALL-TIME SPARK JOB — unlike most builder functions, this
+       one is not fully lazy: the Bloom filter is collected EAGERLY when
+       the function is called (the bits must become plan literals before
+       the returned frame's plan can exist), so every call pays the
+       right-side scan even if the result is never executed. Build once
+       and reuse the returned frame rather than re-calling in a loop;
+       the same applies to :func:`heavy_hitters`' sketch phase."""
     sketch = bloom_sketch(right.select(right_col), right_col, m=m, k=k, salt=salt)
     set_bits = {r["bit"] for r in sketch.collect()}
     member = bloom_member_expr(F.col(left_col), set_bits, m=m, k=k, salt=salt)
