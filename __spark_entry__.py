@@ -1849,10 +1849,14 @@ def q_multimodal_decode(spark, sf_dir):
     old decode_image(imgs) JOIN decode_image(resize_image(imgs)) shape
     evaluated the synthesis subtree twice and shuffled for the join; at
     100 TB that is two corpus scans and a payload shuffle for zero extra
-    information. Same output schema; unfused ops remain pytest-covered."""
+    information. Same output schema; unfused ops remain pytest-covered.
+    Round-8 change: progressive SOF2 joins the container rotation — its
+    pixel decode (T.81 Annex G) closed the most common remaining
+    DecodeUnavailable boundary, and the driver query now exercises all
+    FOUR codecs (extended-bench timing resets again)."""
     docs = _t(spark, sf_dir, "documents")
     imgs = multimodal.synthetic_image_payload(
-        docs, formats=("png", "gif", "jpeg")
+        docs, formats=("png", "gif", "jpeg", "jpeg_progressive")
     )
     return multimodal.decode_resize_report(imgs, 4, 4).select(
         "doc_id", "height", "width", "channels", "r_height", "r_width"

@@ -6,13 +6,15 @@ Arrow-batched Pandas UDF signatures over mapInPandas, partition sizing — is
 real and tested. Codecs: PNG pixel decode / nearest-neighbour resize /
 re-encode are REAL (pure stdlib zlib + numpy: chunk walk, IDAT inflate,
 filter-0..4 unfiltering incl. Paeth), GIF pixel decode is REAL (LZW with
-growing code widths, global/local color tables, interlacing), and
-baseline sequential JPEG decode is REAL (DQT/DHT/SOF0/SOS walk, canonical
-Huffman entropy decode with restart markers, dequantize + vectorized
-IDCT, chroma upsampling, YCbCr->RGB); header sniffing for PNG/GIF/BMP/
-JPEG and WAV is real; remaining formats (progressive/arithmetic JPEG,
-compressed audio, video) stay behind `DecodeUnavailable` / deterministic
-fakes, clearly marked.
+growing code widths, global/local color tables, interlacing), and JPEG
+pixel decode is REAL for both baseline sequential (DQT/DHT/SOF0/SOS
+walk, canonical Huffman entropy decode with restart markers, dequantize
++ vectorized IDCT, chroma upsampling, YCbCr->RGB) and progressive SOF2
+(T.81 Annex G spectral selection + successive approximation, EOB runs,
+correction bits); header sniffing for PNG/GIF/BMP/JPEG and WAV is real;
+remaining formats (arithmetic/12-bit/hierarchical JPEG, compressed
+audio, video) stay behind `DecodeUnavailable` / deterministic fakes,
+clearly marked.
 
 At 100 TB binary payloads dominate I/O: the extractors below therefore run
 as mapInPandas over only the needed columns (column pruning drops the blob
@@ -602,16 +604,208 @@ _EXT_HALF = [0] + [1 << (t - 1) for t in range(1, 17)]
 _EXT_MASK = [0] + [(1 << t) - 1 for t in range(1, 17)]
 
 
-def _jpeg_decode(b: bytes):
-    """Baseline sequential JPEG decoder -> numpy uint8 (h, w, ch).
+def _jpeg_progressive_scan(
+    coef, scan, comps, comp_index, comp_meta, mcus_x, mcus_y, h, w, hmax, vmax
+):
+    """Decode ONE progressive (SOF2) scan into the shared zigzag
+    coefficient array — T.81 Annex G spectral selection + successive
+    approximation: DC first/refinement, AC first (EOB runs) and AC
+    refinement (correction bits), restart-interval aware. Control flow
+    mirrors the de-facto reading of G.1.2 established by libjpeg's
+    jdphuff (DC point transform = arithmetic shift, refinement bit ORed
+    at Al; AC refinement emits correction bits for every already-nonzero
+    coefficient the scan position passes)."""
+    import numpy as np
 
-    Real pixel decode, no image library. Supports SOF0/SOF1 (Huffman,
-    8-bit), any sampling factors up to 4x4 (4:4:4, 4:2:0, 4:2:2 covered
-    generically), restart intervals, and 1- or 3-component scans.
-    Progressive/arithmetic/12-bit/hierarchical payloads raise
-    DecodeUnavailable. Tables are always read from the stream's own
-    DQT/DHT segments, so any standards-conformant baseline file decodes
-    regardless of which tables produced it."""
+    scan_comps, Ss, Se, Ah, Al, hufftabs, restart, segments = scan
+    half, mask = _EXT_HALF, _EXT_MASK
+
+    dc_scan = Ss == 0
+    if Ss > 63 or Se > 63 or Se < Ss or Al > 13 or (dc_scan and Se != 0):
+        raise DecodeUnavailable("bad progressive spectral selection")
+    if not dc_scan and len(scan_comps) != 1:
+        raise DecodeUnavailable("progressive AC scan must be single-component")
+
+    sel = []
+    for cs, dc_id, ac_id in scan_comps:
+        if cs not in comp_index:
+            raise DecodeUnavailable("JPEG scan references an unknown component")
+        ci = comp_index[cs]
+        if dc_scan and Ah == 0:
+            if (0, dc_id) not in hufftabs:
+                raise DecodeUnavailable("JPEG references a missing Huffman table")
+            lut = hufftabs[(0, dc_id)]
+        elif not dc_scan:
+            if (1, ac_id) not in hufftabs:
+                raise DecodeUnavailable("JPEG references a missing Huffman table")
+            lut = hufftabs[(1, ac_id)]
+        else:
+            lut = None  # DC refinement reads raw bits only
+        sel.append((ci, lut))
+
+    interleaved = len(sel) > 1
+    if interleaved and not dc_scan:
+        raise DecodeUnavailable("progressive AC scan must be single-component")
+
+    # Unit enumeration: interleaved scans step MCUs; single-component
+    # scans step that component's OWN block raster — T.81 A.2.2: the
+    # MCU-grid padding blocks are absent from non-interleaved scans.
+    if interleaved:
+        total_units = mcus_x * mcus_y
+        bw = bh = base0 = st0 = 0
+    else:
+        _, hs0, vs0, base0, st0 = comp_meta[sel[0][0]]
+        bw = -(-(-(-w * hs0 // hmax)) // 8)
+        bh = -(-(-(-h * vs0 // vmax)) // 8)
+        total_units = bw * bh
+
+    unit = 0
+    for seg_bytes in segments:
+        n = len(seg_bytes)
+        d = np.frombuffer(seg_bytes + b"\x00\x00\x00", dtype=np.uint8).astype(
+            np.uint32
+        )
+        chunks = (
+            (d[:n] << 24) | (d[1 : n + 1] << 16) | (d[2 : n + 2] << 8) | d[3 : n + 3]
+        ).tolist()
+        total = n * 8
+        pos = 0
+        preds = [0] * len(comps)
+        eobrun = 0
+        limit = min(unit + restart, total_units) if restart else total_units
+
+        def bits(cnt):
+            nonlocal pos
+            if cnt == 0:
+                return 0
+            if pos + cnt > total:
+                raise DecodeUnavailable("truncated JPEG entropy data")
+            v = (chunks[pos >> 3] >> (32 - (pos & 7) - cnt)) & ((1 << cnt) - 1)
+            pos += cnt
+            return v
+
+        def huff(lut):
+            nonlocal pos
+            sym, ln = lut
+            if pos >= total:
+                raise DecodeUnavailable("truncated JPEG entropy data")
+            peek = (chunks[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+            code_len = ln[peek]
+            if code_len == 0 or pos + code_len > total:
+                raise DecodeUnavailable("invalid or truncated JPEG Huffman code")
+            pos += code_len
+            return sym[peek]
+
+        while unit < limit:
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                blocks = []
+                for ci, lut in sel:
+                    _, hs, vs, base_ci, st = comp_meta[ci]
+                    for by in range(vs):
+                        row = base_ci + (my * vs + by) * st + mx * hs
+                        for bx in range(hs):
+                            blocks.append((ci, lut, (row + bx) * 64))
+            else:
+                r_, c_ = divmod(unit, bw)
+                blocks = [(sel[0][0], sel[0][1], (base0 + r_ * st0 + c_) * 64)]
+
+            for ci, lut, base in blocks:
+                if dc_scan:
+                    if Ah == 0:
+                        t = huff(lut)
+                        if t:
+                            v = bits(t)
+                            preds[ci] += v if v >= half[t] else v - mask[t]
+                        coef[base] = preds[ci] << Al
+                    elif bits(1):
+                        coef[base] |= 1 << Al
+                elif Ah == 0:
+                    # AC first scan for this band: EOB runs + shifted values.
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = Ss
+                    while k <= Se:
+                        rs = huff(lut)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr != 15:
+                                eobrun = (1 << rr) - 1
+                                if rr:
+                                    eobrun += bits(rr)
+                                break
+                            k += 16
+                            continue
+                        k += rr
+                        if k > Se:
+                            raise DecodeUnavailable("JPEG AC index overflow")
+                        v = bits(s)
+                        coef[base + k] = (v if v >= half[s] else v - mask[s]) << Al
+                        k += 1
+                else:
+                    # AC refinement (G.1.2.3): new +-1<<Al significances,
+                    # correction bits for coefficients already nonzero.
+                    p1 = 1 << Al
+                    k = Ss
+                    if eobrun == 0:
+                        while k <= Se:
+                            rs = huff(lut)
+                            rr, s = rs >> 4, rs & 15
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise DecodeUnavailable(
+                                        "bad JPEG refinement symbol"
+                                    )
+                                val = p1 if bits(1) else -p1
+                            elif rr != 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += bits(rr)
+                                break
+                            while k <= Se:
+                                c = base + k
+                                cur = coef[c]
+                                if cur != 0:
+                                    if bits(1) and (cur & p1) == 0:
+                                        coef[c] = cur + (p1 if cur >= 0 else -p1)
+                                else:
+                                    if rr == 0:
+                                        break
+                                    rr -= 1
+                                k += 1
+                            if val and k <= Se:
+                                coef[base + k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= Se:
+                            c = base + k
+                            cur = coef[c]
+                            if cur != 0:
+                                if bits(1) and (cur & p1) == 0:
+                                    coef[c] = cur + (p1 if cur >= 0 else -p1)
+                            k += 1
+                        eobrun -= 1
+            unit += 1
+    if unit < total_units:
+        raise DecodeUnavailable("truncated JPEG scan")
+
+
+def _jpeg_decode(b: bytes):
+    """JPEG decoder -> numpy uint8 (h, w, ch): baseline sequential
+    (SOF0/SOF1) AND progressive (SOF2).
+
+    Real pixel decode, no image library. Supports Huffman 8-bit streams,
+    any sampling factors up to 4x4 (4:4:4, 4:2:0, 4:2:2 covered
+    generically), restart intervals, 1- or 3-component frames, and —
+    for progressive — arbitrary spectral-selection / successive-
+    approximation scan scripts (T.81 Annex G; see
+    _jpeg_progressive_scan). Arithmetic-coded, 12-bit, and hierarchical
+    payloads raise DecodeUnavailable. Tables are always read from the
+    stream's own DQT/DHT segments (redefinable between scans), so any
+    standards-conformant file decodes regardless of which tables
+    produced it."""
     import struct
 
     import numpy as np
@@ -625,8 +819,39 @@ def _jpeg_decode(b: bytes):
     frame = None
     restart = 0
     pos = 2
-    scan_comps = None
-    entropy_start = None
+    progressive = False
+    # One entry per SOS: (scan_comps, Ss, Se, Ah, Al, tables-at-scan-time,
+    # restart-at-scan-time, entropy segments). Baseline files have exactly
+    # one; progressive files have one per spectral/approximation pass.
+    scans: list[tuple] = []
+
+    def read_scan_segments(entropy_start: int) -> tuple[list[bytes], int]:
+        """Entropy-coded data from `entropy_start` to the next real marker,
+        split on restart markers with 0xFF00 unstuffed — one vectorized
+        pass over the 0xFF positions instead of a per-byte Python loop
+        (the entropy stream is the bulk of the file). Returns the interval
+        byte strings and the absolute offset of the terminating marker."""
+        arr = np.frombuffer(b, dtype=np.uint8)[entropy_start:]
+        ff = np.nonzero(arr == 0xFF)[0]
+        # Byte after each 0xFF; a trailing 0xFF with no successor acts as EOI.
+        nxt = np.where(
+            ff + 1 < len(arr), arr[np.minimum(ff + 1, len(arr) - 1)], np.uint8(0xD9)
+        )
+        is_stuff = nxt == 0x00
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        term = ~(is_stuff | is_rst)
+        end_idx = int(ff[term][0]) if term.any() else len(arr)
+        stuff_pos = ff[is_stuff & (ff < end_idx)]
+        rst_pos = ff[is_rst & (ff < end_idx)]
+        starts = np.concatenate(([0], rst_pos + 2))
+        ends = np.concatenate((rst_pos, [end_idx]))
+        out: list[bytes] = []
+        for s0, e0 in zip(starts, ends):
+            # Drop the 0x00 of each stuffed 0xFF00 pair inside this interval.
+            local_del = stuff_pos[(stuff_pos >= s0) & (stuff_pos < e0)] + 1 - s0
+            out.append(np.delete(arr[s0:e0], local_del).tobytes())
+        return out, entropy_start + end_idx
+
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise DecodeUnavailable("bad JPEG marker alignment")
@@ -659,7 +884,8 @@ def _jpeg_decode(b: bytes):
                 vals = list(seg[i + 17 : i + 17 + n])
                 hufftabs[(tclass, tid)] = _build_huffman_lut(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise DecodeUnavailable(f"unsupported JPEG precision {prec}")
@@ -668,23 +894,31 @@ def _jpeg_decode(b: bytes):
                 cid, samp, tq = seg[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise DecodeUnavailable(
-                "unsupported JPEG mode (progressive/arithmetic/lossless)"
+                "unsupported JPEG mode (arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if not seg or len(seg) < 4 + seg[0] * 2:
+                raise DecodeUnavailable("truncated JPEG scan header")
             ns = seg[0]
             scan_comps = []
             for si in range(ns):
                 cs, tabs = seg[1 + si * 2 : 3 + si * 2]
                 scan_comps.append((cs, tabs >> 4, tabs & 0xF))
-            entropy_start = pos + 2 + seg_len
-            break
+            ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+            segments, end_abs = read_scan_segments(pos + 2 + seg_len)
+            scans.append(
+                (scan_comps, ss, se, ahal >> 4, ahal & 0xF, dict(hufftabs),
+                 restart, segments)
+            )
+            pos = end_abs
+            continue
         pos += 2 + seg_len
-    if frame is None or scan_comps is None or entropy_start is None:
+    if frame is None or not scans:
         raise DecodeUnavailable("malformed JPEG: missing SOF/SOS")
     h, w, comps = frame
     if h == 0 or w == 0:
@@ -693,32 +927,8 @@ def _jpeg_decode(b: bytes):
     # grids + float64 IDCT blocks run ~16 bytes/pixel/component.
     if h * w * 16 * max(1, len(comps)) > _DECODE_BUDGET_BYTES:
         raise DecodeUnavailable("image dimensions exceed the decode budget")
-    if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
+    if len(comps) not in (1, 3):
         raise DecodeUnavailable("unsupported JPEG component layout")
-
-    # Collect entropy-coded data up to EOI, split on restart markers, and
-    # unstuff 0xFF00 within each interval — one vectorized pass over the
-    # 0xFF positions instead of a per-byte Python loop (the entropy stream
-    # is the bulk of the file).
-    arr = np.frombuffer(b, dtype=np.uint8)[entropy_start:]
-    ff = np.nonzero(arr == 0xFF)[0]
-    # Byte after each 0xFF; a trailing 0xFF with no successor acts as EOI.
-    nxt = np.where(
-        ff + 1 < len(arr), arr[np.minimum(ff + 1, len(arr) - 1)], np.uint8(0xD9)
-    )
-    is_stuff = nxt == 0x00
-    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    term = ~(is_stuff | is_rst)
-    end_idx = int(ff[term][0]) if term.any() else len(arr)
-    stuff_pos = ff[is_stuff & (ff < end_idx)]
-    rst_pos = ff[is_rst & (ff < end_idx)]
-    starts = np.concatenate(([0], rst_pos + 2))
-    ends = np.concatenate((rst_pos, [end_idx]))
-    segments: list[bytes] = []
-    for s0, e0 in zip(starts, ends):
-        # Drop the 0x00 of each stuffed 0xFF00 pair inside this interval.
-        local_del = stuff_pos[(stuff_pos >= s0) & (stuff_pos < e0)] + 1 - s0
-        segments.append(np.delete(arr[s0:e0], local_del).tobytes())
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -732,21 +942,12 @@ def _jpeg_decode(b: bytes):
     for cid, hs, vs, tq in comps:
         if tq not in qt:
             raise DecodeUnavailable("JPEG references a missing quant table")
-    tables = []
-    for cs, dc_id, ac_id in scan_comps:
-        if (0, dc_id) not in hufftabs or (1, ac_id) not in hufftabs:
-            raise DecodeUnavailable("JPEG references a missing Huffman table")
-        tables.append((hufftabs[(0, dc_id)], hufftabs[(1, ac_id)]))
+    comp_index = {cid: ci for ci, (cid, _, _, _) in enumerate(comps)}
 
-    # Whole-scan entropy walk (round-6 verdict item 8): one inlined
-    # pure-Python symbol loop — no method calls, no per-coefficient numpy
-    # scalar writes. Each symbol costs one 16-bit-window peek (a list
-    # lookup into precomputed 32-bit byte-windows) plus one LUT list
-    # lookup; nonzero coefficients accumulate into (flat index, value)
-    # lists and land in the coefficient array via ONE vectorized scatter
-    # at the end. Sparsity does the rest: a typical block emits a handful
-    # of coefficients, so the scatter is tiny next to the 64x dense grid
-    # the old per-coefficient assignment walked.
+    # Coefficient geometry (shared by both modes): each component's blocks
+    # live on its MCU-padded grid, flattened plane-by-plane; coefficient k
+    # of block i sits at i*64 + k in ZIGZAG order (the de-zigzag happens
+    # once, vectorized, in the IDCT tail).
     stride = [mcus_x * hs for (_, hs, _, _) in comps]
     nblocks = [mcus_y * vs * st for (_, _, vs, _), st in zip(comps, stride)]
     plane_base = [0]
@@ -757,12 +958,41 @@ def _jpeg_decode(b: bytes):
         (ci, hs, vs, plane_base[ci], stride[ci])
         for ci, (cid, hs, vs, tq) in enumerate(comps)
     ]
-    idx_out: list[int] = []
-    val_out: list[int] = []
+    total_mcus = mcus_x * mcus_y
     half, mask = _EXT_HALF, _EXT_MASK
 
+    if progressive:
+        for scan in scans:
+            _jpeg_progressive_scan(
+                coef, scan, comps, comp_index, comp_meta,
+                mcus_x, mcus_y, h, w, hmax, vmax,
+            )
+        segments, tables, restart = [], [], 0  # baseline walk below no-ops
+    else:
+        if len(scans) != 1:
+            raise DecodeUnavailable("unsupported multi-scan sequential JPEG")
+        scan_comps, _ss, _se, _ah, _al, scan_huff, restart, segments = scans[0]
+        if len(scan_comps) != len(comps):
+            raise DecodeUnavailable("unsupported JPEG component layout")
+        tables = []
+        for cs, dc_id, ac_id in scan_comps:
+            if (0, dc_id) not in scan_huff or (1, ac_id) not in scan_huff:
+                raise DecodeUnavailable("JPEG references a missing Huffman table")
+            tables.append((scan_huff[(0, dc_id)], scan_huff[(1, ac_id)]))
+
+    # Whole-scan entropy walk (round-6 verdict item 8): one inlined
+    # pure-Python symbol loop — no method calls, no per-coefficient numpy
+    # scalar writes. Each symbol costs one 16-bit-window peek (a list
+    # lookup into precomputed 32-bit byte-windows) plus one LUT list
+    # lookup; nonzero coefficients accumulate into (flat index, value)
+    # lists and land in the coefficient array via ONE vectorized scatter
+    # at the end. Sparsity does the rest: a typical block emits a handful
+    # of coefficients, so the scatter is tiny next to the 64x dense grid
+    # the old per-coefficient assignment walked.
+    idx_out: list[int] = []
+    val_out: list[int] = []
+
     mcu_index = 0
-    total_mcus = mcus_x * mcus_y
     for seg_bytes in segments:
         # Per-byte 32-bit big-endian windows (as a Python list: the loop
         # reads one scalar per symbol, and list indexing beats numpy
@@ -841,7 +1071,7 @@ def _jpeg_decode(b: bytes):
             mcu_index += 1
         if mcu_index >= total_mcus:
             break
-    if mcu_index < total_mcus:
+    if not progressive and mcu_index < total_mcus:
         raise DecodeUnavailable("truncated JPEG scan")
     if idx_out:
         coef[np.array(idx_out, dtype=np.int64)] = np.array(val_out, dtype=np.int32)
@@ -1048,6 +1278,299 @@ def _jpeg_encode(arr, subsample: bool = False, restart_interval: int = 0) -> byt
     return bytes(out)
 
 
+def _jpeg_encode_progressive(arr, subsample: bool = False) -> bytes:
+    """Progressive (SOF2) JPEG encoder for fixtures — the successive-
+    approximation twin of :func:`_jpeg_encode` (same all-ones quant
+    tables, same DCT, so the quantized coefficients are identical and a
+    progressive round-trip must reproduce the baseline round-trip's
+    pixels EXACTLY). Scan script exercises every decoder path:
+
+      1. DC first, interleaved, Al=1 (point transform = arithmetic shift)
+      2. DC refinement, Ah=1 Al=0 (raw bits)
+      3. per component: AC first, Ss=1 Se=63 Al=1 (EOB runs, ZRL,
+         magnitude categories on the shifted values)
+      4. per component: AC refinement, Ah=1 Al=0 (newly-significant
+         coefficients + buffered correction bits, T.81 G.1.2.3 /
+         libjpeg jcphuff flow)
+
+    The AC table carries the EOBn symbols (0x10..0xE0) baseline tables
+    lack, so multi-block EOB runs are really emitted and really decoded.
+    """
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch not in (1, 3):
+        raise DecodeUnavailable("JPEG encoder takes grayscale or RGB input")
+    if nch == 1 and subsample:
+        raise DecodeUnavailable("cannot subsample a grayscale JPEG")
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dc_vals = list(range(12))
+    # Baseline's 162 symbols + the 14 EOBn run-length symbols.
+    ac_vals = sorted(
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [r << 4 for r in range(1, 15)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    dc_table = {v: (length, code) for (length, code), v in
+                _build_huffman(dc_bits, dc_vals).items()}
+    ac_table = {v: (length, code) for (length, code), v in
+                _build_huffman(ac_bits, ac_vals).items()}
+
+    basis = _dct_basis()
+    zz = np.array(_ZIGZAG)
+
+    if nch == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        if subsample:
+            def down(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+                return (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0
+
+            channels = [(y, 2, 2), (down(cb), 1, 1), (down(cr), 1, 1)]
+        else:
+            channels = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    else:
+        channels = [(arr[:, :, 0].astype(np.float64), 1, 1)]
+
+    hmax = max(c[1] for c in channels)
+    vmax = max(c[2] for c in channels)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # Forward DCT, zigzag per block, per channel (same padding as baseline).
+    zz_grids = []
+    for plane, hs, vs in channels:
+        ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+        padded = np.empty((ph, pw), dtype=np.float64)
+        padded[: plane.shape[0], : plane.shape[1]] = plane
+        padded[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
+        padded[:, plane.shape[1] :] = padded[:, plane.shape[1] - 1 : plane.shape[1]]
+        blocks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        dct = np.einsum("ij,abjk,kl->abil", basis, blocks, basis.T)
+        grid = np.clip(np.rint(dct), -1023, 1023).astype(np.int32)
+        zz_grids.append(grid.reshape(grid.shape[0], grid.shape[1], 64)[:, :, zz])
+
+    scans_out: list[tuple[bytes, bytes]] = []  # (SOS header payload, entropy)
+
+    def new_writer():
+        out_bits = bytearray()
+        acc = [0, 0]
+
+        def put(code: int, length: int):
+            acc[0] = (acc[0] << length) | code
+            acc[1] += length
+            while acc[1] >= 8:
+                byte = (acc[0] >> (acc[1] - 8)) & 0xFF
+                out_bits.append(byte)
+                if byte == 0xFF:
+                    out_bits.append(0x00)
+                acc[1] -= 8
+            acc[0] &= (1 << acc[1]) - 1
+
+        def finish() -> bytes:
+            if acc[1]:
+                pad = 8 - acc[1]
+                put((1 << pad) - 1, pad)
+            return bytes(out_bits)
+
+        return put, finish
+
+    def sos_header(comp_sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = bytes([len(comp_sel)])
+        for ci in comp_sel:
+            hdr += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0 throughout
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    all_ci = list(range(len(channels)))
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    put, finish = new_writer()
+    preds = [0] * len(channels)
+    for mcu_index in range(mcus_y * mcus_x):
+        my, mx = divmod(mcu_index, mcus_x)
+        for ci, (_, hs, vs) in enumerate(channels):
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(zz_grids[ci][my * vs + by, mx * hs + bx, 0]) >> 1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size = int(abs(diff)).bit_length()
+                    ln, code = dc_table[size]
+                    put(code, ln)
+                    if size:
+                        put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    scans_out.append((sos_header(all_ci, 0, 0, 0, 1), finish()))
+
+    # --- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block) ---
+    put, finish = new_writer()
+    for mcu_index in range(mcus_y * mcus_x):
+        my, mx = divmod(mcu_index, mcus_x)
+        for ci, (_, hs, vs) in enumerate(channels):
+            for by in range(vs):
+                for bx in range(hs):
+                    put(int(zz_grids[ci][my * vs + by, mx * hs + bx, 0]) & 1, 1)
+    scans_out.append((sos_header(all_ci, 0, 0, 1, 0), finish()))
+
+    # Non-interleaved block grids (T.81 A.2.2: true component dims, not
+    # the MCU-padded grid).
+    comp_grid = []
+    for ci, (_, hs, vs) in enumerate(channels):
+        bw = -(-(-(-w * hs // hmax)) // 8)
+        bh = -(-(-(-h * vs // vmax)) // 8)
+        comp_grid.append((bw, bh))
+
+    # --- per component: AC first, Ss=1 Se=63, Al=1 ---
+    for ci, (_, hs, vs) in enumerate(channels):
+        bw, bh = comp_grid[ci]
+        put, finish = new_writer()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ln, code = ac_table[nbits << 4]
+                put(code, ln)
+                if nbits:
+                    put(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for bi in range(bw * bh):
+            r_, c_ = divmod(bi, bw)
+            cz = zz_grids[ci][r_, c_]
+            run = 0
+            for k in range(1, 64):
+                v = int(cz[k])
+                m = abs(v) >> 1
+                if m == 0:
+                    run += 1
+                    continue
+                flush_eobrun()
+                while run > 15:
+                    ln, code = ac_table[0xF0]
+                    put(code, ln)
+                    run -= 16
+                size = m.bit_length()
+                ln, code = ac_table[(run << 4) | size]
+                put(code, ln)
+                sv = m if v > 0 else -m
+                put(sv if sv >= 0 else sv + (1 << size) - 1, size)
+                run = 0
+            if run:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        scans_out.append((sos_header([ci], 1, 63, 0, 1), finish()))
+
+    # --- per component: AC refinement, Ss=1 Se=63, Ah=1 Al=0 ---
+    # Two correction-bit buffers, the T.81/libjpeg BE-vs-BR split:
+    # `run_bits` holds bits belonging to blocks already inside the pending
+    # EOB run (the decoder reads them right after the EOBn symbol);
+    # `pending` holds bits since the last symbol of the CURRENT block (the
+    # decoder reads them while advancing through the NEXT symbol's span).
+    # Collapsing them into one buffer mis-orders bits whenever a block
+    # both joins a run and opens with history coefficients.
+    for ci, (_, hs, vs) in enumerate(channels):
+        bw, bh = comp_grid[ci]
+        put, finish = new_writer()
+        eobrun = 0
+        run_bits: list[int] = []
+        pending: list[int] = []
+
+        def flush_pending():
+            nonlocal pending
+            for bit in pending:
+                put(bit, 1)
+            pending = []
+
+        def flush_eobrun():
+            nonlocal eobrun, run_bits
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ln, code = ac_table[nbits << 4]
+                put(code, ln)
+                if nbits:
+                    put(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+                for bit in run_bits:
+                    put(bit, 1)
+                run_bits = []
+
+        for bi in range(bw * bh):
+            r_, c_ = divmod(bi, bw)
+            cz = zz_grids[ci][r_, c_]
+            absv = [abs(int(cz[k])) for k in range(64)]
+            # Last newly-significant position: runs past it join the EOB run.
+            eobpos = max((k for k in range(1, 64) if absv[k] == 1), default=0)
+            run = 0
+            for k in range(1, 64):
+                a = absv[k]
+                if a == 0:
+                    run += 1
+                    continue
+                # ZRLs emitted at ANY nonzero coefficient (history too),
+                # BEFORE its own handling — each ZRL's span is 16 zero-
+                # history positions, and the correction bits flushed after
+                # it are exactly the history coefficients in that span.
+                while run > 15 and k <= eobpos:
+                    flush_eobrun()
+                    ln, code = ac_table[0xF0]
+                    put(code, ln)
+                    run -= 16
+                    flush_pending()
+                if a > 1:
+                    # Already significant after the first AC scan: one
+                    # correction bit, buffered behind the next symbol.
+                    pending.append(a & 1)
+                    continue
+                flush_eobrun()
+                ln, code = ac_table[(run << 4) | 1]
+                put(code, ln)
+                put(1 if int(cz[k]) > 0 else 0, 1)
+                flush_pending()
+                run = 0
+            if run > 0 or pending:
+                eobrun += 1
+                run_bits += pending
+                pending = []
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        scans_out.append((sos_header([ci], 1, 63, 1, 0), finish()))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(channels))
+    for ci, (_, hs, vs) in enumerate(channels):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    for hdr, entropy in scans_out:
+        out += seg(0xDA, hdr)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def synthetic_image_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     width: int = 8, height: int = 8, formats: tuple = ("png",),
@@ -1062,7 +1585,12 @@ def synthetic_image_payload(
     import numpy as np
 
     n = width * height
-    encoders = {"png": _png_encode, "gif": _gif_encode, "jpeg": _jpeg_encode}
+    encoders = {
+        "png": _png_encode,
+        "gif": _gif_encode,
+        "jpeg": _jpeg_encode,
+        "jpeg_progressive": _jpeg_encode_progressive,
+    }
     unknown = [f for f in formats if f not in encoders]
     if unknown:
         raise ValueError(f"no encoder for formats {unknown}")

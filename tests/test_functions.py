@@ -756,21 +756,29 @@ def test_jpeg_restart_intervals_roundtrip():
 
 
 def test_jpeg_unsupported_modes_and_guards():
-    """Boundary behavior: progressive (SOF2) raises DecodeUnavailable (the
-    remaining documented stub), truncated entropy data raises rather than
-    returning garbage, and declared dims above the budget bail before any
-    allocation."""
+    """Boundary behavior: arithmetic coding (SOF9) raises DecodeUnavailable
+    (the remaining documented stub — progressive SOF2 is now REAL),
+    truncated entropy data raises rather than returning garbage, and
+    declared dims above the budget bail before any allocation."""
     import struct
 
     import numpy as np
 
     base = multimodal._jpeg_encode(np.full((8, 8), 9, np.uint8))
-    # Rewrite SOF0 -> SOF2 (progressive): find the FFC0 marker.
-    prog = bytearray(base)
-    i = prog.find(b"\xff\xc0")
+    # Rewrite SOF0 -> SOF9 (arithmetic sequential): find the FFC0 marker.
+    arith = bytearray(base)
+    i = arith.find(b"\xff\xc0")
     assert i > 0
+    arith[i + 1] = 0xC9
+    with pytest.raises(multimodal.DecodeUnavailable, match="arithmetic"):
+        multimodal._jpeg_decode(bytes(arith))
+
+    # A baseline stream merely RELABELED SOF2 is not a valid progressive
+    # stream (its single scan has Ss=0, Se=63 — an illegal progressive
+    # band): the decoder must reject it, not misdecode it.
+    prog = bytearray(base)
     prog[i + 1] = 0xC2
-    with pytest.raises(multimodal.DecodeUnavailable, match="progressive|arithmetic"):
+    with pytest.raises(multimodal.DecodeUnavailable, match="spectral"):
         multimodal._jpeg_decode(bytes(prog))
 
     # Truncated scan: drop the tail of the entropy data.
@@ -783,6 +791,43 @@ def test_jpeg_unsupported_modes_and_guards():
     bomb[i + 5 : i + 9] = struct.pack(">HH", 65000, 65000)
     with pytest.raises(multimodal.DecodeUnavailable, match="decode budget"):
         multimodal._jpeg_decode(bytes(bomb))
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode is REAL: the progressive encoder uses the
+    same all-ones quant tables and DCT as the baseline encoder, so the
+    quantized coefficients are identical and the progressive round-trip
+    must reproduce the baseline round-trip's pixels EXACTLY — across
+    grayscale/RGB, 4:2:0 subsampling, non-multiple-of-8 dims, flat images
+    (multi-block EOB runs), and sparse images (ZRL + EOBRUN interplay).
+    The scan script covers every decoder path: DC first/refine,
+    AC first per band, AC refinement with buffered correction bits."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    grad = np.zeros((20, 17, 3), np.uint8)
+    for i in range(20):
+        for j in range(17):
+            grad[i, j] = [(i * 12) % 256, (j * 15) % 256, (i + j) % 256]
+    sparse = np.zeros((32, 32), np.uint8)
+    sparse[5, 7] = 255
+    sparse[20, 29] = 128
+    cases = [
+        (np.full((24, 24), 100, np.uint8), False),   # flat: EOB runs
+        (grad, False),
+        (grad, True),                                 # 4:2:0 chroma
+        (rng.randint(0, 256, (16, 16)).astype(np.uint8), False),
+        (rng.randint(0, 256, (17, 9, 3)).astype(np.uint8), False),
+        (sparse, False),                              # ZRL + EOBRUN
+    ]
+    for img, sub in cases:
+        enc = multimodal._jpeg_encode_progressive(img, subsample=sub)
+        fmt, w, h = multimodal._sniff_image(enc)
+        assert fmt == "jpeg" and (h, w) == img.shape[:2]
+        base = multimodal._jpeg_decode(multimodal._jpeg_encode(img, subsample=sub))
+        prog = multimodal._jpeg_decode(enc)
+        assert prog.shape == base.shape
+        assert (prog == base).all(), "progressive decode diverged from baseline"
 
 
 _EXTERNAL_JPEGS = [
