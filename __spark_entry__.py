@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from sakura_spark import algebra
-from sakura_spark.functions import bpe, curation, dedup, multimodal, similarity, text
+from sakura_spark.functions import audio, bpe, curation, dedup, multimodal, similarity, text
 from sakura_spark.functions.sharding import shard_pack
 from sakura_spark.functions.text import PII_EMAIL as _PII_EMAIL
 from sakura_spark.functions.text import PII_IPV4 as _PII_IPV4
@@ -1008,6 +1008,22 @@ def q_sim_semantic_dedup(spark, sf_dir):
 def q_multimodal_bytes(spark, sf_dir):
     docs = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_metadata(docs)
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio pipeline end-to-end: synthesize a WAV payload per
+    document (md5 waveform; sample rate / channels / codec / length rotate
+    by doc_id across 8k/16k/44.1k, mono/stereo, PCM-16/PCM-8/G.711
+    mu-law/A-law), then FULLY decode — RIFF chunk walk, PCM sample-matrix
+    build, G.711 table expansion — and report integer-exact metadata.
+    Oracle-backed: every synthesis parameter is a pure function of doc_id,
+    so plain SQL reproduces the expected metadata and a hash match proves
+    the real encoder and the real decoder agree on every payload. Both
+    stages are Arrow-batched mapInPandas over (id, payload) only; payloads
+    never cross a shuffle (map-only after the core-parallelism widening
+    repartition, same policy as the image pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return audio.decode_audio(audio.synthetic_wav_payload(docs))
 
 
 def q_curation_sample(spark, sf_dir):
@@ -2507,6 +2523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # law as a driver row, VERDICT r7 item 6) enters the sweep;
         # tpch_q17_small_quantity_revenue (driver-green r6+r7, siblings
         # q3/q21/q2 still in sweep) rotates past the cap.
+        # Round-8 session 2: multimodal_audio (NEW oracle-backed — the
+        # real WAV/G.711 encode->decode loop checked against the pure-SQL
+        # synthesis formulas) enters the sweep; tpch_q2_min_cost_supplier
+        # (driver-green r5-r7, siblings q3/q21 still in sweep) rotates
+        # past the cap.
+        "multimodal_audio": q_multimodal_audio,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2551,7 +2573,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_revenue": q_flagship_revenue,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
-        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "drl_fk_join": q_drl_fk_join,
         "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
@@ -2573,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-query cap (all still locally verified;
         # rotated out after multiple green driver rounds —
         # see the rotation history in the queries() docstring) ---
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
         "curation_contamination": q_curation_contamination,
@@ -3192,6 +3214,24 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS content_md5, 'application/octet-stream' AS mime FROM documents"
+        ),
+        # Every synthesis parameter of the WAV corpus is a pure function of
+        # doc_id (see audio.synthetic_wav_payload); the Spark side must
+        # recover them through the REAL encoder + decoder, so a hash match
+        # proves the full container round trip.
+        "multimodal_audio": (
+            "SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8' "
+            "WHEN 2 THEN 'mulaw' ELSE 'alaw' END AS codec, "
+            "CAST(256 + (doc_id % 4) * 64 AS BIGINT) AS n_samples, "
+            "CAST(1 + doc_id % 2 AS INT) AS channels, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "ELSE 44100 END AS INT) AS sample_rate, "
+            "CAST(CASE doc_id % 4 WHEN 0 THEN 16 ELSE 8 END AS INT) AS bits, "
+            "CAST((256 + (doc_id % 4) * 64) * 1000 // "
+            "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "ELSE 44100 END) AS BIGINT) AS duration_ms "
+            "FROM documents"
         ),
         "tpch_q18_large_orders": (
             "WITH big AS (SELECT l_orderkey, "

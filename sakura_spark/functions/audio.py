@@ -1,0 +1,510 @@
+"""Real audio decode + feature extraction over binary WAV payloads.
+
+The audio twin of the image codec stack in `multimodal.py`: audio is an
+opaque `binary` column; decode / feature-extract / frame-sample / resample
+run as Arrow-batched `mapInPandas` stages over only `(id, payload)`.
+
+Codecs are REAL, pure numpy + struct (no soundfile/ffmpeg):
+
+- RIFF/WAVE container walk (word-aligned chunks, fmt before data).
+- Linear PCM (wFormatTag=1): 8-bit unsigned, 16/24/32-bit signed LE.
+- IEEE float32 (wFormatTag=3), decoded to a float64 sample matrix.
+- ITU-T G.711 mu-law (wFormatTag=7) and A-law (wFormatTag=6) expansion —
+  table-driven, integer-exact against the published companding curves.
+- WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved through its SubFormat GUID to
+  the PCM / float / G.711 decoders above.
+
+Genuinely compressed formats (MP3 wFormatTag=0x55, AAC, ADPCM, ...) raise
+`DecodeUnavailable` — the honest stub boundary; their libraries are not in
+this environment. Reference parity: the reference stores media as opaque
+payloads with typed metadata (docs/architecture.org media notes); the
+decode capability itself is this engine's extension.
+
+At 100 TB the design rules match the image stack: payloads never cross a
+shuffle (every stage is map-only over pruned columns), Arrow batch size
+governs memory (spark.sql.execution.arrow.maxRecordsPerBatch), and the
+executor-side contract is 'decodable or NULL row', never a failed batch on
+malformed bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from sakura_spark.functions.multimodal import DecodeUnavailable
+
+# wFormatTag values (RIFF spec / mmreg.h — public constants)
+_FMT_PCM = 0x0001
+_FMT_FLOAT = 0x0003
+_FMT_ALAW = 0x0006
+_FMT_MULAW = 0x0007
+_FMT_EXTENSIBLE = 0xFFFE
+
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs: first two bytes carry the
+# classic wFormatTag; the 14-byte tail of the serialized GUID
+# XXXXXXXX-0000-0010-8000-00AA00389B71 is fixed (ksmedia.h).
+_EXT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def _mulaw_decode_table():
+    """ITU-T G.711 mu-law byte -> linear 16-bit PCM (the classic bias-132
+    segmented expansion; public-domain algorithm)."""
+    import numpy as np
+
+    tab = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = ((mantissa << 3) + 0x84) << exponent
+        magnitude -= 0x84
+        tab[code] = -magnitude if sign else magnitude
+    return tab
+
+
+def _alaw_decode_table():
+    """ITU-T G.711 A-law byte -> linear 16-bit PCM (0x55 XOR, segmented)."""
+    import numpy as np
+
+    tab = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        sign = a & 0x80
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent == 0:
+            magnitude = (mantissa << 4) + 8
+        else:
+            magnitude = ((mantissa << 4) + 0x108) << (exponent - 1)
+        # A-law sign convention is inverted vs mu-law: the 0x80 bit (after
+        # the 0x55 XOR) marks a POSITIVE sample (ITU-T G.711 / g711.c).
+        tab[code] = magnitude if sign else -magnitude
+    return tab
+
+
+def _mulaw_encode(samples):
+    """Linear int16 -> G.711 mu-law bytes (clip 32635, bias 0x84)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # exponent = position of the leading 1 in bits 7..13 of the biased value
+    exponent = np.floor(np.log2(mag)).astype(np.int32) - 7
+    exponent = np.clip(exponent, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def _alaw_encode(samples):
+    """Linear int16 -> G.711 A-law bytes (0x55 XOR, clip 32767)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exponent = np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7
+    exponent = np.clip(exponent, 0, 7)
+    low = (mag >> 4) & 0x0F
+    high = (mag >> (exponent + 3)) & 0x0F
+    mantissa = np.where(exponent == 0, low, high)
+    return (((sign | (exponent << 4) | mantissa) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def _wav_encode(samples, sample_rate: int, codec: str = "pcm16") -> bytes:
+    """Real RIFF/WAVE writer. ``samples`` is an int array of shape (n,) or
+    (n, channels) in 16-bit linear range; ``codec`` picks the container
+    encoding: pcm16 / pcm8 (unsigned, top byte) / pcm24 / pcm32 / float32 /
+    mulaw / alaw / extensible_pcm16 (0xFFFE wrapper, for decoder tests)."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if codec == "pcm16":
+        tag, bits = _FMT_PCM, 16
+        data = arr.astype("<i2").tobytes()
+    elif codec == "pcm8":
+        tag, bits = _FMT_PCM, 8
+        data = ((arr.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    elif codec == "pcm24":
+        tag, bits = _FMT_PCM, 24
+        x = arr.astype("<i4") << 8  # promote 16-bit range to 24-bit
+        b4 = x.astype("<i4").tobytes()
+        # low 3 LE bytes of each 32-bit word == the 24-bit LE encoding
+        data = b"".join(b4[i : i + 3] for i in range(0, len(b4), 4))
+    elif codec == "pcm32":
+        tag, bits = _FMT_PCM, 32
+        data = (arr.astype("<i4") << 16).tobytes()
+    elif codec == "float32":
+        tag, bits = _FMT_FLOAT, 32
+        data = (arr.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+    elif codec == "mulaw":
+        tag, bits = _FMT_MULAW, 8
+        data = _mulaw_encode(arr.ravel()).tobytes()
+    elif codec == "alaw":
+        tag, bits = _FMT_ALAW, 8
+        data = _alaw_encode(arr.ravel()).tobytes()
+    elif codec == "extensible_pcm16":
+        tag, bits = _FMT_EXTENSIBLE, 16
+        data = arr.astype("<i2").tobytes()
+    else:
+        raise ValueError(f"no WAV encoder for codec {codec!r}")
+
+    block_align = ch * (bits // 8)
+    byte_rate = sample_rate * block_align
+    if tag == _FMT_EXTENSIBLE:
+        sub = struct.pack("<H", _FMT_PCM) + _EXT_GUID_TAIL
+        fmt = struct.pack(
+            "<HHIIHHHHI", tag, ch, sample_rate, byte_rate, block_align, bits,
+            22, bits, 0x3,
+        ) + sub
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, ch, sample_rate, byte_rate, block_align, bits
+        )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _wav_decode(b: bytes):
+    """Real WAV decoder -> (samples, sample_rate, bits, codec_name).
+
+    ``samples`` is (n, channels): int32 for the PCM/G.711 paths (G.711
+    expands to linear 16-bit), float64 for IEEE float payloads. Compressed
+    formats and malformed containers raise DecodeUnavailable."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise DecodeUnavailable("not a RIFF/WAVE payload")
+    i = 12
+    tag = ch = rate = bits = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise DecodeUnavailable("truncated fmt chunk")
+            tag, ch, rate, _byte_rate, _block, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag == _FMT_EXTENSIBLE:
+                # cbSize(2) + wValidBits(2) + dwChannelMask(4) + SubFormat(16)
+                if len(body) < 40:
+                    raise DecodeUnavailable("truncated WAVE_FORMAT_EXTENSIBLE")
+                if body[26:40] != _EXT_GUID_TAIL:
+                    raise DecodeUnavailable("unknown EXTENSIBLE SubFormat GUID")
+                (tag,) = struct.unpack("<H", body[24:26])
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize & 1)
+    if tag is None or data is None:
+        raise DecodeUnavailable("WAV missing fmt or data chunk")
+    if ch is None or ch < 1 or rate is None or rate < 1:
+        raise DecodeUnavailable("WAV declares no channels or sample rate")
+
+    if tag == _FMT_PCM and bits == 16:
+        flat = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int32)
+        name = "pcm16"
+    elif tag == _FMT_PCM and bits == 8:
+        flat = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        flat = flat << 8  # normalize to 16-bit range like the other paths
+        name = "pcm8"
+    elif tag == _FMT_PCM and bits == 24:
+        usable = len(data) // 3 * 3
+        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+        flat = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        flat = (flat << 8) >> 8  # sign-extend 24 -> 32
+        name = "pcm24"
+    elif tag == _FMT_PCM and bits == 32:
+        flat = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4").astype(np.int32)
+        name = "pcm32"
+    elif tag == _FMT_FLOAT and bits == 32:
+        flat = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(np.float64)
+        name = "float32"
+    elif tag == _FMT_MULAW and bits == 8:
+        flat = _mulaw_decode_table()[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int32
+        )
+        name = "mulaw"
+    elif tag == _FMT_ALAW and bits == 8:
+        flat = _alaw_decode_table()[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int32
+        )
+        name = "alaw"
+    elif tag == 0x0055:
+        raise DecodeUnavailable("MP3-in-WAV: compressed audio decode is stubbed")
+    else:
+        raise DecodeUnavailable(f"no decoder for wFormatTag=0x{tag:04x}/{bits}-bit")
+
+    n = len(flat) // ch
+    return flat[: n * ch].reshape(n, ch), rate, bits, name
+
+
+def _decode_or_none(b):
+    try:
+        return _wav_decode(bytes(b))
+    except DecodeUnavailable:
+        return None
+    except Exception:
+        return None
+
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, codec string, n_samples long, channels int, "
+    "sample_rate int, bits int, duration_ms long"
+)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Full-decode audio metadata: the sample matrix is actually built (not
+    just the header sniffed — contrast `multimodal.audio_info`), so
+    n_samples comes from the decoded data, and duration is integer-exact:
+    duration_ms = n_samples * 1000 // sample_rate. Undecodable payloads
+    yield NULL metadata rows. Map-only; payloads never shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                d = _decode_or_none(b)
+                if d is None:
+                    rows.append((int(i), None, None, None, None, None, None))
+                else:
+                    samples, rate, bits, name = d
+                    n = samples.shape[0]
+                    rows.append(
+                        (int(i), name, n, samples.shape[1], rate, bits,
+                         n * 1000 // rate)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "codec", "n_samples", "channels", "sample_rate",
+                    "bits", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, schema=AUDIO_DECODE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, peak_abs long, zero_crossings long, "
+    "energy_sumsq double, rms double"
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Waveform features over the decoded first channel: peak absolute
+    amplitude, zero-crossing count (sign changes, zeros attached to the
+    previous sign), energy (sum of squared samples — exact integer
+    arithmetic for PCM <= 24-bit, reported as double), and RMS. NULL rows
+    for undecodable payloads."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                d = _decode_or_none(b)
+                if d is None or d[0].shape[0] == 0:
+                    rows.append((int(i), None, None, None, None, None))
+                    continue
+                x = d[0][:, 0]
+                xf = x.astype(np.float64)
+                # int64 sum of squares: exact for PCM <= 24-bit at any
+                # realistic length (2^48 per sample; overflow needs > 2^15
+                # full-scale samples only for pcm32, where float64 already
+                # lost exactness at the sample level).
+                if np.issubdtype(x.dtype, np.integer):
+                    sumsq = int(np.sum(xf * xf))
+                else:
+                    sumsq = float(np.sum(xf * xf))
+                sign = np.where(xf >= 0, 1, -1)
+                zc = int(np.count_nonzero(sign[1:] != sign[:-1]))
+                rows.append(
+                    (int(i), x.shape[0], int(np.max(np.abs(xf))), zc,
+                     float(sumsq), float(np.sqrt(sumsq / x.shape[0])))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "peak_abs", "zero_crossings",
+                    "energy_sumsq", "rms",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, n long, peak_abs long, energy_sumsq double"
+)
+
+
+def frame_energy(
+    df: DataFrame, frame_ms: int = 25, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sample the waveform: fixed frame_ms windows over the first
+    channel, one output row per frame with its exact sample count, peak and
+    energy — the audio analog of video frame sampling. Frame length in
+    samples = sample_rate * frame_ms // 1000 (last frame ragged). Map-only
+    explode: output rows ~ duration/frame_ms per doc, payload pruned after."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ns, peaks, sums = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                d = _decode_or_none(b)
+                if d is None:
+                    continue
+                x = d[0][:, 0].astype(np.float64)
+                flen = max(1, d[1] * frame_ms // 1000)
+                for k in range(0, max(len(x), 1), flen):
+                    fr = x[k : k + flen]
+                    if fr.size == 0:
+                        continue
+                    ids.append(int(i))
+                    fidx.append(k // flen)
+                    ns.append(fr.size)
+                    peaks.append(int(np.max(np.abs(fr))))
+                    sums.append(float(np.sum(fr * fr)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "n": pd.Series(ns, dtype="int64"),
+                    "peak_abs": pd.Series(peaks, dtype="int64"),
+                    "energy_sumsq": pd.Series(sums, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def resample_audio(
+    df: DataFrame, target_rate: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Nearest-index resample to ``target_rate``, re-encoded as 16-bit PCM
+    WAV: out[i] = in[i * src_rate // target_rate], n_out = n_in *
+    target_rate // src_rate — all integer arithmetic, so the mapping is
+    engine- and platform-exact. Undecodable payloads pass through as NULL.
+    Map-only (the payload transform happens where the payload already is)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for b in pdf["payload"]:
+                d = _decode_or_none(b)
+                if d is None:
+                    payloads.append(None)
+                    continue
+                samples, rate, _bits, _name = d
+                n_out = samples.shape[0] * target_rate // rate
+                idx = np.arange(n_out, dtype=np.int64) * rate // target_rate
+                out = samples[idx]
+                if not np.issubdtype(out.dtype, np.integer):
+                    out = np.clip(np.rint(out * 32768.0), -32768, 32767)
+                out = np.clip(out, -32768, 32767).astype(np.int16)
+                payloads.append(_wav_encode(out, target_rate, "pcm16"))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, payload binary"
+    )
+
+
+def dominant_frequency(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Dominant spectral component of the first channel: rFFT magnitude
+    argmax over non-DC bins -> (bin index, frequency in Hz = bin *
+    sample_rate / n). The bin index is a deterministic integer (ties break
+    to the lowest bin via argmax); the Hz layer is float."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                d = _decode_or_none(b)
+                if d is None or d[0].shape[0] < 2:
+                    rows.append((int(i), None, None))
+                    continue
+                x = d[0][:, 0].astype(np.float64)
+                mag = np.abs(np.fft.rfft(x))
+                k = int(np.argmax(mag[1:])) + 1 if mag.size > 1 else 0
+                rows.append((int(i), k, k * d[1] / x.shape[0]))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "peak_bin", "peak_hz"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, peak_bin long, peak_hz double"
+    )
+
+
+SYNTH_RATES = (8000, 16000, 44100)
+SYNTH_CODECS = ("pcm16", "pcm8", "mulaw", "alaw")
+
+
+def synthetic_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    base_samples: int = 256,
+) -> DataFrame:
+    """Deterministic audio-corpus generator, the WAV twin of
+    `multimodal.synthetic_image_payload`: each row's md5 digest becomes a
+    16-bit waveform (digest bytes tiled as little-endian int16 pairs, per-
+    channel rotation so channels differ), wrapped in a REAL WAV container.
+
+    Rotation is by row id, so every synthesis parameter is reproducible in
+    plain SQL — the basis of the driver oracle:
+      sample_rate = (8000, 16000, 44100)[id % 3]
+      channels    = 1 + id % 2
+      codec       = (pcm16, pcm8, mulaw, alaw)[id % 4]
+      n_samples   = base_samples + (id % 4) * 64
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                i = int(i)
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                n = base_samples + (i % 4) * 64
+                ch = 1 + i % 2
+                base = np.frombuffer(digest, dtype="<i2").astype(np.int32)
+                flat = np.tile(base, n // base.size + 1)[:n]
+                samples = np.stack(
+                    [np.roll(flat, c) for c in range(ch)], axis=1
+                ).astype(np.int16)
+                payloads.append(
+                    _wav_encode(
+                        samples, SYNTH_RATES[i % 3], SYNTH_CODECS[i % 4]
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    src = df.select(id_col, text_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(op, schema=f"{id_col} long, payload binary")
