@@ -2095,6 +2095,26 @@ def q_text_vocab_topk(spark, sf_dir):
     )
 
 
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval, hash-exact surface (ir.bm25_saturation_topk):
+    top-25 documents for a fixed 4-term query under BM25's tf-saturation
+    weighting with k1=6/5, b=3/4, avgdl=L/N. Every term weight is ONE
+    correctly-rounded IEEE division of exact int64s and the per-doc score
+    sums the 4 weights in fixed query order, so the double hashes
+    bit-identically in any IEEE engine (the sim_cosine_topk discipline;
+    the float ln() idf layer is ir.bm25, pytest-checked). Plan: one
+    eager corpus-totals agg for the (L, N) plan literals, then a single
+    corpus pass — explode with dl riding each row, map-side isin() prune
+    to the 4 query grams, one count agg, one conditional agg,
+    TakeOrderedAndProject."""
+    from sakura_spark.functions import ir
+
+    docs = _t(spark, sf_dir, "documents")
+    return ir.bm25_saturation_topk(
+        docs, ["spark", "window", "merge", "vector"], k=25
+    )
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """TF-IDF keyword extraction, integer-exact surface (ir.tfidf_topk):
     top-5 characteristic terms per document by term frequency after
@@ -2529,6 +2549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r5-r7, siblings q3/q21 still in sweep) rotates
         # past the cap.
         "multimodal_audio": q_multimodal_audio,
+        # Round-8 session 2: text_bm25_topk (NEW oracle-backed — BM25
+        # tf-saturation ranking, hash-exact via integer-division scoring)
+        # enters the sweep; range_join (driver-green r2-r7, sibling
+        # asof_join stays in sweep) rotates past the cap.
+        "text_bm25_topk": q_text_bm25_topk,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2581,7 +2606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_relations": q_catalog_relations,
         "curation_quality_report": q_curation_quality_report,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         "events_sessionize": q_events_sessionize,
         "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
@@ -2595,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out after multiple green driver rounds —
         # see the rotation history in the queries() docstring) ---
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "range_join": q_range_join,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
         "curation_contamination": q_curation_contamination,
@@ -3736,6 +3761,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN nt >= 5 AND digit_ratio < 0.3 AND mean_token_len > 1.0 "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_ok "
             "FROM m GROUP BY source ORDER BY source"
+        ),
+        # BM25 tf-saturation scoring in exact arithmetic: each term weight
+        # is CAST(int64)/CAST(int64) — correctly rounded by IEEE 754 in
+        # both engines — and the score sums the four weights in fixed
+        # query order, so the doubles hash bit-identically.
+        "text_bm25_topk": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "tot AS (SELECT sum(len(w)) AS L, count(*) AS N FROM t), "
+            "m AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t), "
+            "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM m "
+            "WHERE term IN ('spark', 'window', 'merge', 'vector') "
+            "GROUP BY 1, 2, 3), "
+            "s AS (SELECT doc_id, dl, term, "
+            "CAST(tf * 44 * L AS DOUBLE) / "
+            "CAST(tf * 20 * L + 6 * L + dl * 18 * N AS DOUBLE) AS sv "
+            "FROM tf, tot), "
+            "agg AS (SELECT doc_id, dl, count(*) AS n_matched, "
+            "sum(CASE WHEN term = 'spark' THEN sv END) AS s0, "
+            "sum(CASE WHEN term = 'window' THEN sv END) AS s1, "
+            "sum(CASE WHEN term = 'merge' THEN sv END) AS s2, "
+            "sum(CASE WHEN term = 'vector' THEN sv END) AS s3 "
+            "FROM s GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(dl AS BIGINT) AS dl, n_matched, "
+            "COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) "
+            "+ COALESCE(s3, 0.0) AS score "
+            "FROM agg ORDER BY score DESC, doc_id LIMIT 25"
         ),
         "text_tfidf_topk": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

@@ -179,6 +179,147 @@ def pmi(colloc: DataFrame, total_tokens: int) -> DataFrame:
     )
 
 
+def bm25_saturation_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    max_df: int | None = None,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a fixed query under BM25's tf-saturation
+    scoring (Robertson et al., Okapi BM25) — hash-stable across engines.
+
+    Each matched query term contributes the BM25 term weight
+
+        s = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with k1, b as exact rationals (defaults 6/5, 3/4) and avgdl = L/N
+    (corpus token total / doc count). Clearing denominators makes both
+    sides of the division exact int64:
+
+        num = tf * (k1n+k1d) * bd * L
+        den = tf * k1d*bd*L  +  k1n*(bd-bn)*L  +  k1n*bn*dl*N
+
+    so ``s`` is ONE correctly-rounded IEEE division of exactly-represented
+    integers — bit-identical in any IEEE engine (the same discipline as
+    sim_cosine_topk's fold). The per-document score sums each term's s in
+    FIXED query order via conditional aggregation, so the addition order
+    is part of the contract and the final double hashes exactly. The idf
+    factor is applied in its integer-exact spelling — terms above
+    ``max_df`` are dropped outright (same convention as tfidf_topk); the
+    float ln() idf variant is :func:`bm25` (pytest-checked — ln is not
+    bit-stable across engines).
+
+    Scale shape: corpus totals (L, N) are ONE eager aggregate at call time
+    (documented, like the sketch builders — the constants must become plan
+    literals); scoring is then a single corpus pass: tokenize -> explode
+    with the per-doc length riding each row -> map-side isin() prune to
+    the query terms (a handful of grams — the filter reaches the explode,
+    nothing else survives to the shuffle) -> one (doc,dl,term) count agg
+    -> one conditional agg per doc -> TakeOrderedAndProject for the
+    top-k. No join-back to the corpus, no vocabulary table needed."""
+    if not query_terms:
+        raise ValueError("bm25_saturation_topk needs at least one query term")
+    k1n, k1d = k1
+    bn, bd = b
+    toks = word_tokens(F.col(text_col))
+    totals = (
+        df.select(F.sum(F.size(toks)).alias("L"), F.count("*").alias("N"))
+        .first()
+    )
+    L, N = int(totals["L"]), int(totals["N"])
+
+    matched = (
+        df.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if max_df is not None:
+        dfreq = (
+            matched.groupBy("term")
+            .agg(F.count(id_col).alias("df"))
+            .filter(F.col("df") <= max_df)
+        )
+        matched = matched.join(F.broadcast(dfreq.select("term")), "term")
+
+    num = F.col("tf") * F.lit((k1n + k1d) * bd * L)
+    den = (
+        F.col("tf") * F.lit(k1d * bd * L)
+        + F.lit(k1n * (bd - bn) * L)
+        + F.col("dl") * F.lit(k1n * bn * N)
+    )
+    s = num.cast("double") / den.cast("double")
+    per_term = [
+        F.sum(F.when(F.col("term") == t, s)).alias(f"__s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agged = matched.groupBy(id_col, "dl").agg(
+        F.count("*").cast("long").alias("n_matched"), *per_term
+    )
+    score = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return (
+        agged.select(
+            id_col,
+            F.col("dl").cast("long").alias("dl"),
+            "n_matched",
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full Okapi BM25 with the Robertson/Sparck-Jones idf:
+
+        score = sum_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                      * tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))
+
+    Float layer — pytest-checked against driver-side math, not
+    oracle-hashed (ln() bit-stability; the hash-exact ranking surface is
+    :func:`bm25_saturation_topk`). Same single-pass plan shape."""
+    if not query_terms:
+        raise ValueError("bm25 needs at least one query term")
+    toks = word_tokens(F.col(text_col))
+    totals = (
+        df.select(F.sum(F.size(toks)).alias("L"), F.count("*").alias("N")).first()
+    )
+    L, N = float(totals["L"]), float(totals["N"])
+    avgdl = L / N
+    matched = (
+        df.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = matched.groupBy("term").agg(F.count(id_col).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(N) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        matched.join(F.broadcast(dfreq), "term")
+        .withColumn("__w", idf * sat)
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("bm25"))
+    )
+
+
 def inverted_index(
     df: DataFrame,
     max_df: int = 100,

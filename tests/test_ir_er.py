@@ -164,3 +164,72 @@ def test_er_plan_no_cartesian(listings):
     plan = _physical(er.blocked_name_pairs(listings, "name"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def test_bm25_saturation_exact(corpus):
+    """The hash-exact ranking surface: weights recomputed with driver-side
+    exact integer arithmetic + one float division per term."""
+    out = {r.doc_id: r for r in
+           ir.bm25_saturation_topk(corpus, ["alpha", "zeta"], k=10).collect()}
+    # corpus totals: L = 4+3+3+5 = 15 tokens, N = 4 docs
+    L, N = 15, 4
+    def s(tf, dl):
+        return (tf * 44 * L) / (tf * 20 * L + 6 * L + dl * 18 * N)
+    # doc 4: alpha tf=1 dl=5, zeta tf=3 dl=5 -> both terms matched
+    assert out[4].n_matched == 2 and out[4].dl == 5
+    assert out[4].score == s(1, 5) + s(3, 5)
+    # doc 1: alpha tf=2 dl=4, no zeta
+    assert out[1].n_matched == 1
+    assert out[1].score == s(2, 4)
+    # doc 3 matches neither term -> absent
+    assert 3 not in out
+    # ranking: doc 4 (two terms incl. tf=3) above docs 1 and 2
+    ranked = sorted(out.values(), key=lambda r: (-r.score, r.doc_id))
+    assert ranked[0].doc_id == 4
+
+
+def test_bm25_saturation_max_df_cap(corpus):
+    """The integer idf spelling: alpha (df=3) dropped by max_df=2, zeta
+    (df=1) survives."""
+    out = {r.doc_id: r for r in
+           ir.bm25_saturation_topk(corpus, ["alpha", "zeta"], k=10, max_df=2).collect()}
+    assert set(out) == {4}
+    assert out[4].n_matched == 1
+
+
+def test_bm25_float_layer_matches_numpy(corpus):
+    """Full Okapi BM25 (RSJ ln idf) against driver-side math."""
+    out = {r.doc_id: r.bm25 for r in ir.bm25(corpus, ["alpha", "beta"]).collect()}
+    L, N, avgdl = 15, 4, 15 / 4
+    k1, b = 1.2, 0.75
+    dfreq = {"alpha": 3, "beta": 3}
+    tf = {1: {"alpha": 2, "beta": 1}, 2: {"alpha": 1, "beta": 2},
+          4: {"alpha": 1, "beta": 1}}
+    dl = {1: 4, 2: 3, 4: 5}
+    for doc, terms in tf.items():
+        expect = sum(
+            math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            * c * (k1 + 1) / (c + k1 * (1 - b + b * dl[doc] / avgdl))
+            for t, c in terms.items()
+        )
+        assert out[doc] == pytest.approx(expect, rel=1e-12)
+    assert 3 not in out
+
+
+def test_bm25_empty_query_raises(corpus):
+    with pytest.raises(ValueError):
+        ir.bm25_saturation_topk(corpus, [])
+    with pytest.raises(ValueError):
+        ir.bm25(corpus, [])
+
+
+def test_bm25_plan_single_pass(corpus):
+    """One corpus scan: the isin() prune sits under the explode project,
+    no join-back, no Python nodes, top-k is TakeOrderedAndProject."""
+    plan = _physical(ir.bm25_saturation_topk(corpus, ["alpha", "zeta"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
