@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from sakura_spark import algebra
-from sakura_spark.functions import audio, bpe, curation, dedup, multimodal, similarity, text
+from sakura_spark.functions import audio, bpe, curation, dedup, graph, multimodal, similarity, text
 from sakura_spark.functions.sharding import shard_pack
 from sakura_spark.functions.text import PII_EMAIL as _PII_EMAIL
 from sakura_spark.functions.text import PII_IPV4 as _PII_IPV4
@@ -2095,6 +2095,39 @@ def q_text_vocab_topk(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (graph.pagerank) over the TPC-H trade graph:
+    customer<->supplier edges weighted by lineitem counts (disjoint node
+    ids via 2k / 2k+1), three synchronous sweeps, damping 85/100, scale
+    1e9. Every step is integer arithmetic — int64 sums are order-free and
+    the single floor division is the only rounding point — so the rank
+    table is bit-identical across engines, partitionings, and cluster
+    sizes; the DuckDB oracle is the unrolled-CTE spelling generated by
+    graph.pagerank_oracle_sql from the same contract. Plan: one edge
+    derivation (join + map-side-combinable groupBy), then per sweep one
+    __src-window + one join + one aggregation; no cartesian, no Python."""
+    from sakura_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+    )
+    fwd = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        "w",
+    )
+    rev = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+        "w",
+    )
+    return graph.pagerank(fwd.unionByName(rev), iterations=3, weight="w")
+
+
 def q_text_bm25_topk(spark, sf_dir):
     """Okapi BM25 retrieval, hash-exact surface (ir.bm25_saturation_topk):
     top-25 documents for a fixed 4-term query under BM25's tf-saturation
@@ -2554,6 +2587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # enters the sweep; range_join (driver-green r2-r7, sibling
         # asof_join stays in sweep) rotates past the cap.
         "text_bm25_topk": q_text_bm25_topk,
+        # Round-8 session 2: graph_pagerank (NEW oracle-backed — integer
+        # fixed-point PageRank, bit-identical across engines by
+        # construction) enters the sweep; icl_range_violations
+        # (driver-green r2-r7, siblings icl_fk + icl_between stay in
+        # sweep) rotates past the cap.
+        "graph_pagerank": q_graph_pagerank,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2602,7 +2641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
         "icl_between_violations": q_icl_between_violations,
-        "icl_range_violations": q_icl_range_violations,
         "catalog_relations": q_catalog_relations,
         "curation_quality_report": q_curation_quality_report,
         "asof_join": q_asof_join,
@@ -2620,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # see the rotation history in the queries() docstring) ---
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
+        "icl_range_violations": q_icl_range_violations,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
         "curation_contamination": q_curation_contamination,
@@ -3761,6 +3800,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN nt >= 5 AND digit_ratio < 0.3 AND mean_token_len > 1.0 "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_ok "
             "FROM m GROUP BY source ORDER BY source"
+        ),
+        # The unrolled-CTE spelling of the same integer fixed-point
+        # contract, generated by the operator module so the two spellings
+        # cannot drift.
+        "graph_pagerank": graph.pagerank_oracle_sql(
+            "WITH p AS (SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2) "
+            "SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM p "
+            "UNION ALL SELECT s * 2 + 1, c * 2, w FROM p",
+            iterations=3,
         ),
         # BM25 tf-saturation scoring in exact arithmetic: each term weight
         # is CAST(int64)/CAST(int64) — correctly rounded by IEEE 754 in

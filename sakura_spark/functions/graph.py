@@ -1,0 +1,146 @@
+"""Graph centrality over edge tables: fixed-point PageRank.
+
+Link-graph centrality is a standard corpus-quality signal in large-scale
+training-data pipelines (CommonCrawl page ranking — Page et al. 1999;
+harmonic-centrality curation in CCNet-adjacent stacks). The reference's
+surface stops at relational algebra; this module layers the iterative
+operator on top, Spark-first: each iteration is one join + one map-side-
+combinable aggregation over the edge table, expressed entirely in
+DataFrame ops so Catalyst plans the shuffles.
+
+Determinism contract (the repo's integer-exact discipline): ranks are
+SCALED INTEGERS and every step is integer arithmetic —
+
+    base     = scale * (dampd - dampn) // dampd          (teleport mass)
+    q(src)   = (r_src * dampn) div (dampd * W_src)       (one floor div)
+    contrib  = q(src) * w(edge)
+    r'(dst)  = base + sum(contrib over in-edges)
+
+so two engines (or two cluster topologies) produce bit-identical rank
+tables: int64 sums are order-free, and the single floor division is the
+only rounding point. The q*w factoring bounds every intermediate by
+r*dampn (no overflow for r < 2^63/dampn ≈ 1.08e17 — pick `scale`
+accordingly; ANSI mode fails loudly if violated). The quantization error
+vs float PageRank is ~W/(r*d) relative per edge — pytest-checked against
+a numpy float reference on planted graphs.
+
+Dangling nodes (out-weight 0) drop their damped mass — the "sink-drop"
+variant, chosen because it is expressible as the same one-join iteration
+in any engine (no global dangling-mass broadcast term); documented, and
+identical on both sides of the oracle.
+
+Scale shape (100 TB):
+- Out-weights are computed ONCE (one groupBy over edges) and reused every
+  iteration.
+- Each iteration shuffles twice (join ranks on src, aggregate on dst) —
+  the minimum for message passing without pre-partitioned storage. At
+  cluster scale, bucketing edges by src makes the join co-located and
+  halves that; AQE handles hub-key skew (or salt `dst` for extreme hubs).
+- The lazy plan grows linearly in `iterations` (a chain of join+agg
+  blocks). Past ~10 iterations, localCheckpoint() per iteration keeps
+  lineage bounded; fixed small iteration counts (the common quality-
+  signal regime) don't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**9,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """(node, rank_scaled): fixed-point PageRank over a weighted edge
+    table after ``iterations`` synchronous sweeps from a uniform start
+    (rank = scale). See the module docstring for the exact integer
+    contract. ``weight`` names an int64 edge-weight column (default: every
+    edge weighs 1); parallel edges are legal and behave as summed weights.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank needs at least one iteration")
+    dampn, dampd = damping
+    if not (0 < dampn < dampd):
+        raise ValueError("damping must satisfy 0 < dampn < dampd")
+    base = scale * (dampd - dampn) // dampd
+
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    # NB: internal names must differ case-insensitively — Spark resolves
+    # identifiers case-insensitively by default, so e.g. __w vs __W is a
+    # silent withColumn replacement, not a second column.
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__ew")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    # Out-weights ride the edge rows via a window over __src instead of a
+    # groupBy + self-join: one relation, no duplicated lineage (a
+    # rejoin of an aggregate of e against e trips Spark's self-join
+    # attribute dedup into ambiguous-name territory), and the per-
+    # iteration ranks join then reuses the same __src hash partitioning.
+    from pyspark.sql import Window as W
+
+    ew = e.withColumn("__outw", F.sum("__ew").over(W.partitionBy("__src")))
+
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "__src"), "__src")
+            .select(
+                F.col("__dst").alias("node"),
+                # q*w factoring: the floor div happens before the weight
+                # multiply, so no intermediate exceeds rank*dampn.
+                (
+                    F.expr(f"(rank_scaled * {dampn}L) div ({dampd}L * __outw)")
+                    * F.col("__ew")
+                ).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce(F.col("__in"), F.lit(0)))
+            .alias("rank_scaled"),
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**9,
+) -> str:
+    """The ANSI-SQL twin of :func:`pagerank`, unrolled to ``iterations``
+    CTE blocks (recursive CTEs cannot re-aggregate per step in standard
+    SQL). ``edges_sql`` must yield (src, dst, w). Kept next to the
+    operator so the two spellings of the integer contract stay in sync."""
+    dampn, dampd = damping
+    base = scale * (dampd - dampn) // dampd
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "deg AS (SELECT src AS n, sum(w) AS W FROM e GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.node, CAST({base} AS BIGINT) + "
+            "COALESCE(s.c, 0) AS r FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(((r.r * {dampn}) // ({dampd} * d.W)) * e.w) AS c "
+            f"FROM e JOIN deg d ON e.src = d.n JOIN r{i-1} r ON e.src = r.node "
+            "GROUP BY 1) s ON n.node = s.node)"
+        )
+    head = ", ".join(parts)
+    return f"{head} SELECT node, r AS rank_scaled FROM r{iterations}"

@@ -1,0 +1,109 @@
+"""Fixed-point PageRank: hand-computed exactness, the integer contract's
+cross-engine differential (Spark vs DuckDB running pagerank_oracle_sql on
+the same edges), float-reference accuracy, and plan shape."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sakura_spark.functions import graph
+
+SCALE = 10**9
+BASE = SCALE * 15 // 100
+
+
+def _edges(spark, rows, weighted=False):
+    schema = "src long, dst long" + (", w long" if weighted else "")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cycle_is_fixed_point(spark):
+    """A 3-cycle is PageRank's uniform fixed point: with scale 1e9 the
+    damped quotient is exact (85e9 // 100 == 0.85e9), so every iteration
+    reproduces rank == scale exactly."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    for iters in (1, 4):
+        out = {r.node: r.rank_scaled for r in graph.pagerank(e, iters).collect()}
+        assert out == {1: SCALE, 2: SCALE, 3: SCALE}
+
+
+def test_star_hand_computed(spark):
+    """Star A,C,D -> B, B -> A: two iterations by hand."""
+    e = _edges(spark, [(1, 2), (3, 2), (4, 2), (2, 1)])
+    q0 = SCALE * 85 // 100  # every node starts at scale, W=1 everywhere
+    r1 = {1: BASE + q0, 2: BASE + 3 * q0, 3: BASE, 4: BASE}
+    out1 = {r.node: r.rank_scaled for r in graph.pagerank(e, 1).collect()}
+    assert out1 == r1
+    r2 = {
+        1: BASE + r1[2] * 85 // 100,
+        2: BASE + sum(r1[n] * 85 // 100 for n in (1, 3, 4)),
+        3: BASE,
+        4: BASE,
+    }
+    out2 = {r.node: r.rank_scaled for r in graph.pagerank(e, 2).collect()}
+    assert out2 == r2
+
+
+def test_weighted_and_dangling(spark):
+    """Weights split the damped quotient q*w (src 1 has W=4 split 3:1);
+    node 4 is dangling (its mass drops — sink-drop variant documented)."""
+    e = _edges(spark, [(1, 2, 3), (1, 3, 1), (2, 4, 1)], weighted=True)
+    out = {r.node: r.rank_scaled
+           for r in graph.pagerank(e, 1, weight="w").collect()}
+    q1 = SCALE * 85 // (100 * 4)
+    assert out[2] == BASE + q1 * 3
+    assert out[3] == BASE + q1 * 1
+    assert out[4] == BASE + SCALE * 85 // 100
+    assert out[1] == BASE  # nothing points at 1; dangling 4 contributes 0
+
+
+def test_differential_vs_duckdb_oracle(spark):
+    """The two spellings of the integer contract agree bit-for-bit on a
+    pseudo-random weighted multigraph."""
+    rng = [(i * 7919 % 23, i * 104729 % 23, 1 + i % 5) for i in range(200)]
+    rows = [(a, b, w) for a, b, w in rng if a != b]
+    e = _edges(spark, rows, weighted=True)
+    got = {r.node: r.rank_scaled
+           for r in graph.pagerank(e, 4, weight="w").collect()}
+    con = duckdb.connect()
+    con.register("edges_t", pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    sql = graph.pagerank_oracle_sql("SELECT src, dst, w FROM edges_t", 4)
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_close_to_float_pagerank(spark):
+    """Quantization error vs an exact float reference stays ~1e-4 relative
+    at scale 1e9 on a small graph."""
+    rows = [(i, (i * 3 + 1) % 17) for i in range(17)] + [
+        (i, (i * 5 + 2) % 17) for i in range(17)
+    ]
+    rows = [r for r in rows if r[0] != r[1]]
+    out = {r.node: r.rank_scaled for r in graph.pagerank(_edges(spark, rows), 5).collect()}
+    # float reference, same sink-drop synchronous sweep
+    nodes = sorted({n for r in rows for n in r})
+    W = {}
+    for s, _ in rows:
+        W[s] = W.get(s, 0) + 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        nxt = {n: 0.15 for n in nodes}
+        for s, d in rows:
+            nxt[d] += 0.85 * r[s] / W[s]
+        r = nxt
+    for n in nodes:
+        assert out[n] / SCALE == pytest.approx(r[n], rel=2e-4)
+
+
+def test_validation_and_plan(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        graph.pagerank(e, 0)
+    with pytest.raises(ValueError):
+        graph.pagerank(e, 1, damping=(100, 100))
+    plan = graph.pagerank(e, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
