@@ -2128,6 +2128,46 @@ def q_graph_pagerank(spark, sf_dir):
     return graph.pagerank(fwd.unionByName(rev), iterations=3, weight="w")
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Exact per-node triangle counts (graph.triangles) of the rare-
+    shingle co-occurrence graph: documents are adjacent when they share a
+    word-3-gram with corpus df in [2, 6] — the duplicate-cluster
+    "cliquishness" signal (a near-dup CLUSTER shows up as a dense triangle
+    core; isolated coincidental overlaps don't). Plan: one gram shuffle
+    (df window + bounded collect_list reuse the same exchange — the
+    ir.py df-cap-BEFORE-collect lesson: the window filter runs first, so
+    no common-gram hot key ever reaches collect_list), per-gram pair
+    fan-out bounded by df <= 6, then the degree-oriented O(m^1.5) wedge
+    join inside graph.triangles. Counts are exact integers; the DuckDB
+    oracle is a naive three-way self-join over the same edge set
+    (triangle sets are orientation-independent), generated by
+    graph.triangles_oracle_sql so the two spellings cannot drift."""
+    from pyspark.sql import Window as W
+
+    from sakura_spark.functions import dedup, graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"))).alias("g")
+    )
+    rare = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(W.partitionBy("g"))
+    ).where(F.col("__df").between(2, 6))
+    pairs = rare.groupBy("g").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    edges = pairs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return graph.triangles(edges)
+
+
 def q_text_bm25_topk(spark, sf_dir):
     """Okapi BM25 retrieval, hash-exact surface (ir.bm25_saturation_topk):
     top-25 documents for a fixed 4-term query under BM25's tf-saturation
@@ -2593,6 +2633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r2-r7, siblings icl_fk + icl_between stay in
         # sweep) rotates past the cap.
         "graph_pagerank": q_graph_pagerank,
+        # Round-8 session 3: graph_triangles (NEW oracle-backed — exact
+        # per-node triangle counts via degree-oriented wedge join over the
+        # rare-shingle co-occurrence graph) enters the sweep;
+        # tpch_q3_shipping_priority (driver-green r6+r7, join-agg siblings
+        # q21 + flagship_revenue still in sweep) rotates past the cap.
+        "graph_triangles": q_graph_triangles,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2635,7 +2681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_per_group": q_window_topk_per_group,
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
-        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "drl_fk_join": q_drl_fk_join,
         "drl_intensional_plus": q_drl_intensional_plus,
@@ -2646,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "events_sessionize": q_events_sessionize,
         "text_quality": q_text_quality,
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -3810,6 +3856,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM p "
             "UNION ALL SELECT s * 2 + 1, c * 2, w FROM p",
             iterations=3,
+        ),
+        # Naive three-way self-join over the SAME rare-shingle edge set
+        # (triangle sets are orientation-independent, so the degree-
+        # oriented Spark plan must agree exactly); generated by the
+        # operator module so the two spellings cannot drift.
+        "graph_triangles": graph.triangles_oracle_sql(
+            f"WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g "
+            "FROM documents), "
+            "rare AS (SELECT g FROM sh GROUP BY g "
+            "HAVING count(*) BETWEEN 2 AND 6) "
+            "SELECT a.doc_id AS src, b.doc_id AS dst "
+            "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "JOIN rare r ON a.g = r.g"
         ),
         # BM25 tf-saturation scoring in exact arithmetic: each term weight
         # is CAST(int64)/CAST(int64) — correctly rounded by IEEE 754 in

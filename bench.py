@@ -96,6 +96,13 @@ EXTENDED = [
     "sketch_bloom_hourly_users",
     "sketch_hll_cumulative_users",
     "curation_weighted_sample",
+    # round 8 additions (first measurements recorded in BASELINE.md):
+    "sketch_merge_law",
+    "curation_gopher_filter",
+    "multimodal_audio",
+    "text_bm25_topk",
+    "graph_pagerank",
+    "graph_triangles",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -141,6 +148,16 @@ NOOP_SINK = {
     "sketch_kmv_overlap",
     "sketch_cms_hourly_users",
     "sketch_quantile_registers",
+    # Round-8: merged registers are aggregate columns a .count() would
+    # prune (same hazard as the register entries above).
+    "sketch_merge_law",
+    # Audio metadata rides mapInPandas (no pruning hazard), but the
+    # synthesis repartition makes .count() safe yet the decode columns
+    # prunable — keep the full decode honest via the sink.
+    "multimodal_audio",
+    # Each iteration ends in a left join on the unique node key: .count()
+    # would join-eliminate the whole rank recursion.
+    "graph_pagerank",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -1,4 +1,4 @@
-"""Graph centrality over edge tables: fixed-point PageRank.
+"""Graph analytics over edge tables: fixed-point PageRank, exact triangles.
 
 Link-graph centrality is a standard corpus-quality signal in large-scale
 training-data pipelines (CommonCrawl page ranking — Page et al. 1999;
@@ -113,6 +113,108 @@ def pagerank(
             .alias("rank_scaled"),
         )
     return ranks
+
+
+def triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, n_triangles): exact per-node triangle counts of the
+    UNDIRECTED simple graph induced by ``edges`` (direction, multiplicity
+    and self-loops are normalized away). Nodes in no triangle are absent.
+
+    Algorithm — degree-ordered orientation (Latapy's compact-forward /
+    the node-iterator++ bound): orient every canonical edge {a, b} from
+    the endpoint with lower (degree, id) to the higher one, enumerate
+    directed wedges u->v, v->w, and close them against the oriented edge
+    set u->w. Each triangle {a<b<c} in the (degree, id) total order is
+    produced exactly once as the wedge a->b->c closed by a->c.
+
+    Why this is THE 100 TB shape: after orientation the out-degree of
+    every node is bounded by O(sqrt(m)) on any graph (a node of degree d
+    keeps only edges toward higher-degree endpoints, and there are at
+    most 2m/d of those), so the wedge join generates O(m^1.5) rows
+    worst-case instead of the naive sum(d^2) — the difference between a
+    hub with 10^7 followers producing 10^14 wedges and ~10^7. The plan is
+    three shuffles (canonicalize, degree window, wedge join) plus one
+    broadcast-or-shuffle semijoin closure and one final count aggregation;
+    everything is DataFrame ops, AQE handles residual skew. The triangle
+    SET is orientation-independent, so a naive SQL oracle (three-way
+    self-join on id-ordered canonical edges) must agree row-for-row —
+    counts are exact integers, no float anywhere.
+    """
+    # Canonical undirected simple edges: a < b by raw id, loops dropped.
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # Undirected degree rides both endpoints via one explode + window
+    # (one relation — same self-join-lineage rationale as pagerank's
+    # out-weight window).
+    from pyspark.sql import Window as W
+
+    half = e.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(e.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    half = half.withColumn("__deg", F.count(F.lit(1)).over(W.partitionBy("x")))
+    # Re-pair each edge's two degree-carrying halves with ONE groupBy on
+    # the canonical key (no self-join — same lineage rationale as
+    # pagerank's out-weight window), then orient a -> b when
+    # (deg(a), a) < (deg(b), b) via struct comparison.
+    paired = (
+        half.groupBy(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .agg(
+            F.max(F.when(F.col("x") == F.least("x", "y"), F.col("__deg"))).alias(
+                "__da"
+            ),
+            F.max(F.when(F.col("x") == F.greatest("x", "y"), F.col("__deg"))).alias(
+                "__db"
+            ),
+        )
+    )
+    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("n"))
+    oriented = paired.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # Wedges u->v->w closed by the oriented edge u->w.
+    second = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = oriented.join(second, "v").select("u", "v", "w")
+    closing = oriented.select(F.col("u"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "left_semi").select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def triangles_oracle_sql(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`triangles`: id-ordered canonical edges and
+    a naive three-way self-join a<b<c (the triangle set is orientation-
+    independent, so the degree-oriented Spark plan must match exactly).
+    ``edges_sql`` must yield (src, dst)."""
+    return (
+        f"WITH raw AS ({edges_sql}), "
+        "e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM raw WHERE src <> dst), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 "
+        "ON e3.a = e1.a AND e3.b = e2.b), "
+        "corners AS (SELECT x AS node FROM tri UNION ALL "
+        "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+        "SELECT node, count(*) AS n_triangles FROM corners GROUP BY node"
+    )
 
 
 def pagerank_oracle_sql(

@@ -98,6 +98,76 @@ def test_close_to_float_pagerank(spark):
         assert out[n] / SCALE == pytest.approx(r[n], rel=2e-4)
 
 
+def _brute_triangles(rows):
+    """Per-node triangle counts by itertools over the canonical simple
+    graph — the definitional reference."""
+    from itertools import combinations
+
+    e = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+    nodes = sorted({n for p in e for n in p})
+    out = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in e and (a, c) in e and (b, c) in e:
+            for n in (a, b, c):
+                out[n] = out.get(n, 0) + 1
+    return out
+
+
+def test_triangles_k4_and_normalization(spark):
+    """K4: every node sits in C(3,2)=3 triangles. Reversed duplicates,
+    parallel edges and self-loops must not change the answer."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(0, 1), (2, 2)]
+    out = {r.node: r.n_triangles
+           for r in graph.triangles(_edges(spark, noisy)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_triangle_free_graph_is_empty(spark):
+    """Bipartite graphs have no triangles; nodes in none are absent."""
+    e = _edges(spark, [(i, 100 + (i * 3) % 7) for i in range(20)])
+    assert graph.triangles(e).count() == 0
+
+
+def test_triangles_vs_brute_force(spark):
+    """Pseudo-random graph with skewed degrees (node 0 is a hub, so the
+    degree orientation actually reorders edges) vs the itertools
+    reference."""
+    rows = [(i * 7919 % 29, i * 104729 % 29) for i in range(150)]
+    rows += [(0, i) for i in range(1, 25)]  # hub
+    rows = [r for r in rows if r[0] != r[1]]
+    got = {r.node: r.n_triangles
+           for r in graph.triangles(_edges(spark, rows)).collect()}
+    assert got == _brute_triangles(rows)
+
+
+def test_triangles_vs_oracle_sql(spark):
+    """The Spark degree-oriented plan and the naive SQL three-way join
+    agree row-for-row (triangle sets are orientation-independent)."""
+    rows = [((i * 13) % 19, (i * i + 3) % 19) for i in range(120)]
+    rows = [r for r in rows if r[0] != r[1]]
+    got = {r.node: r.n_triangles
+           for r in graph.triangles(_edges(spark, rows)).collect()}
+    con = duckdb.connect()
+    con.register("edges_t", pd.DataFrame(rows, columns=["src", "dst"]))
+    sql = graph.triangles_oracle_sql("SELECT src, dst FROM edges_t")
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_triangles_plan(spark):
+    rows = [(i % 11, (i * 3 + 1) % 11) for i in range(40) if i % 11 != (i * 3 + 1) % 11]
+    plan = (
+        graph.triangles(_edges(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_validation_and_plan(spark):
     e = _edges(spark, [(1, 2)])
     with pytest.raises(ValueError):
