@@ -868,6 +868,31 @@ def q_curation_gopher_filter(spark, sf_dir):
     return curation.gopher_repetition_filter(docs).orderBy("doc_id")
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade (text.readability) per
+    document — regex-exact counting (words, floored sentence breaks,
+    vowel-group syllables) and one correctly-rounded IEEE division per
+    rate with left-associative literal arithmetic, so the double scores
+    hash bit-identically vs the DuckDB twin generated by
+    text.readability_oracle_sql. Map-only: three regexp_count expressions
+    over the raw text, no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.readability(docs).drop("text")
+
+
+def q_curation_source_stats(spark, sf_dir):
+    """Per-source corpus profile (curation.source_stats): doc counts,
+    char totals, language fan-out, dominant language + its share — the
+    domain-level table a CCNet/RefinedWeb pipeline keeps for per-domain
+    sampling decisions. Two map-side-combinable aggregations ((source,
+    lang) cells, then source rollup over the CELL table — never a window
+    or collect over raw rows), exact int64 counts, one IEEE division per
+    rate; top-language ties break to the lexically greater language via
+    max(struct), spelled identically in the SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.source_stats(docs)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition statistics (text.repetition_stats):
     duplicate-line counts + word/2-gram histogram peaks per document —
@@ -2639,6 +2664,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_q3_shipping_priority (driver-green r6+r7, join-agg siblings
         # q21 + flagship_revenue still in sweep) rotates past the cap.
         "graph_triangles": q_graph_triangles,
+        # Round-8 session 3: text_readability (NEW oracle-backed — Flesch/
+        # FK-grade, regex-exact counts + IEEE-division discipline) and
+        # curation_source_stats (NEW oracle-backed — per-source corpus
+        # profile, two cell-table aggregations) enter the sweep;
+        # drl_fk_join (driver-green r1-r7, sibling drl_intensional_plus
+        # stays in sweep) and icl_between_violations (driver-green r2-r7,
+        # sibling icl_fk_violations stays in sweep) rotate past the cap.
+        "text_readability": q_text_readability,
+        "curation_source_stats": q_curation_source_stats,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2682,16 +2716,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
-        "drl_fk_join": q_drl_fk_join,
         "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
-        "icl_between_violations": q_icl_between_violations,
         "catalog_relations": q_catalog_relations,
         "curation_quality_report": q_curation_quality_report,
         "asof_join": q_asof_join,
         "events_sessionize": q_events_sessionize,
         "text_quality": q_text_quality,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+        "drl_fk_join": q_drl_fk_join,
+        "icl_between_violations": q_icl_between_violations,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -3792,6 +3826,28 @@ def oracle_sql() -> dict[str, str]:
             "AND 5 * max_word_count <= n_words "
             "AND 50 * max_bigram_count <= 9 * n_bigrams "
             "AND n_words >= 50 ORDER BY doc_id"
+        ),
+        # Same regexes, same floored sentence count, same left-associative
+        # literal arithmetic — generated by the operator module so the two
+        # spellings cannot drift.
+        "text_readability": text.readability_oracle_sql(
+            "SELECT doc_id, text FROM documents"
+        ),
+        # Cell-table rollup; top-language tie breaks to the lexically
+        # greater language (ORDER BY n DESC, lang DESC) exactly like the
+        # Spark max(struct(n, lang)).
+        "curation_source_stats": (
+            "WITH cells AS (SELECT source, lang, count(*) AS n, "
+            "sum(n_chars) AS chars FROM documents GROUP BY 1, 2), "
+            "top AS (SELECT source, lang, n, row_number() OVER ("
+            "PARTITION BY source ORDER BY n DESC, lang DESC) AS rk FROM cells), "
+            "r AS (SELECT source, sum(n) AS n_docs, sum(chars) AS total_chars, "
+            "count(*) AS n_langs FROM cells GROUP BY 1) "
+            "SELECT r.source, n_docs, total_chars, "
+            "CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars, "
+            "n_langs, t.lang AS top_lang, "
+            "CAST(t.n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share "
+            "FROM r JOIN top t ON r.source = t.source AND t.rk = 1"
         ),
         "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
         "events_attribution": (

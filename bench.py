@@ -103,6 +103,8 @@ EXTENDED = [
     "text_bm25_topk",
     "graph_pagerank",
     "graph_triangles",
+    "text_readability",
+    "curation_source_stats",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -158,6 +160,10 @@ NOOP_SINK = {
     # Each iteration ends in a left join on the unique node key: .count()
     # would join-eliminate the whole rank recursion.
     "graph_pagerank",
+    # Pure map-only metric projections / aggregate-column outputs a
+    # .count() would prune entirely (same hazard as text_quality).
+    "text_readability",
+    "curation_source_stats",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -395,3 +395,55 @@ def weighted_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk", "__key")
     )
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source corpus profile: (source, n_docs, total_chars, mean_chars,
+    n_langs, top_lang, top_lang_share) — the domain-level table a CCNet/
+    RefinedWeb-style pipeline keeps to decide per-domain sampling rates and
+    spot source-level anomalies (one domain flooding the corpus, a source
+    whose language mix flipped).
+
+    Exactness: counts and sums are exact int64; mean_chars and
+    top_lang_share are each ONE correctly-rounded IEEE division of exact
+    int64s, so results hash bit-identically vs a SQL oracle. top_lang ties
+    break to the LEXICALLY GREATER language at equal count via max(struct)
+    — spelled identically in the oracle, so ties agree.
+
+    Plan shape (100 TB): two map-side-combinable aggregations — (source,
+    lang) cells first, then source rolls up from the cell table, which is
+    |sources| x |langs| rows, NOT corpus-sized. No collect_list, no window
+    over raw rows, no join back to the corpus; a hot source never
+    concentrates raw rows onto one reducer because the first combine
+    happens map-side per (source, lang).
+    """
+    cells = df.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(size_col).cast("long")).alias("__chars"),
+    )
+    rolled = cells.groupBy(source_col).agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max(F.struct(F.col("__n").alias("n"), F.col(lang_col).alias("l"))).alias(
+            "__top"
+        ),
+    )
+    return rolled.select(
+        source_col,
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_chars"
+        ),
+        "n_langs",
+        F.col("__top.l").alias("top_lang"),
+        (F.col("__top.n").cast("double") / F.col("n_docs").cast("double")).alias(
+            "top_lang_share"
+        ),
+    )

@@ -394,6 +394,76 @@ def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- readability -------------------------------------------------------------
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach Flesch reading-ease and Flesch-Kincaid grade columns
+    (n_words, n_sentences, n_syllables, flesch, fk_grade) — the standard
+    cheap readability pair used as a corpus-quality signal (Flesch 1948;
+    Kincaid et al. 1975).
+
+    Counting is REGEX-EXACT so a SQL oracle reproduces it bit-for-bit:
+    words = matches of [A-Za-z]+, sentence breaks = matches of [.!?]+
+    (floored at 1 so headline-ish fragments count as one sentence),
+    syllables = vowel-group matches [aeiouyAEIOUY]+ (the classic
+    one-pass approximation: consecutive vowels = one nucleus; silent-e
+    and diphthong corrections are deliberately out of scope — both
+    engines run the SAME heuristic so the scores agree exactly).
+
+    Float discipline (the sim_cosine_topk rule): each rate is ONE
+    correctly-rounded IEEE division of exact int64 counts, and the score
+    combines rates with left-associative literal multiply-adds —
+    `206.835 - 1.015 * wps - 84.6 * spw` — so any two IEEE-754 engines
+    parsing the same decimal literals produce bit-identical doubles.
+    Empty documents (0 words) get 0.0 for both scores rather than NULL.
+
+    Plan: three regexp_count expressions over the raw text, map-only —
+    no shuffle, no Python; scales embarrassingly.
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z]+")).cast("long")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    syls = F.regexp_count(t, F.lit(r"[aeiouyAEIOUY]+")).cast("long")
+    wps = words.cast("double") / sents.cast("double")
+    spw = syls.cast("double") / words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    zero = F.lit(0.0)
+    return (
+        df.withColumn("n_words", words)
+        .withColumn("n_sentences", sents)
+        .withColumn("n_syllables", syls)
+        .withColumn("flesch", F.when(words == 0, zero).otherwise(flesch))
+        .withColumn("fk_grade", F.when(words == 0, zero).otherwise(grade))
+    )
+
+
+def readability_oracle_sql(table_sql: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`readability` — same regexes, same floored
+    sentence count, same left-associative literal arithmetic; generated
+    here so the two spellings cannot drift. ``table_sql`` must yield the
+    text column (plus any pass-through columns the caller selects)."""
+    w = f"len(regexp_extract_all({text_col}, '[A-Za-z]+'))"
+    s = f"greatest(len(regexp_extract_all({text_col}, '[.!?]+')), 1)"
+    y = f"len(regexp_extract_all({text_col}, '[aeiouyAEIOUY]+'))"
+    return (
+        f"WITH src AS ({table_sql}), c AS (SELECT *, "
+        f"CAST({w} AS BIGINT) AS n_words, CAST({s} AS BIGINT) AS n_sentences, "
+        f"CAST({y} AS BIGINT) AS n_syllables FROM src) "
+        "SELECT * EXCLUDE (" + text_col + "), "
+        "CASE WHEN n_words = 0 THEN 0.0 ELSE "
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END AS flesch, "
+        "CASE WHEN n_words = 0 THEN 0.0 ELSE "
+        "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+        "+ 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 END "
+        "AS fk_grade FROM c"
+    )
+
+
 # --- language identification ------------------------------------------------
 
 # Tiny per-language marker lexicons. A real pipeline swaps in fastText/cld3;

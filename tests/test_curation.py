@@ -258,3 +258,35 @@ def test_weighted_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
     with pytest.raises(ValueError):
         curation.weighted_sample(df, k=0, weight_col="w", id_col="doc_id")
+
+
+def test_source_stats_hand_computed(spark):
+    rows = [
+        ("web", "en", 100), ("web", "en", 200), ("web", "de", 50),
+        ("books", "fr", 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, n_chars long")
+    out = {r.source: r for r in curation.source_stats(df).collect()}
+    w = out["web"]
+    assert (w.n_docs, w.total_chars, w.n_langs) == (3, 350, 2)
+    assert w.mean_chars == 350 / 3
+    assert w.top_lang == "en" and w.top_lang_share == 2 / 3
+    b = out["books"]
+    assert (b.n_docs, b.top_lang, b.top_lang_share) == (1, "fr", 1.0)
+
+
+def test_source_stats_tie_breaks_to_greater_lang(spark):
+    rows = [("s", "aa", 1), ("s", "zz", 1)]
+    df = spark.createDataFrame(rows, "source string, lang string, n_chars long")
+    r = curation.source_stats(df).collect()[0]
+    assert r.top_lang == "zz" and r.n_langs == 2
+
+
+def test_source_stats_plan_is_two_aggs_no_join(spark):
+    df = spark.createDataFrame(
+        [("s", "en", 1)], "source string, lang string, n_chars long"
+    )
+    plan = (
+        curation.source_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "BatchEvalPython" not in plan

@@ -91,3 +91,49 @@ def test_lm_score_matches_python(spark, corpus, top_v):
             sum(uni.get(g.split(" ")[0], 0) for g in gs),
         )
         assert got[i] == expect, (i, t, top_v, got[i], expect)
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat. It ran away!' — 6 words, 2 sentences, 8 vowel groups
+    (the/cat/sat have 1 each; it=1, ran=1, a-way: 'awa'+'y'? -> regex
+    groups: 'e','a','a','I','a','away' -> recount below in python)."""
+    import re
+    txt = "The cat sat. It ran away!"
+    words = len(re.findall(r"[A-Za-z]+", txt))
+    sents = max(len(re.findall(r"[.!?]+", txt)), 1)
+    syls = len(re.findall(r"[aeiouyAEIOUY]+", txt))
+    from sakura_spark.functions import text as T
+    df = spark.createDataFrame([(1, txt), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in T.readability(df).collect()}
+    r = out[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (words, sents, syls)
+    wps, spw = words / sents, syls / words
+    assert r.flesch == 206.835 - 1.015 * wps - 84.6 * spw
+    assert r.fk_grade == 0.39 * wps + 11.8 * spw - 15.59
+    assert out[2].flesch == 0.0 and out[2].fk_grade == 0.0
+    assert out[2].n_sentences == 1  # floored
+
+
+def test_readability_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+    from sakura_spark.functions import text as T
+    rows = [
+        (1, "Simple words read easily. Yes!"),
+        (2, "Unquestionably, the polysyllabic demonstration overcomplicates."),
+        (3, "no terminators here just a fragment"),
+        (4, "123 456 ?!"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        T.readability(df).drop("text").toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(T.readability_oracle_sql("SELECT doc_id, text FROM docs_t"))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ["n_words", "n_sentences", "n_syllables", "flesch", "fk_grade"]:
+        assert list(got[c]) == list(want[c]), c
