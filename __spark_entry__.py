@@ -893,6 +893,21 @@ def q_curation_source_stats(spark, sf_dir):
     return curation.source_stats(docs)
 
 
+def q_dedup_jaccard_selfjoin(spark, sf_dir):
+    """EXACT Jaccard-threshold self-join (dedup.jaccard_selfjoin,
+    Bayardo et al. AllPairs prefix filtering): every document pair with
+    3-gram-shingle Jaccard >= 1/2, found WITHOUT LSH (no probabilistic
+    miss) and WITHOUT a blocking key — candidates come only from shared
+    grams inside each document's rarest-first prefix. All threshold
+    comparisons are integer (rational 1/2 with cleared denominators), so
+    boundary pairs cannot flip on float rounding; the returned jaccard is
+    one IEEE division of exact int64s. The DuckDB oracle is the naive
+    gram-intersection self-join — prefix filtering admits no false
+    negatives, so the two must agree row-for-row."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.jaccard_selfjoin(docs, "doc_id", threshold=(1, 2))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition statistics (text.repetition_stats):
     duplicate-line counts + word/2-gram histogram peaks per document —
@@ -2673,6 +2688,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sibling icl_fk_violations stays in sweep) rotate past the cap.
         "text_readability": q_text_readability,
         "curation_source_stats": q_curation_source_stats,
+        # Round-8 session 3: dedup_jaccard_selfjoin (NEW oracle-backed —
+        # exact prefix-filtered similarity self-join, the no-false-negative
+        # complement to the LSH stack) enters the sweep; asof_join
+        # (driver-green r2-r7, interval-join sibling events_attribution
+        # stays in sweep) rotates past the cap.
+        "dedup_jaccard_selfjoin": q_dedup_jaccard_selfjoin,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2720,12 +2741,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icl_fk_violations": q_icl_fk_violations,
         "catalog_relations": q_catalog_relations,
         "curation_quality_report": q_curation_quality_report,
-        "asof_join": q_asof_join,
         "events_sessionize": q_events_sessionize,
         "text_quality": q_text_quality,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "drl_fk_join": q_drl_fk_join,
         "icl_between_violations": q_icl_between_violations,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -3341,6 +3362,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, CASE WHEN uni = 0 THEN 0.0 "
             "ELSE CAST(inter AS DOUBLE) / uni END AS jaccard FROM p "
             "WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.05"
+        ),
+        # Naive gram-intersection self-join at the same rational threshold
+        # (integer comparison 2*i >= union, so boundary pairs can't flip);
+        # prefix filtering admits no false negatives, so the Spark plan's
+        # candidate pruning must not change the result set.
+        "dedup_jaccard_selfjoin": (
+            f"WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents), "
+            "sh AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE len(sh) > 0), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard "
+            "FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE 2 * i >= (sa.sz + sb.sz - i)"
         ),
         "sim_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "

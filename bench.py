@@ -105,6 +105,7 @@ EXTENDED = [
     "graph_triangles",
     "text_readability",
     "curation_source_stats",
+    "dedup_jaccard_selfjoin",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

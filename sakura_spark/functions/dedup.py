@@ -352,6 +352,121 @@ def jaccard_pairs(
     )
 
 
+def jaccard_selfjoin(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    max_prefix_bucket: int = 10_000,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering:
+    (id_a, id_b, jaccard) for every unordered document pair whose word
+    n-gram shingle sets satisfy J(A, B) >= p/q — no LSH probability of a
+    miss, no blocking key to choose. The AllPairs/SSJoin prefix principle
+    (Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06): order each set by
+    GLOBAL document frequency ascending (rarest first, ties by gram);
+    if J(A, B) >= t, A and B must share a gram within each one's first
+    |S| - ceil(t * |S|) + 1 grams, so only prefix-gram buckets generate
+    candidates — the rare-first order makes those buckets small.
+
+    Exactness contract: ``threshold`` is a RATIONAL (p, q), so the prefix
+    length (exact integer ceil), the length filter q*min >= p*max, and
+    the final verify q*i >= p*(|A|+|B|-i) are all integer comparisons —
+    boundary pairs cannot flip on float rounding, and the returned
+    jaccard is one correctly-rounded IEEE division of exact int64s. A
+    naive SQL oracle (gram-intersection self-join) must agree exactly.
+
+    Scale shape (100 TB): one gram-df window + one per-doc rank window
+    (shuffle by gram, then by id), per-prefix-gram pair generation
+    BOUNDED by ``max_prefix_bucket`` — a hotter prefix bucket raises
+    in-plan via raise_error BEFORE any collect_list materializes (exact
+    operators must fail loudly, never drop candidates; raising the
+    threshold shortens prefixes and cools buckets), then exactly two
+    justified join-backs to fetch the shingle payloads for verification
+    (the arrays cannot ride the gram shuffle x prefix_len). The
+    candidate-pair count is the prefix principle's whole point: sum of
+    C(bucket, 2) over RARE grams, not O(n^2).
+    """
+    p_t, q_t = threshold
+    if not (0 < p_t <= q_t):
+        raise ValueError("threshold must be a rational (p, q) with 0 < p <= q")
+    from pyspark.sql import Window as W
+
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    sh = sh.where(F.col("sz") > 0)
+
+    toks = sh.select("id", "sz", F.explode("sh").alias("g"))
+    toks = toks.withColumn("__gdf", F.count(F.lit(1)).over(W.partitionBy("g")))
+    ranked = toks.withColumn(
+        "__rk", F.row_number().over(W.partitionBy("id").orderBy("__gdf", "g"))
+    )
+    # prefix_len = sz - ceil(p*sz/q) + 1, exact integer ceil
+    prefix_len = F.col("sz") - F.expr(f"(sz * {p_t} + {q_t} - 1) div {q_t}") + F.lit(1)
+    pre = ranked.where(F.col("__rk") <= prefix_len).select("g", "id", "sz")
+    # In-plan hot-bucket guard: count per prefix gram rides one more
+    # window over the SAME g partitioning; an oversized bucket poisons
+    # the gram value with raise_error, so execution fails before the
+    # bounded collect below ever sees it.
+    pre = pre.withColumn("__bc", F.count(F.lit(1)).over(W.partitionBy("g")))
+    guarded = F.when(F.col("__bc") <= max_prefix_bucket, F.col("g")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"jaccard_selfjoin: a prefix-gram bucket exceeds "
+                    f"max_prefix_bucket={max_prefix_bucket} (gram '"
+                ),
+                F.col("g"),
+                F.lit(
+                    "'); raise the threshold (shorter prefixes) or "
+                    "max_prefix_bucket"
+                ),
+            )
+        )
+    )
+    buckets = (
+        pre.select(guarded.alias("g"), F.struct("id", "sz").alias("x"))
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+        .where(F.size("xs") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (a, i) -> "
+                    "transform(slice(xs, i + 2, size(xs)), "
+                    "b -> struct(a.id AS id_a, a.sz AS sz_a, "
+                    "b.id AS id_b, b.sz AS sz_b))))"
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        # length filter: J >= p/q forces q*min(sz) >= p*max(sz)
+        .where(
+            (F.col("sz_a") * q_t >= F.col("sz_b") * p_t)
+            & (F.col("sz_b") * q_t >= F.col("sz_a") * p_t)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ver = cand.join(va, "id_a").join(vb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        ver.where(inter * q_t >= uni * p_t)
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", shingle_n: int = 2
 ) -> DataFrame:

@@ -101,6 +101,80 @@ def test_jaccard_unblocked_guard(spark, docs):
     assert dedup.jaccard_pairs(docs, "doc_id", threshold=0.99).count() >= 1
 
 
+def test_jaccard_selfjoin_matches_brute_force(spark):
+    """Prefix filtering admits no false negatives: the exact self-join on
+    a planted corpus equals a python brute force over all pairs, at two
+    thresholds including an exact-boundary pair (J = 1/2)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),    # near-dup of 4
+        (6, "totally unrelated text goes here now"),
+        # J(7,8) = 2/4 = 1/2 exactly: shingle sets of size 3 sharing 2
+        (7, "p q r s t"),
+        (8, "p q r s u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(th):
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        out = {}
+        for i, (ia, ta) in enumerate(rows):
+            for ib, tb in rows[i + 1 :]:
+                a, b = sh(ta), sh(tb)
+                inter = len(a & b)
+                uni = len(a | b)
+                if uni and inter * th[1] >= uni * th[0]:
+                    out[(ia, ib)] = inter / uni
+        return out
+
+    for th in [(1, 2), (9, 10)]:
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_selfjoin(df, "doc_id", threshold=th).collect()
+        }
+        assert got == brute(th), th
+    # boundary pair is present at exactly 1/2
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_selfjoin(df, "doc_id", threshold=(1, 2)).collect()
+    }
+    assert got[(7, 8)] == 0.5
+
+
+def test_jaccard_selfjoin_hot_bucket_guard(spark):
+    """An exact operator must fail loudly, never drop candidates: a
+    prefix bucket above max_prefix_bucket raises in-plan."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(i, "same exact shared text here") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with _pytest.raises(Exception, match="max_prefix_bucket|RAISE_ERROR|Py4J"):
+        dedup.jaccard_selfjoin(
+            df, "doc_id", threshold=(1, 2), max_prefix_bucket=5
+        ).count()
+    # within bound it runs: all 66 pairs at J=1.0
+    out = dedup.jaccard_selfjoin(
+        df, "doc_id", threshold=(1, 2), max_prefix_bucket=12
+    ).collect()
+    assert len(out) == 66 and all(r.jaccard == 1.0 for r in out)
+
+
+def test_jaccard_selfjoin_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.jaccard_selfjoin(df, "doc_id", threshold=(3, 2))
+    with _pytest.raises(ValueError):
+        dedup.jaccard_selfjoin(df, "doc_id", threshold=(0, 1))
+
+
 def test_duplicate_clusters_connected_components(spark):
     """Min-label propagation finds components, including a chain needing
     multiple passes; singletons (no edges) are absent by construction."""
