@@ -806,6 +806,23 @@ def _pq_fixed_tables() -> list[list[float]]:
     return tables
 
 
+_RP_MATRIX = similarity.rp_matrix(8, 64)
+
+
+def q_sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sparse random projection
+    (similarity.random_projection, Achlioptas 2003): embeddings 64 -> 8
+    dims through a deterministic {-1,0,+1} sign matrix (splitmix-mixed,
+    no RNG state), the standard cheapener in front of LSH/ANN at corpus
+    scale. Each output is a 0.0-seeded left-associative add/subtract
+    chain over CAST-to-double entries in ascending index order plus one
+    literal multiply — every step correctly rounded, so the doubles hash
+    bit-identically vs the SQL twin generated from the SAME matrix.
+    Map-only, whole-stage codegen, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.random_projection(emb, _RP_MATRIX).drop("embedding")
+
+
 def q_sim_pq_encode_fixed(spark, sf_dir):
     """PQ encode + ADC distance with a FIXED literal codebook — the
     oracle-backed twin of the sim_pq_topk family (round-5 verdict item
@@ -2694,6 +2711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r2-r7, interval-join sibling events_attribution
         # stays in sweep) rotates past the cap.
         "dedup_jaccard_selfjoin": q_dedup_jaccard_selfjoin,
+        # Round-8 session 3: sim_random_projection (NEW oracle-backed —
+        # JL sparse sign projection, generated-twin float discipline)
+        # enters the sweep; events_sessionize (driver-green r2-r7,
+        # sibling events_attribution stays in sweep) rotates past the
+        # cap.
+        "sim_random_projection": q_sim_random_projection,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2741,12 +2764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icl_fk_violations": q_icl_fk_violations,
         "catalog_relations": q_catalog_relations,
         "curation_quality_report": q_curation_quality_report,
-        "events_sessionize": q_events_sessionize,
         "text_quality": q_text_quality,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "drl_fk_join": q_drl_fk_join,
         "icl_between_violations": q_icl_between_violations,
         "asof_join": q_asof_join,
+        "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -3886,6 +3909,17 @@ def oracle_sql() -> dict[str, str]:
             "n_langs, t.lang AS top_lang, "
             "CAST(t.n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share "
             "FROM r JOIN top t ON r.source = t.source AND t.rk = 1"
+        ),
+        # Generated from the SAME sign matrix with the same term order
+        # and literal scale — the two spellings cannot drift.
+        "sim_random_projection": (
+            "SELECT vec_id, "
+            + ", ".join(f"p{j}" for j in range(len(_RP_MATRIX)))
+            + " FROM ("
+            + similarity.random_projection_oracle_sql(
+                "SELECT vec_id, embedding FROM embeddings", _RP_MATRIX
+            )
+            + ")"
         ),
         "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
         "events_attribution": (

@@ -106,6 +106,7 @@ EXTENDED = [
     "text_readability",
     "curation_source_stats",
     "dedup_jaccard_selfjoin",
+    "sim_random_projection",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -165,6 +166,7 @@ NOOP_SINK = {
     # .count() would prune entirely (same hazard as text_quality).
     "text_readability",
     "curation_source_stats",
+    "sim_random_projection",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -975,3 +975,88 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, on=id_col, how="left_anti")
+
+
+# --- Johnson-Lindenstrauss sparse random projection ---------------------------
+
+
+def rp_matrix(out_dim: int, in_dim: int, seed: int = 8) -> list[list[int]]:
+    """Deterministic Achlioptas-sparse sign matrix: entries in {-1, 0, +1}
+    with P(+-1) = 1/6 each (s = 3 sparsity — Achlioptas 2003, JL with
+    database-friendly coins), derived from splitmix64-style mixing of
+    (seed, j, i) so every engine and every executor computes the same
+    matrix with no RNG state (the dedup._perm_params discipline)."""
+
+    def mix(z: int) -> int:
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            m = mix((seed << 32) + j * in_dim + i) % 6
+            row.append(1 if m == 0 else (-1 if m == 1 else 0))
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    df: DataFrame,
+    matrix: list[list[int]],
+    vec_col: str = "embedding",
+    prefix: str = "p",
+) -> DataFrame:
+    """Project ``vec_col`` through a sparse sign ``matrix`` (from
+    :func:`rp_matrix`): out_j = sqrt(s / out_dim) * sum_i m[j][i] * v[i],
+    the Johnson-Lindenstrauss dimensionality reduction that preserves
+    pairwise distances within (1 +- eps) — the standard cheapener in
+    front of LSH/ANN when the raw embedding dimension is large.
+
+    Float discipline: each output is a LEFT-ASSOCIATIVE 0.0-seeded chain
+    of adds/subtracts over CAST-to-double vector entries in ascending i
+    (zero entries skipped — sparsity means ~1/3 of terms survive), then
+    ONE multiply by the literal scale — every step correctly rounded, so
+    any IEEE engine running the same chain (the generated SQL twin below)
+    produces bit-identical doubles.
+
+    Plan: pure Column expressions, map-only, whole-stage codegen; the
+    matrix is plan literals (out_dim is small by construction — that is
+    the point of the operator), nothing shuffles.
+    """
+    if not matrix or not matrix[0]:
+        raise ValueError("matrix must be non-empty")
+    scale = math.sqrt(3.0 / len(matrix))
+    v = F.col(vec_col)
+    cols = []
+    for j, row in enumerate(matrix):
+        acc = F.lit(0.0)
+        for i, s in enumerate(row):
+            if s:
+                e = F.element_at(v, i + 1).cast("double")
+                acc = (acc + e) if s > 0 else (acc - e)
+        cols.append((F.lit(scale) * acc).alias(f"{prefix}{j}"))
+    return df.select("*", *cols)
+
+
+def random_projection_oracle_sql(
+    table_sql: str,
+    matrix: list[list[int]],
+    vec_col: str = "embedding",
+    prefix: str = "p",
+) -> str:
+    """DuckDB twin of :func:`random_projection`, generated from the SAME
+    matrix with the SAME term order and literal scale so the two
+    spellings cannot drift."""
+    scale = repr(math.sqrt(3.0 / len(matrix)))
+    outs = []
+    for j, row in enumerate(matrix):
+        acc = "0.0"
+        for i, s in enumerate(row):
+            if s:
+                op = "+" if s > 0 else "-"
+                acc = f"({acc} {op} CAST({vec_col}[{i + 1}] AS DOUBLE))"
+        outs.append(f"{scale} * {acc} AS {prefix}{j}")
+    return f"SELECT *, {', '.join(outs)} FROM ({table_sql})"

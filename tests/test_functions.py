@@ -1482,3 +1482,81 @@ def test_semantic_dedup_planted_clusters(spark):
 
     with _pytest.raises(ValueError, match="max_cluster_size"):
         sim.semantic_dedup(df, threshold=0.95, centroids=cents, max_cluster_size=3)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: with out_dim 16 over dim 64, pairwise squared
+    distances are preserved within a loose multiplicative band on
+    well-separated planted vectors (sanity, not a tail bound), and the
+    projection is deterministic (same matrix -> same values)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 64).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = similarity.rp_matrix(16, 64)
+    out = (
+        similarity.random_projection(df, m)
+        .drop("embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    proj = out[[f"p{j}" for j in range(16)]].to_numpy()
+    # same computation in numpy from the same matrix
+    mat = np.array(m, dtype="float64") * np.sqrt(3.0 / 16)
+    ref = vecs @ mat.T
+    assert np.allclose(proj, ref, rtol=1e-9)
+    # distance preservation (loose band — JL guarantees eps ~ sqrt(ln n / k))
+    for a in range(0, 20, 5):
+        for b in range(a + 1, 20, 7):
+            d_in = float(((vecs[a] - vecs[b]) ** 2).sum())
+            d_out = float(((proj[a] - proj[b]) ** 2).sum())
+            assert 0.3 * d_in < d_out < 2.5 * d_in
+
+
+def test_random_projection_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [(i, [((i * 7 + d * 3) % 11) / 11 - 0.5 for d in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = similarity.rp_matrix(4, 8, seed=3)
+    got = (
+        similarity.random_projection(df, m)
+        .drop("embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("emb_t", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    sql = similarity.random_projection_oracle_sql(
+        "SELECT vec_id, embedding FROM emb_t", m
+    )
+    want = (
+        con.execute(f"SELECT vec_id, p0, p1, p2, p3 FROM ({sql})")
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for j in range(4):
+        assert list(got[f"p{j}"]) == list(want[f"p{j}"]), j  # bit-identical
+
+
+def test_random_projection_plan_is_map_only(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    m = similarity.rp_matrix(4, 8)
+    plan = (
+        similarity.random_projection(df, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.random_projection(df, [])
