@@ -2199,9 +2199,19 @@ def q_graph_triangles(spark, sf_dir):
     oracle is a naive three-way self-join over the same edge set
     (triangle sets are orientation-independent), generated by
     graph.triangles_oracle_sql so the two spellings cannot drift."""
+    from sakura_spark.functions import graph
+
+    return graph.triangles(_rare_shingle_edges(spark, sf_dir))
+
+
+def _rare_shingle_edges(spark, sf_dir):
+    """Shared edge derivation for the graph family: documents adjacent
+    when they share a word-3-gram with corpus df in [2, 6] (rare-shingle
+    co-occurrence; the df window filters BEFORE the bounded collect_list
+    so no common-gram hot key is ever collected)."""
     from pyspark.sql import Window as W
 
-    from sakura_spark.functions import dedup, graph
+    from sakura_spark.functions import dedup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
@@ -2213,7 +2223,7 @@ def q_graph_triangles(spark, sf_dir):
     pairs = rare.groupBy("g").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    edges = pairs.select(
+    return pairs.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
@@ -2222,7 +2232,33 @@ def q_graph_triangles(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    return graph.triangles(edges)
+
+
+_RARE_SHINGLE_EDGES_SQL = (
+    f"WITH shg AS (SELECT doc_id, unnest({{sh}}) AS g FROM documents), "
+    "rareg AS (SELECT g FROM shg GROUP BY g HAVING count(*) BETWEEN 2 AND 6) "
+    "SELECT a.doc_id AS src, b.doc_id AS dst "
+    "FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "JOIN rareg r ON a.g = r.g"
+)
+
+
+def q_graph_components(spark, sf_dir):
+    """Fixed-sweep synchronous min-label propagation
+    (graph.min_label_sweeps) over the rare-shingle co-occurrence graph:
+    after 4 sweeps every node carries the minimum doc_id within distance
+    4 — on the small-diameter duplicate-cluster graph this IS the
+    connected-components table (the convergence-detected production path
+    is dedup.duplicate_clusters; this fixed-sweep form exists precisely
+    because it is expressible as unrolled SQL, so the label table is
+    hash-checked row-for-row — the components family's oracle-backed
+    driver row). Labels are exact integers; min is order-free, so the
+    result is partitioning- and engine-independent by construction."""
+    from sakura_spark.functions import graph
+
+    return graph.min_label_sweeps(
+        _rare_shingle_edges(spark, sf_dir), iterations=4
+    )
 
 
 def q_text_bm25_topk(spark, sf_dir):
@@ -2717,6 +2753,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sibling events_attribution stays in sweep) rotates past the
         # cap.
         "sim_random_projection": q_sim_random_projection,
+        # Round-8 session 3: graph_components (NEW oracle-backed — the
+        # components family's driver row: fixed-sweep min-label
+        # propagation, unrolled-SQL twin) enters the sweep;
+        # catalog_relations (driver-green r1-r7, sibling
+        # curation_quality_report exercises the same agg-shape and the
+        # catalog family keeps catalog_attributes past-cap) rotates past
+        # the cap.
+        "graph_components": q_graph_components,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2762,9 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
-        "catalog_relations": q_catalog_relations,
         "curation_quality_report": q_curation_quality_report,
         "text_quality": q_text_quality,
+        "catalog_relations": q_catalog_relations,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "drl_fk_join": q_drl_fk_join,
         "icl_between_violations": q_icl_between_violations,
@@ -3990,13 +4034,13 @@ def oracle_sql() -> dict[str, str]:
         # oriented Spark plan must agree exactly); generated by the
         # operator module so the two spellings cannot drift.
         "graph_triangles": graph.triangles_oracle_sql(
-            f"WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g "
-            "FROM documents), "
-            "rare AS (SELECT g FROM sh GROUP BY g "
-            "HAVING count(*) BETWEEN 2 AND 6) "
-            "SELECT a.doc_id AS src, b.doc_id AS dst "
-            "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
-            "JOIN rare r ON a.g = r.g"
+            _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES)
+        ),
+        # Unrolled fixed-sweep min-label propagation over the same edge
+        # set; generated by the operator module (the pagerank discipline
+        # applied to connected components).
+        "graph_components": graph.min_label_sweeps_oracle_sql(
+            _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES), iterations=4
         ),
         # BM25 tf-saturation scoring in exact arithmetic: each term weight
         # is CAST(int64)/CAST(int64) — correctly rounded by IEEE 754 in

@@ -107,6 +107,7 @@ EXTENDED = [
     "curation_source_stats",
     "dedup_jaccard_selfjoin",
     "sim_random_projection",
+    "graph_components",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -162,6 +163,9 @@ NOOP_SINK = {
     # Each iteration ends in a left join on the unique node key: .count()
     # would join-eliminate the whole rank recursion.
     "graph_pagerank",
+    # The label column is the whole computation; a .count() of the final
+    # groupBy could skip the min aggregates.
+    "graph_components",
     # Pure map-only metric projections / aggregate-column outputs a
     # .count() would prune entirely (same hazard as text_quality).
     "text_readability",

@@ -217,6 +217,76 @@ def triangles_oracle_sql(edges_sql: str) -> str:
     )
 
 
+def min_label_sweeps(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, label) after ``iterations`` SYNCHRONOUS min-label sweeps
+    over the undirected simple graph: every sweep, each node adopts the
+    minimum label in its closed neighborhood (labels start as node ids).
+    After >= diameter sweeps the labels are exactly the connected
+    components' minimum ids; with fewer sweeps the result is still a
+    deterministic, engine-independent function of (graph, iterations) —
+    which is the point: unlike the convergence-detected
+    dedup.duplicate_clusters (pointer doubling, ConvergenceError,
+    driver-gated fast path), the fixed-sweep form is expressible as
+    unrolled SQL, so a DuckDB oracle can hash-check the label table
+    row-for-row (the pagerank discipline applied to components).
+
+    Each sweep is one join + one map-side-combinable min aggregation +
+    one left join back to the node set — no Python, no collect; min is
+    order-free so the result is partitioning-independent. Use
+    duplicate_clusters for production clustering (it detects
+    convergence); use this where auditability of every sweep matters.
+    """
+    if iterations < 1:
+        raise ValueError("min_label_sweeps needs at least one iteration")
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e0 = edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    both = e0.select(
+        F.col("a").alias("__s"), F.col("b").alias("__d")
+    ).unionByName(e0.select(F.col("b").alias("__s"), F.col("a").alias("__d")))
+    # Self-edges make the closed-neighborhood min ONE join + agg per sweep
+    # (no left-join-back to carry the old label, and no join between
+    # labels and a labels-derived aggregate — the pagerank lineage shape).
+    nodes = both.select(F.col("__s").alias("node")).distinct()
+    e = both.unionByName(
+        nodes.select(F.col("node").alias("__s"), F.col("node").alias("__d"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        labels = (
+            e.join(labels.withColumnRenamed("node", "__d"), "__d")
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+    return labels
+
+
+def min_label_sweeps_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
+    """ANSI-SQL twin of :func:`min_label_sweeps`, unrolled to
+    ``iterations`` CTE blocks; ``edges_sql`` must yield (src, dst)."""
+    parts = [
+        f"WITH raw AS ({edges_sql})",
+        "e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM raw WHERE src <> dst)",
+        "eb AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0)",
+        "nodes AS (SELECT DISTINCT s AS node FROM eb)",
+        "e AS (SELECT s, d FROM eb UNION ALL SELECT node, node FROM nodes)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"l{i} AS (SELECT e.s AS node, min(r.label) AS label FROM e "
+            f"JOIN l{i-1} r ON e.d = r.node GROUP BY 1)"
+        )
+    head = ", ".join(parts)
+    return f"{head} SELECT node, label FROM l{iterations}"
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 3,

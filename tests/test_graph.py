@@ -168,6 +168,52 @@ def test_triangles_plan(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_min_label_sweeps_converged_equals_components(spark):
+    """With sweeps >= diameter, labels are exactly the connected
+    components' min ids: two chains + an isolatedish pair, with noisy
+    direction/duplicate/self-loop edges."""
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21),
+            (2, 1), (3, 3), (1, 2)]
+    out = {r.node: r.label
+           for r in graph.min_label_sweeps(_edges(spark, rows), 4).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_min_label_sweeps_agrees_with_duplicate_clusters(spark):
+    """On a pseudo-random graph, the converged fixed-sweep labels equal
+    dedup.duplicate_clusters' output (both = component min id)."""
+    from sakura_spark.functions import dedup
+
+    rows = [(i * 7 % 37 + 1, i * 11 % 37 + 1) for i in range(30)]
+    rows = [r for r in rows if r[0] != r[1]]
+    got = {r.node: r.label
+           for r in graph.min_label_sweeps(_edges(spark, rows), 12).collect()}
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    want = {r.id: r.cluster for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == want
+
+
+def test_min_label_sweeps_vs_oracle_sql_preconvergence(spark):
+    """At FEWER sweeps than the diameter the labels are not yet the
+    components — but they must still match the unrolled SQL exactly
+    (the fixed-sweep result is a deterministic function of the graph)."""
+    chain = [(i, i + 1) for i in range(1, 15)]  # diameter 14
+    got = {r.node: r.label
+           for r in graph.min_label_sweeps(_edges(spark, chain), 2).collect()}
+    con = duckdb.connect()
+    con.register("edges_t", pd.DataFrame(chain, columns=["src", "dst"]))
+    sql = graph.min_label_sweeps_oracle_sql("SELECT src, dst FROM edges_t", 2)
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+    assert got[15] != 1  # genuinely pre-convergence
+
+
+def test_min_label_sweeps_validation(spark):
+    with pytest.raises(ValueError):
+        graph.min_label_sweeps(_edges(spark, [(1, 2)]), 0)
+
+
 def test_validation_and_plan(spark):
     e = _edges(spark, [(1, 2)])
     with pytest.raises(ValueError):
