@@ -108,6 +108,7 @@ EXTENDED = [
     "dedup_jaccard_selfjoin",
     "sim_random_projection",
     "graph_components",
+    "multimodal_adpcm",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -160,6 +161,7 @@ NOOP_SINK = {
     # synthesis repartition makes .count() safe yet the decode columns
     # prunable — keep the full decode honest via the sink.
     "multimodal_audio",
+    "multimodal_adpcm",
     # Each iteration ends in a left join on the unique node key: .count()
     # would join-eliminate the whole rank recursion.
     "graph_pagerank",
