@@ -662,6 +662,27 @@ def q_range_join(spark, sf_dir):
     return out.select("event_id", F.col("event_id_r").alias("purchase_event_id"), "user_id")
 
 
+def q_rel_salted_join(spark, sf_dir):
+    """Skew-resistant salted equi-join (operators.salted_join): lineitem
+    (big side, deterministic xxhash64 salt spreads every key over 8
+    shuffle partitions) joined to supplier (small side, replicated once
+    per salt). Semantics are IDENTICAL to the plain join — every left row
+    meets every right row of its key exactly once, in exactly one salt
+    bucket — so the DuckDB oracle is the plain SQL join: the hash match
+    proves the skew rewrite is result-transparent, the property that lets
+    the 100 TB playbook apply it under any hot key without re-validating
+    the query."""
+    from sakura_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return salted_join(li, sup, on=["s_suppkey"], n_salts=8).select(
+        "l_orderkey", "l_linenumber", "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup / similarity / multimodal (pipeline extensions)
 # ---------------------------------------------------------------------------
@@ -2785,6 +2806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape sibling curation_source_stats just entered the sweep)
         # rotates past the cap.
         "multimodal_adpcm": q_multimodal_adpcm,
+        # Round-8 session 3: rel_salted_join (NEW oracle-backed — the
+        # skew playbook's salted join proven result-transparent against
+        # the plain SQL join) enters the sweep; text_quality (driver-
+        # green r1-r7, headline_noop-benched every round, map-only shape
+        # siblings text_readability/text_pii_redact in sweep) rotates
+        # past the cap.
+        "rel_salted_join": q_rel_salted_join,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -3505,6 +3533,13 @@ def oracle_sql() -> dict[str, str]:
             "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
             "ELSE 44100 END) AS BIGINT) AS duration_ms "
             "FROM documents"
+        ),
+        # Plain SQL join: salting is result-transparent by construction,
+        # and the hash match proves it.
+        "rel_salted_join": (
+            "SELECT l_orderkey, l_linenumber, l_suppkey AS s_suppkey, "
+            "s_name, s_nationkey "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
         ),
         # Mono IMA ADPCM twin: every synthesis parameter is a pure
         # function of doc_id; a hash match proves the real block encoder,
