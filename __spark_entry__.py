@@ -1107,11 +1107,13 @@ def q_multimodal_audio(spark, sf_dir):
 def q_multimodal_adpcm(spark, sf_dir):
     """REAL IMA/DVI ADPCM loop end-to-end (audio._ima_adpcm_encode/
     _ima_adpcm_decode — the public-spec block-based 4-bit quantizer, with
-    the exact sample count in the WAV 'fact' chunk): synthesize a mono
-    ADPCM WAV per document (rate and length rotate by doc_id; lengths
-    exercise partial final blocks and the odd-nibble fact-trim path),
-    fully decode — chunk walk, per-block predictor/step-index state
-    machine, pad-nibble trim — and report integer-exact metadata. A hash
+    the exact sample count in the WAV 'fact' chunk): synthesize an ADPCM
+    WAV per document (rate, CHANNELS and length rotate by doc_id — the
+    stereo rows exercise the interleaved 4-byte nibble-group layout with
+    independent per-channel quantizer state; lengths exercise partial
+    final blocks and the pad-group fact-trim path), fully decode — chunk
+    walk, per-block-per-channel predictor/step-index state machines,
+    frame re-interleave — and report integer-exact metadata. A hash
     match vs the plain-SQL synthesis formulas proves the real encoder and
     the real decoder agree payload-for-payload (the decoder is separately
     differentialed bit-for-bit against CPython's independent audioop
@@ -3549,7 +3551,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_adpcm": (
             "SELECT doc_id, 'adpcm' AS codec, "
             "CAST(256 + (doc_id % 7) * 37 AS BIGINT) AS n_samples, "
-            "CAST(1 AS INT) AS channels, "
+            "CAST(1 + doc_id % 2 AS INT) AS channels, "
             "CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
             "ELSE 44100 END AS INT) AS sample_rate, "
             "CAST(4 AS INT) AS bits, "

@@ -14,10 +14,11 @@ Codecs are REAL, pure numpy + struct (no soundfile/ffmpeg):
 - WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved through its SubFormat GUID to
   the PCM / float / G.711 decoders above.
 
-IMA/DVI ADPCM (wFormatTag=0x11, mono) is REAL in both directions — the
-block-based 4-bit quantizer from the public IMA spec, with the exact
-sample count carried in the 'fact' chunk. Remaining compressed formats
-(MP3 wFormatTag=0x55, AAC, multi-channel ADPCM, ...) raise
+IMA/DVI ADPCM (wFormatTag=0x11, mono AND multi-channel) is REAL in both
+directions — the block-based 4-bit quantizer from the public IMA spec
+(per-channel block headers, interleaved 4-byte nibble groups, independent
+per-channel state), with the exact frame count carried in the 'fact'
+chunk. Remaining compressed formats (MP3 wFormatTag=0x55, AAC, ...) raise
 `DecodeUnavailable` — the honest stub boundary; their libraries are not in
 this environment. Reference parity: the reference stores media as opaque
 payloads with typed metadata (docs/architecture.org media notes); the
@@ -70,79 +71,124 @@ _IMA_STEP_TABLE = [
 ]
 
 
-def _ima_adpcm_encode(samples, block_align: int = 256) -> tuple[bytes, int]:
-    """Mono int16 -> IMA ADPCM WAV 'data' payload (sequence of
-    ``block_align``-byte blocks, 4-byte header each: predictor int16 +
-    step index + reserved; then 4-bit nibbles, low nibble first). Returns
-    (payload, samples_per_block). The final block may be partial; the
-    true sample count travels in the WAV 'fact' chunk."""
-    x = [int(v) for v in samples]
-    spb = (block_align - 4) * 2 + 1
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA quantizer state transition (the spec's integer form),
+    shared by encoder and decoder."""
+    step = _IMA_STEP_TABLE[index]
+    delta = step >> 3
+    if nib & 1:
+        delta += step >> 2
+    if nib & 2:
+        delta += step >> 1
+    if nib & 4:
+        delta += step
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
+    return pred, index
+
+
+def _ima_encode_nibble(s: int, pred: int, index: int) -> int:
+    """Quantize one sample against the current (pred, index) state —
+    3-bit successive approximation plus sign, per the IMA spec."""
+    step = _IMA_STEP_TABLE[index]
+    diff = s - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    return nib
+
+
+def _ima_adpcm_encode(samples, block_align: int = 256, channels: int = 1) -> tuple[bytes, int]:
+    """int16 samples -> IMA ADPCM WAV 'data' payload. ``samples`` is flat
+    mono (channels=1) or a (n, channels) array / row-major flat
+    interleaved list. Block layout per the public WAV IMA spec: one
+    4-byte header PER CHANNEL (predictor int16 + step index + reserved),
+    then 4-byte nibble groups (8 samples, low nibble first) interleaved
+    channel 0, channel 1, ... The header predictor IS each channel's
+    first output sample of the block. Returns (payload,
+    samples_per_block); the final block may be partial and the true
+    frame count travels in the WAV 'fact' chunk."""
+    flat = [int(v) for v in (samples.ravel().tolist() if hasattr(samples, "ravel") else samples)]
+    ch = channels
+    n = len(flat) // ch
+    frames = [flat[i * ch : (i + 1) * ch] for i in range(n)]
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    if spb < 1:
+        raise DecodeUnavailable("IMA ADPCM block_align too small for channels")
     out = bytearray()
-    index = 0
-    for b0 in range(0, len(x), spb):
-        blk = x[b0 : b0 + spb]
-        pred = blk[0]
-        out += struct.pack("<hBB", pred, index, 0)
-        nibbles = []
-        for s in blk[1:]:
-            step = _IMA_STEP_TABLE[index]
-            diff = s - pred
-            nib = 0
-            if diff < 0:
-                nib = 8
-                diff = -diff
-            # 3-bit successive approximation (the spec's integer form)
-            delta = step >> 3
-            if diff >= step:
-                nib |= 4
-                diff -= step
-                delta += step
-            if diff >= step >> 1:
-                nib |= 2
-                diff -= step >> 1
-                delta += step >> 1
-            if diff >= step >> 2:
-                nib |= 1
-                delta += step >> 2
-            pred = pred - delta if nib & 8 else pred + delta
-            pred = max(-32768, min(32767, pred))
-            index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
-            nibbles.append(nib)
-        if len(nibbles) & 1:
-            nibbles.append(0)  # pad nibble; 'fact' chunk trims the sample
-        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
-            out.append(lo | (hi << 4))
+    index = [0] * ch
+    for b0 in range(0, n, spb):
+        blk = frames[b0 : b0 + spb]
+        pred = list(blk[0])
+        for c in range(ch):
+            out += struct.pack("<hBB", pred[c], index[c], 0)
+        # per-channel nibble streams for this block
+        nibs: list[list[int]] = [[] for _ in range(ch)]
+        for fr in blk[1:]:
+            for c in range(ch):
+                nib = _ima_encode_nibble(fr[c], pred[c], index[c])
+                pred[c], index[c] = _ima_step(pred[c], index[c], nib)
+                nibs[c].append(nib)
+        # pad each channel to whole 4-byte (8-nibble) groups, then
+        # interleave group-by-group; 'fact' trims the pad samples
+        groups = (max(len(x) for x in nibs) + 7) // 8 if blk[1:] else 0
+        for c in range(ch):
+            nibs[c] += [0] * (groups * 8 - len(nibs[c]))
+        for g in range(groups):
+            for c in range(ch):
+                chunk = nibs[c][g * 8 : g * 8 + 8]
+                for lo, hi in zip(chunk[::2], chunk[1::2]):
+                    out.append(lo | (hi << 4))
     return bytes(out), spb
 
 
-def _ima_adpcm_decode(data: bytes, block_align: int):
-    """IMA ADPCM 'data' payload -> mono int32 sample list (16-bit range).
-    Inverse of :func:`_ima_adpcm_encode`; every step is the spec's
-    integer arithmetic, so decode(encode(x)) is bit-deterministic."""
-    out = []
+def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
+    """IMA ADPCM 'data' payload -> flat interleaved int sample list
+    (16-bit range). Inverse of :func:`_ima_adpcm_encode`; every step is
+    the spec's integer arithmetic, so decode(encode(x)) is
+    bit-deterministic."""
+    ch = channels
+    out: list[int] = []
     for b0 in range(0, len(data), block_align):
         blk = data[b0 : b0 + block_align]
-        if len(blk) < 4:
+        if len(blk) < 4 * ch:
             raise DecodeUnavailable("truncated IMA ADPCM block header")
-        pred, index, _ = struct.unpack("<hBB", blk[:4])
-        if index > 88:
-            raise DecodeUnavailable("IMA ADPCM step index out of range")
-        out.append(pred)
-        for byte in blk[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = _IMA_STEP_TABLE[index]
-                delta = step >> 3
-                if nib & 1:
-                    delta += step >> 2
-                if nib & 2:
-                    delta += step >> 1
-                if nib & 4:
-                    delta += step
-                pred = pred - delta if nib & 8 else pred + delta
-                pred = max(-32768, min(32767, pred))
-                index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
-                out.append(pred)
+        pred = [0] * ch
+        index = [0] * ch
+        for c in range(ch):
+            pred[c], index[c], _ = struct.unpack(
+                "<hBB", blk[4 * c : 4 * c + 4]
+            )
+            if index[c] > 88:
+                raise DecodeUnavailable("IMA ADPCM step index out of range")
+        out.extend(pred)
+        body = blk[4 * ch :]
+        # walk interleaved 4-byte channel groups; buffer one frame row
+        # per 8-sample stripe so the output stays frame-interleaved
+        gsize = 4 * ch
+        for g0 in range(0, len(body) // gsize * gsize, gsize):
+            stripe = [[0] * 8 for _ in range(ch)]
+            for c in range(ch):
+                seg = body[g0 + 4 * c : g0 + 4 * c + 4]
+                k = 0
+                for byte in seg:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred[c], index[c] = _ima_step(pred[c], index[c], nib)
+                        stripe[c][k] = pred[c]
+                        k += 1
+            for k in range(8):
+                for c in range(ch):
+                    out.append(stripe[c][k])
     return out
 
 
@@ -251,13 +297,11 @@ def _wav_encode(samples, sample_rate: int, codec: str = "pcm16") -> bytes:
         tag, bits = _FMT_EXTENSIBLE, 16
         data = arr.astype("<i2").tobytes()
     elif codec == "adpcm":
-        if ch != 1:
-            raise DecodeUnavailable(
-                "multi-channel IMA ADPCM encode is stubbed (mono only)"
-            )
         tag, bits = _FMT_IMA_ADPCM, 4
-        block_align = 256
-        data, spb = _ima_adpcm_encode(arr.ravel().tolist(), block_align)
+        block_align = 256 * ch
+        data, spb = _ima_adpcm_encode(
+            arr.astype(np.int64).ravel().tolist(), block_align, channels=ch
+        )
         byte_rate = (sample_rate * block_align + spb - 1) // spb
         fmt = struct.pack(
             "<HHIIHHHH", tag, ch, sample_rate, byte_rate, block_align,
@@ -371,17 +415,13 @@ def _wav_decode(b: bytes):
         )
         name = "alaw"
     elif tag == _FMT_IMA_ADPCM:
-        if ch != 1:
-            raise DecodeUnavailable(
-                "multi-channel IMA ADPCM decode is stubbed (mono only)"
-            )
-        if not block_align or block_align < 5:
+        if not block_align or block_align < 4 * ch + 1:
             raise DecodeUnavailable("IMA ADPCM needs a sane nBlockAlign")
         flat = np.asarray(
-            _ima_adpcm_decode(data, block_align), dtype=np.int32
+            _ima_adpcm_decode(data, block_align, channels=ch), dtype=np.int32
         )
         if fact_samples is not None:
-            flat = flat[:fact_samples]  # drop the pad-nibble sample
+            flat = flat[: fact_samples * ch]  # drop the pad-group frames
         name = "adpcm"
     elif tag == 0x0055:
         raise DecodeUnavailable("MP3-in-WAV: compressed audio decode is stubbed")
@@ -603,13 +643,16 @@ def synthetic_adpcm_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     base_samples: int = 256,
 ) -> DataFrame:
-    """Deterministic IMA-ADPCM corpus generator (mono — the implemented
-    ADPCM surface): md5 waveform like :func:`synthetic_wav_payload`, but
-    every payload runs through the REAL block-based 4-bit encoder.
-    Rotation, reproducible in plain SQL for the driver oracle:
+    """Deterministic IMA-ADPCM corpus generator: md5 waveform like
+    :func:`synthetic_wav_payload`, but every payload runs through the
+    REAL block-based 4-bit encoder (mono and stereo — stereo exercises
+    the interleaved 4-byte nibble-group layout with independent
+    per-channel quantizer state). Rotation, reproducible in plain SQL
+    for the driver oracle:
       sample_rate = (8000, 16000, 44100)[id % 3]
+      channels    = 1 + id % 2
       n_samples   = base_samples + (id % 7) * 37   (exercises partial
-                    final blocks AND odd nibble counts — the fact-chunk
+                    final blocks AND pad nibble groups — the fact-chunk
                     trim path)
     """
     import numpy as np
@@ -621,10 +664,14 @@ def synthetic_adpcm_payload(
                 i = int(i)
                 digest = hashlib.md5(str(t).encode("utf-8")).digest()
                 n = base_samples + (i % 7) * 37
+                ch = 1 + i % 2
                 base = np.frombuffer(digest, dtype="<i2").astype(np.int32)
-                flat = np.tile(base, n // base.size + 1)[:n].astype(np.int16)
+                flat = np.tile(base, n // base.size + 1)[:n]
+                samples = np.stack(
+                    [np.roll(flat, c) for c in range(ch)], axis=1
+                ).astype(np.int16)
                 payloads.append(
-                    _wav_encode(flat, SYNTH_RATES[i % 3], "adpcm")
+                    _wav_encode(samples, SYNTH_RATES[i % 3], "adpcm")
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 

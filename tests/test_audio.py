@@ -283,14 +283,28 @@ def test_adpcm_quality_in_family_with_audioop_encoder():
     assert my_err <= ref_err * 1.05
 
 
-def test_adpcm_mono_only_boundary():
+def test_adpcm_stereo_roundtrip_and_channel_independence():
+    """Stereo blocks: interleaved 4-byte nibble groups, independent
+    per-channel quantizer state — so each stereo channel decodes
+    BIT-IDENTICALLY to its own mono encode (block boundaries align
+    because block_align scales with channel count), and every frame
+    count round-trips through the fact trim."""
     import numpy as np
 
-    from sakura_spark.functions.multimodal import DecodeUnavailable
-
-    stereo = np.zeros((16, 2), dtype=np.int16)
-    with pytest.raises(DecodeUnavailable, match="mono"):
-        audio._wav_encode(stereo, 8000, "adpcm")
+    t = np.arange(777)
+    left = (9000 * np.sin(t / 7.0)).astype(np.int16)
+    right = (5000 * np.cos(t / 11.0)).astype(np.int16)
+    x = np.stack([left, right], axis=1)
+    for n in (1, 2, 3, 250, 505, 506, 777):
+        s, rate, bits, name = audio._wav_decode(
+            audio._wav_encode(x[:n], 16000, "adpcm")
+        )
+        assert s.shape == (n, 2) and (name, bits) == ("adpcm", 4)
+        assert s[0, 0] == int(x[0, 0]) and s[0, 1] == int(x[0, 1])
+    ss, *_ = audio._wav_decode(audio._wav_encode(x, 16000, "adpcm"))
+    for c, mono in ((0, left), (1, right)):
+        sm, *_ = audio._wav_decode(audio._wav_encode(mono, 16000, "adpcm"))
+        assert (ss[:, c] == sm.ravel()).all()
 
 
 def test_adpcm_synthetic_rotation_matches_formula(spark):
@@ -302,7 +316,8 @@ def test_adpcm_synthetic_rotation_matches_formula(spark):
     }
     for i in range(10):
         r = out[i]
-        assert r.codec == "adpcm" and r.bits == 4 and r.channels == 1
+        assert r.codec == "adpcm" and r.bits == 4
+        assert r.channels == 1 + i % 2
         assert r.n_samples == 256 + (i % 7) * 37
         assert r.sample_rate == audio.SYNTH_RATES[i % 3]
         assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
