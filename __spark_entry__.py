@@ -931,6 +931,21 @@ def q_curation_source_stats(spark, sf_dir):
     return curation.source_stats(docs)
 
 
+def q_dedup_minhash_portable(spark, sf_dir):
+    """Engine-portable MinHash signatures
+    (dedup.minhash_signatures_portable): the MinHash family's hash-exact
+    driver row. Identical universal-hash math to the production xxhash64
+    pipeline (same splitmix-derived (a_i, b_i) family, same mod 2^31-1
+    lattice), but the base hash is the repo's engine-portable sha256 word
+    — so the DuckDB twin (generated from the SAME parameters) recomputes
+    all 16 signature columns bit-for-bit. One explode + one map-side-
+    combinable groupBy carrying only (id, 8-byte hash)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return dedup.minhash_signatures_portable(docs, "id", num_hashes=16)
+
+
 def q_dedup_jaccard_selfjoin(spark, sf_dir):
     """EXACT Jaccard-threshold self-join (dedup.jaccard_selfjoin,
     Bayardo et al. AllPairs prefix filtering): every document pair with
@@ -2815,6 +2830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings text_readability/text_pii_redact in sweep) rotates
         # past the cap.
         "rel_salted_join": q_rel_salted_join,
+        # Round-8 session 3: dedup_minhash_portable (NEW oracle-backed —
+        # the MinHash family's first hash-exact driver row: same
+        # universal-hash math as the production xxhash64 pipeline over
+        # the engine-portable sha256 word) enters the sweep;
+        # curation_mixture (driver-green r6+r7, sampling siblings
+        # curation_weighted_sample + curation_source_stats in sweep)
+        # rotates past the cap.
+        "dedup_minhash_portable": q_dedup_minhash_portable,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -2853,13 +2876,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings q3/q21/q2 still in sweep) rotates past the cap.
         "curation_gopher_filter": q_curation_gopher_filter,
         "rel_diff": q_rel_diff,
-        "curation_mixture": q_curation_mixture,
         "window_topk_per_group": q_window_topk_per_group,
         "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "drl_intensional_plus": q_drl_intensional_plus,
         "icl_fk_violations": q_icl_fk_violations,
+        "curation_mixture": q_curation_mixture,
         "text_quality": q_text_quality,
         "catalog_relations": q_catalog_relations,
         "curation_quality_report": q_curation_quality_report,
@@ -3483,6 +3506,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, CASE WHEN uni = 0 THEN 0.0 "
             "ELSE CAST(inter AS DOUBLE) / uni END AS jaccard FROM p "
             "WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.05"
+        ),
+        # Generated from the SAME (a_i, b_i) family as the Spark side —
+        # the two spellings cannot drift.
+        "dedup_minhash_portable": dedup.minhash_portable_oracle_sql(
+            "SELECT doc_id, text FROM documents", _SHINGLES, num_hashes=16
         ),
         # Naive gram-intersection self-join at the same rational threshold
         # (integer comparison 2*i >= union, so boundary pairs can't flip);

@@ -109,6 +109,8 @@ EXTENDED = [
     "sim_random_projection",
     "graph_components",
     "multimodal_adpcm",
+    "rel_salted_join",
+    "dedup_minhash_portable",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -168,6 +170,8 @@ NOOP_SINK = {
     # The label column is the whole computation; a .count() of the final
     # groupBy could skip the min aggregates.
     "graph_components",
+    # 16 signature mins are aggregate columns a .count() would prune.
+    "dedup_minhash_portable",
     # Pure map-only metric projections / aggregate-column outputs a
     # .count() would prune entirely (same hazard as text_quality).
     "text_readability",

@@ -352,6 +352,76 @@ def jaccard_pairs(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    salt: str = "mh",
+) -> DataFrame:
+    """ENGINE-PORTABLE MinHash signatures: (id, sig0..sig{k-1}) where
+    sig_i = min over distinct 3-gram shingles of (a_i * h + b_i) mod P,
+    h = the 60-bit sha256 word (sketches.hash_word) mod P, P = 2^31 - 1,
+    and (a_i, b_i) from the same splitmix-derived universal family as the
+    production pipeline (``_perm_params``).
+
+    Relationship to :func:`minhash_signatures` (the production path):
+    identical MATH, different base hash — production uses JVM xxhash64
+    (fast, engine-specific, hence rows-only in the driver gate); this
+    spelling uses the repo's engine-portable sha256 word so a DuckDB
+    oracle recomputes every signature bit-for-bit — the MinHash family's
+    hash-exact driver row. Use the xxhash path in anger; use this one to
+    AUDIT the pipeline math across engines.
+
+    Plan: explode distinct shingles, one map-side-combinable groupBy with
+    k min aggregates — exactly one shuffle, carrying only (id, 8-byte
+    hash); the k permutations are arithmetic on that one hash, not k
+    hashes. Docs with no shingles are absent (no signature exists).
+    """
+    from sakura_spark.functions.sketches import hash_word
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), 3)).alias("g"),
+    )
+    hw = hash_word(F.col("g"), salt) % F.lit(_P)
+    hashed = grams.select("id", hw.alias("h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _perm_params(i)
+        aggs.append(
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"sig{i}")
+        )
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_portable_oracle_sql(
+    docs_sql: str,
+    shingles_sql: str,
+    num_hashes: int = 16,
+    salt: str = "mh",
+) -> str:
+    """DuckDB twin of :func:`minhash_signatures_portable`, generated from
+    the SAME ``_perm_params`` family so the two spellings cannot drift.
+    ``docs_sql`` yields (doc_id, text); ``shingles_sql`` is the SQL
+    spelling of the 3-gram shingle array over a column named ``text``."""
+    hw = (
+        f"('0x' || substr(sha256(concat_ws(chr(31), '{salt}', gram)), 1, 15))"
+        f"::BIGINT % {_P}"
+    )
+    sigs = []
+    for i in range(num_hashes):
+        a, b = _perm_params(i)
+        sigs.append(f"min((h * {a} + {b}) % {_P}) AS sig{i}")
+    return (
+        f"WITH src AS ({docs_sql}), "
+        f"t AS (SELECT doc_id, {shingles_sql} AS sh FROM src), "
+        "g AS (SELECT doc_id, unnest(sh) AS gram FROM t WHERE len(sh) > 0), "
+        f"h AS (SELECT doc_id AS id, {hw} AS h FROM g) "
+        f"SELECT id, {', '.join(sigs)} FROM h GROUP BY id"
+    )
+
+
 def jaccard_selfjoin(
     df: DataFrame,
     id_col: str,

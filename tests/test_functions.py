@@ -1560,3 +1560,43 @@ def test_random_projection_plan_is_map_only(spark):
 
     with _pytest.raises(ValueError):
         similarity.random_projection(df, [])
+
+
+def test_minhash_portable_estimator_and_twin(spark):
+    """Portable signatures behave as MinHash (identical docs -> identical
+    sigs; near-dups agree on most; unrelated agree on few) AND match the
+    generated DuckDB twin bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "completely different content with no shared shingles at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = dedup.minhash_signatures_portable(df, "id", num_hashes=16)
+    sig = {r.id: [r[f"sig{i}"] for i in range(16)] for r in out.collect()}
+    assert sig[1] == sig[2]
+    near = sum(a == b for a, b in zip(sig[1], sig[3]))
+    far = sum(a == b for a, b in zip(sig[1], sig[4]))
+    assert near >= 8 and far <= 2
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = (
+        "CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) < 3 "
+        "THEN []::VARCHAR[] ELSE list_distinct(list_transform("
+        "range(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1), "
+        "i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' || "
+        "regexp_split_to_array(trim(lower(text)), '\\s+')[i+1] || ' ' || "
+        "regexp_split_to_array(trim(lower(text)), '\\s+')[i+2])) END"
+    )
+    sql = dedup.minhash_portable_oracle_sql(
+        "SELECT doc_id, text FROM docs_t", sh, num_hashes=16
+    )
+    want = {
+        int(r[0]): list(r[1:]) for r in con.execute(sql).fetchall()
+    }
+    assert sig == want
