@@ -1018,6 +1018,19 @@ def q_text_lm_score(spark, sf_dir):
     return text.lm_score(docs, top_v=5000).orderBy("doc_id")
 
 
+def q_curation_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (curation.perplexity_buckets, Wenzek
+    et al. 2020): per language, ntile(3) over the unseen-bigram ratio
+    from text.lm_score — the integer-exact core of the perplexity
+    signal. The ratio is one IEEE division of exact int64s and the ntile
+    order (ratio, doc_id) is unique, so every bucket edge is
+    engine-independent and the oracle (the SAME stats SQL + the same
+    ntile) hash-matches. Corpus never shuffles (broadcast LM); the
+    window runs over the doc-sized stats table, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.perplexity_buckets(docs, top_v=5000)
+
+
 def q_text_bpe_segment(spark, sf_dir):
     """BPE tokenizer trained on the corpus, then applied back to it:
     per-doc word and BPE-token counts. Training = ONE distributed
@@ -2289,6 +2302,36 @@ def _rare_shingle_edges(spark, sf_dir):
     ).select("e.src", "e.dst")
 
 
+# CCNet-style bigram-LM hit statistics (no trailing ORDER BY so wrappers
+# can reuse it as a subquery; text_lm_score appends its own).
+_LM_SCORE_SQL = (
+    "WITH base AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '') AS words FROM documents), "
+    "uni_all AS (SELECT unnest(words) AS w FROM base), "
+    "c1t AS (SELECT w, count(*) AS c1 FROM uni_all GROUP BY w "
+    "ORDER BY c1 DESC, w LIMIT 5000), "
+    "bgarr AS (SELECT doc_id, CASE WHEN len(words) < 2 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, len(words)), "
+    "i -> words[i] || ' ' || words[i+1]) END AS bgs FROM base), "
+    "occ AS (SELECT doc_id, unnest(bgs) AS g FROM bgarr), "
+    "c2t AS (SELECT g, count(*) AS c2 FROM occ GROUP BY g "
+    "ORDER BY c2 DESC, g LIMIT 5000), "
+    "s AS (SELECT o.doc_id, c2t.c2, c1t.c1 FROM occ o "
+    "LEFT JOIN c2t ON o.g = c2t.g "
+    "LEFT JOIN c1t ON split_part(o.g, ' ', 1) = c1t.w), "
+    "pd AS (SELECT doc_id, count(*) AS n_bigrams, "
+    "sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen, "
+    "sum(coalesce(c2, 0)) AS sum_bigram_count, "
+    "sum(coalesce(c1, 0)) AS sum_context_count FROM s GROUP BY doc_id) "
+    "SELECT b.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+    "CAST(coalesce(n_unseen, 0) AS BIGINT) AS n_unseen, "
+    "CAST(coalesce(sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count, "
+    "CAST(coalesce(sum_context_count, 0) AS BIGINT) AS sum_context_count "
+    "FROM base b LEFT JOIN pd USING (doc_id)"
+)
+
+
 _RARE_SHINGLE_EDGES_SQL = (
     f"WITH shg AS (SELECT doc_id, unnest({{sh}}) AS g FROM documents), "
     "rareg AS (SELECT g FROM shg GROUP BY g HAVING count(*) BETWEEN 2 AND 6) "
@@ -2838,6 +2881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation_weighted_sample + curation_source_stats in sweep)
         # rotates past the cap.
         "dedup_minhash_portable": q_dedup_minhash_portable,
+        # Round-8 session 3: curation_ppl_buckets (NEW oracle-backed —
+        # CCNet's head/middle/tail split on the integer-exact LM signal)
+        # enters the sweep; icl_fk_violations (driver-green r1-r7, the
+        # ICL family keeps its cascade/trigger/deferred pytest
+        # differentials and icl_between/icl_range past-cap rows) rotates
+        # past the cap.
+        "curation_ppl_buckets": q_curation_ppl_buckets,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -4001,31 +4051,21 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(agg.cleaned, '') AS cleaned_text "
             "FROM base b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
         ),
-        "text_lm_score": (
-            "WITH base AS (SELECT doc_id, "
-            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
-            "x -> x <> '') AS words FROM documents), "
-            "uni_all AS (SELECT unnest(words) AS w FROM base), "
-            "c1t AS (SELECT w, count(*) AS c1 FROM uni_all GROUP BY w "
-            "ORDER BY c1 DESC, w LIMIT 5000), "
-            "bgarr AS (SELECT doc_id, CASE WHEN len(words) < 2 THEN []::VARCHAR[] "
-            "ELSE list_transform(range(1, len(words)), "
-            "i -> words[i] || ' ' || words[i+1]) END AS bgs FROM base), "
-            "occ AS (SELECT doc_id, unnest(bgs) AS g FROM bgarr), "
-            "c2t AS (SELECT g, count(*) AS c2 FROM occ GROUP BY g "
-            "ORDER BY c2 DESC, g LIMIT 5000), "
-            "s AS (SELECT o.doc_id, c2t.c2, c1t.c1 FROM occ o "
-            "LEFT JOIN c2t ON o.g = c2t.g "
-            "LEFT JOIN c1t ON split_part(o.g, ' ', 1) = c1t.w), "
-            "pd AS (SELECT doc_id, count(*) AS n_bigrams, "
-            "sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen, "
-            "sum(coalesce(c2, 0)) AS sum_bigram_count, "
-            "sum(coalesce(c1, 0)) AS sum_context_count FROM s GROUP BY doc_id) "
-            "SELECT b.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
-            "CAST(coalesce(n_unseen, 0) AS BIGINT) AS n_unseen, "
-            "CAST(coalesce(sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count, "
-            "CAST(coalesce(sum_context_count, 0) AS BIGINT) AS sum_context_count "
-            "FROM base b LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
+        "text_lm_score": _LM_SCORE_SQL + " ORDER BY doc_id",
+        # The SAME stats subquery feeding CCNet's head/middle/tail split:
+        # ratio = one IEEE division of exact ints, ntile over the unique
+        # (ratio, doc_id) order — bucket edges are engine-independent.
+        "curation_ppl_buckets": (
+            "WITH stats AS (" + _LM_SCORE_SQL + "), "
+            "r AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.n_unseen, "
+            "CASE WHEN s.n_bigrams = 0 THEN 1.0 ELSE "
+            "CAST(s.n_unseen AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) END "
+            "AS unseen_ratio FROM stats s JOIN documents d USING (doc_id)) "
+            "SELECT doc_id, lang, n_bigrams, n_unseen, unseen_ratio, "
+            "CASE ntile(3) OVER (PARTITION BY lang "
+            "ORDER BY unseen_ratio, doc_id) "
+            "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
+            "AS ppl_bucket FROM r"
         ),
         "text_repetition": _REPETITION_SQL,
         # The same stats subquery with the integer gate inequalities on

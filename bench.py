@@ -111,6 +111,7 @@ EXTENDED = [
     "multimodal_adpcm",
     "rel_salted_join",
     "dedup_minhash_portable",
+    "curation_ppl_buckets",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -172,6 +173,8 @@ NOOP_SINK = {
     "graph_components",
     # 16 signature mins are aggregate columns a .count() would prune.
     "dedup_minhash_portable",
+    # The ntile bucket column would be pruned under .count().
+    "curation_ppl_buckets",
     # Pure map-only metric projections / aggregate-column outputs a
     # .count() would prune entirely (same hazard as text_quality).
     "text_readability",

@@ -447,3 +447,53 @@ def source_stats(
             "top_lang_share"
         ),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_v: int = 5000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, public method):
+    per language, rank documents by LM quality and cut the ranking into
+    three equal buckets — 'head' feeds training first, 'tail' gets
+    dropped or down-sampled. The quality key here is the UNSEEN-BIGRAM
+    RATIO from text.lm_score (n_unseen / n_bigrams, ascending; empty
+    documents pinned to 1.0 = worst), the integer-exact core of the
+    perplexity signal: the ratio is ONE correctly-rounded IEEE division
+    of exact int64s, so the ordering — and therefore every ntile bucket
+    edge — is bit-identical in any IEEE engine (the float ln() layer of
+    true perplexity is deliberately NOT in the ranking key; see
+    text.lm_perplexity for why it cannot be hash-checked).
+
+    Determinism: ntile(3) over ORDER BY (ratio, doc_id) — the id
+    tiebreak makes the total order unique, so bucket assignment is
+    engine-independent. Plan: lm_score's broadcast-LM scoring (corpus
+    never shuffles), one lang-partitioned window over the doc-sized
+    stats table (NOT the corpus — the window input is one row per doc
+    with 4 ints), one small join to fetch the language.
+    """
+    from sakura_spark.functions import text as T
+
+    scored = T.lm_score(df, id_col=id_col, text_col=text_col, top_v=top_v)
+    langs = df.select(id_col, lang_col)
+    ratio = (
+        F.when(F.col("n_bigrams") == 0, F.lit(1.0))
+        .otherwise(
+            F.col("n_unseen").cast("double") / F.col("n_bigrams").cast("double")
+        )
+        .alias("unseen_ratio")
+    )
+    staged = scored.join(langs, id_col).select(
+        id_col, lang_col, "n_bigrams", "n_unseen", ratio
+    )
+    w = Window.partitionBy(lang_col).orderBy("unseen_ratio", id_col)
+    tile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return staged.withColumn("ppl_bucket", bucket)

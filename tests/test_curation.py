@@ -290,3 +290,30 @@ def test_source_stats_plan_is_two_aggs_no_join(spark):
         curation.source_stats(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_perplexity_buckets_ordering_and_tiles(spark):
+    """Docs with more out-of-LM bigrams land in worse buckets; ntile
+    splits 5 docs per lang as 2/2/1; empty docs pin to ratio 1.0."""
+    common = "the quick brown fox jumps over the lazy dog "
+    rows = [
+        (1, common * 8, "en"),                       # all common bigrams
+        (2, common * 6 + "zxq one ", "en"),          # one rare bigram
+        (3, common * 4 + "zxq wvu tsr qpo ", "en"),  # more rare
+        (4, "zxq wvu tsr qpo nml kji hgf ", "en"),   # mostly rare
+        (5, "", "en"),                               # empty -> worst
+        (6, common * 3, "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in curation.perplexity_buckets(df, top_v=50).collect()}
+    assert out[5].unseen_ratio == 1.0 and out[5].n_bigrams == 0
+    # en ntile(3) over 5 rows: sizes 2/2/1 in ratio order
+    en = sorted(
+        (out[i] for i in (1, 2, 3, 4, 5)),
+        key=lambda r: (r.unseen_ratio, r.doc_id),
+    )
+    assert [r.ppl_bucket for r in en] == ["head", "head", "middle", "middle", "tail"]
+    assert out[1].ppl_bucket == "head"
+    assert out[6].ppl_bucket == "head"  # sole de doc: tile 1
+    # ratios are monotone with planted rarity
+    assert out[1].unseen_ratio <= out[3].unseen_ratio <= out[4].unseen_ratio
