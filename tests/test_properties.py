@@ -281,3 +281,42 @@ def test_semantic_dedup_matches_bruteforce(spark, vecs, thresh_pct):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = sim.semantic_dedup(df, threshold=threshold, centroids=cents)
     assert sorted(r.vec_id for r in kept.collect()) == expect_kept
+
+
+# Random tiny corpora from a 6-word vocabulary: dense shingle overlap, so
+# prefix filtering actually prunes AND boundary-threshold pairs occur.
+DOCS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+             min_size=0, max_size=8),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(docs=DOCS)
+@settings(**_SETTINGS)
+def test_jaccard_selfjoin_matches_brute(spark, docs):
+    """Prefix filtering is exact on arbitrary corpora: empty docs, docs
+    below the shingle order, full duplicates, single shared grams."""
+    from sakura_spark.functions import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(0, "")], "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_selfjoin(df, "doc_id", threshold=(1, 3)).collect()
+    }
+
+    def sh(t):
+        w = [x for x in t.split() if x]
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    items = rows or [(0, "")]
+    for i, (ia, ta) in enumerate(items):
+        for ib, tb in items[i + 1 :]:
+            a, b = sh(ta), sh(tb)
+            inter, uni = len(a & b), len(a | b)
+            if uni and 3 * inter >= uni:
+                want[(ia, ib)] = inter / uni
+    assert got == want
