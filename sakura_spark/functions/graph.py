@@ -48,6 +48,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a relation once and truncate its lineage
+    (localCheckpoint, EAGER — runs a Spark job at operator-call time,
+    the duplicate_clusters/bloom-build convention, documented in each
+    caller). Why: Spark plans are TREES — every reference to a DataFrame
+    re-evaluates its whole subtree, so an edge table referenced once per
+    message-passing iteration re-runs the corpus-scale edge DERIVATION
+    per iteration (measured on the registered graph queries: 24-55
+    exchanges in the un-pinned executed plans, ~5-10x redundant corpus
+    scans; 4-7 after pinning). At 100 TB the pin is the difference
+    between reading the corpus once and reading it per iteration.
+    Production caveat: localCheckpoint blocks live on executors (lost
+    executors lose blocks); on a long-running cluster job prefer a
+    reliable checkpoint dir — the operators' iteration counts here are
+    small and the repo's driver contract is single-session."""
+    return df.localCheckpoint(eager=True)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -77,11 +95,6 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__ew")
     )
-    nodes = (
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
-        .distinct()
-    )
     # Out-weights ride the edge rows via a window over __src instead of a
     # groupBy + self-join: one relation, no duplicated lineage (a
     # rejoin of an aggregate of e against e trips Spark's self-join
@@ -89,7 +102,15 @@ def pagerank(
     # iteration ranks join then reuses the same __src hash partitioning.
     from pyspark.sql import Window as W
 
-    ew = e.withColumn("__outw", F.sum("__ew").over(W.partitionBy("__src")))
+    # Pin the weighted edge table and the node set: both are referenced
+    # once per sweep, and without the pin each reference re-runs the
+    # caller's edge DERIVATION (see _pin — eager job at call time).
+    ew = _pin(e.withColumn("__outw", F.sum("__ew").over(W.partitionBy("__src"))))
+    nodes = _pin(
+        ew.select(F.col("__src").alias("node"))
+        .unionByName(ew.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
 
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
     for _ in range(iterations):
@@ -145,9 +166,11 @@ def triangles(
     counts are exact integers, no float anywhere.
     """
     # Canonical undirected simple edges: a < b by raw id, loops dropped.
+    # Pinned: the canonical set is referenced twice building `half`, and
+    # its lineage carries the caller's edge derivation (see _pin).
     a = F.least(F.col(src), F.col(dst)).alias("a")
     b = F.greatest(F.col(src), F.col(dst)).alias("b")
-    e = (
+    e = _pin(
         edges.select(a, b)
         .where(F.col("a") != F.col("b"))
         .distinct()
@@ -180,9 +203,13 @@ def triangles(
     )
     ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("n"))
     kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("n"))
-    oriented = paired.select(
-        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+    # Pinned: the oriented edge set feeds the wedge join twice AND the
+    # semi-join closure — three references (see _pin).
+    oriented = _pin(
+        paired.select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
     )
     # Wedges u->v->w closed by the oriented edge u->w.
     second = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
@@ -245,7 +272,9 @@ def min_label_sweeps(
         raise ValueError("min_label_sweeps needs at least one iteration")
     a = F.least(F.col(src), F.col(dst)).alias("a")
     b = F.greatest(F.col(src), F.col(dst)).alias("b")
-    e0 = edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    # Pinned: the canonical set is referenced twice (both directions) and
+    # carries the caller's edge derivation (see _pin).
+    e0 = _pin(edges.select(a, b).where(F.col("a") != F.col("b")).distinct())
     both = e0.select(
         F.col("a").alias("__s"), F.col("b").alias("__d")
     ).unionByName(e0.select(F.col("b").alias("__s"), F.col("a").alias("__d")))
@@ -253,8 +282,11 @@ def min_label_sweeps(
     # (no left-join-back to carry the old label, and no join between
     # labels and a labels-derived aggregate — the pagerank lineage shape).
     nodes = both.select(F.col("__s").alias("node")).distinct()
-    e = both.unionByName(
-        nodes.select(F.col("node").alias("__s"), F.col("node").alias("__d"))
+    # Pinned: the self-edge-augmented table is referenced once per sweep.
+    e = _pin(
+        both.unionByName(
+            nodes.select(F.col("node").alias("__s"), F.col("node").alias("__d"))
+        )
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
