@@ -946,6 +946,19 @@ def q_dedup_minhash_portable(spark, sf_dir):
     return dedup.minhash_signatures_portable(docs, "id", num_hashes=16)
 
 
+def q_dedup_simhash_portable(spark, sf_dir):
+    """Engine-portable SimHash (dedup.simhash_portable): the SimHash
+    family's hash-exact driver row, companion to dedup_minhash_portable.
+    Same Charikar majority-vote math as the production xxhash64 fold,
+    but over the engine-portable sha256 word (word-3-gram shingles here
+    to share the _SHINGLES oracle spelling), so the DuckDB twin
+    recomputes every 60-bit signature bit-for-bit — including the
+    tie-sets-the-bit rule. One explode + one map-side-combinable groupBy
+    whose 60 vote sums are arithmetic on a single 8-byte hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_portable(docs, "doc_id", shingle_n=3)
+
+
 def q_dedup_jaccard_selfjoin(spark, sf_dir):
     """EXACT Jaccard-threshold self-join (dedup.jaccard_selfjoin,
     Bayardo et al. AllPairs prefix filtering): every document pair with
@@ -2881,6 +2894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation_weighted_sample + curation_source_stats in sweep)
         # rotates past the cap.
         "dedup_minhash_portable": q_dedup_minhash_portable,
+        # Round-8 session 3: dedup_simhash_portable (NEW oracle-backed —
+        # the SimHash companion of the portable-signature pair) enters
+        # the sweep; agg_pivot (driver-green r1-r7, lattice siblings
+        # agg_grouping_sets/agg_rollup/agg_cube locally-sweep-verified
+        # past cap) rotates past the cap.
+        "dedup_simhash_portable": q_dedup_simhash_portable,
         # Round-8 session 3: curation_ppl_buckets (NEW oracle-backed —
         # CCNet's head/middle/tail split on the integer-exact LM signal)
         # enters the sweep; icl_fk_violations (driver-green r1-r7, the
@@ -2927,10 +2946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_gopher_filter": q_curation_gopher_filter,
         "rel_diff": q_rel_diff,
         "window_topk_per_group": q_window_topk_per_group,
-        "agg_pivot": q_agg_pivot,
         "flagship_revenue": q_flagship_revenue,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "drl_intensional_plus": q_drl_intensional_plus,
+        "agg_pivot": q_agg_pivot,
         "icl_fk_violations": q_icl_fk_violations,
         "curation_mixture": q_curation_mixture,
         "text_quality": q_text_quality,
@@ -3561,6 +3580,11 @@ def oracle_sql() -> dict[str, str]:
         # the two spellings cannot drift.
         "dedup_minhash_portable": dedup.minhash_portable_oracle_sql(
             "SELECT doc_id, text FROM documents", _SHINGLES, num_hashes=16
+        ),
+        # Same hash word, same vote arithmetic, same tie rule — generated
+        # by the operator module.
+        "dedup_simhash_portable": dedup.simhash_portable_oracle_sql(
+            "SELECT doc_id, text FROM documents", _SHINGLES, bits=60
         ),
         # Naive gram-intersection self-join at the same rational threshold
         # (integer comparison 2*i >= union, so boundary pairs can't flip);

@@ -112,6 +112,7 @@ EXTENDED = [
     "rel_salted_join",
     "dedup_minhash_portable",
     "curation_ppl_buckets",
+    "dedup_simhash_portable",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -175,6 +176,8 @@ NOOP_SINK = {
     "dedup_minhash_portable",
     # The ntile bucket column would be pruned under .count().
     "curation_ppl_buckets",
+    # The assembled signature is an aggregate-derived column .count() prunes.
+    "dedup_simhash_portable",
     # Pure map-only metric projections / aggregate-column outputs a
     # .count() would prune entirely (same hazard as text_quality).
     "text_readability",

@@ -422,6 +422,84 @@ def minhash_portable_oracle_sql(
     )
 
 
+def simhash_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 60,
+    shingle_n: int = 2,
+    salt: str = "sh",
+) -> DataFrame:
+    """ENGINE-PORTABLE SimHash: (id, sim) where bit b of ``sim`` is set
+    iff sum over distinct shingles of (2*bit_b(h) - 1) >= 0, with h the
+    60-bit sha256 word (sketches.hash_word). Same majority-vote math as
+    the production :func:`simhash_signatures` (Charikar 2002), different
+    base hash: production folds JVM xxhash64 (fast, engine-specific,
+    rows-only in the driver gate); this spelling is recomputable in SQL
+    bit-for-bit — the SimHash family's hash-exact driver row, the
+    companion of :func:`minhash_signatures_portable`. Ties (zero vote
+    sum) set the bit, spelled identically in the twin.
+
+    Plan: explode distinct shingles, ONE map-side-combinable groupBy with
+    ``bits`` conditional-sum aggregates over the single 8-byte hash (the
+    votes are arithmetic on one hash, not ``bits`` hashes), then one
+    projection assembles the signature long. Docs with no shingles are
+    absent.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be 1..60 (one sha256 word)")
+    from sakura_spark.functions.sketches import hash_word
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    h = hash_word(F.col("g"), salt)
+    hashed = grams.select("id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"__v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("sim"))
+
+
+def simhash_portable_oracle_sql(
+    docs_sql: str,
+    shingles_sql: str,
+    bits: int = 60,
+    salt: str = "sh",
+) -> str:
+    """DuckDB twin of :func:`simhash_portable` — same hash word, same
+    vote arithmetic, same tie rule; generated here so the two spellings
+    cannot drift. ``shingles_sql`` spells the shingle array over a
+    column named ``text``."""
+    hw = f"('0x' || substr(sha256(concat_ws(chr(31), '{salt}', gram)), 1, 15))::BIGINT"
+    vote = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
+    )
+    asm = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        f"WITH src AS ({docs_sql}), "
+        f"t AS (SELECT doc_id, {shingles_sql} AS sh FROM src), "
+        "g AS (SELECT doc_id, unnest(sh) AS gram FROM t WHERE len(sh) > 0), "
+        f"h AS (SELECT doc_id AS id, {hw} AS h FROM g), "
+        f"v AS (SELECT id, {vote} FROM h GROUP BY id) "
+        f"SELECT id, {asm} AS sim FROM v"
+    )
+
+
 def jaccard_selfjoin(
     df: DataFrame,
     id_col: str,

@@ -1600,3 +1600,45 @@ def test_minhash_portable_estimator_and_twin(spark):
         int(r[0]): list(r[1:]) for r in con.execute(sql).fetchall()
     }
     assert sig == want
+
+
+def test_simhash_portable_hamming_and_twin(spark):
+    """Portable SimHash behaves as SimHash (near-dups at small Hamming
+    distance, unrelated docs far) AND matches the generated DuckDB twin
+    bit-for-bit, including the tie-sets-the-bit rule."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "completely different content with no shared word pairs at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.sim for r in dedup.simhash_portable(df, "id").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 60) - 1)).count("1")
+
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    assert ham(out[1], out[2]) <= 20
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh2 = (
+        "CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) < 2 "
+        "THEN []::VARCHAR[] ELSE list_distinct(list_transform("
+        "range(1, len(regexp_split_to_array(trim(lower(text)), '\\s+'))), "
+        "i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' || "
+        "regexp_split_to_array(trim(lower(text)), '\\s+')[i+1])) END"
+    )
+    sql = dedup.simhash_portable_oracle_sql(
+        "SELECT doc_id, text FROM docs_t", sh2, bits=60
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert out == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_portable(df, "id", bits=64)
