@@ -844,6 +844,74 @@ def q_sim_random_projection(spark, sf_dir):
     return similarity.random_projection(emb, _RP_MATRIX).drop("embedding")
 
 
+# Dyadic (n/32) grid: every centroid coordinate is exactly representable
+# as BOTH a decimal literal and a binary double, so the SQL twin's
+# literals cannot drift from the Spark plan's (the _PQ_FIXED discipline).
+_IVF_FIXED_CENTROIDS = [
+    [((j * 13 + d * 5 + 1) % 32) / 32 - 0.5 for d in range(64)] for j in range(4)
+]
+
+
+def q_sim_ivf_assign_fixed(spark, sf_dir):
+    """IVF coarse assignment with a FIXED literal codebook — the
+    oracle-backed twin of the sim_ann_ivf/ivfpq family's partitioning
+    stage (the pq_encode_fixed precedent applied to the coarse
+    quantizer): with training factored out, assignment is ivf_assign's
+    literal path — pure fold expressions whose 0.0-seeded left-
+    associative (x-y)^2 sums and first-match argmin (ties to the LOWEST
+    index) are spelled identically in DuckDB (LEAST + an ordered CASE
+    chain), so cluster ids AND the min squared distance hash
+    bit-for-bit. Map-only, whole-stage codegen, zero shuffle — at 100 TB
+    this is the step that decides the bucketed layout, so proving it
+    engine-exact proves the partitioning is reproducible anywhere."""
+    from sakura_spark.functions.text import bind_once
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dists = F.transform(
+        F.array(*[similarity._lit_vec(c) for c in _IVF_FIXED_CENTROIDS]),
+        lambda c: similarity._l2sq(F.col("embedding"), c),
+    )
+    packed = bind_once(
+        dists,
+        lambda d: F.struct(
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("c"),
+            F.array_min(d).alias("m"),
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        packed.getField("c").alias("cluster_id"),
+        packed.getField("m").alias("l2sq_min"),
+    )
+
+
+def _ivf_fixed_oracle_sql() -> str:
+    """DuckDB twin of q_sim_ivf_assign_fixed, generated from the SAME
+    _IVF_FIXED_CENTROIDS literals: per-centroid distances as 0.0-seeded
+    sequential list_sum folds (the sim_cosine_topk discipline), argmin
+    via an ordered CASE chain with <= (ties to the lowest index, exactly
+    array_position's first-match rule)."""
+    ds = []
+    for c in _IVF_FIXED_CENTROIDS:
+        terms = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) - ({c[d]!r})) * "
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) - ({c[d]!r}))"
+            for d in range(64)
+        )
+        ds.append(f"0.0 + {terms}")
+    sel = ", ".join(f"{d} AS d{j}" for j, d in enumerate(ds))
+    case = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+        "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, {sel} FROM embeddings) "
+        f"SELECT vec_id, CAST({case} AS INT) AS cluster_id, "
+        "LEAST(d0, d1, d2, d3) AS l2sq_min FROM d"
+    )
+
+
 def q_sim_pq_encode_fixed(spark, sf_dir):
     """PQ encode + ADC distance with a FIXED literal codebook — the
     oracle-backed twin of the sim_pq_topk family (round-5 verdict item
@@ -2900,6 +2968,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg_grouping_sets/agg_rollup/agg_cube locally-sweep-verified
         # past cap) rotates past the cap.
         "dedup_simhash_portable": q_dedup_simhash_portable,
+        # Round-8 session 3: sim_ivf_assign_fixed (NEW oracle-backed —
+        # the IVF coarse quantizer proven engine-exact with a fixed
+        # literal codebook, pq_encode_fixed's precedent) enters the
+        # sweep; tpch_q21_waiting_suppliers (driver-green r6+r7,
+        # join-agg sibling flagship_revenue in sweep) rotates past the
+        # cap.
+        "sim_ivf_assign_fixed": q_sim_ivf_assign_fixed,
         # Round-8 session 3: curation_ppl_buckets (NEW oracle-backed —
         # CCNet's head/middle/tail split on the integer-exact LM signal)
         # enters the sweep; icl_fk_violations (driver-green r1-r7, the
@@ -2947,8 +3022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_diff": q_rel_diff,
         "window_topk_per_group": q_window_topk_per_group,
         "flagship_revenue": q_flagship_revenue,
-        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "drl_intensional_plus": q_drl_intensional_plus,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "agg_pivot": q_agg_pivot,
         "icl_fk_violations": q_icl_fk_violations,
         "curation_mixture": q_curation_mixture,
@@ -4136,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
+        "sim_ivf_assign_fixed": _ivf_fixed_oracle_sql(),
         "events_attribution": (
             "SELECT v.user_id AS user_id, p.event_id AS purchase_id, "
             "p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts, "

@@ -113,6 +113,7 @@ EXTENDED = [
     "dedup_minhash_portable",
     "curation_ppl_buckets",
     "dedup_simhash_portable",
+    "sim_ivf_assign_fixed",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -178,6 +179,8 @@ NOOP_SINK = {
     "curation_ppl_buckets",
     # The assembled signature is an aggregate-derived column .count() prunes.
     "dedup_simhash_portable",
+    # Map-only projection: .count() would be a parquet footer read.
+    "sim_ivf_assign_fixed",
     # Pure map-only metric projections / aggregate-column outputs a
     # .count() would prune entirely (same hazard as text_quality).
     "text_readability",
