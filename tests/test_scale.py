@@ -346,3 +346,23 @@ def test_lm_score_broadcasts_the_lm(spark):
     plan = _physical(textmod.lm_score(docs, top_v=1000))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bench_lists_are_registered():
+    """Every name in bench.py's HEADLINE / EXTENDED / NOOP_SINK /
+    HEADLINE_NOOP lists must be a registered query — a typo there
+    crashes the per-round bench run and loses the round's machine-
+    readable perf record (the BENCH_r07-unparseable failure class)."""
+    import __spark_entry__ as e
+    import bench
+
+    qs = set(e.queries())
+    for listname in ("HEADLINE", "EXTENDED", "HEADLINE_NOOP"):
+        missing = [n for n in getattr(bench, listname) if n not in qs]
+        assert not missing, f"bench.{listname} names not registered: {missing}"
+    missing = [n for n in bench.NOOP_SINK if n not in qs]
+    assert not missing, f"bench.NOOP_SINK names not registered: {missing}"
+    # noop-sink entries must also be benched somewhere, else they're dead
+    benched = set(bench.HEADLINE) | set(bench.EXTENDED) | set(bench.HEADLINE_NOOP)
+    dead = [n for n in bench.NOOP_SINK if n not in benched]
+    assert not dead, f"bench.NOOP_SINK names never benched: {dead}"
