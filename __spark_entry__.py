@@ -4191,7 +4191,11 @@ def oracle_sql() -> dict[str, str]:
             "sum(n_chars) AS chars FROM documents GROUP BY 1, 2), "
             "top AS (SELECT source, lang, n, row_number() OVER ("
             "PARTITION BY source ORDER BY n DESC, lang DESC) AS rk FROM cells), "
-            "r AS (SELECT source, sum(n) AS n_docs, sum(chars) AS total_chars, "
+            # CAST the sums to BIGINT: DuckDB's sum(BIGINT) is HUGEINT,
+            # which pandas renders as float64 and breaks the driver hash
+            # against Spark's int64 (round-8 red row).
+            "r AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, "
+            "CAST(sum(chars) AS BIGINT) AS total_chars, "
             "count(*) AS n_langs FROM cells GROUP BY 1) "
             "SELECT r.source, n_docs, total_chars, "
             "CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars, "

@@ -468,12 +468,26 @@ def perplexity_buckets(
     true perplexity is deliberately NOT in the ranking key; see
     text.lm_perplexity for why it cannot be hash-checked).
 
-    Determinism: ntile(3) over ORDER BY (ratio, doc_id) — the id
-    tiebreak makes the total order unique, so bucket assignment is
-    engine-independent. Plan: lm_score's broadcast-LM scoring (corpus
-    never shuffles), one lang-partitioned window over the doc-sized
-    stats table (NOT the corpus — the window input is one row per doc
-    with 4 ints), one small join to fetch the language.
+    Determinism: the bucket is defined by ntile(3) over ORDER BY
+    (ratio, doc_id) — the id tiebreak makes the total order unique, so
+    bucket assignment is engine-independent (the oracle keeps the ntile
+    spelling).
+
+    Plan (100 TB): lm_score's broadcast-LM scoring (corpus never
+    shuffles), then a DISTRIBUTED two-pass rank instead of a
+    lang-partitioned window: a per-language ntile window would put
+    every English document through ONE reducer's sort — the classic
+    skewed-window scale-killer.  Here the doc-stats table is
+    range-partitioned on the full sort key (lang, ratio, doc_id), so a
+    hot language is SPLIT across many range partitions; per-row rank =
+    per-(partition, lang) row_number (bounded by the ~equal range
+    partition size, not by language size) + a broadcast prefix-sum of
+    the tiny (partition × lang) count table.  The rank — and therefore
+    the bucket, computed from it with the exact ntile formula
+    (base = n div 3, the first n mod 3 tiles get one extra row) — is
+    bit-identical to the window spelling no matter where the sampled
+    range boundaries fall, because range partitioning preserves the
+    total key order and doc_id makes keys unique.
     """
     from sakura_spark.functions import text as T
 
@@ -489,11 +503,42 @@ def perplexity_buckets(
     staged = scored.join(langs, id_col).select(
         id_col, lang_col, "n_bigrams", "n_unseen", ratio
     )
-    w = Window.partitionBy(lang_col).orderBy("unseen_ratio", id_col)
-    tile = F.ntile(3).over(w)
+
+    # Pass 1: range-partition on the sort key; partition ids are ordered
+    # by key range, so per-lang prefix sums over __pid give global offsets.
+    parted = staged.repartitionByRange(lang_col, "unseen_ratio", id_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = parted.groupBy("__pid", lang_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_prefix = (
+        Window.partitionBy(lang_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        lang_col,
+        F.coalesce(F.sum("__c").over(w_prefix), F.lit(0)).alias("__offset"),
+        F.sum("__c").over(Window.partitionBy(lang_col)).alias("__n"),
+    )
+
+    # Pass 2: rank within (partition, lang) — bounded per task — then add
+    # the broadcast offset and apply the ntile(3) size formula exactly.
+    w_local = Window.partitionBy("__pid", lang_col).orderBy("unseen_ratio", id_col)
+    ranked = (
+        parted.withColumn("__rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["__pid", lang_col])
+        .withColumn("__rank", F.col("__offset") + F.col("__rn"))
+    )
+    rem = F.col("__n") % F.lit(3)
+    floor3 = ((F.col("__n") - rem) / F.lit(3)).cast("long")
+    b1 = floor3 + F.when(rem >= 1, F.lit(1)).otherwise(F.lit(0))
+    b2 = b1 + floor3 + F.when(rem >= 2, F.lit(1)).otherwise(F.lit(0))
     bucket = (
-        F.when(tile == 1, F.lit("head"))
-        .when(tile == 2, F.lit("middle"))
+        F.when(F.col("__rank") <= b1, F.lit("head"))
+        .when(F.col("__rank") <= b2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return staged.withColumn("ppl_bucket", bucket)
+    return ranked.withColumn("ppl_bucket", bucket).select(
+        id_col, lang_col, "n_bigrams", "n_unseen", "unseen_ratio", "ppl_bucket"
+    )

@@ -339,12 +339,16 @@ def pagerank_oracle_sql(
         f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
     ]
     for i in range(1, iterations + 1):
+        # DuckDB's sum(BIGINT) yields HUGEINT, which pandas renders as
+        # float64 — a representation-sensitive hash then sees 1.1e10 vs
+        # Spark's int64 11188700000.  CAST the aggregate (and the final
+        # column) back to BIGINT so both engines surface int64.
         parts.append(
             f"r{i} AS (SELECT n.node, CAST({base} AS BIGINT) + "
             "COALESCE(s.c, 0) AS r FROM nodes n LEFT JOIN ("
-            f"SELECT e.dst AS node, sum(((r.r * {dampn}) // ({dampd} * d.W)) * e.w) AS c "
+            f"SELECT e.dst AS node, CAST(sum(((r.r * {dampn}) // ({dampd} * d.W)) * e.w) AS BIGINT) AS c "
             f"FROM e JOIN deg d ON e.src = d.n JOIN r{i-1} r ON e.src = r.node "
             "GROUP BY 1) s ON n.node = s.node)"
         )
     head = ", ".join(parts)
-    return f"{head} SELECT node, r AS rank_scaled FROM r{iterations}"
+    return f"{head} SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}"

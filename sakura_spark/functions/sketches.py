@@ -401,31 +401,58 @@ def dyadic_quantiles(
     return out
 
 
+def _bottom_k(
+    distinct: DataFrame, group_cols: list[str], k: int, salt_buckets: int
+) -> DataFrame:
+    """Bottom-k of a distinct (group..., hval) table WITHOUT an unbounded
+    per-group window: pre-reduce bottom-k per (group, pmod(hval, P)) salt
+    bucket — each bucket's sort sees ~1/P of the group's distinct set —
+    then bottom-k of the union, whose input is at most P*k rows per
+    group. Bit-identical to a single global window by the mergeability
+    law (driver-proven as `sketch_merge_law`): every one of the k
+    globally-smallest hashes lives in some bucket and is among that
+    bucket's k smallest, so the union of per-bucket bottom-k contains
+    the global bottom-k."""
+    pre_w = Window.partitionBy(*group_cols, "__sb").orderBy(F.col("hval").asc())
+    pre = (
+        distinct.withColumn("__sb", F.pmod(F.col("hval"), F.lit(salt_buckets)))
+        .withColumn("__r", F.row_number().over(pre_w))
+        .filter(F.col("__r") <= k)
+        .select(*group_cols, "hval")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("hval").asc())
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "hval")
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     k: int = 64,
     salt: str = "kmv",
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """(group..., rank, hval): the k smallest DISTINCT 60-bit hash values
     per group (Bar-Yossef et al. 2002) — a bottom-k signature supporting
     cardinality, union (bottom-k of the union of sketches) and Jaccard /
     intersection estimates between groups. Integer-exact, oracle-checked.
 
-    Plan: project to (group, hval), distinct, one window for the
-    bottom-k — only k rows per group survive. The distinct's map-side
-    combine bounds the shuffle by the per-partition distinct count."""
+    Plan: project to (group, hval), distinct (map-side-combined shuffle
+    hashed on BOTH columns, so no group skew), then the two-level
+    bottom-k of :func:`_bottom_k` — the per-group window that used to
+    sort a group's ENTIRE distinct set on one reducer now sees at most
+    ``salt_buckets * k`` pre-reduced rows; the pre-reduce windows each
+    sort ~1/salt_buckets of a group. Raise ``salt_buckets`` for corpora
+    whose hottest group has billions of distinct values."""
     if k < 1:
         raise ValueError("k must be positive")
     hval = hash_word(F.col(value_col), salt, word=0)
     distinct = df.select(*group_cols, hval.alias("hval")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("hval").asc())
-    return (
-        distinct.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*group_cols, "rank", "hval")
-    )
+    return _bottom_k(distinct, group_cols, k, salt_buckets)
 
 
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
@@ -442,22 +469,21 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
     return agg.select(*group_cols, "n_vals", est.alias("estimate"))
 
 
-def kmv_merge(parts: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+def kmv_merge(
+    parts: DataFrame, group_cols: list[str], k: int = 64, salt_buckets: int = 64
+) -> DataFrame:
     """Merge KMV bottom-k sketches (stacked by union) into one: DISTINCT
     hash values, re-ranked, bottom k. Correct because bottom-k(A u B) is
     a subset of bottom-k(A) u bottom-k(B) whenever each part kept >= k
     values — so the merged sketch is bit-identical to sketching the whole
     input (distinct absorbs values present in several parts). Driver-
-    oracle-checked by `sketch_merge_law`."""
+    oracle-checked by `sketch_merge_law`. Uses the same salt-bucket
+    two-level bottom-k as :func:`kmv_sketch`, so merging millions of
+    part-sketches of one group never sorts them on a single reducer."""
     if k < 1:
         raise ValueError("k must be positive")
     distinct = parts.select(*group_cols, "hval").distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("hval").asc())
-    return (
-        distinct.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*group_cols, "rank", "hval")
-    )
+    return _bottom_k(distinct, group_cols, k, salt_buckets)
 
 
 def kmv_pairwise_overlap(

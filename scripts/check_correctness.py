@@ -48,6 +48,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for col in s.columns:
         sv, ov = s[col], o[col]
         try:
+            # The driver hashes value REPRESENTATIONS, not values: an
+            # int64 20 vs a float64 20.0 hash-mismatches even though they
+            # compare equal.  Round 8 shipped a 48/50 artifact through
+            # exactly this gap (DuckDB sum(BIGINT) -> HUGEINT -> pandas
+            # float64 vs Spark int64), so an int-vs-float kind pair is a
+            # hard FAIL here regardless of the values.
+            sk, ok_ = sv.dtype.kind, ov.dtype.kind
+            if {sk, ok_} <= {"i", "u", "f"} and ("f" in (sk, ok_)) and sk != ok_:
+                problems.append(
+                    f"col {col}: dtype kind mismatch spark={sv.dtype} "
+                    f"oracle={ov.dtype} — driver hashes representations, "
+                    "int-vs-float WILL hash-mismatch (cast the oracle)"
+                )
+                continue
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
                 eq = (sv.astype(float).fillna(0) == ov.astype(float).fillna(0)) | (
                     sv.isna() & ov.isna()
