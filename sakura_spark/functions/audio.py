@@ -487,8 +487,10 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Waveform features over the decoded first channel: peak absolute
-    amplitude, zero-crossing count (sign changes, zeros attached to the
-    previous sign), energy (sum of squared samples — exact integer
+    amplitude, zero-crossing count (sign changes with zero counted as
+    POSITIVE — sign = (x >= 0), so a zero between two negative samples
+    counts 2 crossings; any oracle must mirror this exact rule), energy
+    (sum of squared samples — exact integer
     arithmetic for PCM <= 24-bit, reported as double), and RMS. NULL rows
     for undecodable payloads."""
     import numpy as np
@@ -540,15 +542,23 @@ def frame_energy(
     channel, one output row per frame with its exact sample count, peak and
     energy — the audio analog of video frame sampling. Frame length in
     samples = sample_rate * frame_ms // 1000 (last frame ragged). Map-only
-    explode: output rows ~ duration/frame_ms per doc, payload pruned after."""
+    explode: output rows ~ duration/frame_ms per doc, payload pruned after.
+    Undecodable payloads emit ONE all-NULL frame row (the module's
+    decodable-or-NULL-row contract), so join-back callers can tell an
+    empty file (zero rows) from a malformed one."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fidx, ns, peaks, sums = [], [], [], [], []
+            rows = []
             for i, b in zip(pdf[id_col], pdf["payload"]):
                 d = _decode_or_none(b)
                 if d is None:
+                    # Module contract: decodable or NULL row — a joining
+                    # caller must be able to tell "empty file" (zero
+                    # frames, doc absent) from "malformed" (one all-NULL
+                    # frame row), like decode_audio/audio_features do.
+                    rows.append((int(i), None, None, None, None))
                     continue
                 x = d[0][:, 0].astype(np.float64)
                 flen = max(1, d[1] * frame_ms // 1000)
@@ -556,19 +566,13 @@ def frame_energy(
                     fr = x[k : k + flen]
                     if fr.size == 0:
                         continue
-                    ids.append(int(i))
-                    fidx.append(k // flen)
-                    ns.append(fr.size)
-                    peaks.append(int(np.max(np.abs(fr))))
-                    sums.append(float(np.sum(fr * fr)))
+                    rows.append(
+                        (int(i), k // flen, fr.size,
+                         int(np.max(np.abs(fr))), float(np.sum(fr * fr)))
+                    )
             yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(fidx, dtype="int64"),
-                    "n": pd.Series(ns, dtype="int64"),
-                    "peak_abs": pd.Series(peaks, dtype="int64"),
-                    "energy_sumsq": pd.Series(sums, dtype="float64"),
-                }
+                rows,
+                columns=[id_col, "frame_idx", "n", "peak_abs", "energy_sumsq"],
             )
 
     return df.select(id_col, "payload").mapInPandas(op, schema=FRAME_SCHEMA)
@@ -592,12 +596,19 @@ def resample_audio(
                 if d is None:
                     payloads.append(None)
                     continue
-                samples, rate, _bits, _name = d
+                samples, rate, _bits, name = d
                 n_out = samples.shape[0] * target_rate // rate
                 idx = np.arange(n_out, dtype=np.int64) * rate // target_rate
                 out = samples[idx]
                 if not np.issubdtype(out.dtype, np.integer):
                     out = np.clip(np.rint(out * 32768.0), -32768, 32767)
+                # _wav_decode keeps pcm24/pcm32 at native scale (only pcm8
+                # is normalized to 16-bit range at decode); rescale before
+                # the int16 clip or a 24/32-bit signal saturates square.
+                elif name == "pcm24":
+                    out = out >> 8
+                elif name == "pcm32":
+                    out = out >> 16
                 out = np.clip(out, -32768, 32767).astype(np.int16)
                 payloads.append(_wav_encode(out, target_rate, "pcm16"))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})

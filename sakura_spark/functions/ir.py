@@ -223,6 +223,11 @@ def bm25_saturation_topk(
     top-k. No join-back to the corpus, no vocabulary table needed."""
     if not query_terms:
         raise ValueError("bm25_saturation_topk needs at least one query term")
+    # Dedupe while preserving order: a repeated term would otherwise be
+    # silently double-counted in the score (two identical conditional
+    # sums), and FIXED query order is part of the hash contract.
+    seen: set[str] = set()
+    query_terms = [t for t in query_terms if not (t in seen or seen.add(t))]
     k1n, k1d = k1
     bn, bd = b
     toks = word_tokens(F.col(text_col))
@@ -230,6 +235,10 @@ def bm25_saturation_topk(
         df.select(F.sum(F.size(toks)).alias("L"), F.count("*").alias("N"))
         .first()
     )
+    if int(totals["N"]) == 0:
+        # sum() over zero rows is NULL — surface the real problem instead
+        # of a TypeError on int(None).
+        raise ValueError("bm25_saturation_topk: empty corpus")
     L, N = int(totals["L"]), int(totals["N"])
 
     matched = (
@@ -293,10 +302,14 @@ def bm25(
     :func:`bm25_saturation_topk`). Same single-pass plan shape."""
     if not query_terms:
         raise ValueError("bm25 needs at least one query term")
+    seen: set[str] = set()
+    query_terms = [t for t in query_terms if not (t in seen or seen.add(t))]
     toks = word_tokens(F.col(text_col))
     totals = (
         df.select(F.sum(F.size(toks)).alias("L"), F.count("*").alias("N")).first()
     )
+    if int(totals["N"]) == 0:
+        raise ValueError("bm25: empty corpus")
     L, N = float(totals["L"]), float(totals["N"])
     avgdl = L / N
     matched = (

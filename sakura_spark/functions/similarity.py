@@ -1060,3 +1060,98 @@ def random_projection_oracle_sql(
                 acc = f"({acc} {op} CAST({vec_col}[{i + 1}] AS DOUBLE))"
         outs.append(f"{scale} * {acc} AS {prefix}{j}")
     return f"SELECT *, {', '.join(outs)} FROM ({table_sql})"
+
+
+def ann_recall(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    method: str = "ivf",
+    m: int = 4,
+    n_codes: int = 16,
+    rerank_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the bucketed ANN paths against the exact
+    cosine ranking: (query_id, n_hit, recall) per query vector — the
+    quality gate a 100 TB deployment tunes n_probe/rerank_factor
+    against (recall, not latency alone, is the product of an ANN
+    index; Jégou et al. 2011 report exactly this curve).
+
+    The query vectors (``len(query_ids)`` rows) are the only data
+    fetched to the driver — bounded by contract like the codebooks.
+    Training runs ONCE for all queries; each query then contributes two
+    TakeOrderedAndProject top-k subplans (exact + approximate), all
+    unioned and joined on (query_id, id) so the intersection count and
+    the division happen distributedly. At corpus scale the recall scan
+    runs on a sample of queries, never per corpus row.
+    """
+    wanted = [int(q) for q in query_ids]
+    rows = (
+        df.filter(F.col(id_col).isin(wanted)).select(id_col, vec_col).collect()
+    )
+    qvecs = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+    missing = [q for q in wanted if q not in qvecs]
+    if missing:
+        raise ValueError(f"query ids not in corpus: {missing}")
+
+    if method == "ivf":
+        centroids = ivf_train(
+            df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        books = None
+    elif method == "ivfpq":
+        centroids, books = ivfpq_train(
+            df, n_centroids=n_centroids, m=m, k=n_codes, iters=iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    exact_parts, approx_parts = [], []
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        exact_parts.append(
+            cosine_topk(df, qv, k=k, id_col=id_col, vec_col=vec_col).select(
+                F.lit(qid).alias("query_id"), F.col(id_col).alias("id")
+            )
+        )
+        if method == "ivf":
+            ap = ann_ivf_topk(
+                df, qv, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+                centroids=centroids,
+            )
+        else:
+            ap = ann_ivfpq_topk(
+                df, qv, k=k, n_probe=n_probe, m=m, n_codes=n_codes,
+                rerank_factor=rerank_factor, id_col=id_col, vec_col=vec_col,
+                centroids=centroids, codebooks=books,
+            )
+        approx_parts.append(
+            ap.select(F.lit(qid).alias("query_id"), F.col(id_col).alias("id"))
+        )
+
+    from functools import reduce
+
+    exact = reduce(DataFrame.unionByName, exact_parts)
+    approx = reduce(DataFrame.unionByName, approx_parts)
+    hits = exact.join(approx, ["query_id", "id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -321,3 +321,33 @@ def test_adpcm_synthetic_rotation_matches_formula(spark):
         assert r.n_samples == 256 + (i % 7) * 37
         assert r.sample_rate == audio.SYNTH_RATES[i % 3]
         assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+
+
+def test_resample_rescales_high_bit_depth(spark):
+    # ADVICE r8: pcm24/pcm32 decode at NATIVE scale; resample must rescale
+    # (>>8 / >>16) before the int16 clip or the output saturates square.
+    s = _sig(400, 1)
+    # _wav_encode takes 16-bit-range input and promotes to the codec's
+    # native scale itself; _wav_decode returns that NATIVE scale.
+    rows = [
+        (0, audio._wav_encode(s, 8000, "pcm24")),
+        (1, audio._wav_encode(s, 8000, "pcm32")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: bytes(r.payload) for r in audio.resample_audio(df, 4000).collect()}
+    for i in (0, 1):
+        dec, rate, _bits, name = audio._wav_decode(out[i])
+        assert (rate, name) == (4000, "pcm16")
+        # back at 16-bit scale: every other source sample, unsaturated
+        assert np.array_equal(dec[:, 0], s[::2, 0])
+        assert np.abs(dec).max() < 32767  # a clipped square would pin at the rail
+
+
+def test_frame_energy_null_row_for_undecodable(wav_df):
+    # Module contract: decodable or NULL row — doc 4 is malformed and must
+    # surface as ONE all-NULL frame row, not silently vanish.
+    rows = [r for r in audio.frame_energy(wav_df, frame_ms=25).collect() if r.doc_id == 4]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.frame_idx is None and r.n is None
+    assert r.peak_abs is None and r.energy_sumsq is None

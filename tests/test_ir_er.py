@@ -233,3 +233,28 @@ def test_bm25_plan_single_pass(corpus):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
+
+
+def test_bm25_empty_corpus_and_duplicate_terms(spark):
+    from sakura_spark.functions import ir
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ir.bm25_saturation_topk(empty, ["zebra"])
+    with pytest.raises(ValueError, match="empty corpus"):
+        ir.bm25(empty, ["zebra"])
+
+    df = spark.createDataFrame(
+        [(1, "zebra runs fast"), (2, "zebra zebra herd"), (3, "no match here")],
+        "doc_id long, text string",
+    )
+    once = {r.doc_id: r for r in ir.bm25_saturation_topk(df, ["zebra", "fast"]).collect()}
+    twice = {
+        r.doc_id: r
+        for r in ir.bm25_saturation_topk(df, ["zebra", "fast", "zebra"]).collect()
+    }
+    # A repeated query term must not double-count: identical scores/rows.
+    assert set(once) == set(twice)
+    for d in once:
+        assert once[d].score == twice[d].score
+        assert once[d].n_matched == twice[d].n_matched

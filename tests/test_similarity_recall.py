@@ -1,0 +1,130 @@
+"""ANN quality (recall) gate — round-8 verdict item 6.
+
+The ANN stack was correctness-checked (fixed-codebook twins prove the
+assignment math hash-exactly) but quality-unmeasured; at 100 TB recall
+IS the product. These tests measure recall@10 of the trained IVF /
+IVFPQ indexes against the exact cosine ranking via
+similarity.ann_recall and assert floors.
+
+Two regimes, deliberately:
+
+* a CLUSTERED fixture (12 well-separated centers, sigma 0.15) — the
+  regime inverted-file indexes are designed for, where the published
+  recall/probe trade-off applies and >=0.9 floors are meaningful;
+* the synthetic sf embeddings, which are near-uniform on the sphere
+  (mean pairwise cosine ~0 — measured in SCALE.md round 9): there
+  recall ~ probed fraction is the information-theoretic ceiling, so
+  the only honest hard assertion is the boundary invariant
+  n_probe == n_centroids -> recall == 1.0 (probing every cell IS the
+  exact search).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sakura_spark.functions import similarity
+from sakura_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mean_recall(df) -> float:
+    rows = df.collect()
+    assert rows, "ann_recall returned no rows"
+    return sum(r.recall for r in rows) / len(rows)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # Deterministic 12-cluster mixture on the 64-sphere (splitmix-style
+    # integer mixing — no RNG state, reproducible anywhere).
+    import math
+
+    def mix(z: int) -> int:
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    def gauss(ctr: int) -> float:
+        u1 = (mix(2 * ctr) >> 11) / float(1 << 53) or 1e-12
+        u2 = (mix(2 * ctr + 1) >> 11) / float(1 << 53)
+        return math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [
+        unit([gauss(ci * 64 + d) for d in range(64)]) for ci in range(12)
+    ]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(40):
+            base = 10_000_000 + (ci * 40 + j) * 64
+            v = unit([c[d] + 0.15 * gauss(base + d) for d in range(64)])
+            rows.append((ci * 40 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+QUERY_IDS = [0, 40, 80, 120, 200, 280, 360, 440]
+
+
+def test_ivf_recall_floor_on_clustered(clustered):
+    r4 = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, n_centroids=8, n_probe=4, method="ivf"
+        )
+    )
+    assert r4 >= 0.9, f"ivf recall@10 at n_probe=4/8 on clustered data: {r4}"
+
+
+def test_ivf_recall_grows_with_probes_on_clustered(clustered):
+    r1 = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, n_centroids=8, n_probe=1, method="ivf"
+        )
+    )
+    r2 = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, n_centroids=8, n_probe=2, method="ivf"
+        )
+    )
+    assert r2 >= r1 - 1e-9
+    assert r2 >= 0.8, f"ivf recall@10 at n_probe=2/8 on clustered data: {r2}"
+
+
+def test_ivfpq_recall_floor_and_rerank_lever_on_clustered(clustered):
+    lo = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, n_centroids=8, n_probe=2,
+            method="ivfpq", rerank_factor=2,
+        )
+    )
+    hi = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, n_centroids=8, n_probe=4,
+            method="ivfpq", rerank_factor=5,
+        )
+    )
+    # The refine shortlist is the recall knob (Faiss IndexRefineFlat):
+    # widening it plus one more probe must buy recall back.
+    assert hi >= lo - 1e-9
+    assert hi >= 0.9, f"ivfpq recall@10 at n_probe=4, rerank 5: {hi}"
+
+
+def test_full_probe_is_exact_on_uniform_sf(spark):
+    emb = load_table(spark, f"{SF_DIR}/embeddings.parquet")
+    df = similarity.ann_recall(
+        emb, [0, 1, 2, 3], k=10, n_centroids=8, n_probe=8, method="ivf"
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    # Probing every cell IS the exact search — recall must be exactly 1,
+    # even on structureless embeddings.
+    assert all(r.recall == 1.0 for r in rows), rows
