@@ -994,6 +994,52 @@ def _ann_lsh_oracle_sql() -> str:
     )
 
 
+def _near_dup_oracle_sql() -> str:
+    """DuckDB twin of q_sim_embedding_near_dup, generated from the SAME
+    seed-7 12-plane matrix embedding_near_dup_pairs uses: the planted
+    corpus (every 10th vector re-entering as an exact copy under
+    vec_id+1,000,000) is plain SQL, bucket signatures are sign tests on
+    unrolled 0.0-seeded dot folds, blocking is a bucket-equality
+    self-join with id_a < id_b, and the exact-cosine verify reuses the
+    per-vector norms (multiplication is IEEE-commutative, so a.vn*b.vn
+    matches Spark's norm(a)*norm(b) bit-for-bit). The >= 0.99 threshold
+    compares identical doubles on both engines — so the PAIR SET, not
+    just the math, is proven engine-exact."""
+    planes = similarity._hyperplanes(12, 64, seed=7)
+
+    def plane_dot(p: list[float]) -> str:
+        terms = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) * ({p[d]!r}))"
+            for d in range(64)
+        )
+        return f"0.0 + {terms}"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    self_dot = "0.0 + " + " + ".join(
+        f"(CAST(embedding[{d + 1}] AS DOUBLE) * CAST(embedding[{d + 1}] AS DOUBLE))"
+        for d in range(64)
+    )
+    pair_dot = "0.0 + " + " + ".join(
+        f"(CAST(a.embedding[{d + 1}] AS DOUBLE) * CAST(b.embedding[{d + 1}] AS DOUBLE))"
+        for d in range(64)
+    )
+    return (
+        "WITH base AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id % 10 = 0), "
+        f"sig AS (SELECT vec_id, embedding, {bucket} AS bucket, "
+        f"sqrt({self_dot}) AS vn FROM base) "
+        "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CASE WHEN a.vn * b.vn = 0 THEN 0.0 "
+        f"ELSE ({pair_dot}) / (a.vn * b.vn) END AS cosine_sim "
+        "FROM sig a JOIN sig b ON a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id) p WHERE cosine_sim >= 0.99"
+    )
+
+
 def q_sim_pq_encode_fixed(spark, sf_dir):
     """PQ encode + ADC distance with a FIXED literal codebook — the
     oracle-backed twin of the sim_pq_topk family (round-5 verdict item
@@ -2647,43 +2693,173 @@ def q_sketch_kmv(spark, sf_dir):
     return sketches.kmv_sketch(li, ["l_returnflag"], "l_partkey", k=32)
 
 
-def q_streaming_hll_equiv(spark, sf_dir):
-    """Streaming ⇔ batch equivalence as a DRIVER row (round-8 verdict
-    item 7): the events table is re-served as a FILE STREAM (several
-    microbatches — maxFilesPerTrigger=2 over a 4-file copy), pushed
-    through streaming.events.windowed_user_hll (watermarked tumbling
-    1-hour windows, per-window HLL registers at p=4, the state store
-    holding 2^p register rows per window — never user ids), and the
-    complete-mode memory sink is returned hour-formatted. The oracle is
-    the SAME SQL that checks the batch twin (sketch_hll_hourly_users),
-    so a hash-green row IS the proof that incremental watermarked
-    execution produces bit-identical registers to a one-shot batch scan
-    — the property a 100 TB/day deployment relies on when it swaps the
-    nightly batch job for the always-on stream."""
+def _run_events_stream(spark, sf_dir, builder, sink_name):
+    """Shared harness for the streaming ⇔ batch equivalence entries: the
+    events table is re-served as a FILE STREAM (several microbatches —
+    maxFilesPerTrigger=2 over a 4-file copy), pushed through a
+    streaming.events transform, and the complete-mode memory sink is
+    returned (the sink holds the emitted rows driver-side under the
+    query name — still queryable after the temp source files are gone).
+    Each equivalence entry's oracle is the SAME SQL that checks its
+    batch twin, so a hash-green row IS the proof that incremental
+    watermarked execution emits bit-identical state to a one-shot batch
+    scan — the property a 100 TB/day deployment relies on when it swaps
+    the nightly batch job for the always-on stream."""
     import shutil
     import tempfile
 
     from sakura_spark.streaming import events as ev
 
     src = _t(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="sakura_stream_hll_")
+    tmp = tempfile.mkdtemp(prefix="sakura_stream_eq_")
     try:
         src.coalesce(4).write.mode("overwrite").parquet(tmp)
         stream = ev.read_event_stream(spark, tmp, max_files_per_trigger=2)
+        q = ev.run_to_memory(builder(stream), sink_name, output_mode="complete")
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink_name)
+
+
+def q_streaming_hll_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence as a DRIVER row (round-8 verdict
+    item 7): windowed_user_hll (watermarked tumbling 1-hour windows,
+    per-window HLL registers at p=4 — the state store holds 2^p register
+    rows per window, never user ids) over the events file stream,
+    hash-checked against batch sketch_hll_hourly_users' oracle SQL."""
+    from sakura_spark.streaming import events as ev
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.windowed_user_hll(s, window="1 hour", p=4),
+        "streaming_hll_equiv_sink",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+        "bucket",
+        "rho",
+    )
+
+
+def q_streaming_cms_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence, count-min: windowed_user_cms
+    (depth 4 × width 64 per-window counters — frequency state bounded at
+    depth×width rows per window at any user cardinality) over the events
+    file stream, hash-checked against batch sketch_cms_hourly_users'
+    oracle SQL."""
+    from sakura_spark.streaming import events as ev
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.windowed_user_cms(s, window="1 hour", depth=4, width=64),
+        "streaming_cms_equiv_sink",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+        "row",
+        "bucket",
+        "cnt",
+    )
+
+
+def q_streaming_bloom_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence, Bloom membership: windowed_user_bloom
+    (m=1024, k=3 set bits per window — membership state bounded at m rows
+    per window) over the events file stream, hash-checked against batch
+    sketch_bloom_hourly_users' oracle SQL."""
+    from sakura_spark.streaming import events as ev
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.windowed_user_bloom(s, window="1 hour", m=1024, k=3),
+        "streaming_bloom_equiv_sink",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+        "bit",
+    )
+
+
+def q_streaming_kmv_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for the CUSTOM STATEFUL operator
+    path: windowed_user_kmv (applyInPandasWithState, k=32 longs of state
+    per open window, event-time timeout emission) over a time-ordered
+    multi-batch file stream, hash-checked against the plain per-hour
+    bottom-k SQL — the same proof shape as streaming_hll_equiv but for
+    the operator class Spark's built-in aggregates can't express.
+
+    Timeout emission only fires DURING a batch whose incoming watermark
+    has passed a window's end, and availableNow runs no trailing
+    no-data batch — so with real data alone the last windows would stay
+    open and the emitted set would depend on file-boundary placement
+    (measured: ~half the windows at sf0.001). Two SENTINEL events
+    (+2h/+4h past max ts, each alone in its own final single-file
+    batch, mtime-ordered) push the watermark past EVERY real window
+    end: the first sentinel batch advances the watermark, the second
+    fires the remaining timeouts. Sentinel windows themselves never
+    close (nothing advances the watermark past them) and are filtered
+    by window_start <= max(ts) regardless, so the output is exactly ALL
+    real hourly windows — bit-identical to batch kmv_sketch, oracle
+    with NO cutoff clause."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from sakura_spark.streaming import events as ev
+
+    src = _t(spark, sf_dir, "events")
+    mx = src.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="sakura_stream_kmv_")
+    try:
+        data_dir = os.path.join(tmp, "stream")
+        os.makedirs(data_dir)
+        # Time-ordered data files: range partition + per-file sort means
+        # each batch's rows are newer than the previous batch's, so the
+        # advancing watermark never late-drops a real row.
+        src.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "d"))
+        parts = sorted(
+            f for f in os.listdir(os.path.join(tmp, "d")) if f.startswith("part-")
+        )
+        t0 = 1_700_000_000.0
+        for i, p in enumerate(parts):
+            dst = os.path.join(data_dir, f"{i:02d}-data.parquet")
+            shutil.move(os.path.join(tmp, "d", p), dst)
+            os.utime(dst, (t0 + i, t0 + i))
+        for j, hours in enumerate((2, 4)):
+            srow = spark.createDataFrame(
+                [(-1, mx + datetime.timedelta(hours=hours), -1, "sentinel", 0.0, "{}")],
+                ev.EVENTS_SCHEMA,
+            )
+            sdir = os.path.join(tmp, f"s{j}")
+            srow.coalesce(1).write.mode("overwrite").parquet(sdir)
+            sp = next(f for f in os.listdir(sdir) if f.startswith("part-"))
+            dst = os.path.join(data_dir, f"{90 + j:02d}-sentinel.parquet")
+            shutil.move(os.path.join(sdir, sp), dst)
+            os.utime(dst, (t0 + 50 + j, t0 + 50 + j))
+        stream = ev.read_event_stream(spark, data_dir, max_files_per_trigger=1)
         q = ev.run_to_memory(
-            ev.windowed_user_hll(stream, window="1 hour", p=4),
-            "streaming_hll_equiv_sink",
-            output_mode="complete",
+            ev.windowed_user_kmv(stream, window="1 hour", k=32),
+            "streaming_kmv_equiv_sink",
+            output_mode="append",
         )
         q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    # The memory sink holds the emitted rows driver-side under the query
-    # name — still queryable after the source files are gone.
-    return spark.table("streaming_hll_equiv_sink").select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
-        "bucket",
-        "rho",
+    return (
+        spark.table("streaming_kmv_equiv_sink")
+        .filter(F.col("window_start") <= F.lit(mx))
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+            "rank",
+            "hval",
+        )
     )
 
 
@@ -3156,6 +3332,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_revenue": q_flagship_revenue,
         "drl_intensional_plus": q_drl_intensional_plus,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        # NEW round-9, oracle-backed, past the cap: the CMS and Bloom
+        # streaming<->batch equivalence twins (same harness and proof
+        # shape as in-sweep streaming_hll_equiv) — queued to rotate into
+        # the sweep next round per the one-new-family-row-per-round
+        # discipline; locally verified + dtype-audited like every oracle.
+        "streaming_cms_equiv": q_streaming_cms_equiv,
+        "streaming_bloom_equiv": q_streaming_bloom_equiv,
+        "streaming_kmv_equiv": q_streaming_kmv_equiv,
         # Rotated past the cap in round 9 (green r7+r8, family siblings
         # still in sweep):
         "sketch_hll_registers": q_sketch_hll_registers,
@@ -3258,6 +3442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_near": q_dedup_near,
         "sim_ann_ivf": q_sim_ann_ivf,
+        # NEWLY oracle-backed in round 9 (seed-7 literal-matrix twin —
+        # the end-to-end LSH-blocked near-dup pair set proven
+        # engine-exact); queued to rotate into the sweep with the
+        # streaming twins next round.
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
         "text_bpe_segment": q_text_bpe_segment,
         "sim_pq_topk": q_sim_pq_topk,
@@ -3403,7 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         for lang, words in text.LANG_MARKERS.items()
     }
     stop_list = ", ".join(f"'{w}'" for w in text._EN_STOPWORDS)
-    return {
+    d = {
         "rel_select": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_quantity > 45 AND l_discount < 0.05"
@@ -4546,21 +4734,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(rk AS INTEGER) AS rank, hval "
             "FROM r WHERE rk <= 32"
         ),
-        # The SAME oracle SQL as the batch twin below: a hash-green row
-        # proves the incremental watermarked streaming execution emits
-        # bit-identical registers to the one-shot batch scan.
-        "streaming_hll_equiv": (
-            "WITH h AS (SELECT strftime(date_trunc('hour', ts), "
-            "'%Y-%m-%d %H:%M') AS hour, "
-            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
-            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 16 AS bucket, "
-            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
-            "CAST(user_id AS VARCHAR))), 16, 15))::BIGINT AS v "
-            "FROM events) "
-            "SELECT hour, bucket, CAST(MAX(CASE WHEN v = 0 THEN 61 "
-            "ELSE 61 - length(bin(v)) END) AS INTEGER) AS rho "
-            "FROM h GROUP BY hour, bucket"
-        ),
         "sketch_hll_hourly_users": (
             "WITH h AS (SELECT strftime(date_trunc('hour', ts), "
             "'%Y-%m-%d %H:%M') AS hour, "
@@ -4731,8 +4904,32 @@ def oracle_sql() -> dict[str, str]:
         # cosine re-rank) is deterministic SQL — round-9 closes the
         # family's last expressible gap.
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
+        # Same discipline, seed-7 12-plane matrix: LSH blocking + exact
+        # cosine verify over the planted corpus — the end-to-end pair
+        # set proven engine-exact (round-9; previously rows-only).
+        "sim_embedding_near_dup": _near_dup_oracle_sql(),
         # dedup_minhash_pairs, dedup_simhash: hash-family internals
         # (xxhash64 permutations) are not expressible in portable SQL —
         # driver records rows-only checks; exactness is covered by
         # pytest oracles instead.
     }
+    # The streaming equivalence entries are checked against the SAME SQL
+    # as their batch twins — shared by reference so the two cannot drift;
+    # a hash-green row IS the streaming<->batch equivalence proof.
+    d["streaming_hll_equiv"] = d["sketch_hll_hourly_users"]
+    d["streaming_cms_equiv"] = d["sketch_cms_hourly_users"]
+    d["streaming_bloom_equiv"] = d["sketch_bloom_hourly_users"]
+    # The stateful-operator twin: sentinel batches close EVERY real
+    # window (see q_streaming_kmv_equiv), so the oracle is the plain
+    # per-hour bottom-k with no cutoff clause — the hour-keyed spelling
+    # of the sketch_kmv oracle.
+    d["streaming_kmv_equiv"] = (
+        "WITH d AS (SELECT DISTINCT date_trunc('hour', ts) AS ws, "
+        "('0x' || substr(sha256(concat_ws(chr(31), 'kmv', "
+        "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT AS hval FROM events), "
+        "r AS (SELECT ws, hval, row_number() OVER ("
+        "PARTITION BY ws ORDER BY hval) AS rk FROM d) "
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS hour, "
+        "CAST(rk AS INTEGER) AS rank, hval FROM r WHERE rk <= 32"
+    )
+    return d

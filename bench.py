@@ -310,6 +310,16 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # Probe-normalized total (round-8 verdict item 9): scale the headline
+    # by machine speed so cross-round artifacts compare directly instead
+    # of via per-round prose adjudication in BASELINE.md. Reference probe
+    # 0.109 s = the round-7 judge rerun's md5-64MiB reading, the fastest
+    # well-documented machine state in the record; value_normalized =
+    # value * (0.109 / probe). Normalization assumes CPU-bound plans
+    # (true of this suite at sf0.1 — BASELINE.md rounds 3/6/8 all show
+    # uniform per-query scaling with the probe).
+    probe = env.get("cpu_probe_md5_64mib_sec")
+    normalized = round(total * (0.109 / probe), 3) if probe else None
 
     headline_noop: dict[str, float] = {}
     for name in HEADLINE_NOOP:
@@ -336,6 +346,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
+                "value_normalized": normalized,
                 "unit": "sec",
                 "queries": times,
                 "headline_noop": headline_noop,
@@ -363,6 +374,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
+                "value_normalized": normalized,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
