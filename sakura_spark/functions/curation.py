@@ -506,8 +506,20 @@ def perplexity_buckets(
 
     # Pass 1: range-partition on the sort key; partition ids are ordered
     # by key range, so per-lang prefix sums over __pid give global offsets.
-    parted = staged.repartitionByRange(lang_col, "unseen_ratio", id_col).withColumn(
-        "__pid", F.spark_partition_id()
+    # PINNED (eager localCheckpoint, the graph._pin / duplicate_clusters
+    # convention — runs a Spark job at call time): both consumers below
+    # (the offset counts and the ranked rows) must see the SAME __pid
+    # assignment. Unpinned, the plan tree evaluates this subtree twice
+    # through two INDEPENDENT range exchanges — identical today only
+    # because boundary sampling is deterministic over identical inputs,
+    # and 2x the stats-table derivation cost; under AQE, REPARTITION_BY_COL
+    # exchanges may also coalesce, and two exchanges coalescing
+    # differently would silently mis-rank. The pin makes __pid a
+    # materialized fact instead of a replayed computation.
+    parted = (
+        staged.repartitionByRange(lang_col, "unseen_ratio", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = parted.groupBy("__pid", lang_col).agg(F.count(F.lit(1)).alias("__c"))
     w_prefix = (
