@@ -1089,8 +1089,18 @@ def ann_recall(
     unioned and joined on (query_id, id) so the intersection count and
     the division happen distributedly. At corpus scale the recall scan
     runs on a sample of queries, never per corpus row.
+
+    The narrow (id, vector) projection is PINNED up front (eager
+    localCheckpoint, the graph._pin convention — a Spark job runs at
+    call time): unpinned, the plan tree re-derives the SOURCE for every
+    subplan — 30 corpus scans measured at Q=5 with both methods (2
+    trainings + 2 top-k subplans per query per method). Pinned, the
+    source is read once and every pass runs over the materialized slim
+    table — the difference between 1 and ~30 corpus reads at 100 TB
+    (where this gate runs over a bounded sample anyway).
     """
     wanted = [int(q) for q in query_ids]
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     rows = (
         df.filter(F.col(id_col).isin(wanted)).select(id_col, vec_col).collect()
     )
