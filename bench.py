@@ -114,6 +114,18 @@ EXTENDED = [
     "curation_ppl_buckets",
     "dedup_simhash_portable",
     "sim_ivf_assign_fixed",
+    # round 9 additions (first measurements recorded in BASELINE.md):
+    # the streaming<->batch equivalence quartet (each runs a real
+    # microbatched streaming job to a memory sink) and the newly
+    # oracle-backed LSH entries. sim_ann_recall stays out — ~24 s of
+    # deliberate training cost per run belongs in scale_results, not in
+    # the per-round bench budget.
+    "streaming_hll_equiv",
+    "streaming_cms_equiv",
+    "streaming_bloom_equiv",
+    "streaming_kmv_equiv",
+    "sim_ann_lsh",
+    "sim_embedding_near_dup",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -186,6 +198,9 @@ NOOP_SINK = {
     "text_readability",
     "curation_source_stats",
     "sim_random_projection",
+    # Round-9: a .count() over the ordered limit could let EliminateSorts
+    # drop the cosine ranking work — force full execution.
+    "sim_ann_lsh",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only
