@@ -1073,6 +1073,8 @@ def ann_recall(
     m: int = 4,
     n_codes: int = 16,
     rerank_factor: int = 5,
+    n_planes: int = 4,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1119,6 +1121,8 @@ def ann_recall(
             df, n_centroids=n_centroids, m=m, k=n_codes, iters=iters,
             vec_col=vec_col, id_col=id_col,
         )
+    elif method == "lsh":
+        centroids = books = None  # training-free: fixed hyperplanes
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -1134,6 +1138,11 @@ def ann_recall(
             ap = ann_ivf_topk(
                 df, qv, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
                 centroids=centroids,
+            )
+        elif method == "lsh":
+            ap = ann_lsh_topk(
+                df, qv, k=k, n_planes=n_planes, probe_hamming=probe_hamming,
+                id_col=id_col, vec_col=vec_col,
             )
         else:
             ap = ann_ivfpq_topk(

@@ -128,3 +128,26 @@ def test_full_probe_is_exact_on_uniform_sf(spark):
     # Probing every cell IS the exact search — recall must be exactly 1,
     # even on structureless embeddings.
     assert all(r.recall == 1.0 for r in rows), rows
+
+
+def test_lsh_recall_floor_and_probe_lever_on_clustered(clustered):
+    # Training-free path: fixed seed-42 hyperplanes. More planes = smaller
+    # buckets = lower recall at a fixed probe radius; widening the Hamming
+    # probe buys it back — the documented ann_lsh_topk trade-off.
+    hi = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, method="lsh", n_planes=4, probe_hamming=2
+        )
+    )
+    assert hi >= 0.9, f"lsh recall@10 at 4 planes / Hamming<=2: {hi}"
+    narrow = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, method="lsh", n_planes=6, probe_hamming=1
+        )
+    )
+    wide = _mean_recall(
+        similarity.ann_recall(
+            clustered, QUERY_IDS, k=10, method="lsh", n_planes=6, probe_hamming=2
+        )
+    )
+    assert wide >= narrow - 1e-9
