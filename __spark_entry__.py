@@ -766,7 +766,7 @@ def q_sim_ann_recall(spark, sf_dir):
     — at 100 TB recall IS the product of an ANN index; this entry keeps
     the recall/probe trade-off measured every round instead of only
     shape-checked. Emits (method, query_id, n_hit, recall) for ivf at
-    n_probe=4 and ivfpq (rerank_factor=5) at n_probe=4 over 8 probe
+    n_probe=4 and ivfpq (rerank_factor=5) at n_probe=4 over 5 probe
     queries. Rows-only: the trained k-means codebooks are iterative and
     not SQL-expressible (the assignment MATH is driver-proven via
     sim_ivf_assign_fixed); the recall FLOORS are asserted in

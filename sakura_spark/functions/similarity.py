@@ -1084,9 +1084,13 @@ def ann_recall(
     against (recall, not latency alone, is the product of an ANN
     index; Jégou et al. 2011 report exactly this curve).
 
+    Methods: ``ivf`` / ``ivfpq`` (trained once for all queries) and
+    ``lsh`` (training-free — the fixed seed-42 hyperplanes, tuned by
+    ``n_planes`` / ``probe_hamming``).
+
     The query vectors (``len(query_ids)`` rows) are the only data
     fetched to the driver — bounded by contract like the codebooks.
-    Training runs ONCE for all queries; each query then contributes two
+    Training (when the method has any) runs ONCE; each query then contributes two
     TakeOrderedAndProject top-k subplans (exact + approximate), all
     unioned and joined on (query_id, id) so the intersection count and
     the division happen distributedly. At corpus scale the recall scan
