@@ -1142,6 +1142,20 @@ def q_dedup_minhash_portable(spark, sf_dir):
     return dedup.minhash_signatures_portable(docs, "id", num_hashes=16)
 
 
+def q_dedup_corpus_overlap(spark, sf_dir):
+    """Corpus-level MinHash overlap (dedup.corpus_overlap): pairwise
+    Jaccard resemblance estimates between SOURCES — min(union) = min of
+    mins lifts Broder's document MinHash to whole corpora, answering
+    "how much of source B is already in source A?" with ONE map-side-
+    combinable aggregation (the shuffle carries (source, 8-byte hash))
+    plus a broadcast join over |sources| signature rows, never a
+    document-level join. Same engine-portable sha256-word family as
+    dedup_minhash_portable, so the DuckDB twin recomputes every slot,
+    match count, and dyadic k=64 estimate bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.corpus_overlap(docs, "source")
+
+
 def q_dedup_simhash_portable(spark, sf_dir):
     """Engine-portable SimHash (dedup.simhash_portable): the SimHash
     family's hash-exact driver row, companion to dedup_minhash_portable.
@@ -3284,7 +3298,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
-        "sketch_bloom_hourly_users": q_sketch_bloom_hourly_users,
+        # Round-9 session 3: dedup_corpus_overlap (NEW oracle-backed —
+        # corpus-level MinHash resemblance between sources, the Broder
+        # estimator lifted from documents to corpora) enters the sweep
+        # immediately per the new-oracle-backed policy;
+        # sketch_bloom_hourly_users (driver-green r7+r8, siblings
+        # sketch_bloom_bits / sketch_bloom_semijoin / streaming_bloom_equiv
+        # still registered) rotates past the cap.
+        "dedup_corpus_overlap": q_dedup_corpus_overlap,
         "sketch_hll_cumulative_users": q_sketch_hll_cumulative_users,
         "curation_weighted_sample": q_curation_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
@@ -3342,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_equiv": q_streaming_kmv_equiv,
         # Rotated past the cap in round 9 (green r7+r8, family siblings
         # still in sweep):
+        "sketch_bloom_hourly_users": q_sketch_bloom_hourly_users,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -3982,6 +4004,11 @@ def oracle_sql() -> dict[str, str]:
         # the two spellings cannot drift.
         "dedup_minhash_portable": dedup.minhash_portable_oracle_sql(
             "SELECT doc_id, text FROM documents", _SHINGLES, num_hashes=16
+        ),
+        # Same family lifted to per-source signatures; generated by the
+        # operator module from the same (a_i, b_i) parameters.
+        "dedup_corpus_overlap": dedup.corpus_overlap_oracle_sql(
+            "SELECT source AS grp, text FROM documents", _SHINGLES
         ),
         # Same hash word, same vote arithmetic, same tie rule — generated
         # by the operator module.

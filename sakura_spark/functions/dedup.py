@@ -422,6 +422,144 @@ def minhash_portable_oracle_sql(
     )
 
 
+def corpus_minhash(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    salt: str = "mh",
+) -> DataFrame:
+    """Corpus-level MinHash: ONE k-slot signature per GROUP (source,
+    snapshot, shard) — sig_i = min over the shingles of EVERY document in
+    the group of (a_i * h + b_i) mod P, the same engine-portable family
+    as :func:`minhash_signatures_portable` (60-bit sha256 word mod P,
+    ``_perm_params``), so a DuckDB oracle recomputes every slot
+    bit-for-bit.
+
+    Because min(union) = min of mins, the group signature is EXACTLY the
+    MinHash of the union of the group's shingle sets — the Broder 1997
+    resemblance estimator lifted from documents to corpora. Estimating
+    cross-source/cross-snapshot overlap this way is the standard first
+    question of a 100 TB ingestion run ("how much of crawl N+1 is
+    already in crawl N?") and costs one aggregation, not a join.
+
+    Plan: explode shingles, hash once, ONE map-side-combinable
+    groupBy(group) with k min aggregates over arithmetic on that single
+    8-byte hash. The shuffle carries (group, hash) pairs; the output is
+    |groups| rows however large the corpus.
+    """
+    from sakura_spark.functions.sketches import hash_word
+
+    grams = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(shingles(F.col(text_col), 3)).alias("g"),
+    )
+    hw = hash_word(F.col("g"), salt) % F.lit(_P)
+    hashed = grams.select("grp", hw.alias("h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _perm_params(i)
+        aggs.append(
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"sig{i}")
+        )
+    return hashed.groupBy("grp").agg(*aggs)
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    salt: str = "mh",
+) -> DataFrame:
+    """Pairwise corpus overlap: MinHash-estimated Jaccard resemblance
+    between every pair of groups (sources, crawl snapshots, shards).
+    Output: (group_a, group_b, matching_slots, num_hashes, jaccard_est)
+    with group_a < group_b; jaccard_est = matching_slots / num_hashes is
+    exactly dyadic for power-of-two k, so the doubles hash stably.
+
+    Scale: the per-group signatures are one combinable aggregation over
+    the corpus (see :func:`corpus_minhash`); the pair comparison runs
+    over |groups| signature rows — sources, not documents — so the
+    quadratic term is O(|G|^2 * k) slot compares on a broadcast join,
+    independent of corpus size. Deterministic end to end (no RNG state):
+    the DuckDB twin from :func:`corpus_overlap_oracle_sql` reproduces
+    every slot, count, and estimate bit-for-bit.
+    """
+    sig = corpus_minhash(df, group_col, text_col, num_hashes, salt)
+    a = sig.select(
+        F.col("grp").alias("group_a"),
+        *[F.col(f"sig{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col("grp").alias("group_b"),
+        *[F.col(f"sig{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        a.join(b.hint("broadcast"), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            bind_once(
+                matches,
+                lambda m: F.struct(
+                    m.alias("matching_slots"),
+                    (m.cast("double") / F.lit(float(num_hashes))).alias("est"),
+                ),
+            ).alias("__p"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            F.col("__p.matching_slots").alias("matching_slots"),
+            F.lit(num_hashes).alias("num_hashes"),
+            F.col("__p.est").alias("jaccard_est"),
+        )
+    )
+
+
+def corpus_overlap_oracle_sql(
+    docs_sql: str,
+    shingles_sql: str,
+    num_hashes: int = 64,
+    salt: str = "mh",
+) -> str:
+    """DuckDB twin of :func:`corpus_overlap`, generated from the SAME
+    ``_perm_params`` family and hash-word spelling as
+    :func:`minhash_portable_oracle_sql` so the two cannot drift.
+    ``docs_sql`` yields (grp, text); ``shingles_sql`` is the SQL spelling
+    of the 3-gram shingle array over a column named ``text``."""
+    hw = (
+        f"('0x' || substr(sha256(concat_ws(chr(31), '{salt}', gram)), 1, 15))"
+        f"::BIGINT % {_P}"
+    )
+    sigs = []
+    for i in range(num_hashes):
+        a, b = _perm_params(i)
+        sigs.append(f"min((h * {a} + {b}) % {_P}) AS sig{i}")
+    matches = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return (
+        f"WITH src AS ({docs_sql}), "
+        f"t AS (SELECT grp, {shingles_sql} AS sh FROM src), "
+        "g AS (SELECT grp, unnest(sh) AS gram FROM t WHERE len(sh) > 0), "
+        f"h AS (SELECT grp, {hw} AS h FROM g), "
+        f"s AS (SELECT grp, {', '.join(sigs)} FROM h GROUP BY grp), "
+        f"m AS (SELECT a.grp AS group_a, b.grp AS group_b, "
+        f"CAST({matches} AS INT) AS matching_slots "
+        "FROM s a JOIN s b ON a.grp < b.grp) "
+        "SELECT group_a, group_b, matching_slots, "
+        f"CAST({num_hashes} AS INT) AS num_hashes, "
+        f"CAST(matching_slots AS DOUBLE) / {float(num_hashes)!r} AS jaccard_est "
+        "FROM m"
+    )
+
+
 def simhash_portable(
     df: DataFrame,
     id_col: str,

@@ -1602,6 +1602,66 @@ def test_minhash_portable_estimator_and_twin(spark):
     assert sig == want
 
 
+def test_corpus_overlap_estimator_and_twin(spark):
+    """Per-group MinHash = MinHash of the union shingle set (min of mins),
+    the pairwise estimate orders by true resemblance, and the generated
+    DuckDB twin matches bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "a"),
+        (2, base + " lambda mu nu xi omicron pi rho", "a"),
+        (3, base, "b"),  # b's shingles are a subset of a's
+        (4, "totally unrelated words sharing nothing with the other sources", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.group_a, r.group_b): (r.matching_slots, r.num_hashes, r.jaccard_est)
+        for r in dedup.corpus_overlap(df, "source", num_hashes=32).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")][0] > out[("a", "c")][0]
+    assert out[("a", "c")][0] <= 2 and out[("b", "c")][0] <= 2
+    for m, n, est in out.values():
+        assert n == 32 and est == m / 32
+
+    # min(union) = min of mins: the group signature equals the
+    # elementwise min of its documents' portable signatures.
+    per_doc = [
+        [r[f"sig{i}"] for i in range(32)]
+        for r in dedup.minhash_signatures_portable(
+            df.filter(F.col("source") == "a"), "doc_id", num_hashes=32
+        ).collect()
+    ]
+    union_sig = [min(col) for col in zip(*per_doc)]
+    grp = (
+        dedup.corpus_minhash(df, "source", num_hashes=32)
+        .filter(F.col("grp") == "a")
+        .collect()[0]
+    )
+    assert [grp[f"sig{i}"] for i in range(32)] == union_sig
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    sh = (
+        "CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) < 3 "
+        "THEN []::VARCHAR[] ELSE list_distinct(list_transform("
+        "range(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1), "
+        "i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' || "
+        "regexp_split_to_array(trim(lower(text)), '\\s+')[i+1] || ' ' || "
+        "regexp_split_to_array(trim(lower(text)), '\\s+')[i+2])) END"
+    )
+    sql = dedup.corpus_overlap_oracle_sql(
+        "SELECT source AS grp, text FROM docs_t", sh, num_hashes=32
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4]) for r in con.execute(sql).fetchall()
+    }
+    assert out == want
+
+
 def test_simhash_portable_hamming_and_twin(spark):
     """Portable SimHash behaves as SimHash (near-dups at small Hamming
     distance, unrelated docs far) AND matches the generated DuckDB twin
