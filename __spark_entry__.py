@@ -935,6 +935,261 @@ def _ivf_fixed_oracle_sql() -> str:
     )
 
 
+# End-to-end IVF search twin: 8 centroids on the same dyadic (n/32)
+# grid plus a fixed dyadic query vector, so EVERY stage of ann_ivf_topk
+# — probe-cell selection (driver arithmetic via ivf_probe_ids), per-row
+# coarse assignment (literal argmin), the probed-cell filter, and the
+# exact cosine re-rank — is deterministic IEEE arithmetic spelled
+# identically in a DuckDB twin.
+_IVF8_FIXED_CENTROIDS = [
+    [((j * 11 + d * 7 + 3) % 32) / 32 - 0.5 for d in range(64)] for j in range(8)
+]
+_IVF_FIXED_QUERY = [((5 * d + 9) % 32) / 32 - 0.5 for d in range(64)]
+
+
+def q_sim_ivf_topk_fixed(spark, sf_dir):
+    """IVF ANN search END-TO-END with a fixed literal codebook
+    (similarity.ann_ivf_topk): sim_ivf_assign_fixed proved the coarse
+    quantizer engine-exact; this entry proves the WHOLE search path —
+    probe selection over the codebook (ivf_probe_ids, ties to the lower
+    cell), the isin(probes) cell filter (the partition-pruning step at
+    100 TB), and the exact cosine top-10 re-rank with its
+    desc-similarity/asc-id ordering — by running the production operator
+    against a DuckDB twin generated from the SAME centroid/query
+    literals. With training factored out (k-means is the one
+    non-SQL-expressible stage, still covered by sim_ann_ivf +
+    sim_ann_recall), every remaining double is a 0.0-seeded
+    left-associative fold, so the top-k ids AND similarities hash
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.ann_ivf_topk(
+        emb, _IVF_FIXED_QUERY, k=10, n_probe=2, centroids=_IVF8_FIXED_CENTROIDS
+    )
+
+
+def _cell_dist_sel_sql(centroids: list[list[float]]) -> str:
+    """Per-centroid L2^2 distance folds as SQL: 0.0-seeded
+    left-associative sums of (CAST(embedding[i]) - literal)^2 — the
+    spelling that matches _l2sq's aggregate fold bit-for-bit (the
+    sim_ivf_assign_fixed discipline). Yields "expr AS d0, expr AS d1,
+    ..."."""
+    ds = []
+    for c in centroids:
+        terms = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) - ({c[d]!r})) * "
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) - ({c[d]!r}))"
+            for d in range(len(c))
+        )
+        ds.append(f"0.0 + {terms}")
+    return ", ".join(f"{d} AS d{j}" for j, d in enumerate(ds))
+
+
+def _argmin_case_sql(k: int) -> str:
+    """First-match argmin over d0..d{k-1} as an ordered <=-CASE chain:
+    cell j wins iff every earlier WHEN failed and d{j} <= all later
+    distances — exactly array_position(d, array_min(d))'s
+    first-index-of-min rule, ties to the lowest cell."""
+    whens = []
+    for j in range(k - 1):
+        conds = " AND ".join(f"d{j} <= d{m}" for m in range(j + 1, k))
+        whens.append(f"WHEN {conds} THEN {j}")
+    return "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+
+
+def _ivf_topk_fixed_oracle_sql() -> str:
+    """DuckDB twin of q_sim_ivf_topk_fixed, generated from the SAME
+    centroid/query literals: per-cell distances and the cosine's
+    dot/norm folds as 0.0-seeded left-associative sums, first-match
+    argmin via the ordered <=-CASE chain (ties to the lowest cell, the
+    sim_ivf_assign_fixed discipline), probe cells from
+    similarity.ivf_probe_ids run on the same literals, final ordering
+    ORDER BY cosine DESC, vec_id."""
+    sel = _cell_dist_sel_sql(_IVF8_FIXED_CENTROIDS)
+    case = _argmin_case_sql(len(_IVF8_FIXED_CENTROIDS))
+    q = _IVF_FIXED_QUERY
+    dp = "0.0 + " + " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * ({q[d]!r})" for d in range(64)
+    )
+    na = "0.0 + " + " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * CAST(embedding[{d + 1}] AS DOUBLE)"
+        for d in range(64)
+    )
+    nq = "0.0 + " + " + ".join(f"({q[d]!r}) * ({q[d]!r})" for d in range(64))
+    probes = similarity.ivf_probe_ids(q, _IVF8_FIXED_CENTROIDS, 2)
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {sel} FROM embeddings), "
+        f"a AS (SELECT vec_id, embedding, {case} AS c FROM d), "
+        f"p AS (SELECT vec_id, {dp} AS dp, "
+        f"sqrt({na}) * sqrt({nq}) AS denom "
+        f"FROM a WHERE c IN ({', '.join(str(i) for i in probes)})) "
+        "SELECT vec_id, CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END "
+        "AS cosine_sim FROM p ORDER BY cosine_sim DESC, vec_id LIMIT 10"
+    )
+
+
+# SemDeDup end-to-end twin: 16 cells on the dyadic (n/32) grid. With
+# the k-means training factored out (still covered by
+# sim_semantic_dedup + pytest's planted-cluster fixtures), every stage
+# of semantic_dedup — cell assignment, within-cell pair expansion, the
+# cosine >= threshold drop test, the keep-lowest-id anti-join — is
+# deterministic IEEE arithmetic with a DuckDB spelling.
+_SEM_FIXED_CENTROIDS = [
+    [((j * 9 + d * 3 + 2) % 32) / 32 - 0.5 for d in range(64)] for j in range(16)
+]
+
+
+def q_sim_semdedup_fixed(spark, sf_dir):
+    """SemDeDup END-TO-END with a fixed literal codebook
+    (similarity.semantic_dedup): the same planted-copy corpus as
+    sim_semantic_dedup (every 10th vector re-enters as an exact copy
+    under vec_id+1,000,000; the natural corpus tops out near cosine
+    0.48, far under the 0.95 threshold), but with the trained k-means
+    swapped for the fixed dyadic 16-cell codebook the whole pruning
+    pipeline is engine-exact: identical copies share an argmin cell by
+    construction, every planted row must drop to its keep-lowest-id
+    original, every natural row must survive, and the DuckDB twin
+    re-derives the kept (vec_id, cluster_id) corpus bit-for-bit —
+    including each pair's cosine comparison at the threshold."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    kept = similarity.semantic_dedup(
+        corpus, threshold=0.95, centroids=_SEM_FIXED_CENTROIDS
+    )
+    return kept.select("vec_id", "cluster_id")
+
+
+def _semdedup_fixed_oracle_sql() -> str:
+    """DuckDB twin of q_sim_semdedup_fixed, generated from the SAME
+    16-cell codebook: assignment via the shared distance-fold +
+    first-match-argmin spellings, the drop set via an x/y self-join on
+    the cell (y.vec_id < x.vec_id, x is the drop candidate — exactly
+    semantic_dedup's __id_b < __id_a orientation and cosine(__v_a,
+    __v_b) operand order), cosines as list_sum folds with the
+    norm-product zero guard (the sim_cosine_topk discipline)."""
+    sel = _cell_dist_sel_sql(_SEM_FIXED_CENTROIDS)
+    case = _argmin_case_sql(len(_SEM_FIXED_CENTROIDS))
+
+    def fold(a: str, b: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, 65), i -> "
+            f"CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+        )
+
+    denom = f"sqrt({fold('x', 'x')}) * sqrt({fold('y', 'y')})"
+    cos = (
+        f"CASE WHEN {denom} = 0 THEN 0.0 "
+        f"ELSE {fold('x', 'y')} / ({denom}) END"
+    )
+    return (
+        "WITH src AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id % 10 = 0), "
+        f"d AS (SELECT vec_id, embedding, {sel} FROM src), "
+        f"a AS (SELECT vec_id, embedding, {case} AS cluster_id FROM d), "
+        "dr AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y "
+        "ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id "
+        f"WHERE ({cos}) >= 0.95) "
+        "SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id FROM a "
+        "WHERE vec_id NOT IN (SELECT vec_id FROM dr)"
+    )
+
+
+def q_sim_ivfpq_topk_fixed(spark, sf_dir):
+    """IVFADC search END-TO-END with fixed literal codebooks
+    (similarity.ann_ivfpq_topk, Jégou et al. 2011 + Faiss
+    IndexRefineFlat): the deepest composed pipeline in the ANN stack —
+    coarse assignment, probe selection, per-row residuals against the
+    probed cell's centroid, per-subspace nearest-codeword quantization,
+    the per-cell ADC distance tables (driver arithmetic via
+    similarity.ivfpq_adc_tables), the k*rerank_factor ADC shortlist, and
+    the exact-cosine refine — all proven engine-exact by a DuckDB twin
+    generated from the SAME 8-cell dyadic coarse codebook
+    (_IVF8_FIXED_CENTROIDS), the SAME sixteenth-grid PQ books
+    (_PQ_FIXED_BOOKS, here quantizing residuals), and the SAME fixed
+    query. Training (k-means) stays the one non-SQL stage, covered by
+    sim_ann_ivfpq + the sim_ann_recall floor."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.ann_ivfpq_topk(
+        emb,
+        _IVF_FIXED_QUERY,
+        k=10,
+        n_probe=2,
+        rerank_factor=5,
+        centroids=_IVF8_FIXED_CENTROIDS,
+        codebooks=_PQ_FIXED_BOOKS,
+    )
+
+
+def _ivfpq_topk_fixed_oracle_sql() -> str:
+    """DuckDB twin of q_sim_ivfpq_topk_fixed, generated from the SAME
+    codebooks/query: coarse assignment via the shared distance-fold and
+    argmin-CASE spellings; per probed cell a branch whose residual
+    ((CAST(embedding[i]) - centroid_i) - codeword_i) folds mirror
+    _pq_code_exprs' 0.0-seeded slices; the ADC sum selects table
+    literals (from the SAME ivfpq_adc_tables helper the operator calls)
+    through first-match <=-chains; shortlist ORDER BY (pq_dist, vec_id)
+    LIMIT k*rerank; refine with the exact-cosine spelling of the IVF
+    twin."""
+    cents, books, q = _IVF8_FIXED_CENTROIDS, _PQ_FIXED_BOOKS, _IVF_FIXED_QUERY
+    m, ncw, sub = len(books), len(books[0]), len(books[0][0])
+    sel = _cell_dist_sel_sql(cents)
+    case = _argmin_case_sql(len(cents))
+    probes = similarity.ivf_probe_ids(q, cents, 2)
+    branches = []
+    for c in probes:
+        tables = similarity.ivfpq_adc_tables(q, cents[c], books)
+        ecols = []
+        for j in range(m):
+            for w in range(ncw):
+                res = [
+                    f"((CAST(embedding[{j * sub + i + 1}] AS DOUBLE) - "
+                    f"({cents[c][j * sub + i]!r})) - ({books[j][w][i]!r}))"
+                    for i in range(sub)
+                ]
+                terms = " + ".join(f"{r} * {r}" for r in res)
+                ecols.append(f"0.0 + {terms} AS e{j}_{w}")
+        parts = []
+        for j in range(m):
+            whens = []
+            for w in range(ncw - 1):
+                conds = " AND ".join(
+                    f"e{j}_{w} <= e{j}_{v}" for v in range(w + 1, ncw)
+                )
+                whens.append(f"WHEN {conds} THEN ({tables[j][w]!r})")
+            parts.append(
+                "(CASE " + " ".join(whens) + f" ELSE ({tables[j][ncw - 1]!r}) END)"
+            )
+        pq_dist = " + ".join(parts)
+        branches.append(
+            f"SELECT vec_id, c, embedding, {pq_dist} AS pq_dist FROM "
+            f"(SELECT vec_id, c, embedding, {', '.join(ecols)} "
+            f"FROM a WHERE c = {c})"
+        )
+    union = " UNION ALL ".join(f"({b})" for b in branches)
+    dp = "0.0 + " + " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * ({q[d]!r})" for d in range(64)
+    )
+    na = "0.0 + " + " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * CAST(embedding[{d + 1}] AS DOUBLE)"
+        for d in range(64)
+    )
+    nq = "0.0 + " + " + ".join(f"({q[d]!r}) * ({q[d]!r})" for d in range(64))
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {sel} FROM embeddings), "
+        f"a AS (SELECT vec_id, embedding, {case} AS c FROM d), "
+        f"u AS ({union}), "
+        "s AS (SELECT * FROM u ORDER BY pq_dist, vec_id LIMIT 50), "
+        f"p AS (SELECT vec_id, c, {dp} AS dp, "
+        f"sqrt({na}) * sqrt({nq}) AS denom FROM s) "
+        "SELECT vec_id, CAST(c AS INT) AS cluster_id, "
+        "CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END AS cosine_sim "
+        "FROM p ORDER BY cosine_sim DESC, vec_id LIMIT 10"
+    )
+
+
 # The seed-42 hyperplane matrix q_sim_ann_lsh actually uses (n_planes=4,
 # dim=64 — ann_lsh_topk's defaults). Deterministic pure arithmetic, so
 # the SAME doubles can be embedded as literals in a DuckDB twin.
@@ -3310,7 +3565,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_weighted_sample": q_curation_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_collocations": q_text_collocations,
-        "text_inverted_index": q_text_inverted_index,
+        # Round-9 session 3: sim_ivfpq_topk_fixed (NEW oracle-backed —
+        # the IVFADC composed pipeline engine-exact end to end:
+        # residuals, per-subspace quantization, per-cell ADC tables,
+        # shortlist, cosine refine) enters the sweep;
+        # text_inverted_index (driver-green r7+r8, IR siblings
+        # text_tfidf_topk + text_collocations + text_bm25_topk in sweep)
+        # rotates past the cap.
+        "sim_ivfpq_topk_fixed": q_sim_ivfpq_topk_fixed,
         "er_name_pairs": q_er_name_pairs,
         # Round-9: sim_ann_lsh (NEWLY oracle-backed — the full hyperplane
         # LSH multiprobe top-k pipeline proven engine-exact from the same
@@ -3325,9 +3587,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "streaming_hll_equiv": q_streaming_hll_equiv,
         "sketch_kmv": q_sketch_kmv,
-        "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
+        # Round-9 session 3: sim_ivf_topk_fixed (NEW oracle-backed — the
+        # WHOLE IVF search path engine-exact: probe selection, cell
+        # filter, cosine re-rank, from the same fixed-codebook discipline
+        # that proved the assign stage) enters the sweep;
+        # sketch_hll_hourly_users (driver-green r7+r8, siblings
+        # sketch_hll_cumulative_users + streaming_hll_equiv in sweep)
+        # rotates past the cap.
+        "sim_ivf_topk_fixed": q_sim_ivf_topk_fixed,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
-        "sketch_cms_hourly_users": q_sketch_cms_hourly_users,
+        # Round-9 session 3: sim_semdedup_fixed (NEW oracle-backed —
+        # SemDeDup's whole pruning pipeline engine-exact with the fixed
+        # 16-cell dyadic codebook: assignment, pair expansion, cosine
+        # threshold, keep-lowest-id anti-join) enters the sweep;
+        # sketch_cms_hourly_users (driver-green r7+r8, siblings
+        # sketch_heavy_hitters + streaming_cms_equiv registered) rotates
+        # past the cap.
+        "sim_semdedup_fixed": q_sim_semdedup_fixed,
         "sketch_quantile_registers": q_sketch_quantile_registers,
         "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
         "events_attribution": q_events_attribution,
@@ -3364,6 +3640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rotated past the cap in round 9 (green r7+r8, family siblings
         # still in sweep):
         "sketch_bloom_hourly_users": q_sketch_bloom_hourly_users,
+        "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
+        "sketch_cms_hourly_users": q_sketch_cms_hourly_users,
+        "text_inverted_index": q_text_inverted_index,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -4570,6 +4849,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
         "sim_ivf_assign_fixed": _ivf_fixed_oracle_sql(),
+        # Generated from the same 8-centroid dyadic codebook + fixed
+        # query as the Spark entry; probe cells via the SAME
+        # ivf_probe_ids helper the production operator calls.
+        "sim_ivf_topk_fixed": _ivf_topk_fixed_oracle_sql(),
+        # Generated from the same 16-cell dyadic codebook as the Spark
+        # entry; same planted-copy corpus, same pair orientation.
+        "sim_semdedup_fixed": _semdedup_fixed_oracle_sql(),
+        # Generated from the same coarse/PQ codebooks, query, and
+        # ivfpq_adc_tables helper as the Spark entry.
+        "sim_ivfpq_topk_fixed": _ivfpq_topk_fixed_oracle_sql(),
         "events_attribution": (
             "SELECT v.user_id AS user_id, p.event_id AS purchase_id, "
             "p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts, "

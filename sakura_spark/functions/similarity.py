@@ -399,6 +399,22 @@ def ivf_train(
     return centroids
 
 
+def ivf_probe_ids(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The n_probe cell ids nearest the query (driver-side: the codebook
+    is tiny). Ascending (distance, id) — ties break to the lower id, the
+    same first-match rule as ivf_assign's argmin. Shared by
+    :func:`ann_ivf_topk`, :func:`ann_ivfpq_topk` callers, and generated
+    SQL oracles, so the probe-selection arithmetic cannot drift between
+    the engine and its twins."""
+    qd = [
+        sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
+        for c in centroids
+    ]
+    return sorted(range(len(centroids)), key=lambda i: (qd[i], i))[:n_probe]
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -423,11 +439,7 @@ def ann_ivf_topk(
         centroids = ivf_train(
             df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
         )
-    qd = [
-        sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
-        for c in centroids
-    ]
-    probe_ids = sorted(range(len(centroids)), key=lambda i: (qd[i], i))[:n_probe]
+    probe_ids = ivf_probe_ids(query_vec, centroids, n_probe)
     q = _lit_vec(query_vec)
     return (
         ivf_assign(df, centroids, vec_col=vec_col)
@@ -770,6 +782,28 @@ def ivfpq_encode(
     )
 
 
+def ivfpq_adc_tables(
+    query_vec: list[float],
+    centroid: list[float],
+    codebooks: list[list[list[float]]],
+) -> list[list[float]]:
+    """The per-cell ADC distance tables of IVFADC search: the query's
+    residual against ``centroid``, then per subspace the squared L2 to
+    each codeword — m * n_codes doubles, computed driver-side (the
+    codebook already lives there). Shared by :func:`ann_ivfpq_topk` and
+    generated SQL oracles so the table arithmetic cannot drift between
+    the engine and its twins."""
+    sub = len(codebooks[0][0])
+    rq = [float(x) - float(y) for x, y in zip(query_vec, centroid)]
+    return [
+        [
+            sum((a - b) ** 2 for a, b in zip(rq[j * sub : (j + 1) * sub], cw))
+            for cw in book
+        ]
+        for j, book in enumerate(codebooks)
+    ]
+
+
 def ann_ivfpq_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -820,14 +854,13 @@ def ann_ivfpq_topk(
             vec_col=vec_col,
             id_col=id_col,
         )
-    qd = [
-        sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
-        for c in centroids
-    ]
-    probe_ids = sorted(range(len(centroids)), key=lambda i: (qd[i], i))[:n_probe]
+    probe_ids = ivf_probe_ids(query_vec, centroids, n_probe)
 
     sub = len(codebooks[0][0])
     res = ivf_residuals(df, centroids, vec_col=vec_col, id_col=id_col)
+    tables_by_cell = {
+        c: ivfpq_adc_tables(query_vec, centroids[c], codebooks) for c in probe_ids
+    }
     keep = [F.col(id_col), F.col("cluster_id")]
     if rerank_factor > 0:
         # Carry the original vector into the shortlist so the refine
@@ -850,11 +883,8 @@ def ann_ivfpq_topk(
     # Per probed cell: ADC table on the query residual in that cell.
     dist = None
     for c in probe_ids:
-        rq = [float(x) - float(y) for x, y in zip(query_vec, centroids[c])]
         cell = None
-        for j, book in enumerate(codebooks):
-            qs = rq[j * sub : (j + 1) * sub]
-            table = [sum((a - b) ** 2 for a, b in zip(qs, cw)) for cw in book]
+        for j, table in enumerate(tables_by_cell[c]):
             term = F.element_at(
                 _lit_vec(table), F.col("codes").getItem(j).cast("int") + 1
             )

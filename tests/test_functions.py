@@ -261,6 +261,16 @@ def test_ann_lsh_recall_on_clusters(spark):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ivf_probe_ids_tie_rule():
+    """Probe selection orders by (distance, id): ties break to the lower
+    cell id — the same first-match rule as ivf_assign's argmin, and the
+    contract the generated SQL oracles rely on."""
+    cents = [[0.0, 0.0], [0.0, 0.0], [1.0, 0.0]]
+    assert similarity.ivf_probe_ids([0.0, 0.0], cents, 2) == [0, 1]
+    assert similarity.ivf_probe_ids([1.0, 0.0], cents, 1) == [2]
+    assert similarity.ivf_probe_ids([0.6, 0.0], cents, 3) == [2, 0, 1]
+
+
 def test_ann_ivf_recall_on_clusters(spark):
     from sakura_spark.session import load_table
 
