@@ -1397,6 +1397,19 @@ def q_dedup_minhash_portable(spark, sf_dir):
     return dedup.minhash_signatures_portable(docs, "id", num_hashes=16)
 
 
+def q_text_hash_features(spark, sf_dir):
+    """Hashing-trick featurizer (text.hash_features, Weinberger et al.
+    2009): dictionary-free fixed-width sparse features over an unbounded
+    vocabulary — token occurrences contribute +-1 signs to sha256-word
+    buckets, one map-side-combinable (id, bucket) aggregation, no vocab
+    state anywhere. The entry runs every 50th document at dim=64 to keep
+    the driver compare bounded; the operator itself is corpus-wide
+    map+combine at any scale. Engine-portable hash, so the DuckDB twin
+    reproduces every sparse triple."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return text.hash_features(docs, dim=64)
+
+
 def q_dedup_corpus_overlap(spark, sf_dir):
     """Corpus-level MinHash overlap (dedup.corpus_overlap): pairwise
     Jaccard resemblance estimates between SOURCES — min(union) = min of
@@ -3564,7 +3577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_cumulative_users": q_sketch_hll_cumulative_users,
         "curation_weighted_sample": q_curation_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
-        "text_collocations": q_text_collocations,
+        # Round-9 session 3: text_hash_features (NEW oracle-backed —
+        # the Weinberger hashing-trick featurizer, dictionary-free
+        # fixed-width features with an engine-portable hash) enters the
+        # sweep; text_collocations (driver-green r7+r8, IR siblings
+        # text_tfidf_topk + text_bm25_topk in sweep) rotates past the
+        # cap.
+        "text_hash_features": q_text_hash_features,
         # Round-9 session 3: sim_ivfpq_topk_fixed (NEW oracle-backed —
         # the IVFADC composed pipeline engine-exact end to end:
         # residuals, per-subspace quantization, per-cell ADC tables,
@@ -3643,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_hourly_users": q_sketch_hll_hourly_users,
         "sketch_cms_hourly_users": q_sketch_cms_hourly_users,
         "text_inverted_index": q_text_inverted_index,
+        "text_collocations": q_text_collocations,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -4288,6 +4308,12 @@ def oracle_sql() -> dict[str, str]:
         # operator module from the same (a_i, b_i) parameters.
         "dedup_corpus_overlap": dedup.corpus_overlap_oracle_sql(
             "SELECT source AS grp, text FROM documents", _SHINGLES
+        ),
+        # Same sha256-word spelling as the portable MinHash oracles;
+        # generated by the operator module.
+        "text_hash_features": text.hash_features_oracle_sql(
+            "SELECT doc_id AS id, text FROM documents WHERE doc_id % 50 = 0",
+            dim=64,
         ),
         # Same hash word, same vote arithmetic, same tie rule — generated
         # by the operator module.

@@ -703,3 +703,66 @@ def chunk_text(
     return out.withColumn("chunk", chunk).withColumn(
         "chunk_len", F.length(F.col("chunk"))
     )
+
+
+def hash_features(
+    df: DataFrame,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "fh",
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009, ICML "Feature
+    Hashing for Large Scale Multitask Learning"): token t contributes a
+    +-1 sign to bucket h(t) mod dim, so every document becomes a
+    fixed-width sparse vector with approximately-preserved inner
+    products — the standard dictionary-free featurization for linear
+    quality/classifier models over an unbounded vocabulary. No trained
+    state, no vocabulary shuffle, no driver transfer.
+
+    Output: sparse (id, bucket, val) triples; val sums the signs of the
+    bucket's token OCCURRENCES (duplicates count, as the estimator
+    requires). Bucket is the engine-portable 60-bit sha256 word mod dim
+    and the sign comes from the word's disjoint second digest slice, so
+    a DuckDB oracle reproduces every triple bit-for-bit.
+
+    Plan: explode lowercased whitespace tokens, then ONE map-side-
+    combinable groupBy on (id, bucket) — the shuffle carries (id,
+    int bucket, +-1); output is at most min(dim, distinct buckets) rows
+    per document at any corpus size.
+    """
+    from sakura_spark.functions.sketches import hash_word
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    h = hash_word(F.col("t"), salt)
+    s = hash_word(F.col("t"), salt, word=1)
+    feat = toks.select(
+        "id",
+        (h % F.lit(dim)).cast("int").alias("bucket"),
+        F.when(s % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return feat.groupBy("id", "bucket").agg(
+        F.sum("sgn").cast("long").alias("val")
+    )
+
+
+def hash_features_oracle_sql(
+    docs_sql: str, dim: int = 256, salt: str = "fh"
+) -> str:
+    """DuckDB twin of :func:`hash_features`, same sha256-word spelling
+    as the portable MinHash oracles (bucket = first 15 hex chars, sign =
+    the second disjoint 15-char slice). ``docs_sql`` yields (id, text)."""
+    b = f"('0x' || substr(sha256(concat_ws(chr(31), '{salt}', t)), 1, 15))::BIGINT"
+    s = f"('0x' || substr(sha256(concat_ws(chr(31), '{salt}', t)), 16, 15))::BIGINT"
+    return (
+        f"WITH src AS ({docs_sql}), "
+        "toks AS (SELECT id, unnest(regexp_split_to_array(trim(lower(text)), "
+        "'\\s+')) AS t FROM src WHERE len(trim(text)) > 0), "
+        f"h AS (SELECT id, CAST({b} % {dim} AS INT) AS bucket, "
+        f"CASE WHEN {s} % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM toks) "
+        "SELECT id, bucket, CAST(sum(sgn) AS BIGINT) AS val "
+        "FROM h GROUP BY id, bucket"
+    )

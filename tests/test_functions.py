@@ -1612,6 +1612,40 @@ def test_minhash_portable_estimator_and_twin(spark):
     assert sig == want
 
 
+def test_hash_features_signs_duplicates_and_twin(spark):
+    """Hashing-trick features: occurrences count (not distinct tokens),
+    bucket/sign come from the two disjoint sha256-word slices (verified
+    against a hashlib re-computation), blank docs vanish, and the
+    generated DuckDB twin matches bit-for-bit."""
+    import duckdb
+    import hashlib
+    import pandas as pd
+
+    rows = [(1, "The quick  quick fox"), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id, r.bucket): r.val for r in text.hash_features(df, dim=16).collect()
+    }
+
+    def hw(tok, word):
+        d = hashlib.sha256(("fh\x1f" + tok).encode()).hexdigest()
+        return int(d[15 * word : 15 * (word + 1)], 16)
+
+    exp: dict = {}
+    for tok in ["the", "quick", "quick", "fox"]:
+        b = hw(tok, 0) % 16
+        exp[(1, b)] = exp.get((1, b), 0) + (1 if hw(tok, 1) % 2 == 0 else -1)
+    assert out == exp
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = text.hash_features_oracle_sql(
+        "SELECT doc_id AS id, text FROM docs_t", dim=16
+    )
+    want = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert out == want
+
+
 def test_corpus_overlap_estimator_and_twin(spark):
     """Per-group MinHash = MinHash of the union shingle set (min of mins),
     the pairwise estimate orders by true resemblance, and the generated
