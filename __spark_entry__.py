@@ -1397,6 +1397,19 @@ def q_dedup_minhash_portable(spark, sf_dir):
     return dedup.minhash_signatures_portable(docs, "id", num_hashes=16)
 
 
+def q_sim_embedding_moments(spark, sf_dir):
+    """Distributed second-moment table for PCA/whitening/OPQ prep
+    (similarity.embedding_moments): per dim-pair integer statistics
+    (n, s_i, s_j, s_ij) of fixed-grid floor-quantized embeddings — the
+    input to the driver-side eigensolve (similarity.pca_from_moments,
+    pytest-verified). Integer sums commute, so shuffle order cannot
+    change a bit and the DuckDB twin matches exactly. One map-side-
+    combinable groupBy over 136 keys; the exchange carries
+    O(tasks * dims^2) longs at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    return similarity.embedding_moments(emb, dims=16)
+
+
 def q_text_hash_features(spark, sf_dir):
     """Hashing-trick featurizer (text.hash_features, Weinberger et al.
     2009): dictionary-free fixed-width sparse features over an unbounded
@@ -3575,7 +3588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still registered) rotates past the cap.
         "dedup_corpus_overlap": q_dedup_corpus_overlap,
         "sketch_hll_cumulative_users": q_sketch_hll_cumulative_users,
-        "curation_weighted_sample": q_curation_weighted_sample,
+        # Round-9 session 3: sim_embedding_moments (NEW oracle-backed —
+        # the integer-exact PCA/whitening moment table, shuffle-order-
+        # proof by construction) enters the sweep;
+        # curation_weighted_sample (driver-green r7+r8, four curation
+        # siblings in sweep) rotates past the cap.
+        "sim_embedding_moments": q_sim_embedding_moments,
         "text_tfidf_topk": q_text_tfidf_topk,
         # Round-9 session 3: text_hash_features (NEW oracle-backed —
         # the Weinberger hashing-trick featurizer, dictionary-free
@@ -3663,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_hourly_users": q_sketch_cms_hourly_users,
         "text_inverted_index": q_text_inverted_index,
         "text_collocations": q_text_collocations,
+        "curation_weighted_sample": q_curation_weighted_sample,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -4314,6 +4333,11 @@ def oracle_sql() -> dict[str, str]:
         "text_hash_features": text.hash_features_oracle_sql(
             "SELECT doc_id AS id, text FROM documents WHERE doc_id % 50 = 0",
             dim=64,
+        ),
+        # Same floor-form grid quantization; generated by the operator
+        # module (sums BIGINT-cast against DuckDB's HUGEINT promotion).
+        "sim_embedding_moments": similarity.embedding_moments_oracle_sql(
+            "SELECT embedding FROM embeddings", dims=16
         ),
         # Same hash word, same vote arithmetic, same tie rule — generated
         # by the operator module.

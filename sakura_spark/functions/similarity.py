@@ -1092,6 +1092,110 @@ def random_projection_oracle_sql(
     return f"SELECT *, {', '.join(outs)} FROM ({table_sql})"
 
 
+def embedding_moments(
+    df: DataFrame,
+    dims: int = 16,
+    grid: float = 127.0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact second-moment table of fixed-grid-quantized embeddings —
+    the distributed statistic that PCA / whitening / OPQ-style rotation
+    training starts from (Jégou et al.'s PQ preprocessing and Faiss's
+    OPQ both begin at exactly this matrix). For every dim pair i <= j
+    over the first ``dims`` dims: n, s_i = sum q_i, s_j = sum q_j,
+    s_ij = sum q_i*q_j, where q_d = floor(x_d * grid + 0.5) — the
+    repo's floor-form rounding on a FIXED grid, so every statistic is
+    an integer and engine-exact (float covariance sums are
+    shuffle-order-dependent; integer sums commute, so no ordering can
+    change a bit). Mean/covariance/PCA derive on the driver from the
+    dims^2-sized table: see :func:`pca_from_moments`.
+
+    Plan: map-only projection into the dims*(dims+1)/2 pair-struct
+    array, explode, ONE map-side-combinable groupBy — partial
+    aggregation reduces every task to at most 136 rows (dims=16) before
+    the shuffle, so the exchange carries O(tasks * dims^2) longs
+    however large the corpus.
+    """
+    qs = [
+        F.floor(
+            F.col(vec_col).getItem(d).cast("double") * F.lit(float(grid))
+            + F.lit(0.5)
+        ).cast("long")
+        for d in range(dims)
+    ]
+    structs = []
+    for i in range(dims):
+        for j in range(i, dims):
+            structs.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    qs[i].alias("qi"),
+                    qs[j].alias("qj"),
+                    (qs[i] * qs[j]).alias("qij"),
+                )
+            )
+    pairs = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    return pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qi").alias("s_i"),
+        F.sum("qj").alias("s_j"),
+        F.sum("qij").alias("s_ij"),
+    )
+
+
+def embedding_moments_oracle_sql(
+    docs_sql: str, dims: int = 16, grid: float = 127.0
+) -> str:
+    """DuckDB twin of :func:`embedding_moments` — same floor-form grid
+    quantization, pair lattice from generate_series, BIGINT-cast sums
+    (DuckDB's HUGEINT sum would otherwise land as float64).
+    ``docs_sql`` yields rows with an ``embedding`` list column."""
+    return (
+        f"WITH src AS ({docs_sql}), "
+        f"base AS (SELECT list_transform(range(1, {dims + 1}), d -> "
+        f"CAST(floor(CAST(embedding[d] AS DOUBLE) * ({float(grid)!r}) + 0.5) "
+        "AS BIGINT)) AS q FROM src), "
+        f"p AS (SELECT g1.i AS i, g2.j AS j FROM "
+        f"generate_series(0, {dims - 1}) g1(i), "
+        f"generate_series(0, {dims - 1}) g2(j) WHERE g1.i <= g2.j) "
+        "SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(q[i + 1]) AS BIGINT) AS s_i, "
+        "CAST(sum(q[j + 1]) AS BIGINT) AS s_j, "
+        "CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS s_ij "
+        "FROM base, p GROUP BY i, j"
+    )
+
+
+def pca_from_moments(
+    rows, dims: int | None = None
+) -> tuple["object", "object", "object", "object"]:
+    """Driver-side PCA from the integer moment table: (mean, cov,
+    eigenvalues desc, components rows). cov_ij = (s_ij - s_i*s_j/n)/n
+    on the quantized grid; numpy eigh does the O(dims^3) eigensolve on
+    the driver (dims is small by construction — the DISTRIBUTED work is
+    embedding_moments' one aggregation). Float eigenvectors are not
+    engine-portable, so this layer is pytest-verified rather than
+    oracle-backed; the statistics feeding it are exact."""
+    import numpy as np
+
+    by = {(r["i"], r["j"]): r for r in rows}
+    if dims is None:
+        dims = 1 + max(i for i, _ in by)
+    n = by[(0, 0)]["n"]
+    mean = np.array([by[(i, i)]["s_i"] / n for i in range(dims)])
+    cov = np.zeros((dims, dims))
+    for i in range(dims):
+        for j in range(i, dims):
+            r = by[(i, j)]
+            c = (r["s_ij"] - r["s_i"] * r["s_j"] / n) / n
+            cov[i, j] = cov[j, i] = c
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return mean, cov, w[order], v[:, order].T
+
+
 def ann_recall(
     df: DataFrame,
     query_ids: list[int],

@@ -1612,6 +1612,50 @@ def test_minhash_portable_estimator_and_twin(spark):
     assert sig == want
 
 
+def test_embedding_moments_exact_and_pca(spark):
+    """Moment table equals a hand computation on a controlled frame, and
+    pca_from_moments recovers the planted dominant direction."""
+    import numpy as np
+
+    X = [
+        [1.0, 1.0, 0.0],
+        [2.0, 2.1, 0.0],
+        [-1.0, -0.9, 0.5],
+        [-2.0, -2.0, -0.5],
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x]) for i, x in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.i, r.j): (r.n, r.s_i, r.s_j, r.s_ij)
+        for r in similarity.embedding_moments(df, dims=3, grid=2.0).collect()
+    }
+    Q = np.floor(np.array(X, dtype=np.float32).astype(np.float64) * 2.0 + 0.5)
+    for i in range(3):
+        for j in range(i, 3):
+            assert out[(i, j)] == (
+                4,
+                int(Q[:, i].sum()),
+                int(Q[:, j].sum()),
+                int((Q[:, i] * Q[:, j]).sum()),
+            ), (i, j)
+
+    mean, cov, w, comps = similarity.pca_from_moments(
+        [
+            {"i": i, "j": j, "n": v[0], "s_i": v[1], "s_j": v[2], "s_ij": v[3]}
+            for (i, j), v in out.items()
+        ]
+    )
+    assert np.allclose(cov, np.cov(Q.T, bias=True))
+    assert w[0] >= w[1] >= w[2]
+    # dims 0/1 are strongly correlated: the top component loads them
+    # near-equally and dominates the spectrum.
+    top = comps[0] / np.sign(comps[0][0])
+    assert abs(top[0] - top[1]) < 0.2 and abs(top[2]) < 0.3
+    assert w[0] > 5 * w[1]
+
+
 def test_hash_features_signs_duplicates_and_twin(spark):
     """Hashing-trick features: occurrences count (not distinct tokens),
     bucket/sign come from the two disjoint sha256-word slices (verified
