@@ -1397,6 +1397,36 @@ def q_dedup_minhash_portable(spark, sf_dir):
     return dedup.minhash_signatures_portable(docs, "id", num_hashes=16)
 
 
+# Fixed BPE merge table for the oracle-backed segmentation twin: trained
+# by the SAME pure-Python trainer the production path uses (train_bpe on
+# a literal word-count vocabulary — deterministic, engine-free), so the
+# Spark entry and the generated recursive-CTE oracle share one merge
+# list that cannot drift.
+_BPE_FIXED_COUNTS = [
+    ("the", 50), ("of", 30), ("and", 28), ("to", 25), ("in", 22),
+    ("shipping", 8), ("shipment", 6), ("document", 9), ("documents", 7),
+    ("priority", 5), ("revenue", 6), ("lowest", 4), ("newest", 6),
+    ("widest", 3), ("according", 4), ("training", 7), ("pipeline", 6),
+]
+_BPE_FIXED_MERGES = bpe.train_bpe(_BPE_FIXED_COUNTS, n_merges=32)
+
+
+def q_text_bpe_portable(spark, sf_dir):
+    """BPE segmentation with a FIXED merge table (bpe.bpe_segment): the
+    BPE family's hash-exact driver row, and the first for an operator
+    whose production path is an Arrow pandas UDF rather than Catalyst
+    expressions — the greedy encode_word loop (merge the lowest-rank,
+    lowest-index pair, one per step) is re-derived by a DuckDB RECURSIVE
+    CTE over symbol lists generated from the SAME merges
+    (bpe.bpe_segment_oracle_sql), so a hash-green row proves the UDF's
+    arithmetic engine-exact. Training stays covered by
+    text_bpe_segment + pytest (corpus-trained merges are collected
+    state, not SQL). Map-only: per-batch word cache, kilobyte merge
+    table in the UDF closure, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_segment(docs, _BPE_FIXED_MERGES)
+
+
 def q_sim_embedding_moments(spark, sf_dir):
     """Distributed second-moment table for PCA/whitening/OPQ prep
     (similarity.embedding_moments): per dim-pair integer statistics
@@ -3646,7 +3676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "text_repetition": q_text_repetition,
         "text_lm_score": q_text_lm_score,
-        "dedup_span_stats": q_dedup_span_stats,
+        # Round-9 session 3: text_bpe_portable (NEW oracle-backed — the
+        # BPE family's hash-exact row: the Arrow-UDF greedy encoder
+        # proven engine-exact against a recursive-CTE twin sharing the
+        # same fixed merge table) enters the sweep; dedup_span_stats
+        # (driver-green r7+r8, siblings dedup_span_removal +
+        # dedup_line_dedup in sweep) rotates past the cap.
+        "text_bpe_portable": q_text_bpe_portable,
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_line_dedup": q_dedup_line_dedup,
         "text_pii_redact": q_text_pii_redact,
@@ -3682,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "text_collocations": q_text_collocations,
         "curation_weighted_sample": q_curation_weighted_sample,
+        "dedup_span_stats": q_dedup_span_stats,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -4338,6 +4375,11 @@ def oracle_sql() -> dict[str, str]:
         # module (sums BIGINT-cast against DuckDB's HUGEINT promotion).
         "sim_embedding_moments": similarity.embedding_moments_oracle_sql(
             "SELECT embedding FROM embeddings", dims=16
+        ),
+        # Recursive-CTE spelling of the greedy encoder, generated from
+        # the SAME fixed merge table as the Spark entry.
+        "text_bpe_portable": bpe.bpe_segment_oracle_sql(
+            "SELECT doc_id, text FROM documents", _BPE_FIXED_MERGES
         ),
         # Same hash word, same vote arithmetic, same tie rule — generated
         # by the operator module.

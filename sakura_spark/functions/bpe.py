@@ -160,3 +160,52 @@ def bpe_vocabulary(merges: list[tuple[str, str]], base: Iterable[str] = ()) -> l
     """The token vocabulary implied by a merge list (merged symbols in
     learn order, after any base alphabet)."""
     return list(base) + [a + b for a, b in merges]
+
+
+def bpe_segment_oracle_sql(docs_sql: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`bpe_segment` for a FIXED merge list: the
+    greedy encoder loop (:func:`encode_word` — merge the
+    (lowest-rank, lowest-index) applicable pair, one pair per step) as a
+    RECURSIVE CTE over symbol lists. The rank lookup compiles the merge
+    table into a literal CASE chain; the (rank, index) tie rule becomes
+    list_min over non-null ranks followed by list_position (first
+    occurrence = lowest index). Each step shortens the list by one, so
+    the recursion terminates in at most len(word) steps per distinct
+    word; per-document totals join every word OCCURRENCE back to its
+    encoded length — exactly the pandas-UDF per-batch word cache,
+    spelled in SQL. A hash-green driver row therefore proves the
+    Arrow-UDF encoder's arithmetic engine-exact, the one operator family
+    whose production path runs in Python rather than Catalyst
+    expressions. ``docs_sql`` yields (doc_id, text); symbols are
+    alphanumeric so the generated literals never need escaping."""
+    rank_case = " ".join(
+        f"WHEN s[i] = '{a}' AND s[i + 1] = '{b}' THEN {r}"
+        for r, (a, b) in enumerate(merges)
+    )
+    rl = f"list_transform(range(1, len(s)), i -> CASE {rank_case} ELSE NULL END)"
+    rs = "list_min(list_filter(rl, x -> x IS NOT NULL))"
+    return (
+        "WITH RECURSIVE "
+        f"src AS ({docs_sql}), "
+        "w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x != '')) AS word "
+        "FROM src), "
+        "dw AS (SELECT DISTINCT word FROM w), "
+        "enc AS ("
+        "SELECT word, list_append(list_transform(range(1, len(word) + 1), "
+        "i -> word[i:i]), '</w>') AS s FROM dw "
+        "UNION ALL "
+        "SELECT word, list_concat(list_concat(list_slice(s, 1, bi - 1), "
+        "[s[bi] || s[bi + 1]]), list_slice(s, bi + 2, len(s))) AS s "
+        f"FROM (SELECT word, s, list_position(rl, {rs}) AS bi, {rs} AS ok "
+        f"FROM (SELECT word, s, {rl} AS rl FROM enc)) WHERE ok IS NOT NULL"
+        "), "
+        f"fin AS (SELECT word, len(s) AS n_toks FROM "
+        f"(SELECT word, s, {rl} AS rl FROM enc) WHERE {rs} IS NULL), "
+        "agg AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(f.n_toks) AS BIGINT) AS n_bpe_tokens "
+        "FROM w JOIN fin f USING (word) GROUP BY w.doc_id) "
+        "SELECT s.doc_id, coalesce(a.n_words, 0) AS n_words, "
+        "coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens "
+        "FROM src s LEFT JOIN agg a USING (doc_id)"
+    )

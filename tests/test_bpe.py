@@ -83,3 +83,42 @@ def test_train_stops_when_no_pair_repeats():
     merges = bpe.train_bpe([("ab", 1)], n_merges=50)
     assert merges == []  # singleton frequencies never merge
     assert bpe.bpe_vocabulary([("a", "b"), ("ab", "c")]) == ["ab", "abc"]
+
+
+def test_bpe_segment_oracle_twin_matches_encoder(spark):
+    """The recursive-CTE oracle re-derives the Arrow-UDF encoder exactly:
+    per-doc word and token counts agree with bpe_segment AND with a
+    driver-side encode_word re-computation, including empty/null docs and
+    out-of-vocabulary words."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("the", 9)]
+    merges = bpe.train_bpe(counts, n_merges=16)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = [
+        (1, "the newest lower bound"),
+        (2, "widest the the low"),
+        (3, ""),
+        (4, "zebra 42 xylophone"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_segment(df, merges).collect()
+    }
+    for i, t in docs:
+        words = [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+        assert got[i] == (
+            len(words),
+            sum(len(bpe.encode_word(w, ranks)) for w in words),
+        ), i
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sql = bpe.bpe_segment_oracle_sql("SELECT doc_id, text FROM docs_t", merges)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == want
