@@ -126,6 +126,17 @@ EXTENDED = [
     "streaming_kmv_equiv",
     "sim_ann_lsh",
     "sim_embedding_near_dup",
+    # Round-9 session 3 additions (first measurements recorded in
+    # BASELINE.md): corpus overlap, feature hashing, the PCA moment
+    # table, the three fixed-codebook ANN end-to-end twins, and the
+    # BPE portable row.
+    "dedup_corpus_overlap",
+    "text_hash_features",
+    "sim_embedding_moments",
+    "sim_ivf_topk_fixed",
+    "sim_semdedup_fixed",
+    "sim_ivfpq_topk_fixed",
+    "text_bpe_portable",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -201,6 +212,19 @@ NOOP_SINK = {
     # Round-9: a .count() over the ordered limit could let EliminateSorts
     # drop the cosine ranking work — force full execution.
     "sim_ann_lsh",
+    # Round-9 session 3: the 64 signature mins / sum-columns /
+    # moment sums are aggregate columns a .count() would prune.
+    "dedup_corpus_overlap",
+    "text_hash_features",
+    "sim_embedding_moments",
+    # Ordered-limit entries (the sim_ann_lsh hazard) and the anti-join
+    # report whose cluster column a .count() could prune.
+    "sim_ivf_topk_fixed",
+    "sim_ivfpq_topk_fixed",
+    "sim_semdedup_fixed",
+    # Map-only pandas-UDF projection: .count() would prune the UDF
+    # column and with it the whole encode loop.
+    "text_bpe_portable",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only
@@ -251,6 +275,39 @@ def environment() -> dict:
     for _ in range(64):
         h.update(chunk)
     env["cpu_probe_md5_64mib_sec"] = round(time.time() - t0, 4)
+    # Round-9 session-3 lesson: the single-thread probe read its FASTEST
+    # value on record (0.104) while the headline ran 1.5x slow at both
+    # the current AND the prior HEAD (A/B-proven machine drift, see
+    # BASELINE.md) — co-tenant steal degrades MULTI-core throughput
+    # without touching a one-core probe (/proc/stat showed 14.8% steal
+    # bursts). This probe runs the same 64 MiB md5 on 8 concurrent
+    # threads (hashlib releases the GIL for large updates): with free
+    # cores its wall time ~= the single-thread probe; under co-tenant
+    # pressure it inflates. The mt/st ratio is the parallel-degradation
+    # signal the normalization was missing.
+    import threading
+
+    def worker():
+        hh = hashlib.md5()
+        for _ in range(64):
+            hh.update(chunk)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    env["cpu_probe_mt8_md5_64mib_sec"] = round(time.time() - t0, 4)
+    # Steal time share since boot (co-tenant pressure is invisible to
+    # loadavg inside the guest; steal is the kernel's direct record).
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts[:8]]
+        env["cpu_steal_pct_since_boot"] = round(100 * vals[7] / sum(vals), 2)
+    except (OSError, IndexError, ValueError, ZeroDivisionError):
+        env["cpu_steal_pct_since_boot"] = None
     return env
 
 
@@ -394,6 +451,10 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "cpu_probe_md5_64mib_sec": env.get("cpu_probe_md5_64mib_sec"),
+                "cpu_probe_mt8_md5_64mib_sec": env.get(
+                    "cpu_probe_mt8_md5_64mib_sec"
+                ),
+                "cpu_steal_pct_since_boot": env.get("cpu_steal_pct_since_boot"),
                 "loadavg_1m_at_start": env.get("loadavg_1m_at_start"),
                 "note": "compact twin of the full line above (driver tail-capture safety)",
             }
