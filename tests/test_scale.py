@@ -266,11 +266,16 @@ def test_all_registered_query_plans_are_scale_clean(spark):
     # DISTINCT GROUP LIST (event types) — |groups|^2 rows at sketch scale,
     # independent of corpus size; everything downstream is k-row register
     # tables (the same bounded-build-side class as the scalar subqueries).
+    # dedup_corpus_overlap is the same class: the group_a < group_b pair
+    # join runs over |sources| SIGNATURE rows (one per source, after the
+    # corpus-sized work has already been reduced by the combinable
+    # min-agg), broadcast build side, corpus-size-independent.
     allowed_nested_loop = {
         "rel_cartesian",
         "tpch_q22_idle_customers",
         "tpch_q11_important_parts",
         "sketch_kmv_overlap",
+        "dedup_corpus_overlap",
     }
     flagged = {}
 
