@@ -182,6 +182,11 @@ def bpe_segment_oracle_sql(docs_sql: str, merges: list[tuple[str, str]]) -> str:
         f"WHEN s[i] = '{a}' AND s[i + 1] = '{b}' THEN {r}"
         for r, (a, b) in enumerate(merges)
     )
+    # An empty merge table (train_bpe found no repeating pair) must still
+    # generate valid SQL: a never-true WHEN keeps every rank NULL, so no
+    # word merges — exactly encode_word's behavior with empty ranks.
+    if not merges:
+        rank_case = "WHEN 1 = 0 THEN 0"
     rl = f"list_transform(range(1, len(s)), i -> CASE {rank_case} ELSE NULL END)"
     rs = "list_min(list_filter(rl, x -> x IS NOT NULL))"
     return (
