@@ -1323,6 +1323,19 @@ def q_sim_pq_encode_fixed(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_sim_pq_topk_fixed(spark, sf_dir):
+    """PQ ADC top-k END-TO-END with the fixed codebook
+    (similarity.pq_search): completes the ANN end-to-end twin set —
+    sim_pq_encode_fixed proved encode + per-row ADC; this entry runs the
+    PRODUCTION pq_search (whose driver-side tables use the same
+    arithmetic as _pq_fixed_tables) and proves the full ranked retrieval
+    including the (pq_dist, vec_id) top-10 ordering. Map-only scan into
+    TakeOrderedAndProject; with training factored out every double is
+    deterministic, so ids AND distances hash bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.pq_search(emb, _PQ_FIXED_QUERY, _PQ_FIXED_BOOKS, k=10)
+
+
 def q_events_attribution(spark, sf_dir):
     """Touch attribution: each purchase joined to the same user's views
     within the preceding hour — the BATCH form of
@@ -3671,7 +3684,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_heavy_hitters + streaming_cms_equiv registered) rotates
         # past the cap.
         "sim_semdedup_fixed": q_sim_semdedup_fixed,
-        "sketch_quantile_registers": q_sketch_quantile_registers,
+        # Round-9 session 3: sim_pq_topk_fixed (NEW oracle-backed — the
+        # production pq_search ranked retrieval end to end, completing
+        # the ANN fixed-twin set) enters the sweep;
+        # sketch_quantile_registers (driver-green r7+r8, five sketch
+        # siblings in sweep) rotates past the cap.
+        "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
         "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
         "events_attribution": q_events_attribution,
         "text_repetition": q_text_repetition,
@@ -3719,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "curation_weighted_sample": q_curation_weighted_sample,
         "dedup_span_stats": q_dedup_span_stats,
+        "sketch_quantile_registers": q_sketch_quantile_registers,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -3883,14 +3902,15 @@ _SHINGLES = (
 )
 
 
-def _pq_fixed_oracle_sql() -> str:
-    """DuckDB twin of q_sim_pq_encode_fixed, generated from the SAME
-    _PQ_FIXED_BOOKS/_PQ_FIXED_QUERY constants: per-subspace distances in
-    a CTE (0.0-seeded left-associative sums, matching _l2sq's fold
-    order exactly), argmin via <=-chained CASE (ties to the smallest
-    index, matching array_min over (d, i) structs), ADC distance via
-    CASE lookups over the repr()'d driver-side tables (repr round-trips
-    doubles exactly)."""
+def _pq_fixed_parts() -> tuple[str, str]:
+    """Shared SQL pieces of the fixed-PQ twins: the WITH prefix
+    (per-subspace codeword distances + argmin codes, generated from
+    _PQ_FIXED_BOOKS) and the ADC distance expression (CASE lookups over
+    the repr()'d driver-side tables — repr round-trips doubles
+    exactly). Factored so q_sim_pq_encode_fixed's and
+    q_sim_pq_topk_fixed's oracles cannot drift from each other; the
+    encode twin's generated string is byte-identical to its
+    driver-green round-6 form."""
     sub = 16
     d_defs = []
     for j, book in enumerate(_PQ_FIXED_BOOKS):
@@ -3914,12 +3934,40 @@ def _pq_fixed_oracle_sql() -> str:
         f"WHEN 2 THEN {t[2]!r} ELSE {t[3]!r} END)"
         for j, t in enumerate(_pq_fixed_tables())
     ]
-    return (
+    prefix = (
         "WITH dists AS (SELECT vec_id, " + ", ".join(d_defs) + " FROM embeddings), "
         "codes AS (SELECT vec_id, " + ", ".join(code_exprs) + " FROM dists) "
-        "SELECT vec_id, code0, code1, code2, code3, "
-        + " + ".join(dist_terms)
+    )
+    return prefix, " + ".join(dist_terms)
+
+
+def _pq_fixed_oracle_sql() -> str:
+    """DuckDB twin of q_sim_pq_encode_fixed, generated from the SAME
+    _PQ_FIXED_BOOKS/_PQ_FIXED_QUERY constants: per-subspace distances in
+    a CTE (0.0-seeded left-associative sums, matching _l2sq's fold
+    order exactly), argmin via <=-chained CASE (ties to the smallest
+    index, matching array_min over (d, i) structs), ADC distance via
+    CASE lookups over the repr()'d driver-side tables (repr round-trips
+    doubles exactly)."""
+    prefix, dist = _pq_fixed_parts()
+    return (
+        prefix
+        + "SELECT vec_id, code0, code1, code2, code3, "
+        + dist
         + " AS pq_dist FROM codes ORDER BY vec_id"
+    )
+
+
+def _pq_topk_fixed_oracle_sql() -> str:
+    """DuckDB twin of q_sim_pq_topk_fixed: the same generated encode +
+    ADC pieces, finished with the production pq_search ordering —
+    ORDER BY (pq_dist, vec_id) LIMIT 10."""
+    prefix, dist = _pq_fixed_parts()
+    return (
+        prefix
+        + "SELECT vec_id, "
+        + dist
+        + " AS pq_dist FROM codes ORDER BY pq_dist, vec_id LIMIT 10"
     )
 
 
@@ -4940,6 +4988,9 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "sim_pq_encode_fixed": _pq_fixed_oracle_sql(),
+        # Same generated encode+ADC pieces, production pq_search
+        # ordering.
+        "sim_pq_topk_fixed": _pq_topk_fixed_oracle_sql(),
         "sim_ivf_assign_fixed": _ivf_fixed_oracle_sql(),
         # Generated from the same 8-centroid dyadic codebook + fixed
         # query as the Spark entry; probe cells via the SAME

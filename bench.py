@@ -137,6 +137,7 @@ EXTENDED = [
     "sim_semdedup_fixed",
     "sim_ivfpq_topk_fixed",
     "text_bpe_portable",
+    "sim_pq_topk_fixed",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -225,6 +226,7 @@ NOOP_SINK = {
     # Map-only pandas-UDF projection: .count() would prune the UDF
     # column and with it the whole encode loop.
     "text_bpe_portable",
+    "sim_pq_topk_fixed",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only
