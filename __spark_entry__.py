@@ -10,6 +10,7 @@ bit-identical despite double inputs.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1464,6 +1465,29 @@ def q_text_hash_features(spark, sf_dir):
     reproduces every sparse triple."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
     return text.hash_features(docs, dim=64)
+
+
+# Deterministic integer weight vector for the hashed linear scorer
+# entry: the serving-side artifact of a trained quality filter, fixed
+# (first sha256 byte of "w{i}", mapped to [-8, 8]) so the Spark entry
+# and the generated oracle share one literal row of integers — any
+# offline-trained vector plugs in the same way.
+_HASH_SCORE_WEIGHTS = [
+    (hashlib.sha256(f"w{i}".encode()).digest()[0] % 17) - 8 for i in range(64)
+]
+
+
+def q_text_hash_score(spark, sf_dir):
+    """Hashed-linear-model scoring (text.hash_score): the SERVING path
+    of a fastText/DCLM-style quality filter — score = sum over token
+    occurrences of sign(t) * weights[bucket(t)] with the weight vector
+    inlined as literals (no weight table, no join, no state). Integer
+    weights keep the distributed sum commutative, so the scores are
+    engine-exact and the DuckDB twin (same sha256-word slices as
+    text_hash_features, weight list as a literal) matches bit-for-bit.
+    One explode + one combinable groupBy at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.hash_score(docs, _HASH_SCORE_WEIGHTS)
 
 
 def q_dedup_corpus_overlap(spark, sf_dir):
@@ -3693,7 +3717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
         "events_attribution": q_events_attribution,
         "text_repetition": q_text_repetition,
-        "text_lm_score": q_text_lm_score,
+        # Round-9 session 3: text_hash_score (NEW oracle-backed — the
+        # hashed-linear-filter serving path: integer weights keep the
+        # distributed sum commutative, so scores are engine-exact)
+        # enters the sweep; text_lm_score (driver-green r7+r8, sibling
+        # curation_ppl_buckets shares the _LM_SCORE_SQL stats in sweep)
+        # rotates past the cap.
+        "text_hash_score": q_text_hash_score,
         # Round-9 session 3: text_bpe_portable (NEW oracle-backed — the
         # BPE family's hash-exact row: the Arrow-UDF greedy encoder
         # proven engine-exact against a recursive-CTE twin sharing the
@@ -3738,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_weighted_sample": q_curation_weighted_sample,
         "dedup_span_stats": q_dedup_span_stats,
         "sketch_quantile_registers": q_sketch_quantile_registers,
+        "text_lm_score": q_text_lm_score,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -4418,6 +4449,11 @@ def oracle_sql() -> dict[str, str]:
         "text_hash_features": text.hash_features_oracle_sql(
             "SELECT doc_id AS id, text FROM documents WHERE doc_id % 50 = 0",
             dim=64,
+        ),
+        # Same hash slices, weight vector as a literal list; generated
+        # from the same _HASH_SCORE_WEIGHTS as the Spark entry.
+        "text_hash_score": text.hash_score_oracle_sql(
+            "SELECT doc_id AS id, text FROM documents", _HASH_SCORE_WEIGHTS
         ),
         # Same floor-form grid quantization; generated by the operator
         # module (sums BIGINT-cast against DuckDB's HUGEINT promotion).

@@ -138,6 +138,7 @@ EXTENDED = [
     "sim_ivfpq_topk_fixed",
     "text_bpe_portable",
     "sim_pq_topk_fixed",
+    "text_hash_score",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -227,6 +228,8 @@ NOOP_SINK = {
     # column and with it the whole encode loop.
     "text_bpe_portable",
     "sim_pq_topk_fixed",
+    # Score/count are aggregate columns a .count() would prune.
+    "text_hash_score",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -766,3 +766,64 @@ def hash_features_oracle_sql(
         "SELECT id, bucket, CAST(sum(sgn) AS BIGINT) AS val "
         "FROM h GROUP BY id, bucket"
     )
+
+
+def hash_score(
+    df: DataFrame,
+    weights: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "fh",
+) -> DataFrame:
+    """Linear-model inference over hashed features — the serving path of
+    a fastText/DCLM-style quality filter: score(doc) = sum over token
+    OCCURRENCES of sign(t) * weights[bucket(t)], with bucket/sign drawn
+    from the same disjoint sha256-word slices as :func:`hash_features`.
+    INTEGER weights keep the distributed sum commutative, so the score
+    is engine-exact (a float weight vector would make the result depend
+    on shuffle order). Weights inline as a literal array — no weight
+    table, no join, no state; one explode plus one map-side-combinable
+    groupBy(id) at any corpus size. Output: (id, n_tokens, score); docs
+    with no tokens are absent (same contract as the signature
+    operators). Train the weights offline however you like — serving
+    only needs this row of integers."""
+    from sakura_spark.functions.sketches import hash_word
+
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("hash_score: weights must be non-empty")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    h = hash_word(F.col("t"), salt)
+    s = hash_word(F.col("t"), salt, word=1)
+    wlit = F.array(*[F.lit(int(w)) for w in weights])
+    contrib = F.when(s % 2 == 0, F.lit(1)).otherwise(F.lit(-1)) * F.element_at(
+        wlit, (h % F.lit(dim)).cast("int") + 1
+    )
+    return toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(contrib).cast("long").alias("score"),
+    )
+
+
+def hash_score_oracle_sql(
+    docs_sql: str, weights: list[int], salt: str = "fh"
+) -> str:
+    """DuckDB twin of :func:`hash_score` — same sha256-word slices as
+    the hash_features oracle, the weight vector as a literal list
+    indexed by bucket. ``docs_sql`` yields (id, text)."""
+    dim = len(weights)
+    b = f"('0x' || substr(sha256(concat_ws(chr(31), '{salt}', t)), 1, 15))::BIGINT"
+    s = f"('0x' || substr(sha256(concat_ws(chr(31), '{salt}', t)), 16, 15))::BIGINT"
+    wlist = "[" + ", ".join(str(int(w)) for w in weights) + "]"
+    return (
+        f"WITH src AS ({docs_sql}), "
+        "toks AS (SELECT id, unnest(regexp_split_to_array(trim(lower(text)), "
+        "'\\s+')) AS t FROM src WHERE len(trim(text)) > 0), "
+        f"h AS (SELECT id, (CASE WHEN {s} % 2 = 0 THEN 1 ELSE -1 END) * "
+        f"({wlist}[CAST({b} % {dim} AS INT) + 1]) AS c FROM toks) "
+        "SELECT id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(c) AS BIGINT) AS score FROM h GROUP BY id"
+    )

@@ -1690,6 +1690,35 @@ def test_hash_features_signs_duplicates_and_twin(spark):
     assert out == want
 
 
+def test_hash_score_linear_inference(spark):
+    """Scores equal the hand-computed sum of sign * weight over token
+    occurrences; empty docs are absent; empty weights raise."""
+    import hashlib as hl
+
+    import pytest as _pytest
+
+    rows = [(1, "Alpha beta alpha"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    W = [3, -5, 7, 11]
+    got = {
+        r.id: (r.n_tokens, r.score)
+        for r in text.hash_score(df, W).collect()
+    }
+
+    def hw(tok, word):
+        d = hl.sha256(("fh\x1f" + tok).encode()).hexdigest()
+        return int(d[15 * word : 15 * (word + 1)], 16)
+
+    score = 0
+    for tok in ["alpha", "beta", "alpha"]:
+        sgn = 1 if hw(tok, 1) % 2 == 0 else -1
+        score += sgn * W[hw(tok, 0) % 4]
+    assert got == {1: (3, score)}
+
+    with _pytest.raises(ValueError):
+        text.hash_score(df, [])
+
+
 def test_corpus_overlap_estimator_and_twin(spark):
     """Per-group MinHash = MinHash of the union shingle set (min of mins),
     the pairwise estimate orders by true resemblance, and the generated
