@@ -3055,7 +3055,8 @@ def q_sketch_kmv(spark, sf_dir):
     return sketches.kmv_sketch(li, ["l_returnflag"], "l_partkey", k=32)
 
 
-def _run_events_stream(spark, sf_dir, builder, sink_name):
+def _run_events_stream(spark, sf_dir, builder, sink_name, src=None,
+                       output_mode="complete"):
     """Shared harness for the streaming ⇔ batch equivalence entries: the
     events table is re-served as a FILE STREAM (several microbatches —
     maxFilesPerTrigger=2 over a 4-file copy), pushed through a
@@ -3072,12 +3073,13 @@ def _run_events_stream(spark, sf_dir, builder, sink_name):
 
     from sakura_spark.streaming import events as ev
 
-    src = _t(spark, sf_dir, "events")
+    if src is None:
+        src = _t(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="sakura_stream_eq_")
     try:
         src.coalesce(4).write.mode("overwrite").parquet(tmp)
         stream = ev.read_event_stream(spark, tmp, max_files_per_trigger=2)
-        q = ev.run_to_memory(builder(stream), sink_name, output_mode="complete")
+        q = ev.run_to_memory(builder(stream), sink_name, output_mode=output_mode)
         q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3223,6 +3225,36 @@ def q_streaming_kmv_equiv(spark, sf_dir):
             "hval",
         )
     )
+
+
+def q_streaming_dedup_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for EXACT DEDUP
+    (streaming.events.deduped_stream / dropDuplicatesWithinWatermark):
+    the at-least-once → effectively-once guarantee as a driver row.
+    The stream replays the events table with every 10th event planted
+    AGAIN as an exact duplicate row (the union is mixed through the
+    same 4-file multi-microbatch source, so duplicates cross batch
+    boundaries); the watermark horizon is set past the table's full
+    time span, so no state evicts and the dedup is globally exact. The
+    oracle is simply the ORIGINAL events table — a hash-green row
+    proves the streaming state machine emitted every key exactly once
+    and dropped every planted duplicate, across microbatches. In
+    production the horizon bounds state by arrival-rate x horizon; the
+    full-span horizon here is what makes the twin exact rather than
+    probabilistic."""
+    from sakura_spark.streaming import events as ev
+
+    src = _t(spark, sf_dir, "events")
+    planted = src.filter(F.col("event_id") % 10 == 0)
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.deduped_stream(s, watermark="120 days"),
+        "streaming_dedup_equiv_sink",
+        src=src.unionByName(planted),
+        output_mode="append",
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
 
 
 def q_sketch_hll_hourly_users(spark, sf_dir):
@@ -3716,7 +3748,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
         "sim_pq_encode_fixed": q_sim_pq_encode_fixed,
         "events_attribution": q_events_attribution,
-        "text_repetition": q_text_repetition,
+        # Round-9 session 3: streaming_dedup_equiv (NEW oracle-backed —
+        # the at-least-once -> effectively-once exact-dedup guarantee as
+        # a driver row: planted duplicates across microbatch boundaries,
+        # full-span watermark, oracle = the original table) enters the
+        # sweep; text_repetition (driver-green r7+r8, its stats feed
+        # in-sweep curation_gopher_filter) rotates past the cap.
+        "streaming_dedup_equiv": q_streaming_dedup_equiv,
         # Round-9 session 3: text_hash_score (NEW oracle-backed — the
         # hashed-linear-filter serving path: integer weights keep the
         # distributed sum commutative, so scores are engine-exact)
@@ -3769,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats": q_dedup_span_stats,
         "sketch_quantile_registers": q_sketch_quantile_registers,
         "text_lm_score": q_text_lm_score,
+        "text_repetition": q_text_repetition,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "agg_pivot": q_agg_pivot,
@@ -5426,5 +5465,10 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY ws ORDER BY hval) AS rk FROM d) "
         "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS hour, "
         "CAST(rk AS INTEGER) AS rank, hval FROM r WHERE rk <= 32"
+    )
+    # Exact dedup: the stream replays events with planted duplicates;
+    # dropping them all means the output IS the original table.
+    d["streaming_dedup_equiv"] = (
+        "SELECT event_id, user_id, event_type, value FROM events"
     )
     return d

@@ -139,6 +139,7 @@ EXTENDED = [
     "text_bpe_portable",
     "sim_pq_topk_fixed",
     "text_hash_score",
+    "streaming_dedup_equiv",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
