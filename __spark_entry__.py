@@ -1477,6 +1477,24 @@ _HASH_SCORE_WEIGHTS = [
 ]
 
 
+def q_rel_group_checksum(spark, sf_dir):
+    """Per-group reconciliation checksums (hashing.group_checksum): the
+    set-semantics relation-hash reduction exposed as a DataFrame — per
+    SOURCE, the distinct-tuple count and four commutative 32-bit word
+    sums of the full-row content hashes. THE switching-engines question
+    ("did every row survive the copy?") answered with one query per
+    system and a |groups|-row equi-join instead of shipping rows:
+    map-side-combinable sums over the same sha256 tuple identity the
+    versioning layer uses (SURVEY §2, lib/hashing.ml:29). Sums commute,
+    so shuffle order cannot change a bit; the DuckDB twin recomputes
+    every word from the same sorted-attribute hash spelling as the
+    driver-green tuple_hash row."""
+    from sakura_spark.hashing import group_checksum
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_checksum(docs, "source", "documents")
+
+
 def q_text_hash_score(spark, sf_dir):
     """Hashed-linear-model scoring (text.hash_score): the SERVING path
     of a fastText/DCLM-style quality filter — score = sum over token
@@ -3796,6 +3814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_equiv": q_streaming_cms_equiv,
         "streaming_bloom_equiv": q_streaming_bloom_equiv,
         "streaming_kmv_equiv": q_streaming_kmv_equiv,
+        # NEW round-9 session 3, oracle-backed, past the cap (queued to
+        # rotate into the sweep next round per the session-1 precedent):
+        # per-group reconciliation checksums — the migration-verification
+        # surface of the relation-hash machinery.
+        "rel_group_checksum": q_rel_group_checksum,
         # Rotated past the cap in round 9 (green r7+r8, family siblings
         # still in sweep):
         "sketch_bloom_hourly_users": q_sketch_bloom_hourly_users,
@@ -4139,6 +4162,23 @@ def oracle_sql() -> dict[str, str]:
             "concat_ws(chr(30), 'c_custkey', CAST(c_custkey AS VARCHAR)), "
             "concat_ws(chr(30), 'c_mktsegment', c_mktsegment), "
             "concat_ws(chr(30), 'c_name', c_name))) AS tuple_hash FROM customer"
+        ),
+        # Same sorted-attribute tuple-hash spelling, reduced to
+        # commutative 32-bit word sums per source.
+        "rel_group_checksum": (
+            "WITH h AS (SELECT DISTINCT source AS grp, "
+            "sha256(concat_ws(chr(31), 'documents', "
+            "concat_ws(chr(30), 'doc_id', CAST(doc_id AS VARCHAR)), "
+            "concat_ws(chr(30), 'lang', lang), "
+            "concat_ws(chr(30), 'n_chars', CAST(n_chars AS VARCHAR)), "
+            "concat_ws(chr(30), 'source', source), "
+            "concat_ws(chr(30), 'text', text))) AS th FROM documents) "
+            "SELECT grp, CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(sum(('0x' || substr(th, 1, 8))::BIGINT) AS BIGINT) AS w0, "
+            "CAST(sum(('0x' || substr(th, 9, 8))::BIGINT) AS BIGINT) AS w1, "
+            "CAST(sum(('0x' || substr(th, 17, 8))::BIGINT) AS BIGINT) AS w2, "
+            "CAST(sum(('0x' || substr(th, 25, 8))::BIGINT) AS BIGINT) AS w3 "
+            "FROM h GROUP BY grp"
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "

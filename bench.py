@@ -140,6 +140,7 @@ EXTENDED = [
     "sim_pq_topk_fixed",
     "text_hash_score",
     "streaming_dedup_equiv",
+    "rel_group_checksum",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -231,6 +232,8 @@ NOOP_SINK = {
     "sim_pq_topk_fixed",
     # Score/count are aggregate columns a .count() would prune.
     "text_hash_score",
+    # The four word sums are aggregate columns a .count() would prune.
+    "rel_group_checksum",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

@@ -101,3 +101,44 @@ def database_hash(relation_hashes: dict[str, str]) -> str:
     """Database state hash = hash of the sorted relation-name->hash map."""
     payload = _FS.join(f"{n}{_RS}{h}" for n, h in sorted(relation_hashes.items()))
     return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def group_checksum(
+    df: DataFrame,
+    group_col: str,
+    relation_name: str | None = None,
+) -> DataFrame:
+    """Distributed per-group reconciliation checksums: for each group
+    (source, shard, partition) the DISTINCT-tuple count and four
+    commutative 32-bit-word sums of the tuple content hashes — the
+    set-semantics relation-hash reduction (see :func:`relation_hash`)
+    exposed as a DataFrame so two systems can verify a migration or a
+    replica GROUP BY GROUP with one query each and a tiny equi-join,
+    instead of shipping rows. This is the first question of switching
+    engines ("did every row survive the copy?") answered at 100 TB
+    scale: map-side-combinable aggregates over a 64-byte hash, shuffle
+    keyed on the group only.
+
+    Word sums accumulate 32-bit slices in BIGINT — exact below 2^31
+    distinct rows per group; past that, route through
+    :func:`relation_hash`'s decimal(38,0) accumulation or add a salt
+    sub-key and re-reduce (the sums are commutative and associative by
+    construction). Engine-portable: sha2 + hex-slice arithmetic only,
+    so a DuckDB/any-SQL twin recomputes every word bit-for-bit.
+    """
+    hashed = (
+        with_tuple_hash(df, relation_name)
+        .select(F.col(group_col).alias("grp"), F.col(TUPLE_HASH_COL))
+        .dropDuplicates()
+    )
+    return hashed.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        *[
+            F.sum(
+                F.conv(
+                    F.substring(F.col(TUPLE_HASH_COL), 1 + 8 * i, 8), 16, 10
+                ).cast("long")
+            ).alias(f"w{i}")
+            for i in range(4)
+        ],
+    )

@@ -89,6 +89,33 @@ def test_relation_hash_insertion_order_invariant(spark):
     assert h1 == h2
 
 
+def test_group_checksum_reconciliation_semantics(spark):
+    """Per-group checksums are row-order and duplicate insensitive (set
+    semantics), and flip — in the right group only — when any value in
+    any row changes."""
+    from sakura_spark.hashing import group_checksum
+
+    rows = [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]
+
+    def cs(rs, parts=1):
+        df = spark.createDataFrame(rs, "k long, g string, v string").repartition(
+            parts
+        )
+        return {
+            r.grp: (r.n_distinct, r.w0, r.w1, r.w2, r.w3)
+            for r in group_checksum(df, "g", "t").collect()
+        }
+
+    base = cs(rows)
+    assert set(base) == {"a", "b"} and base["a"][0] == 2 and base["b"][0] == 1
+    # Reordered, repartitioned, and with a duplicated row: identical.
+    assert cs(list(reversed(rows)) + [rows[0]], parts=3) == base
+    # One changed value flips exactly that group's words.
+    mutated = cs([(1, "a", "x"), (2, "a", "Y"), (3, "b", "z")])
+    assert mutated["b"] == base["b"]
+    assert mutated["a"] != base["a"] and mutated["a"][0] == 2
+
+
 EDGES = st.lists(
     st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
     min_size=1,
