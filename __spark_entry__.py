@@ -1740,6 +1740,45 @@ def q_multimodal_adpcm(spark, sf_dir):
     return audio.decode_audio(audio.synthetic_adpcm_payload(docs))
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video pipeline end-to-end (functions/video.py — the AVI/RIFF
+    container with uncompressed BI_RGB DIB frames, written and parsed
+    from the public Video-for-Windows structures): synthesize an AVI per
+    document (dims / fps / frame count rotate by doc_id; every PIXEL is
+    a pure function of (doc_id, frame, position)), then FULLY decode —
+    RIFF walk, avih/strh/strf parse, idx1 validation, per-frame DIB
+    bottom-up+BGR+row-padding unpack — and report integer-exact metadata
+    plus three content probes (whole-corpus pixel checksum, frame-0
+    first pixel, frame-0 top-row sum). The probes are scanline- and
+    channel-order-SENSITIVE, so a hash match against the plain-SQL
+    closed forms proves the real encoder and the real decoder agree on
+    every byte of every frame, including the bottom-up flip, the BGR
+    swap and the 4-byte row padding (widths 7/10/13 exercise pads
+    3/2/1). Both stages are Arrow-batched mapInPandas over (id, payload)
+    only; payloads never cross a shuffle (map-only after the
+    core-parallelism widening repartition, same policy as the
+    image/audio pipelines)."""
+    from sakura_spark.functions import video
+
+    docs = _t(spark, sf_dir, "documents")
+    return video.decode_video(video.synthetic_avi_payload(docs))
+
+
+def q_multimodal_video_frames(spark, sf_dir):
+    """Video FRAME SAMPLING (video.video_frame_stats — the video analog
+    of audio.frame_energy and the training-pipeline 'sample every Nth
+    frame' stage): decode the synthetic AVI corpus, keep every 2nd
+    frame, one row per kept frame with dims + pixel sum + first-pixel
+    probe. Oracle-backed: the per-frame sums have closed forms in plain
+    SQL, so a hash match proves the sampler walked the real movi chunks
+    and decoded the real pixels frame-by-frame. Map-only explode; the
+    payload is pruned before the rows leave the stage."""
+    from sakura_spark.functions import video
+
+    docs = _t(spark, sf_dir, "documents")
+    return video.video_frame_stats(video.synthetic_avi_payload(docs), every_n=2)
+
+
 def q_curation_sample(spark, sf_dir):
     """Engine-portable deterministic Bernoulli sample (~25%): md5-bucket
     filter, map-only (no RNG, no shuffle — reproducible at any scale)."""
@@ -3275,6 +3314,76 @@ def q_streaming_dedup_equiv(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+def q_streaming_join_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for the STREAM-STREAM INTERVAL JOIN
+    (streaming.events.attributed_purchases): two watermarked branches of
+    the events file stream — views and purchases — joined on user_id
+    with the event-time bound view_ts ∈ [purchase_ts - 1h, purchase_ts],
+    across microbatch boundaries. The watermark horizon is set past the
+    table's full time span so no join state evicts and the twin is
+    exact; in production the horizon bounds BOTH sides' state to
+    watermark + window rows per user (the structural fix for the
+    unbounded stream-stream join trap). The oracle is the SAME plain
+    interval-join SQL that checks batch events_attribution, so a
+    hash-green row proves incremental watermarked join state emits
+    bit-identical pairs to a one-shot batch join — the property a
+    100 TB/day attribution deployment relies on."""
+    from sakura_spark.streaming import events as ev
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.attributed_purchases(
+            s.filter(F.col("event_type") == "view"),
+            s.filter(F.col("event_type") == "purchase"),
+            attribution_window="1 hour",
+            watermark="120 days",
+        ),
+        "streaming_join_equiv_sink",
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def q_rel_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert (operators.merge_upsert — the Delta/Iceberg
+    CDC-apply step as a pure DataFrame transform): a deterministic change
+    batch against orders — every key ≡ 3 (mod 10) updated (status
+    'UPDATED', price doubled), every key ≡ 7 (mod 10) re-inserted under
+    its negated (guaranteed-fresh) key with status 'NEW' — applied as ONE
+    full outer hash join + per-column coalesce. Oracle-backed by the
+    equivalent FULL JOIN SQL, proving matched-update, unmatched-insert
+    and pass-through semantics row- and value-exactly. At 100 TB the
+    plan is the canonical copy-on-write apply: one key shuffle per side
+    (full outer never broadcasts; a bucketed-by-key target elides its
+    exchange so only the CDC batch moves)."""
+    from sakura_spark.operators import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("UPDATED").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 7).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("NEW").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+
+
 def q_sketch_hll_hourly_users(spark, sf_dir):
     """Windowed distinct-user HLL (sketches.hll_registers over event-time
     hours): per-hour registers of the distinct user_id set at p=4 — the
@@ -3790,18 +3899,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_line_dedup": q_dedup_line_dedup,
         "text_pii_redact": q_text_pii_redact,
-        "text_normalize": q_text_normalize,
-        "text_chunk": q_text_chunk,
+        # Round-9 session 4: multimodal_video + multimodal_video_frames
+        # (NEW oracle-backed — the video leg of the multimodal stack: the
+        # real AVI/DIB container round trip and the every-Nth-frame
+        # sampler, both hash-checked against closed-form pixel sums with
+        # order-sensitive probes) enter the sweep per the new-oracle-
+        # backed policy; text_normalize + text_chunk (driver-green
+        # r6/r7/r8, map-only text siblings text_pii_redact +
+        # text_readability + curation_length_buckets stay in sweep)
+        # rotate past the cap.
+        "multimodal_video": q_multimodal_video,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "curation_length_buckets": q_curation_length_buckets,
-        # Round-7 rotation: events_anomaly (new, oracle-backed) moves into
-        # the driver's first-50 sweep window.
-        "events_anomaly": q_events_anomaly,
+        # Round-9 session 4: streaming_join_equiv (NEW oracle-backed — the
+        # stream-stream interval join's exactness as a driver row,
+        # completing the streaming equivalence set: agg sketches, dedup,
+        # and now join) and rel_merge_upsert (NEW oracle-backed — MERGE
+        # INTO/CDC-apply semantics proven against the FULL JOIN twin)
+        # enter the sweep; events_anomaly (driver-green r7+r8, sibling
+        # events_attribution stays in sweep) and rel_diff (driver-green
+        # r7+r8, siblings rel_salted_join + the full locally-swept rel
+        # family) rotate past the cap.
+        "streaming_join_equiv": q_streaming_join_equiv,
+        "rel_merge_upsert": q_rel_merge_upsert,
         # Round-8 rotation: curation_gopher_filter — the ONE oracle-backed
         # entry never driver-checked (VERDICT r7 item 3) — enters the
         # sweep; tpch_q10_returned_items (driver-green r6+r7, join-agg-topk
         # siblings q3/q21/q2 still in sweep) rotates past the cap.
         "curation_gopher_filter": q_curation_gopher_filter,
-        "rel_diff": q_rel_diff,
         "window_topk_per_group": q_window_topk_per_group,
         "flagship_revenue": q_flagship_revenue,
         "drl_intensional_plus": q_drl_intensional_plus,
@@ -3854,6 +3979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-query cap (all still locally verified;
         # rotated out after multiple green driver rounds —
         # see the rotation history in the queries() docstring) ---
+        "text_normalize": q_text_normalize,
+        "text_chunk": q_text_chunk,
+        "events_anomaly": q_events_anomaly,
+        "rel_diff": q_rel_diff,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -4601,6 +4730,60 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 44100 END) AS BIGINT) AS duration_ms "
             "FROM documents"
         ),
+        # Video twin (functions/video.py synthesis rotation): every
+        # container field AND every pixel is a pure function of doc_id,
+        # so the decoder's sums have closed forms — the pixel values walk
+        # 0..255 cyclically from a = (doc_id*31 + f*17) % 256, and the
+        # sum of N consecutive values is full_cycles*32640 plus a
+        # split-range partial. first_pixel/row0_sum pin scanline order
+        # (bottom-up flip), channel order (BGR swap) and row padding.
+        "multimodal_video": (
+            "WITH p AS (SELECT doc_id, 7 + (doc_id % 3) * 3 AS w, "
+            "6 + (doc_id % 2) * 5 AS h, "
+            "CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 15 ELSE 25 END AS rate, "
+            "3 + doc_id % 5 AS nf, (doc_id * 31) % 256 AS a0 FROM documents), "
+            "fr0 AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS f FROM p), "
+            "fr AS (SELECT fr0.*, (doc_id * 31 + f * 17) % 256 AS a, "
+            "3 * w * h AS n FROM fr0), "
+            "s AS (SELECT fr.*, (n // 256) * 32640 + "
+            "CASE WHEN a + (n % 256) <= 256 "
+            "THEN (n % 256) * a + (n % 256) * ((n % 256) - 1) // 2 "
+            "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
+            "+ ((n % 256) - 256 + a) * ((n % 256) - 257 + a) // 2 END AS fsum "
+            "FROM fr) "
+            "SELECT doc_id, 'dib' AS codec, "
+            "CAST(any_value(nf) AS BIGINT) AS n_frames, "
+            "CAST(any_value(w) AS INT) AS width, "
+            "CAST(any_value(h) AS INT) AS height, "
+            "CAST(any_value(rate) AS INT) AS fps_num, "
+            "CAST(1 AS INT) AS fps_den, "
+            "CAST(any_value(nf) * 1000 // any_value(rate) AS BIGINT) AS duration_ms, "
+            "CAST(sum(fsum) AS BIGINT) AS pixel_checksum, "
+            "CAST(any_value(a0) AS BIGINT) AS first_pixel, "
+            "CAST(CASE WHEN any_value(a0) + 3 * any_value(w) <= 256 "
+            "THEN 3 * any_value(w) * any_value(a0) "
+            "+ 3 * any_value(w) * (3 * any_value(w) - 1) // 2 "
+            "ELSE (256 - any_value(a0)) * any_value(a0) "
+            "+ (256 - any_value(a0)) * (255 - any_value(a0)) // 2 "
+            "+ (3 * any_value(w) - 256 + any_value(a0)) "
+            "* (3 * any_value(w) - 257 + any_value(a0)) // 2 END AS BIGINT) "
+            "AS row0_sum "
+            "FROM s GROUP BY doc_id"
+        ),
+        "multimodal_video_frames": (
+            "WITH p AS (SELECT doc_id, 7 + (doc_id % 3) * 3 AS w, "
+            "6 + (doc_id % 2) * 5 AS h, 3 + doc_id % 5 AS nf FROM documents), "
+            "fr0 AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS f FROM p), "
+            "fr AS (SELECT fr0.*, (doc_id * 31 + f * 17) % 256 AS a, "
+            "3 * w * h AS n FROM fr0 WHERE f % 2 = 0) "
+            "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST((n // 256) * 32640 + CASE WHEN a + (n % 256) <= 256 "
+            "THEN (n % 256) * a + (n % 256) * ((n % 256) - 1) // 2 "
+            "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
+            "+ ((n % 256) - 256 + a) * ((n % 256) - 257 + a) // 2 END AS BIGINT) "
+            "AS pixel_sum, CAST(a AS BIGINT) AS first_pixel FROM fr"
+        ),
         # Plain SQL join: salting is result-transparent by construction,
         # and the hash match proves it.
         "rel_salted_join": (
@@ -5127,6 +5310,40 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'purchase') p "
             "ON v.user_id = p.user_id AND v.ts <= p.ts "
             "AND v.ts >= p.ts - INTERVAL 1 HOUR"
+        ),
+        # The stream-stream interval join's oracle is the SAME plain SQL
+        # as batch events_attribution: the equivalence claim IS that the
+        # watermarked incremental join emits exactly the batch pairs.
+        "streaming_join_equiv": (
+            "SELECT v.user_id AS user_id, p.event_id AS purchase_id, "
+            "p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts, "
+            "CAST(p.value AS DOUBLE) AS value "
+            "FROM (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'view') v "
+            "JOIN (SELECT user_id, ts, event_id, value FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON v.user_id = p.user_id AND v.ts <= p.ts "
+            "AND v.ts >= p.ts - INTERVAL 1 HOUR"
+        ),
+        # MERGE INTO twin: matched keys take the source row, unmatched
+        # source keys insert, unmatched target rows pass through — the
+        # textbook FULL JOIN + CASE spelling of upsert.
+        "rel_merge_upsert": (
+            "WITH src AS ("
+            "SELECT o_orderkey AS k, o_custkey AS ck, "
+            "'UPDATED' AS status, CAST(o_totalprice * 2 AS DOUBLE) AS price "
+            "FROM orders WHERE o_orderkey % 10 = 3 "
+            "UNION ALL "
+            "SELECT -o_orderkey, o_custkey, 'NEW', "
+            "CAST(o_totalprice AS DOUBLE) "
+            "FROM orders WHERE o_orderkey % 10 = 7) "
+            "SELECT COALESCE(t.o_orderkey, s.k) AS o_orderkey, "
+            "COALESCE(s.ck, t.o_custkey) AS o_custkey, "
+            "CASE WHEN s.k IS NOT NULL THEN s.status "
+            "ELSE t.o_orderstatus END AS o_orderstatus, "
+            "CASE WHEN s.k IS NOT NULL THEN s.price "
+            "ELSE t.o_totalprice END AS o_totalprice "
+            "FROM orders t FULL JOIN src s ON t.o_orderkey = s.k"
         ),
         "events_top_paths": (
             "WITH steps AS (SELECT event_type AS s1, "

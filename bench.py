@@ -141,6 +141,13 @@ EXTENDED = [
     "text_hash_score",
     "streaming_dedup_equiv",
     "rel_group_checksum",
+    # Round-9 session 4 additions (first measurements recorded in
+    # BASELINE.md): the video codec leg, the stream-stream join
+    # equivalence row, and MERGE/upsert.
+    "multimodal_video",
+    "multimodal_video_frames",
+    "streaming_join_equiv",
+    "rel_merge_upsert",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

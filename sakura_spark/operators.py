@@ -169,3 +169,62 @@ def range_join(
     joined = lb.join(rb, on=[on, "__bucket"]).drop("__bucket")
     delta = rsec_joined - time_unit_to_seconds(F.col(left_time))
     return joined.filter((delta >= lo) & (delta <= hi))
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE INTO / upsert (the Delta/Iceberg `WHEN MATCHED THEN UPDATE,
+    WHEN NOT MATCHED THEN INSERT` apply step, expressed as a pure
+    DataFrame transform): rows of ``target`` whose key matches a
+    ``source`` row take the source's ``update_cols`` (all non-key source
+    columns by default); unmatched source rows are inserted; unmatched
+    target rows pass through. ``source`` must be key-unique (CDC batches
+    are; enforce upstream with dedup_exact otherwise) — with duplicate
+    source keys a real MERGE raises, and this plan would multiply rows.
+
+    Shape: ONE full outer equi-join on the keys + per-column coalesce —
+    the canonical copy-on-write apply, a single key shuffle of each side
+    (full outer is the one join type Spark never broadcasts, so the
+    shuffle is structural; when the target is bucketed/pre-partitioned
+    by key — the layout a 100 TB upsert target should have — its
+    exchange elides and only the CDC batch moves). No window, no driver
+    state, no row explosion.
+    """
+    if update_cols is None:
+        update_cols = [c for c in source.columns if c not in keys]
+    missing = [c for c in update_cols if c not in target.columns]
+    if missing:
+        raise ValueError(f"update_cols not in target: {missing}")
+    t = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        *[F.col(c).alias(f"__t_{c}") for c in target.columns if c not in keys],
+    )
+    s = source.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in update_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__tk_{k}") == F.col(f"__sk_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col(f"__sk_{keys[0]}").isNotNull()
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(
+                F.coalesce(F.col(f"__tk_{c}"), F.col(f"__sk_{c}")).alias(c)
+            )
+        elif c in update_cols:
+            out_cols.append(
+                F.when(matched, F.col(f"__s_{c}"))
+                .otherwise(F.col(f"__t_{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"__t_{c}").alias(c))
+    return joined.select(*out_cols)

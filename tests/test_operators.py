@@ -4,6 +4,7 @@ import datetime as dt
 from conftest import diff_examples
 
 import pytest
+from pyspark.sql import functions as F
 
 from sakura_spark.operators import asof_join, range_join
 
@@ -203,3 +204,96 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert salts > 1 and out.count() == 64
+
+
+# --- merge_upsert -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def merge_frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, tag string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "D", 400.0)], "k long, tag string, v double"
+    )
+    return target, source
+
+
+def test_merge_upsert_semantics(merge_frames):
+    from sakura_spark.operators import merge_upsert
+
+    target, source = merge_frames
+    rows = {r["k"]: r for r in merge_upsert(target, source, ["k"]).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1]["tag"], rows[1]["v"]) == ("a", 10.0)    # pass-through
+    assert (rows[2]["tag"], rows[2]["v"]) == ("B", 200.0)   # matched update
+    assert (rows[4]["tag"], rows[4]["v"]) == ("D", 400.0)   # insert
+
+
+def test_merge_upsert_partial_update_cols(merge_frames):
+    """Columns outside update_cols keep the target value on matches and
+    are NULL on inserts (MERGE's INSERT sets only provided columns)."""
+    from sakura_spark.operators import merge_upsert
+
+    target, source = merge_frames
+    rows = {
+        r["k"]: r
+        for r in merge_upsert(target, source, ["k"], update_cols=["v"]).collect()
+    }
+    assert rows[2]["tag"] == "b" and rows[2]["v"] == 200.0
+    assert rows[4]["tag"] is None and rows[4]["v"] == 400.0
+
+
+def test_merge_upsert_multi_key(spark):
+    from sakura_spark.operators import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "k long, sub string, v double"
+    )
+    source = spark.createDataFrame([(1, "y", 20.0)], "k long, sub string, v double")
+    rows = {(r["k"], r["sub"]): r["v"] for r in merge_upsert(target, source, ["k", "sub"]).collect()}
+    assert rows == {(1, "x"): 1.0, (1, "y"): 20.0}
+
+
+def test_merge_upsert_rejects_unknown_update_col(merge_frames):
+    from sakura_spark.operators import merge_upsert
+
+    target, source = merge_frames
+    with pytest.raises(ValueError):
+        merge_upsert(target, source.withColumnRenamed("v", "w"), ["k"])
+
+
+def test_merge_upsert_matches_sql_full_join(spark):
+    """Differential vs the oracle's FULL JOIN spelling on a bigger frame."""
+    from sakura_spark.operators import merge_upsert
+
+    target = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.concat(F.lit("t"), F.col("id")).alias("tag"),
+    )
+    source = spark.range(0, 300, 3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("v"),
+        F.lit("s").alias("tag"),
+    )
+    got = {
+        (r["k"], r["v"], r["tag"])
+        for r in merge_upsert(target, source, ["k"]).collect()
+    }
+    target.createOrReplaceTempView("mu_t")
+    source.createOrReplaceTempView("mu_s")
+    exp = {
+        (r["k"], r["v"], r["tag"])
+        for r in spark.sql(
+            """
+            SELECT COALESCE(t.k, s.k) AS k,
+                   CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+                   CASE WHEN s.k IS NOT NULL THEN s.tag ELSE t.tag END AS tag
+            FROM mu_t t FULL OUTER JOIN mu_s s ON t.k = s.k
+            """
+        ).collect()
+    }
+    assert got == exp
