@@ -3384,6 +3384,35 @@ def q_rel_merge_upsert(spark, sf_dir):
     return merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
 
 
+def q_rel_scd2(spark, sf_dir):
+    """Type-2 SCD build (operators.scd2_intervalize): orders replayed as a
+    per-customer status change log (key o_custkey, event time o_orderdate,
+    o_orderkey as the deterministic tie-break) intervalized into status
+    REGIMES — consecutive same-status rows compressed away, valid_from /
+    valid_to intervals closed by the next regime's start, the final
+    regime carried to a high-date sentinel with is_current=true.
+    Oracle-backed by the equivalent lag/lead window SQL (IS DISTINCT FROM
+    regime detection + lead interval close), proving compression,
+    interval chaining, tie-breaks and the current-row flag value-exactly.
+    Scale shape: one hash partitioning by key reused by both window
+    passes; per-reducer work is one entity's bounded history, never a
+    global sort."""
+    from sakura_spark.operators import scd2_intervalize
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_intervalize(
+        orders,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        seq_col="o_orderkey",
+        # pandas-safe sentinel: datetime64[ns] tops out at 2262, and the
+        # driver collects via Arrow/pandas (the operator's 9999 default
+        # is for engines that keep timestamps in the JVM/SQL domain).
+        high_date="2200-01-01 00:00:00",
+    )
+
+
 def q_sketch_hll_hourly_users(spark, sf_dir):
     """Windowed distinct-user HLL (sketches.hll_registers over event-time
     hours): per-hour registers of the distinct user_id set at p=4 — the
@@ -3836,7 +3865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_tfidf_topk + text_collocations + text_bm25_topk in sweep)
         # rotates past the cap.
         "sim_ivfpq_topk_fixed": q_sim_ivfpq_topk_fixed,
-        "er_name_pairs": q_er_name_pairs,
         # Round-9: sim_ann_lsh (NEWLY oracle-backed — the full hyperplane
         # LSH multiprobe top-k pipeline proven engine-exact from the same
         # seed-42 matrix, shrinking the rows-only tail 11 -> 10) and
@@ -3922,6 +3950,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family) rotate past the cap.
         "streaming_join_equiv": q_streaming_join_equiv,
         "rel_merge_upsert": q_rel_merge_upsert,
+        # Round-9 session 4: rel_scd2 (NEW oracle-backed — type-2 SCD
+        # intervalization: change compression + validity chaining proven
+        # against the lag/lead window SQL twin) enters the sweep;
+        # er_name_pairs (driver-green r7+r8, IR/ER family sibling
+        # text_tfidf_topk stays in sweep) rotates past the cap.
+        "rel_scd2": q_rel_scd2,
         # Round-8 rotation: curation_gopher_filter — the ONE oracle-backed
         # entry never driver-checked (VERDICT r7 item 3) — enters the
         # sweep; tpch_q10_returned_items (driver-green r6+r7, join-agg-topk
@@ -3983,6 +4017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": q_text_chunk,
         "events_anomaly": q_events_anomaly,
         "rel_diff": q_rel_diff,
+        "er_name_pairs": q_er_name_pairs,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -5324,6 +5359,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'purchase') p "
             "ON v.user_id = p.user_id AND v.ts <= p.ts "
             "AND v.ts >= p.ts - INTERVAL 1 HOUR"
+        ),
+        # SCD2 twin: lag detects regime starts (IS DISTINCT FROM = the
+        # null-safe inequality), lead on the compressed rows closes each
+        # validity interval, the last regime takes the 9999-12-31
+        # sentinel and is_current.
+        "rel_scd2": (
+            "WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+            "o_orderstatus, "
+            "lag(o_orderstatus) OVER w AS prev, "
+            "row_number() OVER w AS rn "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey)), "
+            "kept AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+            "o_orderstatus FROM c "
+            "WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus) "
+            "SELECT o_custkey, o_orderstatus, "
+            "o_orderdate AS valid_from, "
+            "COALESCE(lead(o_orderdate) OVER w2, "
+            "TIMESTAMP '2200-01-01 00:00:00') AS valid_to, "
+            "(lead(o_orderdate) OVER w2 IS NULL) AS is_current "
+            "FROM kept "
+            "WINDOW w2 AS (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey)"
         ),
         # MERGE INTO twin: matched keys take the source row, unmatched
         # source keys insert, unmatched target rows pass through — the

@@ -148,6 +148,7 @@ EXTENDED = [
     "multimodal_video_frames",
     "streaming_join_equiv",
     "rel_merge_upsert",
+    "rel_scd2",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -228,3 +228,54 @@ def merge_upsert(
         else:
             out_cols.append(F.col(f"__t_{c}").alias(c))
     return joined.select(*out_cols)
+
+
+def scd2_intervalize(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    seq_col: str | None = None,
+    high_date: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: turn an append-only change
+    log (key, event time, attributes) into validity intervals — one row
+    per attribute REGIME, with `valid_from` / `valid_to` / `is_current`.
+    Consecutive log rows whose attributes are unchanged are compressed
+    away (the defining SCD2 behavior: a no-op change does not open a new
+    version); `valid_to` of the last regime is the sentinel ``high_date``
+    (the standard warehouse spelling — NULL-free, so every interval
+    predicate is a plain comparison). ``seq_col`` breaks event-time ties
+    deterministically. The default ``high_date`` is the warehouse-standard
+    9999 sentinel; callers that collect through Arrow/pandas should pass
+    one inside pandas' datetime64[ns] range (< 2262), e.g. 2200-01-01.
+
+    Shape: two window passes over ONE hash partitioning by key (lag to
+    detect regime starts, lead on the compressed rows for interval ends)
+    — Catalyst reuses the exchange, so it's a single shuffle. Per-key
+    history is the window unit; at 100 TB keys are many and histories
+    bounded (the per-entity change count), so no reducer sees more than
+    one entity's log — the safe side of the skewed-window rule.
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    changed = None
+    for c in attr_cols:
+        neq = ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+        changed = neq if changed is None else (changed | neq)
+    first = F.row_number().over(w) == 1
+    kept = (
+        changes.select(*keys, ts_col, *( [seq_col] if seq_col else [] ), *attr_cols)
+        .withColumn("__keep", first | changed)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+    w2 = W.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w2)
+    return kept.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.coalesce(nxt, F.lit(high_date).cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -297,3 +297,76 @@ def test_merge_upsert_matches_sql_full_join(spark):
         ).collect()
     }
     assert got == exp
+
+
+# --- scd2_intervalize ---------------------------------------------------------
+
+
+def test_scd2_compression_and_intervals(spark):
+    from sakura_spark.operators import scd2_intervalize
+
+    log = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 1, "A"),
+            (1, "2024-01-05", 2, "A"),   # no-op change: compressed away
+            (1, "2024-01-09", 3, "B"),
+            (1, "2024-01-12", 4, "A"),   # back to A: NEW regime (not merged)
+            (2, "2024-02-01", 5, "X"),
+        ],
+        "k long, d string, seq long, status string",
+    ).withColumn("d", F.to_timestamp("d"))
+    out = scd2_intervalize(log, ["k"], "d", ["status"], seq_col="seq")
+    rows = sorted(
+        (r["k"], r["status"], str(r["valid_from"])[:10], str(r["valid_to"])[:10], r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "A", "2024-01-01", "2024-01-09", False),
+        (1, "A", "2024-01-12", "9999-12-31", True),
+        (1, "B", "2024-01-09", "2024-01-12", False),
+        (2, "X", "2024-02-01", "9999-12-31", True),
+    ]
+
+
+def test_scd2_event_time_ties_break_on_seq(spark):
+    from sakura_spark.operators import scd2_intervalize
+
+    log = spark.createDataFrame(
+        [(1, "2024-01-01", 2, "B"), (1, "2024-01-01", 1, "A")],
+        "k long, d string, seq long, status string",
+    ).withColumn("d", F.to_timestamp("d"))
+    out = {r["status"]: r for r in scd2_intervalize(log, ["k"], "d", ["status"], seq_col="seq").collect()}
+    assert out["A"]["is_current"] is False   # seq 1 comes first
+    assert out["B"]["is_current"] is True
+    assert out["A"]["valid_to"] == out["B"]["valid_from"]  # zero-length regime closes exactly
+
+
+def test_scd2_multi_attr_regimes(spark):
+    """A change in ANY attribute opens a regime; unchanged pairs compress."""
+    from sakura_spark.operators import scd2_intervalize
+
+    log = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 1, "A", 10),
+            (1, "2024-01-02", 2, "A", 10),  # compressed
+            (1, "2024-01-03", 3, "A", 20),  # second attr changed
+        ],
+        "k long, d string, seq long, status string, tier int",
+    ).withColumn("d", F.to_timestamp("d"))
+    out = scd2_intervalize(log, ["k"], "d", ["status", "tier"], seq_col="seq")
+    assert out.count() == 2
+
+
+def test_scd2_single_window_partitioning(spark):
+    """Both window passes must share ONE key exchange (the Catalyst
+    exchange-reuse shape the docstring promises)."""
+    from sakura_spark.operators import scd2_intervalize
+
+    log = spark.createDataFrame(
+        [(1, "2024-01-01", 1, "A")], "k long, d string, seq long, status string"
+    ).withColumn("d", F.to_timestamp("d"))
+    plan = (
+        scd2_intervalize(log, ["k"], "d", ["status"], seq_col="seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
