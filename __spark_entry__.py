@@ -1779,6 +1779,26 @@ def q_multimodal_video_frames(spark, sf_dir):
     return video.video_frame_stats(video.synthetic_avi_payload(docs), every_n=2)
 
 
+def q_multimodal_av_demux(spark, sf_dir):
+    """A/V DEMUX end-to-end (video.demux_av over video.synthetic_av_payload):
+    a REAL two-stream AVI per document — the video rotation plus an
+    interleaved PCM16 mono 'auds' stream ('01wb' chunks interleaved
+    frame-by-frame, the streaming-friendly layout real muxers write) —
+    demuxed back into both streams in one pass: video dims/frames/pixel
+    checksum AND the re-concatenated audio track's count, rate,
+    integer-exact sum and first-sample probe. idx1 is cross-validated
+    over BOTH streams and each stream's dwLength over its own chunks, so
+    a chunk attributed to the wrong stream is a decode error. Every pixel
+    and every sample is a pure function of doc_id, so the oracle
+    reproduces both checksums in closed form — a hash match proves the
+    muxer and the demuxer agree byte-for-byte per stream. Arrow-batched
+    mapInPandas; payloads never shuffle."""
+    from sakura_spark.functions import video
+
+    docs = _t(spark, sf_dir, "documents")
+    return video.demux_av(video.synthetic_av_payload(docs))
+
+
 def q_curation_sample(spark, sf_dir):
     """Engine-portable deterministic Bernoulli sample (~25%): md5-bucket
     filter, map-only (no RNG, no shuffle — reproducible at any scale)."""
@@ -3831,7 +3851,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the cap.
         "curation_ppl_buckets": q_curation_ppl_buckets,
         "sketch_merge_law": q_sketch_merge_law,
-        "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         # Round-9 session 3: dedup_corpus_overlap (NEW oracle-backed —
@@ -3938,6 +3957,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate past the cap.
         "multimodal_video": q_multimodal_video,
         "multimodal_video_frames": q_multimodal_video_frames,
+        # Round-9 session 4: multimodal_av_demux (NEW oracle-backed — the
+        # two-stream interleaved AVI demuxed back into video + PCM16
+        # audio, both stream checksums closed-form) enters the sweep;
+        # sketch_bloom_bits (driver-green r7+r8, siblings
+        # sketch_bloom_semijoin + sketch_merge_law stay in sweep) rotates
+        # past the cap.
+        "multimodal_av_demux": q_multimodal_av_demux,
         "curation_length_buckets": q_curation_length_buckets,
         # Round-9 session 4: streaming_join_equiv (NEW oracle-backed — the
         # stream-stream interval join's exactness as a driver row,
@@ -4018,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "rel_diff": q_rel_diff,
         "er_name_pairs": q_er_name_pairs,
+        "sketch_bloom_bits": q_sketch_bloom_bits,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -4803,6 +4830,43 @@ def oracle_sql() -> dict[str, str]:
             "+ (3 * any_value(w) - 256 + any_value(a0)) "
             "* (3 * any_value(w) - 257 + any_value(a0)) // 2 END AS BIGINT) "
             "AS row0_sum "
+            "FROM s GROUP BY doc_id"
+        ),
+        # A/V demux twin: pixel sums as in multimodal_video; the audio
+        # track walks the same 0..255 cycle (shifted by -128 per sample),
+        # so its sum is the same closed form minus 128 * n_samples.
+        "multimodal_av_demux": (
+            "WITH p AS (SELECT doc_id, 7 + (doc_id % 3) * 3 AS w, "
+            "6 + (doc_id % 2) * 5 AS h, 3 + doc_id % 5 AS nf, "
+            "240 + (doc_id % 5) * 40 AS ns, "
+            "CASE doc_id % 2 WHEN 0 THEN 8000 ELSE 16000 END AS arate, "
+            "(doc_id * 13) % 256 AS aa FROM documents), "
+            "fr0 AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS f FROM p), "
+            "fr AS (SELECT fr0.*, (doc_id * 31 + f * 17) % 256 AS a, "
+            "3 * w * h AS n FROM fr0), "
+            "s AS (SELECT fr.*, (n // 256) * 32640 + "
+            "CASE WHEN a + (n % 256) <= 256 "
+            "THEN (n % 256) * a + (n % 256) * ((n % 256) - 1) // 2 "
+            "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
+            "+ ((n % 256) - 256 + a) * ((n % 256) - 257 + a) // 2 END AS fsum "
+            "FROM fr) "
+            "SELECT doc_id, "
+            "CAST(any_value(nf) AS BIGINT) AS n_frames, "
+            "CAST(any_value(w) AS INT) AS width, "
+            "CAST(any_value(h) AS INT) AS height, "
+            "CAST(any_value(ns) AS BIGINT) AS n_audio_samples, "
+            "CAST(any_value(arate) AS INT) AS audio_rate, "
+            "CAST(sum(fsum) AS BIGINT) AS video_checksum, "
+            "CAST((any_value(ns) // 256) * 32640 + "
+            "CASE WHEN any_value(aa) + (any_value(ns) % 256) <= 256 "
+            "THEN (any_value(ns) % 256) * any_value(aa) "
+            "+ (any_value(ns) % 256) * ((any_value(ns) % 256) - 1) // 2 "
+            "ELSE (256 - any_value(aa)) * any_value(aa) "
+            "+ (256 - any_value(aa)) * (255 - any_value(aa)) // 2 "
+            "+ ((any_value(ns) % 256) - 256 + any_value(aa)) "
+            "* ((any_value(ns) % 256) - 257 + any_value(aa)) // 2 END "
+            "- 128 * any_value(ns) AS BIGINT) AS audio_checksum, "
+            "CAST(any_value(aa) - 128 AS BIGINT) AS audio_first "
             "FROM s GROUP BY doc_id"
         ),
         "multimodal_video_frames": (

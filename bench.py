@@ -149,6 +149,7 @@ EXTENDED = [
     "streaming_join_equiv",
     "rel_merge_upsert",
     "rel_scd2",
+    "multimodal_av_demux",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

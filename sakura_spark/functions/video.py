@@ -119,12 +119,19 @@ def _dib_decode_frame(b: bytes, w: int, h: int):
     return bgr[::-1, :, ::-1].copy()
 
 
-def _avi_encode(frames, rate: int, scale: int = 1, codec: str = "dib") -> bytes:
+def _avi_encode(
+    frames, rate: int, scale: int = 1, codec: str = "dib", audio=None
+) -> bytes:
     """Frames (list of top-down RGB uint8 (h, w, 3) arrays, equal dims) ->
-    a REAL single-stream AVI: RIFF('AVI ') { LIST hdrl { avih, LIST strl
-    { strh 'vids', strf BITMAPINFOHEADER } }, LIST movi { '00db'|'00dc'
-    per frame }, idx1 }. ``codec`` is 'dib' (BI_RGB frames built here) or
-    'mjpg' (each frame must already be JPEG bytes)."""
+    a REAL AVI: RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh 'vids',
+    strf BITMAPINFOHEADER } [, LIST strl { strh 'auds', strf
+    PCMWAVEFORMAT }] }, LIST movi { '00db'|'00dc' frames [interleaved
+    with '01wb' audio] }, idx1 }. ``codec`` is 'dib' (BI_RGB frames built
+    here) or 'mjpg' (each frame must already be JPEG bytes). ``audio`` is
+    an optional (int16 mono samples, sample_rate) pair; samples are split
+    into one '01wb' chunk per video frame and interleaved frame-by-frame
+    — the layout real muxers write so players can stream without
+    seeking."""
     import numpy as np
 
     if codec == "dib":
@@ -145,20 +152,35 @@ def _avi_encode(frames, rate: int, scale: int = 1, codec: str = "dib") -> bytes:
     n = len(payloads)
     maxbuf = max(len(p) for p in payloads)
 
+    audio_chunks: list[bytes] = []
+    if audio is not None:
+        samples, audio_rate = audio
+        samples = np.asarray(samples, dtype="<i2")
+        n_samples = samples.shape[0]
+        # One audio chunk per video frame (last one ragged), interleaved.
+        per = -(-n_samples // n)
+        audio_chunks = [
+            samples[i * per : (i + 1) * per].tobytes() for i in range(n)
+        ]
+
     # movi body + idx1 offsets (convention: offset of the ckid relative
     # to the 'movi' fourcc — the form Video-for-Windows itself writes).
     movi_body = b""
     idx_entries = []
-    for p in payloads:
+    for i, p in enumerate(payloads):
         off = 4 + len(movi_body)
-        idx_entries.append((off, len(p)))
+        idx_entries.append((ckid, off, len(p)))
         movi_body += _chunk(ckid, p)
+        if audio_chunks and audio_chunks[i]:
+            off = 4 + len(movi_body)
+            idx_entries.append((b"01wb", off, len(audio_chunks[i])))
+            movi_body += _chunk(b"01wb", audio_chunks[i])
     movi = _list(b"movi", movi_body)
     idx1 = _chunk(
         b"idx1",
         b"".join(
-            ckid + struct.pack("<III", _AVIIF_KEYFRAME, off, sz)
-            for off, sz in idx_entries
+            ck + struct.pack("<III", _AVIIF_KEYFRAME, off, sz)
+            for ck, off, sz in idx_entries
         ),
     )
 
@@ -173,7 +195,7 @@ def _avi_encode(frames, rate: int, scale: int = 1, codec: str = "dib") -> bytes:
             _AVIF_HASINDEX,             # dwFlags
             n,                          # dwTotalFrames
             0,                          # dwInitialFrames
-            1,                          # dwStreams
+            2 if audio is not None else 1,  # dwStreams
             maxbuf,                     # dwSuggestedBufferSize
             w,
             h,
@@ -209,7 +231,34 @@ def _avi_encode(frames, rate: int, scale: int = 1, codec: str = "dib") -> bytes:
             40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
         ),
     )
-    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+    strls = _list(b"strl", strh + strf)
+    if audio is not None:
+        samples, audio_rate = audio
+        n_samples = int(np.asarray(samples).shape[0])
+        a_strh = _chunk(
+            b"strh",
+            b"auds"
+            + b"\x00\x00\x00\x00"
+            + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0,
+                1,            # dwScale (1 sample)
+                audio_rate,   # dwRate (samples/sec)
+                0,
+                n_samples,    # dwLength (samples)
+                2 * n_samples // max(n, 1) + 2,
+                0xFFFFFFFF,
+                2,            # dwSampleSize (bytes per PCM16 mono sample)
+                0, 0, 0, 0,
+            ),
+        )
+        # PCMWAVEFORMAT (mmreg.h): the classic 16-byte PCM strf.
+        a_strf = _chunk(
+            b"strf",
+            struct.pack("<HHIIHH", 1, 1, audio_rate, 2 * audio_rate, 2, 16),
+        )
+        strls += _list(b"strl", a_strh + a_strf)
+    hdrl = _list(b"hdrl", avih + strls)
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
@@ -231,11 +280,17 @@ def _avi_decode(b: bytes):
     """AVI payload -> (meta dict, list of top-down RGB uint8 frames).
 
     meta: codec ('dib'|'mjpg'), width, height, fps_num (dwRate), fps_den
-    (dwScale), n_frames. Parses the REAL structures: avih, the first
-    'vids' strh/strf pair, every movi frame chunk, and — when idx1 is
-    present — validates each index entry's offset/size against the actual
-    chunk layout (a lying index is a malformed file). Unsupported
-    compression fourccs raise DecodeUnavailable."""
+    (dwScale), n_frames — plus, when the file carries an interleaved
+    'auds' PCM16 stream, audio_rate / n_audio_samples / audio_samples
+    (the demuxed int16 array, '01wb' chunks re-concatenated in stream
+    order). Parses the REAL structures: avih, the first 'vids' strh/strf
+    pair, the first 'auds' strh/strf pair, every movi chunk, and — when
+    idx1 is present — validates each index entry's ckid/offset/size
+    against the actual chunk layout across BOTH streams (a lying index
+    is a malformed file). Unsupported video compression fourccs and
+    non-PCM16-mono audio raise DecodeUnavailable."""
+    import numpy as np
+
     b = bytes(b)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise DecodeUnavailable("not an AVI payload")
@@ -245,7 +300,10 @@ def _avi_decode(b: bytes):
     avih = None
     strh = None
     strf = None
-    frame_chunks = []  # (offset_of_ckid_relative_to_movi_fourcc, ckid, payload)
+    a_strh = None
+    a_strf = None
+    in_vids = in_auds = False
+    stream_chunks = []  # (offset_rel_to_movi_fourcc, ckid, payload)
     idx1 = None
 
     for ckid, p, size in _walk_chunks(b, 12, end):
@@ -256,16 +314,23 @@ def _avi_decode(b: bytes):
                     if c2 == b"avih":
                         avih = b[p2 : p2 + s2]
                     elif c2 == b"LIST" and b[p2 : p2 + 4] == b"strl":
+                        in_vids = in_auds = False
                         for c3, p3, s3 in _walk_chunks(b, p2 + 4, p2 + s2):
                             if c3 == b"strh" and b[p3 : p3 + 4] == b"vids" and strh is None:
                                 strh = b[p3 : p3 + s3]
-                            elif c3 == b"strf" and strh is not None and strf is None:
+                                in_vids = True
+                            elif c3 == b"strh" and b[p3 : p3 + 4] == b"auds" and a_strh is None:
+                                a_strh = b[p3 : p3 + s3]
+                                in_auds = True
+                            elif c3 == b"strf" and in_vids and strf is None:
                                 strf = b[p3 : p3 + s3]
+                            elif c3 == b"strf" and in_auds and a_strf is None:
+                                a_strf = b[p3 : p3 + s3]
             elif listtype == b"movi":
                 movi_fourcc = p  # offsets in idx1 are relative to here
                 for c2, p2, s2 in _walk_chunks(b, p + 4, p + size):
-                    if c2[2:4] in (b"db", b"dc") and c2[:2].isdigit():
-                        frame_chunks.append((p2 - 8 - movi_fourcc, c2, b[p2 : p2 + s2]))
+                    if c2[2:4] in (b"db", b"dc", b"wb") and c2[:2].isdigit():
+                        stream_chunks.append((p2 - 8 - movi_fourcc, c2, b[p2 : p2 + s2]))
         elif ckid == b"idx1":
             idx1 = b[p : p + size]
 
@@ -293,16 +358,19 @@ def _avi_decode(b: bytes):
 
     h = abs(bih)
     if idx1 is not None:
-        if len(idx1) != 16 * len(frame_chunks):
-            raise DecodeUnavailable("idx1 entry count != frame chunk count")
-        for i, (off, ckid, payload) in enumerate(frame_chunks):
+        if len(idx1) != 16 * len(stream_chunks):
+            raise DecodeUnavailable("idx1 entry count != movi chunk count")
+        for i, (off, ckid, payload) in enumerate(stream_chunks):
             ick, _fl, ioff, isz = struct.unpack_from("<4sIII", idx1, 16 * i)
             if ick != ckid or ioff != off or isz != len(payload):
                 raise DecodeUnavailable("idx1 disagrees with movi layout")
 
     frames = []
-    for _off, _ckid, payload in frame_chunks:
-        if codec == "dib":
+    audio_parts = []
+    for _off, ckid, payload in stream_chunks:
+        if ckid[2:4] == b"wb":
+            audio_parts.append(payload)
+        elif codec == "dib":
             frames.append(_dib_decode_frame(payload, biw, h))
         else:
             arr = _jpeg_decode(payload)
@@ -322,6 +390,28 @@ def _avi_decode(b: bytes):
         "fps_den": scale,
         "n_frames": len(frames),
     }
+    if a_strh is not None:
+        if a_strf is None or len(a_strf) < 16 or len(a_strh) < 40:
+            raise DecodeUnavailable("auds stream without a sound strf")
+        wtag, nch, a_rate, _avg, _align, a_bits = struct.unpack_from(
+            "<HHIIHH", a_strf, 0
+        )
+        if wtag != 1 or nch != 1 or a_bits != 16:
+            raise DecodeUnavailable(
+                f"no decoder for AVI audio format tag={wtag} ch={nch} bits={a_bits}"
+            )
+        a_length = struct.unpack_from("<I", a_strh, 32)[0]
+        raw = b"".join(audio_parts)
+        samples = np.frombuffer(raw, dtype="<i2")
+        if samples.shape[0] != a_length:
+            raise DecodeUnavailable(
+                f"auds dwLength {a_length} != demuxed sample count {samples.shape[0]}"
+            )
+        meta["audio_rate"] = a_rate
+        meta["n_audio_samples"] = int(samples.shape[0])
+        meta["audio_samples"] = samples
+    elif audio_parts:
+        raise DecodeUnavailable("audio chunks without an auds stream header")
     return meta, frames
 
 
@@ -480,3 +570,136 @@ def video_frame_stats(
             )
 
     return df.select(id_col, "payload").mapInPandas(op, schema=FRAME_STATS_SCHEMA)
+
+
+def _synth_audio_params(i: int) -> tuple[int, int]:
+    """(n_samples, audio_rate) for row id ``i`` — the audio half of the
+    A/V synthesis rotation: n = 240 + (i % 5) * 40, rate in {8000, 16000}."""
+    return 240 + (i % 5) * 40, (8000, 16000)[i % 2]
+
+
+def _synth_audio(i: int, n: int):
+    """Audio track of row ``i``: sample[j] = ((i*13 + j) % 256) - 128 —
+    the same cyclic-walk family as the pixels, so sums have the same
+    closed form (shifted by -128 per sample)."""
+    import numpy as np
+
+    return (((i * 13 + np.arange(n)) % 256) - 128).astype("<i2")
+
+
+def synthetic_av_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic A/V corpus generator: the video rotation of
+    `synthetic_avi_payload` plus an interleaved PCM16 mono 'auds' stream
+    (one '01wb' chunk per frame — the streaming-friendly layout real
+    muxers write). Every pixel AND every audio sample is a pure function
+    of the row id, so the demuxer's outputs have plain-SQL closed forms.
+    Map-only mapInPandas, widened to core parallelism."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, rate, n = _synth_params(i)
+                ns, arate = _synth_audio_params(i)
+                frames = [_synth_frame(i, f, w, h) for f in range(n)]
+                payloads.append(
+                    _avi_encode(frames, rate, audio=(_synth_audio(i, ns), arate))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    src = df.select(id_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(op, schema=f"{id_col} long, payload binary")
+
+
+AV_DEMUX_SCHEMA = (
+    "doc_id long, n_frames long, width int, height int, "
+    "n_audio_samples long, audio_rate int, "
+    "video_checksum long, audio_checksum long, audio_first long"
+)
+
+
+def demux_av(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """A/V DEMUX: split an interleaved AVI into its video and audio
+    streams in one pass — per doc, the video dims/frame count and
+    whole-stream pixel checksum PLUS the re-concatenated audio track's
+    sample count, rate, integer-exact sample sum and first-sample probe.
+    The idx1 cross-validation and the per-stream dwLength checks make a
+    chunk mis-attributed to the wrong stream a decode error, not a
+    silent corruption. NULL row for undecodable payloads. Arrow-batched
+    mapInPandas over (id, payload); payloads never shuffle."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    meta, frames = _avi_decode(b)
+                    audio = meta["audio_samples"]
+                except Exception:
+                    # includes KeyError for a file with no auds stream:
+                    # "no audio to demux" is a NULL row, not a failure.
+                    rows.append((int(i),) + (None,) * 8)
+                    continue
+                rows.append(
+                    (
+                        int(i),
+                        meta["n_frames"],
+                        meta["width"],
+                        meta["height"],
+                        meta["n_audio_samples"],
+                        meta["audio_rate"],
+                        int(sum(int(fr.sum(dtype=np.int64)) for fr in frames)),
+                        int(audio.astype(np.int64).sum()),
+                        int(audio[0]) if audio.shape[0] else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "width", "height",
+                    "n_audio_samples", "audio_rate",
+                    "video_checksum", "audio_checksum", "audio_first",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, schema=AV_DEMUX_SCHEMA)
+
+
+def frames_to_png(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video -> image-corpus handoff: decode the AVI, keep every
+    ``every_n``-th frame, re-encode each kept frame as a standalone PNG
+    payload (multimodal._png_encode — the same lossless codec the image
+    stack ships), one row per frame: (id, frame_idx, png payload). The
+    output feeds the image pipeline unchanged (decode_image /
+    resize_image / fake_image_features), which is how a training
+    pipeline turns video corpora into image training rows. PNG is
+    lossless, so decode_image(frames_to_png(x)) round-trips the exact
+    DIB pixels (asserted in tests). Map-only; undecodable payloads emit
+    one all-NULL frame row (module contract)."""
+    from sakura_spark.functions.multimodal import _png_encode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    _meta, frames = _avi_decode(b)
+                except Exception:
+                    rows.append((int(i), None, None))
+                    continue
+                for f, fr in enumerate(frames):
+                    if f % every_n:
+                        continue
+                    rows.append((int(i), f, _png_encode(fr)))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "payload"])
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, frame_idx long, payload binary"
+    )

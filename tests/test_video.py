@@ -215,3 +215,102 @@ def test_video_pipeline_plan_map_only(video_df):
     carries only (doc_id) pre-payload)."""
     plan = V.decode_video(video_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+# --- A/V interleave & demux ---------------------------------------------------
+
+
+def test_av_roundtrip_both_streams_exact():
+    rng = np.random.default_rng(11)
+    for n, ns in [(1, 7), (3, 100), (5, 999)]:
+        frames = _rand_frames(rng, n, 10, 6)
+        audio = rng.integers(-32768, 32767, size=ns, dtype=np.int16)
+        meta, out = V._avi_decode(V._avi_encode(frames, 15, audio=(audio, 8000)))
+        assert meta["n_frames"] == n and meta["n_audio_samples"] == ns
+        assert meta["audio_rate"] == 8000
+        assert np.array_equal(meta["audio_samples"], audio)
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b)
+
+
+def test_av_idx1_covers_both_streams():
+    """Corrupting an AUDIO chunk's idx1 entry must be caught — the index
+    validation spans both streams, not just video."""
+    frames = [np.zeros((6, 7, 3), dtype=np.uint8)] * 2
+    audio = np.arange(50, dtype=np.int16)
+    b = bytearray(V._avi_encode(frames, 10, audio=(audio, 8000)))
+    i = b.find(b"idx1") + 8 + 16 + 8  # second entry (first '01wb') offset
+    struct.pack_into("<I", b, i, struct.unpack_from("<I", b, i)[0] + 2)
+    with pytest.raises(DecodeUnavailable):
+        V._avi_decode(bytes(b))
+
+
+def test_av_auds_length_mismatch_rejected():
+    frames = [np.zeros((6, 7, 3), dtype=np.uint8)] * 2
+    audio = np.arange(50, dtype=np.int16)
+    b = bytearray(V._avi_encode(frames, 10, audio=(audio, 8000)))
+    # second strh (auds) dwLength at offset 32 of its payload
+    i = b.find(b"strh", b.find(b"auds") - 12)
+    struct.pack_into("<I", b, i + 8 + 32, 49)
+    with pytest.raises(DecodeUnavailable):
+        V._avi_decode(bytes(b))
+
+
+def test_av_non_pcm16_audio_rejected():
+    frames = [np.zeros((6, 7, 3), dtype=np.uint8)]
+    audio = np.arange(10, dtype=np.int16)
+    b = bytearray(V._avi_encode(frames, 10, audio=(audio, 8000)))
+    i = b.find(b"auds")
+    j = b.find(b"strf", i)  # audio strf: wFormatTag at payload offset 0
+    struct.pack_into("<H", b, j + 8, 7)  # mu-law
+    with pytest.raises(DecodeUnavailable):
+        V._avi_decode(bytes(b))
+
+
+def test_av_synth_rotation_closed_forms():
+    for i in [0, 1, 2, 3, 4, 9, 255, 256]:
+        w, h, rate, n = V._synth_params(i)
+        ns, arate = V._synth_audio_params(i)
+        audio = V._synth_audio(i, ns)
+        assert int(audio.astype(np.int64).sum()) == _closed_sum((i * 13) % 256, ns) - 128 * ns
+        assert int(audio[0]) == ((i * 13) % 256) - 128
+        assert arate == (8000, 16000)[i % 2]
+
+
+def test_demux_av_spark_stage(spark):
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in V.demux_av(V.synthetic_av_payload(ids)).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        w, h, rate, n = V._synth_params(i)
+        ns, arate = V._synth_audio_params(i)
+        assert (r["n_frames"], r["width"], r["height"]) == (n, w, h)
+        assert (r["n_audio_samples"], r["audio_rate"]) == (ns, arate)
+        assert r["audio_checksum"] == _closed_sum((i * 13) % 256, ns) - 128 * ns
+        assert r["audio_first"] == ((i * 13) % 256) - 128
+    # video-only payload -> NULL row (no audio stream to demux)
+    vid_only = V.synthetic_avi_payload(spark.range(0, 2).withColumnRenamed("id", "doc_id"))
+    out = V.demux_av(vid_only).collect()
+    assert all(r["audio_checksum"] is None for r in out)
+
+
+def test_frames_to_png_feeds_image_pipeline(spark):
+    """Video -> PNG handoff: lossless round trip into the image stack —
+    decode_image sees the right dims and _png_decode returns the exact
+    DIB pixels of each sampled frame."""
+    from sakura_spark.functions.multimodal import _png_decode, decode_image
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    pngs = V.frames_to_png(V.synthetic_avi_payload(ids), every_n=2)
+    rows = pngs.collect()
+    for r in rows:
+        i, f = r["doc_id"], r["frame_idx"]
+        w, h, rate, n = V._synth_params(i)
+        assert f % 2 == 0
+        assert np.array_equal(
+            _png_decode(bytes(r["payload"])), V._synth_frame(i, f, w, h)
+        )
+    dims = decode_image(pngs.withColumnRenamed("frame_idx", "fidx")).collect()
+    for d in dims:
+        w, h, _, _ = V._synth_params(d["doc_id"])
+        assert (d["height"], d["width"], d["channels"]) == (h, w, 3)
