@@ -3027,6 +3027,35 @@ def q_text_bm25_topk(spark, sf_dir):
     )
 
 
+def q_text_hybrid_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL via Reciprocal Rank Fusion (ir.rrf_fuse —
+    Cormack et al. 2009, the standard lexical+dense combiner): BM25
+    top-25 over the documents corpus fused with exact-cosine top-25 over
+    the embeddings corpus, fused(d) = 1/(60+r_bm25) + 1/(60+r_cos),
+    top-10 by fused score. Both underlying retrievers are the
+    hash-exact driver entries (text_bm25_topk, sim_cosine_topk); ranks
+    are (score DESC, id) row_numbers, each reciprocal is one
+    correctly-rounded IEEE division summed in fixed system order, so the
+    fused doubles hash-identically — the oracle recomputes BOTH
+    retrievers and the fusion in plain SQL. The fusion itself runs on
+    two top-N frames (bounded, corpus-size-independent); the corpus
+    passes live inside the retrievers."""
+    from sakura_spark.functions import ir
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    bm25 = ir.bm25_saturation_topk(
+        docs, ["spark", "window", "merge", "vector"], k=25
+    ).select("doc_id", "score")
+    cos = similarity.cosine_topk(emb, [float(x) for x in qvec], k=25)
+    return ir.rrf_fuse(
+        [(bm25, "doc_id", "score"), (cos, "vec_id", "cosine_sim")],
+        k=60,
+        topk=10,
+    )
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """TF-IDF keyword extraction, integer-exact surface (ir.tfidf_topk):
     top-5 characteristic terms per document by term frequency after
@@ -3852,7 +3881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_ppl_buckets": q_curation_ppl_buckets,
         "sketch_merge_law": q_sketch_merge_law,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
-        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         # Round-9 session 3: dedup_corpus_overlap (NEW oracle-backed —
         # corpus-level MinHash resemblance between sources, the Broder
         # estimator lifted from documents to corpora) enters the sweep
@@ -3964,6 +3992,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_bloom_semijoin + sketch_merge_law stay in sweep) rotates
         # past the cap.
         "multimodal_av_demux": q_multimodal_av_demux,
+        # Round-9 session 4: text_hybrid_rrf (NEW oracle-backed — hybrid
+        # lexical+dense retrieval via Reciprocal Rank Fusion over the two
+        # hash-exact retrievers, fused in plain SQL by the oracle) enters
+        # the sweep; sketch_heavy_hitters (driver-green r7+r8, sketch
+        # siblings bloom_semijoin + merge_law + kmv + kmv_overlap stay in
+        # sweep) rotates past the cap.
+        "text_hybrid_rrf": q_text_hybrid_rrf,
         "curation_length_buckets": q_curation_length_buckets,
         # Round-9 session 4: streaming_join_equiv (NEW oracle-backed — the
         # stream-stream interval join's exactness as a driver row,
@@ -4045,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_diff": q_rel_diff,
         "er_name_pairs": q_er_name_pairs,
         "sketch_bloom_bits": q_sketch_bloom_bits,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -5423,6 +5459,53 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'purchase') p "
             "ON v.user_id = p.user_id AND v.ts <= p.ts "
             "AND v.ts >= p.ts - INTERVAL 1 HOUR"
+        ),
+        # RRF hybrid twin: both retrievers' oracle SQL verbatim (bm25's
+        # integer-exact saturation weights, cosine's list-fold), ranked
+        # by (score DESC, id) inside their own top-25 windows, fused as
+        # two correctly-rounded reciprocals in fixed system order.
+        "text_hybrid_rrf": (
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS w FROM documents), "
+            "tot AS (SELECT sum(len(w)) AS L, count(*) AS N FROM t), "
+            "m AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t), "
+            "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM m "
+            "WHERE term IN ('spark', 'window', 'merge', 'vector') "
+            "GROUP BY 1, 2, 3), "
+            "s AS (SELECT doc_id, dl, term, CAST(tf * 44 * L AS DOUBLE) / "
+            "CAST(tf * 20 * L + 6 * L + dl * 18 * N AS DOUBLE) AS sv "
+            "FROM tf, tot), "
+            "agg AS (SELECT doc_id, "
+            "sum(CASE WHEN term = 'spark' THEN sv END) AS s0, "
+            "sum(CASE WHEN term = 'window' THEN sv END) AS s1, "
+            "sum(CASE WHEN term = 'merge' THEN sv END) AS s2, "
+            "sum(CASE WHEN term = 'vector' THEN sv END) AS s3 "
+            "FROM s GROUP BY 1), "
+            "btop AS (SELECT doc_id, COALESCE(s0, 0.0) + COALESCE(s1, 0.0) "
+            "+ COALESCE(s2, 0.0) + COALESCE(s3, 0.0) AS score FROM agg "
+            "ORDER BY score DESC, doc_id LIMIT 25), "
+            "b AS (SELECT doc_id AS item_id, "
+            "row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM btop), "
+            "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "base AS (SELECT vec_id, list_sum(list_transform(range(1, 65), "
+            "i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS dp, "
+            "sqrt(list_sum(list_transform(range(1, 65), "
+            "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS na, "
+            "sqrt(list_sum(list_transform(range(1, 65), "
+            "i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) AS nb "
+            "FROM embeddings, q), "
+            "ctop AS (SELECT vec_id, CASE WHEN na * nb = 0 THEN 0.0 "
+            "ELSE dp / (na * nb) END AS cosine_sim FROM base "
+            "ORDER BY cosine_sim DESC, vec_id LIMIT 25), "
+            "c AS (SELECT vec_id AS item_id, "
+            "row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS r FROM ctop) "
+            "SELECT COALESCE(b.item_id, c.item_id) AS item_id, "
+            "COALESCE(1.0 / (60.0 + b.r), 0.0) "
+            "+ COALESCE(1.0 / (60.0 + c.r), 0.0) AS rrf_score, "
+            "CAST(COALESCE(b.r, 0) AS BIGINT) AS rank_0, "
+            "CAST(COALESCE(c.r, 0) AS BIGINT) AS rank_1 "
+            "FROM b FULL JOIN c ON b.item_id = c.item_id "
+            "ORDER BY rrf_score DESC, item_id LIMIT 10"
         ),
         # SCD2 twin: lag detects regime starts (IS DISTINCT FROM = the
         # null-safe inequality), lead on the compressed rows closes each

@@ -150,6 +150,7 @@ EXTENDED = [
     "rel_merge_upsert",
     "rel_scd2",
     "multimodal_av_demux",
+    "text_hybrid_rrf",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -359,3 +359,57 @@ def inverted_index(
             )
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner: fused(d) = Σ_systems
+    1 / (k + rank_system(d)), summed over the systems that returned d.
+    ``rankings`` is a list of (df, id_col, score_col) retriever outputs
+    (each already truncated to its own top-N); ranks are assigned by
+    (score DESC, id ASC) so they are deterministic whenever the scores
+    are engine-exact, and each reciprocal is ONE correctly-rounded IEEE
+    division added in fixed system order — the fused double is
+    hash-reproducible (the bm25/cosine discipline). Absent ranks
+    contribute 0 and are reported as rank 0 (never NULL, so the rank
+    columns stay integer-typed through Arrow).
+
+    Scale shape: every input is a retriever's top-N — tens of rows — so
+    the global rank window and the full outer fusion join run on
+    bounded, data-size-independent frames; the heavy lifting happened
+    inside the retrievers (BM25's single corpus pass, ANN's bucketed
+    probe). This is the serving-side fusion step, not a corpus scan.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for idx, (df, id_col, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        r = df.select(
+            F.col(id_col).cast("long").alias("item_id"),
+            F.row_number().over(w).alias(f"__r{idx}"),
+        )
+        fused = r if fused is None else fused.join(r, "item_id", "full_outer")
+    score = None
+    for idx in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__r{idx}")), F.lit(0.0)
+        )
+        score = term if score is None else (score + term)
+    out = fused.select(
+        "item_id",
+        score.alias("rrf_score"),
+        *[
+            F.coalesce(F.col(f"__r{idx}"), F.lit(0)).cast("long").alias(name)
+            for idx, name in zip(range(len(rankings)), _rrf_names(len(rankings)))
+        ],
+    )
+    return out.orderBy(F.col("rrf_score").desc(), F.col("item_id").asc()).limit(topk)
+
+
+def _rrf_names(n: int) -> list[str]:
+    return [f"rank_{i}" for i in range(n)]

@@ -258,3 +258,41 @@ def test_bm25_empty_corpus_and_duplicate_terms(spark):
     for d in once:
         assert once[d].score == twice[d].score
         assert once[d].n_matched == twice[d].n_matched
+
+
+# --- RRF hybrid fusion --------------------------------------------------------
+
+
+def test_rrf_fuse_semantics(spark):
+    """Items in both lists sum both reciprocals; single-list items get
+    one; ranks are (score DESC, id) and absent ranks report 0."""
+    from sakura_spark.functions.ir import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(2, 0.9), (4, 0.8)], "vec_id long, sim double")
+    rows = {r["item_id"]: r for r in rrf_fuse(
+        [(a, "doc_id", "score"), (b, "vec_id", "sim")], k=60, topk=10
+    ).collect()}
+    assert rows[2]["rank_0"] == 2 and rows[2]["rank_1"] == 1
+    assert rows[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert rows[1]["rrf_score"] == 1.0 / 61 and rows[1]["rank_1"] == 0
+    assert rows[4]["rrf_score"] == 1.0 / 62 and rows[4]["rank_0"] == 0
+    # both-lists item outranks either single-list item
+    order = [r["item_id"] for r in sorted(rows.values(), key=lambda r: (-r["rrf_score"], r["item_id"]))]
+    assert order[0] == 2
+
+
+def test_rrf_fuse_tie_break_and_topk(spark):
+    from sakura_spark.functions.ir import rrf_fuse
+
+    a = spark.createDataFrame([(i, 1.0) for i in range(5)], "doc_id long, score double")
+    out = rrf_fuse([(a, "doc_id", "score")], k=60, topk=3).collect()
+    # equal scores -> rank by id ascending; topk truncates deterministically
+    assert [(r["item_id"], r["rank_0"]) for r in out] == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_rrf_fuse_rejects_empty_rankings():
+    from sakura_spark.functions.ir import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
