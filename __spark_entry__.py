@@ -1361,6 +1361,21 @@ def q_events_attribution(spark, sf_dir):
     )
 
 
+def q_curation_leakage_split(spark, sf_dir):
+    """LEAKAGE-SAFE dataset split (curation.leakage_safe_split): the
+    train/val/test bucket hashes the canonical CONTENT fingerprint
+    instead of the row id, so every exact copy of a document lands in
+    the same split — the fix for eval contamination via duplicates
+    straddling train and test (with an upstream cluster key the same
+    operator co-splits near-duplicates; that path is pytest-covered).
+    Map-only: fingerprint + bucket are pure Column expressions, no join
+    or agg. Oracle-backed by the same md5 arithmetic in plain SQL; the
+    planted exact-dup groups in the documents corpus make the
+    co-splitting property load-bearing in the hash, not vacuous."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.leakage_safe_split(docs).select("doc_id", "fp", "split")
+
+
 def q_curation_gopher_filter(spark, sf_dir):
     """Gopher repetition quality gate (curation.gopher_repetition_filter):
     the FILTER application of the repetition statistics — integer-exact
@@ -3880,7 +3895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the cap.
         "curation_ppl_buckets": q_curation_ppl_buckets,
         "sketch_merge_law": q_sketch_merge_law,
-        "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         # Round-9 session 3: dedup_corpus_overlap (NEW oracle-backed —
         # corpus-level MinHash resemblance between sources, the Broder
         # estimator lifted from documents to corpora) enters the sweep
@@ -3999,6 +4013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings bloom_semijoin + merge_law + kmv + kmv_overlap stay in
         # sweep) rotates past the cap.
         "text_hybrid_rrf": q_text_hybrid_rrf,
+        # Round-9 session 4: curation_leakage_split (NEW oracle-backed —
+        # content-keyed train/val/test split: exact copies provably
+        # co-split) enters the sweep; sketch_bloom_semijoin (driver-green
+        # r7+r8, sketch siblings merge_law + kmv + kmv_overlap stay in
+        # sweep) rotates past the cap.
+        "curation_leakage_split": q_curation_leakage_split,
         "curation_length_buckets": q_curation_length_buckets,
         # Round-9 session 4: streaming_join_equiv (NEW oracle-backed — the
         # stream-stream interval join's exactness as a driver row,
@@ -4081,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_name_pairs": q_er_name_pairs,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -5506,6 +5527,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(c.r, 0) AS BIGINT) AS rank_1 "
             "FROM b FULL JOIN c ON b.item_id = c.item_id "
             "ORDER BY rrf_score DESC, item_id LIMIT 10"
+        ),
+        # Content-keyed split twin: same md5 arithmetic as curation_split
+        # but bucketed on the canonical-content fingerprint, so all
+        # members of an exact-dup group provably share a split label.
+        "curation_leakage_split": (
+            "SELECT doc_id, fp, "
+            "CASE WHEN substr(md5(fp), 1, 4) < 'cccc' THEN 'train' "
+            "WHEN substr(md5(fp), 1, 4) < 'e666' THEN 'val' "
+            "ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
+            "'\\s+', ' ', 'g')) AS fp FROM documents)"
         ),
         # SCD2 twin: lag detects regime starts (IS DISTINCT FROM = the
         # null-safe inequality), lead on the compressed rows closes each

@@ -151,6 +151,7 @@ EXTENDED = [
     "rel_scd2",
     "multimodal_av_demux",
     "text_hybrid_rrf",
+    "curation_leakage_split",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -554,3 +554,41 @@ def perplexity_buckets(
     return ranked.withColumn("ppl_bucket", bucket).select(
         id_col, lang_col, "n_bigrams", "n_unseen", "unseen_ratio", "ppl_bucket"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    boundaries: tuple[str, str] = ("cccc", "e666"),
+    prefix_len: int = 4,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Train/val/test split keyed on CONTENT, not row identity: the split
+    bucket hashes the canonical content fingerprint (or, when
+    ``group_col`` is given, an upstream cluster id such as
+    dedup.duplicate_clusters' representative), so every copy of a
+    document — and with a cluster key, every NEAR-duplicate — lands in
+    the SAME split. Splitting by row id (train_val_test_split) leaks:
+    two copies of one document can straddle train and test, and the
+    eval set silently overlaps training data; benchmark decontamination
+    pipelines key their splits on content for exactly this reason.
+
+    Same engine-portable md5-bucket discipline as deterministic_sample
+    (no RNG, reproducible anywhere, adding data never reassigns existing
+    rows). Map-only when keyed on the fingerprint — the fingerprint IS
+    the leakage-coherence proof, no join or agg needed; with a cluster
+    key the upstream clustering supplies its own shuffle."""
+    from sakura_spark.functions.text import fingerprint_md5
+
+    lo, hi = (b.lower() for b in boundaries)
+    if not (len(lo) == len(hi) == prefix_len and lo < hi):
+        raise ValueError(f"boundaries must be {prefix_len} hex chars with lo < hi")
+    key = F.col(group_col) if group_col else fingerprint_md5(F.col(text_col))
+    out = df.withColumn("fp", key)
+    bucket = F.substring(F.md5(F.col("fp").cast("string")), 1, prefix_len)
+    return out.withColumn(
+        "split",
+        F.when(bucket < F.lit(lo), F.lit("train"))
+        .when(bucket < F.lit(hi), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -317,3 +317,43 @@ def test_perplexity_buckets_ordering_and_tiles(spark):
     assert out[6].ppl_bucket == "head"  # sole de doc: tile 1
     # ratios are monotone with planted rarity
     assert out[1].unseen_ratio <= out[3].unseen_ratio <= out[4].unseen_ratio
+
+
+def test_leakage_safe_split_co_splits_duplicates(spark):
+    """Exact copies must land in the SAME split (the leakage property),
+    and with a cluster key, near-duplicates co-split too."""
+    from sakura_spark.functions.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(40)]
+        + [(100 + i, "  Shared   COPY text ") for i in range(6)]
+        + [(200 + i, "shared copy text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = leakage_safe_split(docs)
+    rows = out.collect()
+    # canonicalization: the two planted groups share ONE fingerprint
+    fps = {r["fp"] for r in rows if r["doc_id"] >= 100}
+    assert len(fps) == 1
+    splits = {r["split"] for r in rows if r["doc_id"] >= 100}
+    assert len(splits) == 1          # all 12 copies in one split
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # cluster-keyed variant: explicit group ids co-split
+    clustered = docs.withColumn(
+        "cluster", (F.col("doc_id") % 5).cast("string")
+    )
+    out2 = leakage_safe_split(clustered, group_col="cluster")
+    per_cluster = (
+        out2.groupBy("cluster").agg(F.countDistinct("split").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in per_cluster)
+
+
+def test_leakage_safe_split_rejects_bad_boundaries(spark):
+    from sakura_spark.functions.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, boundaries=("ffff", "0000"))
