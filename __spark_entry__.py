@@ -1755,6 +1755,24 @@ def q_multimodal_adpcm(spark, sf_dir):
     return audio.decode_audio(audio.synthetic_adpcm_payload(docs))
 
 
+def q_multimodal_image_exact(spark, sf_dir):
+    """IMAGE decode proven hash-exact (multimodal.decode_image_stats over
+    multimodal.synthetic_formula_image_payload): formula-pixel PNGs —
+    dims, color type (gray / gray+alpha / RGB) and every pixel pure
+    functions of doc_id — pushed through the REAL encoder (filter-0
+    scanlines, one zlib IDAT) and the REAL decoder (zlib inflate,
+    scanline unfiltering), reporting dims + whole-image checksum +
+    order-sensitive probes with plain-SQL closed forms. This gives the
+    image codec family its first hash-exact driver row (multimodal_decode
+    stays rows-only: its md5-derived pixels aren't SQL-reconstructable);
+    the decoder itself is shared with every PNG the image stack touches.
+    Arrow-batched mapInPandas; payloads never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(
+        multimodal.synthetic_formula_image_payload(docs)
+    )
+
+
 def q_multimodal_video(spark, sf_dir):
     """REAL video pipeline end-to-end (functions/video.py — the AVI/RIFF
     container with uncompressed BI_RGB DIB frames, written and parsed
@@ -3947,7 +3965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_hll_cumulative_users + streaming_hll_equiv in sweep)
         # rotates past the cap.
         "sim_ivf_topk_fixed": q_sim_ivf_topk_fixed,
-        "sketch_kmv_overlap": q_sketch_kmv_overlap,
         # Round-9 session 3: sim_semdedup_fixed (NEW oracle-backed —
         # SemDeDup's whole pruning pipeline engine-exact with the fixed
         # 16-cell dyadic codebook: assignment, pair expansion, cosine
@@ -4019,6 +4036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7+r8, sketch siblings merge_law + kmv + kmv_overlap stay in
         # sweep) rotates past the cap.
         "curation_leakage_split": q_curation_leakage_split,
+        # Round-9 session 4: multimodal_image_exact (NEW oracle-backed —
+        # the image codec family's first hash-exact driver row: formula-
+        # pixel PNGs through the real zlib encoder+decoder, closed-form
+        # checksum + order-sensitive probes) enters the sweep;
+        # sketch_kmv_overlap (driver-green r7+r8, siblings sketch_kmv +
+        # sketch_merge_law stay in sweep) rotates past the cap.
+        "multimodal_image_exact": q_multimodal_image_exact,
         "curation_length_buckets": q_curation_length_buckets,
         # Round-9 session 4: streaming_join_equiv (NEW oracle-backed — the
         # stream-stream interval join's exactness as a driver row,
@@ -4102,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -5527,6 +5552,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(c.r, 0) AS BIGINT) AS rank_1 "
             "FROM b FULL JOIN c ON b.item_id = c.item_id "
             "ORDER BY rrf_score DESC, item_id LIMIT 10"
+        ),
+        # Formula-PNG twin: same cyclic-walk closed form as the video
+        # oracles, over the (y, x, channel) row-major pixel walk.
+        "multimodal_image_exact": (
+            "WITH p AS (SELECT doc_id, 6 + (doc_id % 4) * 3 AS w, "
+            "5 + (doc_id % 3) * 4 AS h, 1 + (doc_id % 3) AS ch, "
+            "(doc_id * 29) % 256 AS a FROM documents), "
+            "d AS (SELECT p.*, h * w * ch AS n, w * ch AS rn FROM p) "
+            "SELECT doc_id, CAST(h AS INT) AS height, CAST(w AS INT) AS width, "
+            "CAST(ch AS INT) AS channels, "
+            "CAST((n // 256) * 32640 + CASE WHEN a + (n % 256) <= 256 "
+            "THEN (n % 256) * a + (n % 256) * ((n % 256) - 1) // 2 "
+            "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
+            "+ ((n % 256) - 256 + a) * ((n % 256) - 257 + a) // 2 END AS BIGINT) "
+            "AS pixel_checksum, "
+            "CAST(a AS BIGINT) AS first_pixel, "
+            "CAST((rn // 256) * 32640 + CASE WHEN a + (rn % 256) <= 256 "
+            "THEN (rn % 256) * a + (rn % 256) * ((rn % 256) - 1) // 2 "
+            "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
+            "+ ((rn % 256) - 256 + a) * ((rn % 256) - 257 + a) // 2 END AS BIGINT) "
+            "AS row0_sum FROM d"
         ),
         # Content-keyed split twin: same md5 arithmetic as curation_split
         # but bucketed on the canonical-content fingerprint, so all

@@ -152,6 +152,7 @@ EXTENDED = [
     "multimodal_av_demux",
     "text_hybrid_rrf",
     "curation_leakage_split",
+    "multimodal_image_exact",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

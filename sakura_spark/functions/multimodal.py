@@ -1866,3 +1866,90 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id", every_n: int = 30) 
     n_frames = (F.length(F.col("payload")) / 100 + 1).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(F.col(id_col), F.explode(idx).alias("frame_index"))
+
+
+def synthetic_formula_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Formula-pixel image generator — the IMAGE twin of the video
+    corpus's synthesis rotation (functions/video.py): dimensions, color
+    type and EVERY PIXEL are pure functions of the row id, so a plain-SQL
+    oracle can reproduce the decoder's outputs in closed form (the
+    md5-based synthetic_image_payload cannot — digest bytes aren't
+    SQL-reconstructable):
+
+        width     = 6 + (id % 4) * 3    -> 6, 9, 12, 15
+        height    = 5 + (id % 3) * 4    -> 5, 9, 13
+        channels  = 1 + (id % 3)        -> gray / gray+alpha / RGB
+        pixel[j]  = (id * 29 + j) % 256 over the row-major (y, x, c) walk
+
+    Payloads are REAL PNGs (filter-0 scanlines, one zlib IDAT) through
+    the same _png_encode the image stack ships. Map-only; widened to core
+    parallelism like every codec generator."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, ch = 6 + (i % 4) * 3, 5 + (i % 3) * 4, 1 + (i % 3)
+                arr = ((i * 29 + np.arange(h * w * ch)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, ch)
+                payloads.append(_png_encode(arr))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    src = df.select(id_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(op, schema=f"{id_col} long, payload binary")
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, height int, width int, channels int, "
+    "pixel_checksum long, first_pixel long, row0_sum long"
+)
+
+
+def decode_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image decode -> dims PLUS integer-exact content statistics: the
+    whole-image pixel checksum and the order-SENSITIVE probes the video
+    stack established (first pixel = [0, 0, channel 0]; top-row sum over
+    all channels) — a decoder that mis-orders scanlines, channels, or
+    unfiltering fails the probes even when the permutation-blind sum
+    passes. Works on any payload _decode_pixels accepts (PNG/GIF/baseline
+    JPEG); NULL row for undecodable payloads. Arrow-batched mapInPandas
+    over (id, payload); payloads never shuffle."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    arr = _decode_pixels(b)
+                except DecodeUnavailable:
+                    rows.append((int(i), None, None, None, None, None, None))
+                    continue
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                rows.append(
+                    (
+                        int(i),
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.shape[2],
+                        int(arr.sum(dtype=np.int64)),
+                        int(arr[0, 0, 0]),
+                        int(arr[0].sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "height", "width", "channels",
+                    "pixel_checksum", "first_pixel", "row0_sum",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, schema=IMAGE_STATS_SCHEMA)

@@ -1819,3 +1819,43 @@ def test_simhash_portable_hamming_and_twin(spark):
 
     with _pytest.raises(ValueError):
         dedup.simhash_portable(df, "id", bits=64)
+
+
+def test_decode_image_stats_matches_closed_forms(spark):
+    """Formula-pixel PNGs: dims/checksum/probes from the REAL decoder must
+    equal the oracle's closed forms for every color type (gray,
+    gray+alpha, RGB) and padding-free scanline layout."""
+    from sakura_spark.functions import multimodal as M
+
+    def closed(a, n):
+        full, rem = divmod(n, 256)
+        s = full * 32640
+        if a + rem <= 256:
+            s += rem * a + rem * (rem - 1) // 2
+        else:
+            t1, t2 = 256 - a, rem - (256 - a)
+            s += t1 * a + t1 * (t1 - 1) // 2 + t2 * (t2 - 1) // 2
+        return s
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = M.decode_image_stats(M.synthetic_formula_image_payload(ids))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 24
+    for i, r in rows.items():
+        w, h, ch = 6 + (i % 4) * 3, 5 + (i % 3) * 4, 1 + (i % 3)
+        a = (i * 29) % 256
+        assert (r["height"], r["width"], r["channels"]) == (h, w, ch)
+        assert r["pixel_checksum"] == closed(a, h * w * ch)
+        assert r["first_pixel"] == a
+        assert r["row0_sum"] == closed(a, w * ch)
+
+
+def test_decode_image_stats_null_row_for_undecodable(spark):
+    from sakura_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nbroken")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = M.decode_image_stats(df).collect()
+    assert len(rows) == 2 and all(r["pixel_checksum"] is None for r in rows)
