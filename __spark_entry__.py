@@ -3517,6 +3517,30 @@ def q_sketch_hll_hourly_users(spark, sf_dir):
     return sketches.hll_registers(hourly, ["hour"], "user_id", p=4)
 
 
+def q_sketch_hll_cube(spark, sf_dir):
+    """CUBE x SKETCH composition (sketches.hll_cube): distinct-user HLL
+    registers for EVERY grouping combination of (event_type, hour) —
+    per-type, per-hour, per-(type, hour), and the grand total — in ONE
+    corpus pass via GROUPING SETS with the register bucket as an exact
+    key. The OLAP drill-down question ("distinct users at every
+    granularity") answered with one map-side-combined MAX: the shuffle
+    carries at most cells x 2^p register rows, the corpus is scanned
+    once, and every cell's registers stay hll_merge-able (the
+    sketch_merge_law algebra). Oracle: the same GROUPING SETS + MAX in
+    plain SQL; rolled dims surface as 'ALL'."""
+    from sakura_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+            "hour"
+        ),
+        "user_id",
+    )
+    return sketches.hll_cube(hourly, ["event_type", "hour"], "user_id", p=4)
+
+
 def q_sketch_kmv_overlap(spark, sf_dir):
     """Audience overlap via KMV sketches (sketches.kmv_pairwise_overlap):
     for every pair of event types, the bottom-64 union sketch's size and
@@ -3921,7 +3945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_bloom_bits / sketch_bloom_semijoin / streaming_bloom_equiv
         # still registered) rotates past the cap.
         "dedup_corpus_overlap": q_dedup_corpus_overlap,
-        "sketch_hll_cumulative_users": q_sketch_hll_cumulative_users,
         # Round-9 session 3: sim_embedding_moments (NEW oracle-backed —
         # the integer-exact PCA/whitening moment table, shuffle-order-
         # proof by construction) enters the sweep;
@@ -4043,6 +4066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_kmv_overlap (driver-green r7+r8, siblings sketch_kmv +
         # sketch_merge_law stay in sweep) rotates past the cap.
         "multimodal_image_exact": q_multimodal_image_exact,
+        # Round-9 session 4: sketch_hll_cube (NEW oracle-backed — the
+        # CUBE x sketch composition: every grouping combination's HLL
+        # registers in one pass) enters the sweep;
+        # sketch_hll_cumulative_users (driver-green r7+r8, HLL siblings
+        # sketch_merge_law + sketch_kmv stay in sweep) rotates past the
+        # cap.
+        "sketch_hll_cube": q_sketch_hll_cube,
         "curation_length_buckets": q_curation_length_buckets,
         # Round-9 session 4: streaming_join_equiv (NEW oracle-backed — the
         # stream-stream interval join's exactness as a driver row,
@@ -4127,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "sketch_hll_cumulative_users": q_sketch_hll_cumulative_users,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -5552,6 +5583,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(c.r, 0) AS BIGINT) AS rank_1 "
             "FROM b FULL JOIN c ON b.item_id = c.item_id "
             "ORDER BY rrf_score DESC, item_id LIMIT 10"
+        ),
+        # CUBE x HLL twin: the same sha256 register arithmetic as the
+        # hourly-HLL oracle, grouped by GROUPING SETS over (type, hour)
+        # with the bucket exact; rolled dims COALESCE to 'ALL'.
+        "sketch_hll_cube": (
+            "WITH h AS (SELECT event_type, "
+            "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT % 16 AS bucket, "
+            "('0x' || substr(sha256(concat_ws(chr(31), 'hll', "
+            "CAST(user_id AS VARCHAR))), 16, 15))::BIGINT AS v FROM events) "
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(hour, 'ALL') AS hour, bucket, "
+            "CAST(MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) "
+            "AS INTEGER) AS rho FROM h "
+            "GROUP BY GROUPING SETS ((event_type, hour, bucket), "
+            "(event_type, bucket), (hour, bucket), (bucket))"
         ),
         # Formula-PNG twin: same cyclic-walk closed form as the video
         # oracles, over the (y, x, channel) row-major pixel walk.

@@ -153,6 +153,7 @@ EXTENDED = [
     "text_hybrid_rrf",
     "curation_leakage_split",
     "multimodal_image_exact",
+    "sketch_hll_cube",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

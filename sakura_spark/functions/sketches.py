@@ -834,3 +834,39 @@ def hll_cumulative(
         )
         .filter(F.col("rho").isNotNull())
     )
+
+
+def hll_cube(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    p: int = 5,
+    salt: str = "hll",
+) -> DataFrame:
+    """HLL registers for EVERY cube cell over ``dims`` — all 2^|dims|
+    grouping combinations (per-dim, per-pair, ..., grand total) sketched
+    in ONE corpus pass via GROUPING SETS, with the register bucket always
+    an exact grouping key. The OLAP drill-down primitive at 100 TB:
+    "distinct users by (surface), by (hour), by (surface, hour), and
+    overall" costs one map-side-combined MAX whose shuffle carries at
+    most cells x 2^p register rows — the corpus is never re-scanned per
+    cell, and every cell's registers merge downstream with hll_merge
+    exactly like any other HLL table (same MAX algebra, driver-proven by
+    sketch_merge_law). Rolled-up dims surface as 'ALL' (the
+    agg_grouping_sets convention)."""
+    bucket, rho = hll_exprs(F.col(value_col), p=p, salt=salt)
+    sel = df.select(
+        *[F.col(d).cast("string").alias(d) for d in dims],
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
+    subsets = [[]]
+    for d in dims:
+        subsets += [s + [d] for s in subsets]
+    sets = [s + ["bucket"] for s in subsets]
+    out = sel.groupingSets(sets, *dims, "bucket").agg(F.max("rho").alias("rho"))
+    return out.select(
+        *[F.coalesce(F.col(d), F.lit("ALL")).alias(d) for d in dims],
+        "bucket",
+        "rho",
+    )

@@ -545,3 +545,34 @@ def test_hll_cumulative_equals_prefix_union_registers(spark):
     for t in range(1, 6):
         exact = len({u for tt, u in rows if tt <= t})
         assert abs(est[t] - exact) <= 3 * 1.04 / 4 * exact + 2, (t, est[t], exact)
+
+
+def test_hll_cube_cells_match_per_cell_sketches(spark):
+    """Every cube cell's registers must be BIT-IDENTICAL to sketching
+    that cell's rows alone — the grouping-sets pass is a pure
+    reorganization, not an approximation; and the grand-total cell must
+    equal hll_merge over the per-type tables (the merge law)."""
+    from sakura_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(f"t{i % 3}", f"h{i % 2}", i % 40) for i in range(300)],
+        "event_type string, hour string, user_id long",
+    )
+    cube = sketches.hll_cube(df, ["event_type", "hour"], "user_id", p=4)
+    rows = {(r["event_type"], r["hour"], r["bucket"]): r["rho"] for r in cube.collect()}
+
+    # per-(type, hour) cells == direct per-group sketch
+    direct = sketches.hll_registers(df, ["event_type", "hour"], "user_id", p=4)
+    for r in direct.collect():
+        assert rows[(r["event_type"], r["hour"], r["bucket"])] == r["rho"]
+    # per-type cells (hour rolled to 'ALL') == direct sketch by type
+    by_type = sketches.hll_registers(df, ["event_type"], "user_id", p=4)
+    for r in by_type.collect():
+        assert rows[(r["event_type"], "ALL", r["bucket"])] == r["rho"]
+    # grand total == hll_merge over the per-type tables (merge law)
+    merged = sketches.hll_merge(by_type.drop("event_type"), [])
+    for r in merged.collect():
+        assert rows[("ALL", "ALL", r["bucket"])] == r["rho"]
+    # estimate layer sanity on the grand total: 40 distinct users
+    est = sketches.hll_estimate(merged, [], p=4).collect()[0]["estimate"]
+    assert 25 <= est <= 55
