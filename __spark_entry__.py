@@ -3495,6 +3495,41 @@ def q_rel_scd2(spark, sf_dir):
     )
 
 
+def q_rel_merge_delete(spark, sf_dir):
+    """Three-clause MERGE (operators.merge_upsert with delete_col — the
+    full Delta/Iceberg CDC apply: WHEN MATCHED AND s.del THEN DELETE,
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT): the
+    rel_merge_upsert change batch plus CDC tombstones — every key ≡ 3
+    (mod 30) arrives flagged for deletion and must VANISH from the
+    output; the remaining ≡ 3 (mod 10) keys update; ≡ 7 (mod 10) keys
+    insert under negated keys. Oracle-backed by the FULL JOIN + CASE +
+    tombstone-filter twin, proving all three clauses row- and
+    value-exactly in one plan. Same shape as the upsert: one key
+    shuffle per side, the tombstone filter rides the join output."""
+    from sakura_spark.operators import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("UPDATED").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        (F.col("o_orderkey") % 30 == 3).alias("del"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 7).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("NEW").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(False).alias("del"),
+    )
+    return merge_upsert(
+        orders, updates.unionByName(inserts), ["o_orderkey"], delete_col="del"
+    )
+
+
 def q_sketch_hll_hourly_users(spark, sf_dir):
     """Windowed distinct-user HLL (sketches.hll_registers over event-time
     hours): per-hour registers of the distinct user_id set at p=4 — the
@@ -3951,7 +3986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation_weighted_sample (driver-green r7+r8, four curation
         # siblings in sweep) rotates past the cap.
         "sim_embedding_moments": q_sim_embedding_moments,
-        "text_tfidf_topk": q_text_tfidf_topk,
         # Round-9 session 3: text_hash_features (NEW oracle-backed —
         # the Weinberger hashing-trick featurizer, dictionary-free
         # fixed-width features with an engine-portable hash) enters the
@@ -4073,6 +4107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_merge_law + sketch_kmv stay in sweep) rotates past the
         # cap.
         "sketch_hll_cube": q_sketch_hll_cube,
+        # Round-9 session 4: rel_merge_delete (NEW oracle-backed — the
+        # three-clause MERGE: matched tombstones DELETE, completing the
+        # CDC apply) enters the sweep; text_tfidf_topk (driver-green
+        # r7+r8, IR siblings text_bm25_topk + text_hybrid_rrf stay in
+        # sweep) rotates past the cap.
+        "rel_merge_delete": q_rel_merge_delete,
         "curation_length_buckets": q_curation_length_buckets,
         # Round-9 session 4: streaming_join_equiv (NEW oracle-backed — the
         # stream-stream interval join's exactness as a driver row,
@@ -4158,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "sketch_hll_cumulative_users": q_sketch_hll_cumulative_users,
+        "text_tfidf_topk": q_text_tfidf_topk,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "range_join": q_range_join,
         "icl_range_violations": q_icl_range_violations,
@@ -5656,6 +5697,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM kept "
             "WINDOW w2 AS (PARTITION BY o_custkey "
             "ORDER BY o_orderdate, o_orderkey)"
+        ),
+        # Three-clause MERGE twin: the upsert FULL JOIN + CASE plus the
+        # tombstone filter (every tombstone in this corpus is a matched
+        # key, so NOT COALESCE(del, FALSE) is the exact clause).
+        "rel_merge_delete": (
+            "WITH src AS ("
+            "SELECT o_orderkey AS k, o_custkey AS ck, "
+            "'UPDATED' AS status, CAST(o_totalprice * 2 AS DOUBLE) AS price, "
+            "(o_orderkey % 30 = 3) AS del "
+            "FROM orders WHERE o_orderkey % 10 = 3 "
+            "UNION ALL "
+            "SELECT -o_orderkey, o_custkey, 'NEW', "
+            "CAST(o_totalprice AS DOUBLE), FALSE "
+            "FROM orders WHERE o_orderkey % 10 = 7) "
+            "SELECT COALESCE(t.o_orderkey, s.k) AS o_orderkey, "
+            "COALESCE(s.ck, t.o_custkey) AS o_custkey, "
+            "CASE WHEN s.k IS NOT NULL THEN s.status "
+            "ELSE t.o_orderstatus END AS o_orderstatus, "
+            "CASE WHEN s.k IS NOT NULL THEN s.price "
+            "ELSE t.o_totalprice END AS o_totalprice "
+            "FROM orders t FULL JOIN src s ON t.o_orderkey = s.k "
+            "WHERE NOT COALESCE(s.del, FALSE)"
         ),
         # MERGE INTO twin: matched keys take the source row, unmatched
         # source keys insert, unmatched target rows pass through — the

@@ -154,6 +154,7 @@ EXTENDED = [
     "curation_leakage_split",
     "multimodal_image_exact",
     "sketch_hll_cube",
+    "rel_merge_delete",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -176,13 +176,19 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     update_cols: list[str] | None = None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """MERGE INTO / upsert (the Delta/Iceberg `WHEN MATCHED THEN UPDATE,
     WHEN NOT MATCHED THEN INSERT` apply step, expressed as a pure
     DataFrame transform): rows of ``target`` whose key matches a
     ``source`` row take the source's ``update_cols`` (all non-key source
     columns by default); unmatched source rows are inserted; unmatched
-    target rows pass through. ``source`` must be key-unique (CDC batches
+    target rows pass through. ``delete_col`` names an optional boolean
+    column of ``source`` — the `WHEN MATCHED AND s.<col> THEN DELETE`
+    clause: matched target rows whose source row carries true are
+    REMOVED from the output (a CDC tombstone); an unmatched tombstone is
+    ignored, never inserted — the three-clause MERGE a CDC apply needs.
+    ``source`` must be key-unique (CDC batches
     are; enforce upstream with dedup_exact otherwise) — with duplicate
     source keys a real MERGE raises, and this plan would multiply rows.
 
@@ -195,7 +201,11 @@ def merge_upsert(
     state, no row explosion.
     """
     if update_cols is None:
-        update_cols = [c for c in source.columns if c not in keys]
+        update_cols = [
+            c for c in source.columns if c not in keys and c != delete_col
+        ]
+    if delete_col is not None and delete_col not in source.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in source")
     missing = [c for c in update_cols if c not in target.columns]
     if missing:
         raise ValueError(f"update_cols not in target: {missing}")
@@ -206,6 +216,11 @@ def merge_upsert(
     s = source.select(
         *[F.col(k).alias(f"__sk_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in update_cols],
+        *(
+            [F.col(delete_col).cast("boolean").alias("__s_del")]
+            if delete_col
+            else []
+        ),
     )
     cond = None
     for k in keys:
@@ -213,6 +228,11 @@ def merge_upsert(
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
     matched = F.col(f"__sk_{keys[0]}").isNotNull()
+    if delete_col is not None:
+        was_target = F.col(f"__tk_{keys[0]}").isNotNull()
+        tombstone = F.coalesce(F.col("__s_del"), F.lit(False))
+        # matched tombstones delete; unmatched tombstones never insert
+        joined = joined.filter(~tombstone | (~matched & was_target))
     out_cols = []
     for c in target.columns:
         if c in keys:

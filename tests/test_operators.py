@@ -370,3 +370,41 @@ def test_scd2_single_window_partitioning(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_upsert_delete_clause(spark):
+    """Three-clause MERGE: matched tombstones delete, unmatched
+    tombstones are ignored (never inserted), everything else behaves as
+    the two-clause upsert."""
+    from sakura_spark.operators import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, tag string, v double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", 200.0, False),   # matched update
+            (3, "X", 0.0, True),      # matched tombstone -> delete
+            (4, "D", 400.0, False),   # insert
+            (5, "E", 500.0, True),    # unmatched tombstone -> ignored
+        ],
+        "k long, tag string, v double, del boolean",
+    )
+    rows = {
+        r["k"]: r
+        for r in merge_upsert(target, source, ["k"], delete_col="del").collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert rows[2]["tag"] == "B" and rows[4]["tag"] == "D"
+    # the delete flag never leaks into the output schema
+    assert "del" not in rows[1].asDict() and "__s_del" not in rows[1].asDict()
+
+
+def test_merge_upsert_delete_col_validation(spark):
+    from sakura_spark.operators import merge_upsert
+
+    t = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    s = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError):
+        merge_upsert(t, s, ["k"], delete_col="nope")
