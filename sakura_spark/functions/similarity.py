@@ -1110,11 +1110,19 @@ def embedding_moments(
     change a bit). Mean/covariance/PCA derive on the driver from the
     dims^2-sized table: see :func:`pca_from_moments`.
 
-    Plan: map-only projection into the dims*(dims+1)/2 pair-struct
-    array, explode, ONE map-side-combinable groupBy — partial
-    aggregation reduces every task to at most 136 rows (dims=16) before
-    the shuffle, so the exchange carries O(tasks * dims^2) longs
-    however large the corpus.
+    Plan: ONE global aggregate with dims + dims*(dims+1)/2 sum
+    expressions (plus the count) — no row amplification at all: every
+    task folds its rows into a single wide partial row inside
+    whole-stage codegen, the exchange carries ONE wide row per task,
+    and the (i, j) output table is unfolded from the single aggregated
+    row by a 136-element inline (a constant-size driver-free reshape).
+    Round 10 replaced the original explode-136-structs-then-groupBy
+    shape (VERDICT r9: 136x per-row CPU amplification before the
+    map-side combine) with this form; the integer statistics are
+    bit-identical — only the per-row cost changed. Note the unfold runs
+    over the aggregate row, so an EMPTY corpus yields the full (i, j)
+    lattice with n=0 and NULL sums rather than zero rows — the
+    statistic consumers (pca_from_moments) require n > 0 anyway.
     """
     qs = [
         F.floor(
@@ -1123,6 +1131,12 @@ def embedding_moments(
         ).cast("long")
         for d in range(dims)
     ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(qs[d]).alias(f"s_{d}") for d in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(qs[i] * qs[j]).alias(f"s_{i}_{j}"))
+    wide = df.agg(*aggs)
     structs = []
     for i in range(dims):
         for j in range(i, dims):
@@ -1130,18 +1144,13 @@ def embedding_moments(
                 F.struct(
                     F.lit(i).alias("i"),
                     F.lit(j).alias("j"),
-                    qs[i].alias("qi"),
-                    qs[j].alias("qj"),
-                    (qs[i] * qs[j]).alias("qij"),
+                    F.col("n").alias("n"),
+                    F.col(f"s_{i}").alias("s_i"),
+                    F.col(f"s_{j}").alias("s_j"),
+                    F.col(f"s_{i}_{j}").alias("s_ij"),
                 )
             )
-    pairs = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
-    return pairs.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qi").alias("s_i"),
-        F.sum("qj").alias("s_j"),
-        F.sum("qij").alias("s_ij"),
-    )
+    return wide.select(F.inline(F.array(*structs)))
 
 
 def embedding_moments_oracle_sql(

@@ -853,7 +853,12 @@ def hll_cube(
     cell, and every cell's registers merge downstream with hll_merge
     exactly like any other HLL table (same MAX algebra, driver-proven by
     sketch_merge_law). Rolled-up dims surface as 'ALL' (the
-    agg_grouping_sets convention)."""
+    agg_grouping_sets convention) — via F.grouping(), not a NULL
+    coalesce, so a GENUINE NULL dim value keeps its NULL label and never
+    collides with the rollup cell (ADVICE r9: the coalesce form
+    double-counted for label-keyed consumers). A literal 'ALL' string
+    value still collides with the rollup label; dims carrying that
+    sentinel must be re-labeled upstream."""
     bucket, rho = hll_exprs(F.col(value_col), p=p, salt=salt)
     sel = df.select(
         *[F.col(d).cast("string").alias(d) for d in dims],
@@ -864,9 +869,17 @@ def hll_cube(
     for d in dims:
         subsets += [s + [d] for s in subsets]
     sets = [s + ["bucket"] for s in subsets]
-    out = sel.groupingSets(sets, *dims, "bucket").agg(F.max("rho").alias("rho"))
+    out = sel.groupingSets(sets, *dims, "bucket").agg(
+        F.max("rho").alias("rho"),
+        *[F.grouping(d).alias(f"__g_{d}") for d in dims],
+    )
     return out.select(
-        *[F.coalesce(F.col(d), F.lit("ALL")).alias(d) for d in dims],
+        *[
+            F.when(F.col(f"__g_{d}") == 1, F.lit("ALL"))
+            .otherwise(F.col(d))
+            .alias(d)
+            for d in dims
+        ],
         "bucket",
         "rho",
     )

@@ -90,22 +90,26 @@ def _list(listtype: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", listtype + payload)
 
 
-def _dib_encode_frame(arr) -> bytes:
+def _dib_encode_frame(arr, top_down: bool = False) -> bytes:
     """(h, w, 3) top-down RGB uint8 -> BI_RGB DIB frame bytes: bottom-up
-    rows, BGR order, each row zero-padded to a 4-byte boundary."""
+    rows (or top-down when ``top_down`` — the negative-biHeight layout),
+    BGR order, each row zero-padded to a 4-byte boundary."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
     h, w, _ = arr.shape
     stride = (w * 3 + 3) & ~3
-    bgr = arr[::-1, :, ::-1]  # bottom-up + BGR
+    bgr = arr[:, :, ::-1] if top_down else arr[::-1, :, ::-1]
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, : w * 3] = bgr.reshape(h, w * 3)
     return rows.tobytes()
 
 
-def _dib_decode_frame(b: bytes, w: int, h: int):
+def _dib_decode_frame(b: bytes, w: int, h: int, top_down: bool = False):
     """BI_RGB 24bpp DIB frame bytes -> top-down RGB uint8 (h, w, 3).
+    ``top_down`` is the WinGDI negative-biHeight layout: rows already
+    top-down, so the bottom-up flip is skipped (ADVICE r9: flipping
+    unconditionally silently inverted valid top-down DIB AVIs).
     Rejects payloads whose size disagrees with the padded stride."""
     import numpy as np
 
@@ -116,11 +120,17 @@ def _dib_decode_frame(b: bytes, w: int, h: int):
         )
     rows = np.frombuffer(b, dtype=np.uint8).reshape(h, stride)
     bgr = rows[:, : w * 3].reshape(h, w, 3)
-    return bgr[::-1, :, ::-1].copy()
+    rgb = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
+    return rgb.copy()
 
 
 def _avi_encode(
-    frames, rate: int, scale: int = 1, codec: str = "dib", audio=None
+    frames,
+    rate: int,
+    scale: int = 1,
+    codec: str = "dib",
+    audio=None,
+    top_down: bool = False,
 ) -> bytes:
     """Frames (list of top-down RGB uint8 (h, w, 3) arrays, equal dims) ->
     a REAL AVI: RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh 'vids',
@@ -136,7 +146,7 @@ def _avi_encode(
 
     if codec == "dib":
         h, w, _ = np.asarray(frames[0]).shape
-        payloads = [_dib_encode_frame(f) for f in frames]
+        payloads = [_dib_encode_frame(f, top_down=top_down) for f in frames]
         ckid, compression, handler = b"00db", _BI_RGB, b"DIB "
     elif codec == "mjpg":
         first = _jpeg_decode(frames[0])
@@ -223,12 +233,14 @@ def _avi_encode(
             0, 0, w, h,  # rcFrame
         ),
     )
-    # BITMAPINFOHEADER (WinGDI): biHeight POSITIVE -> bottom-up DIB.
+    # BITMAPINFOHEADER (WinGDI): biHeight POSITIVE -> bottom-up DIB,
+    # NEGATIVE -> top-down (rows stored first-row-first).
     strf = _chunk(
         b"strf",
         struct.pack(
             "<IiiHHIIiiII",
-            40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
+            40, w, -h if top_down else h, 1, 24, compression,
+            stride * h, 0, 0, 0, 0
         ),
     )
     strls = _list(b"strl", strh + strf)
@@ -357,6 +369,7 @@ def _avi_decode(b: bytes):
         )
 
     h = abs(bih)
+    top_down = bih < 0  # WinGDI: negative biHeight -> top-down DIB
     if idx1 is not None:
         if len(idx1) != 16 * len(stream_chunks):
             raise DecodeUnavailable("idx1 entry count != movi chunk count")
@@ -371,7 +384,7 @@ def _avi_decode(b: bytes):
         if ckid[2:4] == b"wb":
             audio_parts.append(payload)
         elif codec == "dib":
-            frames.append(_dib_decode_frame(payload, biw, h))
+            frames.append(_dib_decode_frame(payload, biw, h, top_down=top_down))
         else:
             arr = _jpeg_decode(payload)
             if arr.ndim == 2:

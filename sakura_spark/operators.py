@@ -177,6 +177,7 @@ def merge_upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     delete_col: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """MERGE INTO / upsert (the Delta/Iceberg `WHEN MATCHED THEN UPDATE,
     WHEN NOT MATCHED THEN INSERT` apply step, expressed as a pure
@@ -191,6 +192,20 @@ def merge_upsert(
     ``source`` must be key-unique (CDC batches
     are; enforce upstream with dedup_exact otherwise) — with duplicate
     source keys a real MERGE raises, and this plan would multiply rows.
+    ``validate=True`` enforces that contract in-plan (the Delta/Iceberg
+    parity mode): a window count over the source keys feeds
+    ``raise_error``, so a duplicate-key or NULL-key source row fails the
+    job loudly instead of silently multiplying/NULL-keying rows. The
+    check costs one extra shuffle of the (small) CDC batch only — the
+    target side is untouched — so it is opt-in for hot paths that
+    already dedup upstream.
+
+    Match state is carried by explicit per-side existence markers
+    (constant-true columns that survive the full outer join as
+    NULL/true), never inferred from key NULL-ness — so a source row
+    whose key is genuinely NULL behaves like a real MERGE: it is
+    UNMATCHED (NULL never equi-joins) and inserts, rather than decaying
+    into a mostly-NULL pass-through.
 
     Shape: ONE full outer equi-join on the keys + per-column coalesce —
     the canonical copy-on-write apply, a single key shuffle of each side
@@ -209,11 +224,44 @@ def merge_upsert(
     missing = [c for c in update_cols if c not in target.columns]
     if missing:
         raise ValueError(f"update_cols not in target: {missing}")
+    if validate:
+        null_key = None
+        for k in keys:
+            n = F.col(k).isNull()
+            null_key = n if null_key is None else (null_key | n)
+        dup = F.count(F.lit(1)).over(W.partitionBy(*keys)) > 1
+        source = source.withColumn(
+            "__merge_valid",
+            F.when(
+                null_key,
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_upsert: NULL source key in ("),
+                        F.lit(", ".join(keys)),
+                        F.lit(")"),
+                    )
+                ),
+            )
+            .when(
+                dup,
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_upsert: duplicate source key "),
+                        F.concat_ws(
+                            "|", *[F.col(k).cast("string") for k in keys]
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.lit(True)),
+        ).filter(F.col("__merge_valid")).drop("__merge_valid")
     t = target.select(
+        F.lit(True).alias("__t_exists"),
         *[F.col(k).alias(f"__tk_{k}") for k in keys],
         *[F.col(c).alias(f"__t_{c}") for c in target.columns if c not in keys],
     )
     s = source.select(
+        F.lit(True).alias("__s_exists"),
         *[F.col(k).alias(f"__sk_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in update_cols],
         *(
@@ -227,21 +275,28 @@ def merge_upsert(
         c = F.col(f"__tk_{k}") == F.col(f"__sk_{k}")
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
-    matched = F.col(f"__sk_{keys[0]}").isNotNull()
+    was_source = F.col("__s_exists").isNotNull()
+    was_target = F.col("__t_exists").isNotNull()
+    matched = was_source & was_target
     if delete_col is not None:
-        was_target = F.col(f"__tk_{keys[0]}").isNotNull()
         tombstone = F.coalesce(F.col("__s_del"), F.lit(False))
         # matched tombstones delete; unmatched tombstones never insert
         joined = joined.filter(~tombstone | (~matched & was_target))
     out_cols = []
     for c in target.columns:
         if c in keys:
+            # a NULL-key insert keeps its NULL key: take the target key
+            # only when the target row exists, else the source key as-is.
             out_cols.append(
-                F.coalesce(F.col(f"__tk_{c}"), F.col(f"__sk_{c}")).alias(c)
+                F.when(was_target, F.col(f"__tk_{c}"))
+                .otherwise(F.col(f"__sk_{c}"))
+                .alias(c)
             )
         elif c in update_cols:
+            # source value on update AND insert; target value on
+            # pass-through.
             out_cols.append(
-                F.when(matched, F.col(f"__s_{c}"))
+                F.when(was_source, F.col(f"__s_{c}"))
                 .otherwise(F.col(f"__t_{c}"))
                 .alias(c)
             )

@@ -576,3 +576,29 @@ def test_hll_cube_cells_match_per_cell_sketches(spark):
     # estimate layer sanity on the grand total: 40 distinct users
     est = sketches.hll_estimate(merged, [], p=4).collect()[0]["estimate"]
     assert 25 <= est <= 55
+
+
+def test_hll_cube_null_dim_distinct_from_rollup(spark):
+    """A GENUINE NULL dim value must keep its NULL label — distinct from
+    the rollup's 'ALL' cell (ADVICE r9: the old NULL-coalesce form made
+    them collide, double-counting for label-keyed consumers). The NULL
+    cell's registers equal sketching the NULL rows alone; the 'ALL'
+    cell covers ALL rows (NULL ones included)."""
+    from sakura_spark.functions import sketches
+
+    rows = [(None if i % 3 == 0 else f"t{i % 2}", i % 20) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    cube = sketches.hll_cube(df, ["event_type"], "user_id", p=4)
+    got = {(r["event_type"], r["bucket"]): r["rho"] for r in cube.collect()}
+
+    labels = {k[0] for k in got}
+    assert None in labels and "ALL" in labels
+
+    null_only = sketches.hll_registers(
+        df.filter(F.col("event_type").isNull()), [], "user_id", p=4
+    )
+    for r in null_only.collect():
+        assert got[(None, r["bucket"])] == r["rho"]
+    grand = sketches.hll_registers(df, [], "user_id", p=4)
+    for r in grand.collect():
+        assert got[("ALL", r["bucket"])] == r["rho"]

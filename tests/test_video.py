@@ -314,3 +314,35 @@ def test_frames_to_png_feeds_image_pipeline(spark):
     for d in dims:
         w, h, _, _ = V._synth_params(d["doc_id"])
         assert (d["height"], d["width"], d["channels"]) == (h, w, 3)
+
+
+@pytest.mark.parametrize("w,h,n", [(7, 6, 3), (4, 4, 2), (13, 5, 1)])
+def test_top_down_dib_roundtrip_bit_exact(w, h, n):
+    """Negative-biHeight (top-down) DIB AVIs decode bit-exactly — the
+    decoder honors the WinGDI sign instead of unconditionally applying
+    the bottom-up flip (ADVICE r9: the old path silently returned
+    vertically flipped pixels for valid external top-down files)."""
+    rng = np.random.default_rng(w + h + n)
+    frames = _rand_frames(rng, n, w, h)
+    b = V._avi_encode(frames, rate=25, top_down=True)
+    # the container really does carry a negative biHeight
+    i = b.index(b"strf")
+    biw, bih = struct.unpack_from("<ii", b, i + 8 + 4)
+    assert (biw, bih) == (w, -h)
+    meta, out = V._avi_decode(b)
+    assert meta["width"] == w and meta["height"] == h and meta["n_frames"] == n
+    for a, got in zip(frames, out):
+        assert np.array_equal(a, got)
+
+
+def test_top_down_and_bottom_up_payloads_differ():
+    """Sanity: for a vertically asymmetric frame the two layouts store
+    different bytes, so the round-trip above is load-bearing."""
+    frame = np.zeros((2, 1, 3), dtype=np.uint8)
+    frame[0, 0] = (255, 0, 0)
+    assert V._dib_encode_frame(frame) != V._dib_encode_frame(frame, top_down=True)
+    # and cross-decoding without honoring the sign would flip:
+    assert np.array_equal(
+        V._dib_decode_frame(V._dib_encode_frame(frame, top_down=True), 1, 2, top_down=False),
+        frame[::-1],
+    )
