@@ -1773,6 +1773,41 @@ def q_multimodal_image_exact(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_exact(spark, sf_dir):
+    """GIF decode proven hash-exact (round 10, VERDICT r9 item 2 — the
+    PNG precedent applied to the LZW family): formula-pixel grayscale
+    GIFs through the REAL GIF89a encoder (palette + LZW index stream)
+    and the REAL decoder (LZW expansion, color-table indirection),
+    reporting dims + whole-image checksum + order-sensitive probes.
+    The decoder expands gray through the palette to RGB, so every
+    statistic is the grayscale closed form times 3 — and a decoder that
+    mis-walks the LZW stream, the palette or the scanline order fails
+    the probes. Arrow-batched mapInPandas; payloads never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(
+        multimodal.synthetic_formula_gif_payload(docs)
+    )
+
+
+def q_multimodal_jpeg_exact(spark, sf_dir):
+    """Baseline-JPEG decode proven hash-exact (round 10, VERDICT r9
+    item 2): flat-8x8-block grayscale images — the one corpus family a
+    LOSSY codec round-trips bit-exactly, because with the encoder's
+    all-ones quantization tables a constant block's spectrum is exactly
+    representable (DC = 8*(v-128), all AC rint to 0) — through the REAL
+    entropy coder (canonical Huffman, DC prediction, zigzag, byte
+    stuffing) and the REAL decoder (Huffman decode, dequantize, IDCT).
+    Dims are whole MCUs (8/16/24 x 8/16) so no edge padding perturbs
+    the blocks; probes are block-order-sensitive. This closes the 'is
+    the JPEG decoder actually exact?' question the same way
+    multimodal_image_exact did for PNG and multimodal_video for DIB.
+    Arrow-batched mapInPandas; payloads never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(
+        multimodal.synthetic_formula_jpeg_payload(docs)
+    )
+
+
 def q_multimodal_video(spark, sf_dir):
     """REAL video pipeline end-to-end (functions/video.py — the AVI/RIFF
     container with uncompressed BI_RGB DIB frames, written and parsed
@@ -3908,9 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_hll_cube, rel_merge_*, streaming_kmv_equiv) stay in
         # the window so the driver re-verifies the new plans. Prior
         # rounds' per-entry rotation comments live in git history. ---
-        "text_bm25_topk": q_text_bm25_topk,
         "graph_pagerank": q_graph_pagerank,
-        "text_readability": q_text_readability,
         "curation_source_stats": q_curation_source_stats,
         "sim_random_projection": q_sim_random_projection,
         "rel_salted_join": q_rel_salted_join,
@@ -3937,6 +3970,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hybrid_rrf": q_text_hybrid_rrf,
         "curation_leakage_split": q_curation_leakage_split,
         "multimodal_image_exact": q_multimodal_image_exact,
+        # Round-10 session 1: multimodal_gif_exact + multimodal_jpeg_exact
+        # (NEW oracle-backed — the LZW and baseline-JPEG decode legs
+        # proven hash-exact via formula/flat-block corpora, VERDICT r9
+        # item 2; rows-only tail 10 -> 8... stays 10 registered entries
+        # but the two remaining image families gain hash-exact twins)
+        # enter the window immediately per the new-oracle-backed policy;
+        # text_bm25_topk + text_readability (driver-green r8+r9, text
+        # siblings text_hybrid_rrf + text_hash_* stay in-window) rotate
+        # past the cap.
+        "multimodal_gif_exact": q_multimodal_gif_exact,
+        "multimodal_jpeg_exact": q_multimodal_jpeg_exact,
         "sketch_hll_cube": q_sketch_hll_cube,
         "rel_merge_delete": q_rel_merge_delete,
         "streaming_join_equiv": q_streaming_join_equiv,
@@ -3970,6 +4014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-10 outs, all
         # multi-round driver-green with siblings in the window: ---
+        "text_bm25_topk": q_text_bm25_topk,
+        "text_readability": q_text_readability,
         "drl_intensional_plus": q_drl_intensional_plus,
         "flagship_revenue": q_flagship_revenue,
         "window_topk_per_group": q_window_topk_per_group,
@@ -5464,6 +5510,48 @@ def oracle_sql() -> dict[str, str]:
             "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
             "+ ((rn % 256) - 256 + a) * ((rn % 256) - 257 + a) // 2 END AS BIGINT) "
             "AS row0_sum FROM d"
+        ),
+        # GIF twin: same (a+j)%256 run-sum closed form as the PNG twin
+        # (seed 31, grayscale walk n = h*w), times 3 — the decoder
+        # expands gray through the 256-entry palette to RGB.
+        "multimodal_gif_exact": (
+            "WITH p AS (SELECT doc_id, 6 + (doc_id % 4) * 3 AS w, "
+            "5 + (doc_id % 3) * 4 AS h, "
+            "(doc_id * 31) % 256 AS a FROM documents), "
+            "d AS (SELECT p.*, h * w AS n, w AS rn FROM p) "
+            "SELECT doc_id, CAST(h AS INT) AS height, CAST(w AS INT) AS width, "
+            "CAST(3 AS INT) AS channels, "
+            "CAST(3 * ((n // 256) * 32640 + CASE WHEN a + (n % 256) <= 256 "
+            "THEN (n % 256) * a + (n % 256) * ((n % 256) - 1) // 2 "
+            "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
+            "+ ((n % 256) - 256 + a) * ((n % 256) - 257 + a) // 2 END) AS BIGINT) "
+            "AS pixel_checksum, "
+            "CAST(a AS BIGINT) AS first_pixel, "
+            "CAST(3 * ((rn // 256) * 32640 + CASE WHEN a + (rn % 256) <= 256 "
+            "THEN (rn % 256) * a + (rn % 256) * ((rn % 256) - 1) // 2 "
+            "ELSE (256 - a) * a + (256 - a) * (255 - a) // 2 "
+            "+ ((rn % 256) - 256 + a) * ((rn % 256) - 257 + a) // 2 END) AS BIGINT) "
+            "AS row0_sum FROM d"
+        ),
+        # Baseline-JPEG twin: flat 8x8 blocks round-trip bit-exactly
+        # through the all-ones-quant codec, so the stats are plain sums
+        # over the <=6 block values (64 px per block; 8 px of each
+        # top-row block land in image row 0).
+        "multimodal_jpeg_exact": (
+            "WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS bw, "
+            "1 + doc_id % 2 AS bh, doc_id * 37 AS base FROM documents), "
+            "cells AS (SELECT doc_id, bw, bh, t1.g AS cy, t2.g AS cx, "
+            "(base + t1.g * 11 + t2.g * 5) % 255 + 1 AS v "
+            "FROM p, generate_series(0, 1) t1(g), generate_series(0, 2) t2(g) "
+            "WHERE t1.g < bh AND t2.g < bw) "
+            "SELECT doc_id, CAST(bh * 8 AS INT) AS height, "
+            "CAST(bw * 8 AS INT) AS width, CAST(1 AS INT) AS channels, "
+            "CAST(64 * sum(v) AS BIGINT) AS pixel_checksum, "
+            "CAST(max(CASE WHEN cy = 0 AND cx = 0 THEN v END) AS BIGINT) "
+            "AS first_pixel, "
+            "CAST(8 * sum(CASE WHEN cy = 0 THEN v ELSE 0 END) AS BIGINT) "
+            "AS row0_sum "
+            "FROM cells GROUP BY doc_id, bw, bh"
         ),
         # Content-keyed split twin: same md5 arithmetic as curation_split
         # but bucketed on the canonical-content fingerprint, so all

@@ -1953,3 +1953,86 @@ def decode_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(op, schema=IMAGE_STATS_SCHEMA)
+
+
+def synthetic_formula_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Formula-pixel GIF generator — the GIF twin of
+    :func:`synthetic_formula_image_payload` (same dims rotation,
+    different pixel seed so the corpora cannot mask each other):
+
+        width    = 6 + (id % 4) * 3   -> 6, 9, 12, 15
+        height   = 5 + (id % 3) * 4   -> 5, 9, 13
+        gray[j]  = (id * 31 + j) % 256 over the row-major (y, x) walk
+
+    Payloads are REAL GIF89a files through the in-repo ``_gif_encode``
+    (palette + LZW-coded index stream), and ``_gif_decode`` expands the
+    grayscale values through the color table to RGB — so the decoded
+    stats are the grayscale closed forms times 3 channels, and a hash
+    match proves the LZW coder, the palette indirection and the
+    scanline order are all byte-exact. Map-only; widened to core
+    parallelism like every codec generator."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 6 + (i % 4) * 3, 5 + (i % 3) * 4
+                arr = ((i * 31 + np.arange(h * w)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w)
+                payloads.append(_gif_encode(arr))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    src = df.select(id_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(op, schema=f"{id_col} long, payload binary")
+
+
+def synthetic_formula_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Flat-block JPEG generator — the BASELINE-JPEG twin of the
+    formula-pixel corpora. JPEG is lossy in general, but the in-repo
+    encoder uses all-ones quantization tables, so the ONLY loss is DCT
+    float rounding — and a constant 8x8 block has an exactly-representable
+    spectrum (DC = 8*(v-128), every AC = 0 to ~1e-12, killed by rint),
+    so flat blocks round-trip BIT-EXACTLY through the real entropy
+    coder, the real Huffman tables and the real IDCT:
+
+        width     = 8 * (1 + id % 3)  -> 8, 16, 24   (whole MCUs: no
+        height    = 8 * (1 + id % 2)  -> 8, 16        edge padding)
+        block(by, bx) = (id * 37 + by * 11 + bx * 5) % 255 + 1
+                        (values 1..255: DC stays inside the +/-1023
+                        coefficient clamp)
+
+    Grayscale, so the decoder's 1-component path (no chroma upsampling)
+    is what's proven; a hash match shows the Huffman decode, DC
+    prediction chain, dequantize, zigzag and IDCT agree with the
+    closed-form block values in every position (the probes are
+    block-order-sensitive). Map-only; widened to core parallelism."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                bw, bh = 1 + (i % 3), 1 + (i % 2)
+                blocks = np.array(
+                    [
+                        [(i * 37 + by * 11 + bx * 5) % 255 + 1 for bx in range(bw)]
+                        for by in range(bh)
+                    ],
+                    dtype=np.uint8,
+                )
+                payloads.append(_jpeg_encode(np.kron(blocks, ones)))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    src = df.select(id_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(op, schema=f"{id_col} long, payload binary")

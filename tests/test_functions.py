@@ -1859,3 +1859,54 @@ def test_decode_image_stats_null_row_for_undecodable(spark):
     )
     rows = M.decode_image_stats(df).collect()
     assert len(rows) == 2 and all(r["pixel_checksum"] is None for r in rows)
+
+
+def test_decode_gif_stats_matches_closed_forms(spark):
+    """Formula-pixel GIFs (round 10): the REAL LZW encoder+decoder and
+    the palette indirection must reproduce the grayscale closed forms
+    times 3 channels — the multimodal_gif_exact driver twin's pytest
+    mirror."""
+    from sakura_spark.functions import multimodal as M
+
+    def closed(a, n):
+        full, rem = divmod(n, 256)
+        s = full * 32640
+        if a + rem <= 256:
+            s += rem * a + rem * (rem - 1) // 2
+        else:
+            t1, t2 = 256 - a, rem - (256 - a)
+            s += t1 * a + t1 * (t1 - 1) // 2 + t2 * (t2 - 1) // 2
+        return s
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = M.decode_image_stats(M.synthetic_formula_gif_payload(ids))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 24
+    for i, r in rows.items():
+        w, h = 6 + (i % 4) * 3, 5 + (i % 3) * 4
+        a = (i * 31) % 256
+        assert (r["height"], r["width"], r["channels"]) == (h, w, 3)
+        assert r["pixel_checksum"] == 3 * closed(a, h * w)
+        assert r["first_pixel"] == a
+        assert r["row0_sum"] == 3 * closed(a, w)
+
+
+def test_decode_jpeg_stats_matches_closed_forms(spark):
+    """Flat-block baseline JPEGs (round 10): the lossy codec's one
+    bit-exact corpus family — constant 8x8 blocks through the all-ones
+    quant tables — must reproduce the block-value closed forms in every
+    position (block-order-sensitive probes)."""
+    from sakura_spark.functions import multimodal as M
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = M.decode_image_stats(M.synthetic_formula_jpeg_payload(ids))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 24
+    for i, r in rows.items():
+        bw, bh = 1 + (i % 3), 1 + (i % 2)
+        v = lambda by, bx: (i * 37 + by * 11 + bx * 5) % 255 + 1
+        total = sum(v(by, bx) for by in range(bh) for bx in range(bw))
+        assert (r["height"], r["width"], r["channels"]) == (bh * 8, bw * 8, 1)
+        assert r["pixel_checksum"] == 64 * total
+        assert r["first_pixel"] == v(0, 0)
+        assert r["row0_sum"] == 8 * sum(v(0, bx) for bx in range(bw))
