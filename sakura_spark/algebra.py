@@ -192,3 +192,46 @@ def rename_constraints(
     from sakura_spark.icl import ast as icl_ast
 
     return [(name, icl_ast.rename_vars(mapping, body)) for name, body in constraints]
+
+
+def equijoin_constraints(
+    left: list[tuple[str, object]], right: list[tuple[str, object]]
+) -> list[tuple[str, object]]:
+    """⋈: constraints from BOTH inputs travel to the joined relation —
+    every source row in the output still satisfies its own relation's
+    invariants (lib/algebra.ml:237-241 + Constraint.merge,
+    lib/constraint.ml:121-139). Same-named constraints from the two
+    sides conjoin into a single And entry, exactly the reference's
+    merge; distinct names all survive."""
+    from sakura_spark.icl import ast as icl_ast
+
+    return icl_ast.merge_constraints(list(left) + list(right))
+
+
+def union_constraints(
+    left: list[tuple[str, object]], right: list[tuple[str, object]]
+) -> list[tuple[str, object]]:
+    """∪: DROP all constraints — a union row may come from either input,
+    so an invariant holds only if both sides agree, and the reference is
+    conservative (lib/algebra.ml:261: "drop constraints since they only
+    hold if both inputs agree"; docs/constraints.org:291-309)."""
+    return []
+
+
+def diff_constraints(
+    left: list[tuple[str, object]], right: list[tuple[str, object]]
+) -> list[tuple[str, object]]:
+    """−: every output row comes from the LEFT input, so the left
+    relation's constraints are preserved and the right's never apply
+    (lib/algebra.ml:300-303 threads rel1.constraints through)."""
+    return list(left)
+
+
+def take_constraints(
+    constraints: list[tuple[str, object]], n: int | None = None
+) -> list[tuple[str, object]]:
+    """τ: a row subset satisfies every row-level constraint of the
+    source (lib/algebra.ml:305-322 threads rel.constraints through;
+    ``n`` is accepted for signature symmetry and ignored, like the
+    reference)."""
+    return list(constraints)

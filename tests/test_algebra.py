@@ -203,3 +203,55 @@ def test_constraint_propagation_rename():
     assert out["q"] == ast.Exists(
         "rr", "Room", ast.Cmp("eq", ast.Var("rr.x"), ast.Var("x2"))
     )
+
+
+def test_constraint_propagation_equijoin_merges():
+    """Reference ⋈ rule (lib/algebra.ml:237-241 +
+    docs/constraints.org:291-309): constraints from BOTH inputs travel
+    to the join; same-named entries conjoin via Constraint.merge."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    cl = ("left_c", ast.Cmp("gte", ast.Var("x"), ast.ConstVal(0)))
+    cr = ("right_c", ast.Cmp("lte", ast.Var("y"), ast.ConstVal(9)))
+    assert algebra.equijoin_constraints([cl], [cr]) == [cl, cr]
+    # duplicate name: the two bodies conjoin into one And entry
+    cl2 = ("shared", ast.Cmp("gte", ast.Var("x"), ast.ConstVal(0)))
+    cr2 = ("shared", ast.Cmp("lte", ast.Var("x"), ast.ConstVal(9)))
+    merged = algebra.equijoin_constraints([cl2], [cr2])
+    assert merged == [("shared", ast.And(cl2[1], cr2[1]))]
+
+
+def test_constraint_propagation_union_drops():
+    """Reference ∪ rule (lib/algebra.ml:261): conservative drop — a
+    union row may come from either side, so nothing survives."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    cs = [("c", ast.Cmp("gte", ast.Var("x"), ast.ConstVal(0)))]
+    assert algebra.union_constraints(cs, cs) == []
+    assert algebra.union_constraints(cs, []) == []
+
+
+def test_constraint_propagation_diff_preserves_left():
+    """Reference − rule (lib/algebra.ml:300-303): output rows all come
+    from the left input, so the left's constraints survive and the
+    right's never apply."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    cl = [("lc", ast.Cmp("gte", ast.Var("x"), ast.ConstVal(0)))]
+    cr = [("rc", ast.Cmp("lte", ast.Var("x"), ast.ConstVal(9)))]
+    assert algebra.diff_constraints(cl, cr) == cl
+    assert algebra.diff_constraints([], cr) == []
+
+
+def test_constraint_propagation_take_preserves():
+    """Reference τ rule (lib/algebra.ml:305-322): a row subset satisfies
+    every row-level source constraint."""
+    from sakura_spark import algebra
+    from sakura_spark.icl import ast
+
+    cs = [("c", ast.Cmp("gte", ast.Var("x"), ast.ConstVal(0)))]
+    assert algebra.take_constraints(cs, 3) == cs
+    assert algebra.take_constraints(cs) == cs
