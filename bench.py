@@ -155,6 +155,10 @@ EXTENDED = [
     "multimodal_image_exact",
     "sketch_hll_cube",
     "rel_merge_delete",
+    # Round-10 additions (first measurements recorded in BASELINE.md):
+    # the GIF/LZW and baseline-JPEG hash-exact codec twins.
+    "multimodal_gif_exact",
+    "multimodal_jpeg_exact",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
