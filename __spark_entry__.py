@@ -3862,6 +3862,159 @@ def q_sketch_merge_law(spark, sf_dir):
     return hll.unionByName(cms).unionByName(kmv)
 
 
+def q_sort_zorder_layout(spark, sf_dir):
+    """Z-order data layout (operators.zorder_key + quantize_minmax): the
+    OPTIMIZE-ZORDER step for multi-dimensional pruning at 100 TB. Orders
+    rows are quantized to 8 bits per dimension (customer key, epoch-day
+    of order date) against broadcast min/max scalars, bit-interleaved
+    into a Morton key, and grouped into 64 zones (top 6 key bits — the
+    file/row-group boundary a writer would range-partition on). The
+    output is the resulting ZONE MAP — per zone: row count and min/max
+    of BOTH dimensions — i.e. exactly the statistics a reader prunes on;
+    tight per-zone ranges in both dims at once are the property Z-order
+    buys and a single-column sort cannot. Oracle: the identical unrolled
+    shift/and/or arithmetic in DuckDB. Plan: two scalar aggregates
+    (broadcast), a map-only key computation inside whole-stage codegen,
+    ONE zone-keyed aggregate; at 100 TB the same pass feeds
+    repartitionByRange(zone) + write."""
+    from sakura_spark.operators import quantize_minmax, zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    base = orders.select(
+        F.col("o_custkey").cast("long").alias("ck"), day.alias("dy")
+    )
+    bounds = base.agg(
+        F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
+        F.min("dy").alias("dy_min"), F.max("dy").alias("dy_max"),
+    )
+    q = base.crossJoin(F.broadcast(bounds)).select(
+        "ck", "dy",
+        quantize_minmax(F.col("ck"), F.col("ck_min"), F.col("ck_max"), bits=8).alias("qck"),
+        quantize_minmax(F.col("dy"), F.col("dy_min"), F.col("dy_max"), bits=8).alias("qdy"),
+    )
+    z = q.select(
+        "ck", "dy", zorder_key([F.col("qck"), F.col("qdy")], bits=8).alias("z")
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("z"), 10).alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+            F.min("dy").alias("dy_lo"), F.max("dy").alias("dy_hi"),
+        )
+    )
+
+
+def q_rel_ivm_delta(spark, sf_dir):
+    """Incremental view maintenance (operators.incremental_agg_apply —
+    DBSP / counting-IVM): a per-part sales aggregate (count, summed
+    quantity) is materialized from lineitem, then a deterministic CDC
+    changelog — every l_orderkey ≡ 0 (mod 13) row deleted, every
+    l_orderkey ≡ 5 (mod 13) row re-inserted with tripled quantity — is
+    applied INCREMENTALLY: only the changelog is aggregated (with ±1
+    signed multiplicity), merged with the state, groups whose count
+    reaches 0 dropped. The oracle is the FULL RECOMPUTE over the patched
+    base in SQL, so a hash-green row proves delta-apply ≡ recompute
+    value-exactly. Quantities ride as decimal(18,2) so sums commute
+    bit-for-bit. At 100 TB this is the point of IVM: refresh touches
+    O(|delta|) + one state merge (exchange elided when the state is
+    bucketed by key), never the base scan."""
+    from sakura_spark.operators import incremental_agg_apply
+
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    state = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(qty).alias("sum_qty"),
+    )
+    deletes = li.filter(F.col("l_orderkey") % 13 == 0).select(
+        "l_partkey",
+        F.lit(-1).cast("long").alias("cnt"),
+        (-qty).alias("sum_qty"),
+    )
+    inserts = li.filter(F.col("l_orderkey") % 13 == 5).select(
+        "l_partkey",
+        F.lit(1).cast("long").alias("cnt"),
+        (qty * 3).alias("sum_qty"),
+    )
+    delta_agg = (
+        deletes.unionByName(inserts)
+        .groupBy("l_partkey")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_qty").alias("sum_qty"))
+    )
+    out = incremental_agg_apply(state, delta_agg, ["l_partkey"], count_col="cnt")
+    return out.select(
+        "l_partkey", "cnt", F.col("sum_qty").cast("double").alias("sum_qty")
+    )
+
+
+def q_rel_scd2_pit(spark, sf_dir):
+    """Point-in-time enrichment over the SCD2 dimension (SQL:2011 temporal
+    FOR SYSTEM_TIME AS OF): the per-customer status-regime dimension from
+    rel_scd2 is probed by a fact stream — each order asking for the
+    customer's status 40 days after its own date. Implemented as the
+    union-and-window as-of join (operators.asof_join) on valid_from,
+    which on an interval-CONTIGUOUS dimension is provably the
+    `valid_from <= t < valid_to` interval join (zero-length regimes —
+    same-timestamp tie-broken changes — are filtered first, exactly as a
+    PIT reader must, or the as-of tie is ill-defined). Oracle: the SCD2
+    window SQL + the literal BETWEEN interval join. ONE shuffle on the
+    customer key, no inequality nested loop; per-reducer work is one
+    customer's bounded history."""
+    from sakura_spark.operators import asof_join, scd2_intervalize
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = scd2_intervalize(
+        orders,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        seq_col="o_orderkey",
+        high_date="2200-01-01 00:00:00",
+    ).filter(F.col("valid_from") < F.col("valid_to"))
+    facts = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 40 DAYS")).alias("probe_ts"),
+    )
+    joined = asof_join(
+        facts,
+        dim.select("o_custkey", "valid_from", F.col("o_orderstatus").alias("status_asof")),
+        on="o_custkey",
+        left_time="probe_ts",
+        right_time="valid_from",
+    )
+    return joined.select("o_orderkey", "o_custkey", "probe_ts", "status_asof")
+
+
+def q_window_sliding_range(spark, sf_dir):
+    """Event-time RANGE sliding window: for every event, how many events
+    (and how much integer-cent value) the SAME user produced in the
+    preceding hour INCLUDING this instant — the frame is defined by the
+    event-time VALUE (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over
+    unix seconds), not by row position, so same-second peers share one
+    frame and the result is tie-order-independent. Value rides as
+    round(value*100) cents (long) so the frame sum commutes exactly.
+    The batch spelling of the streaming sliding-window aggregate; ONE
+    hash partitioning by user, per-reducer state is one user's bounded
+    hour. Oracle: the identical RANGE window in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec.asc())
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.sum(cents).over(w).alias("cents_prev_hour"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4144,6 +4297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
         "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        # --- round-10 session-2: layout / temporal / IVM quartet ---
+        "sort_zorder_layout": q_sort_zorder_layout,
+        "rel_ivm_delta": q_rel_ivm_delta,
+        "rel_scd2_pit": q_rel_scd2_pit,
+        "window_sliding_range": q_window_sliding_range,
     }
 
 
@@ -4259,6 +4417,33 @@ def _pq_topk_fixed_oracle_sql() -> str:
         + "SELECT vec_id, "
         + dist
         + " AS pq_dist FROM codes ORDER BY pq_dist, vec_id LIMIT 10"
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of q_sort_zorder_layout: the SAME 8-bit equi-width
+    quantization (float-division floor — exact for these magnitudes, see
+    operators.quantize_minmax) and the SAME unrolled 16-term shift/and/or
+    Morton interleave, generated from one loop so the two spellings
+    cannot drift, finished with the zone-map aggregate."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(((qck >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((qdy >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return (
+        "WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS ck, "
+        "date_diff('day', DATE '1970-01-01', o_orderdate) AS dy FROM orders), "
+        "b AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max, "
+        "min(dy) AS dy_min, max(dy) AS dy_max FROM base), "
+        "q AS (SELECT ck, dy, "
+        "CAST(floor((ck - ck_min) * 256.0 / (ck_max - ck_min + 1)) AS BIGINT) AS qck, "
+        "CAST(floor((dy - dy_min) * 256.0 / (dy_max - dy_min + 1)) AS BIGINT) AS qdy "
+        "FROM base, b), "
+        f"z AS (SELECT ck, dy, ({z}) AS z FROM q) "
+        "SELECT z >> 10 AS zone, count(*) AS n, "
+        "min(ck) AS ck_lo, max(ck) AS ck_hi, "
+        "min(dy) AS dy_lo, max(dy) AS dy_hi FROM z GROUP BY zone"
     )
 
 
@@ -6017,5 +6202,59 @@ def oracle_sql() -> dict[str, str]:
     # dropping them all means the output IS the original table.
     d["streaming_dedup_equiv"] = (
         "SELECT event_id, user_id, event_type, value FROM events"
+    )
+    # --- round-10 session-2: layout / temporal / IVM quartet ---
+    # Generated Morton interleave + zone-map aggregate (one loop emits
+    # both the Spark expression and this SQL, so they cannot drift).
+    d["sort_zorder_layout"] = _zorder_oracle_sql()
+    # IVM twin: the oracle is the FULL RECOMPUTE over the patched base
+    # (base minus the mod-13-0 deletes plus the tripled mod-13-5
+    # re-inserts) — hash-green proves delta-apply == recompute.
+    d["rel_ivm_delta"] = (
+        "WITH patched AS ("
+        "SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q "
+        "FROM lineitem WHERE l_orderkey % 13 <> 0 "
+        "UNION ALL "
+        "SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) * 3 "
+        "FROM lineitem WHERE l_orderkey % 13 = 5) "
+        "SELECT l_partkey, count(*) AS cnt, "
+        "CAST(sum(q) AS DOUBLE) AS sum_qty "
+        "FROM patched GROUP BY l_partkey"
+    )
+    # PIT twin: the rel_scd2 window SQL, zero-length regimes filtered,
+    # probed with the literal valid_from <= t < valid_to interval join —
+    # hash-green proves the as-of composition == the interval semantics.
+    d["rel_scd2_pit"] = (
+        "WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+        "o_orderstatus, lag(o_orderstatus) OVER w AS prev, "
+        "row_number() OVER w AS rn FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)), "
+        "kept AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus "
+        "FROM c WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus), "
+        "dim AS (SELECT o_custkey, o_orderstatus, "
+        "o_orderdate AS valid_from, "
+        "COALESCE(lead(o_orderdate) OVER w2, "
+        "TIMESTAMP '2200-01-01 00:00:00') AS valid_to FROM kept "
+        "WINDOW w2 AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)), "
+        "d2 AS (SELECT * FROM dim WHERE valid_from < valid_to), "
+        "facts AS (SELECT o_orderkey, o_custkey, "
+        "o_orderdate + INTERVAL 40 DAY AS probe_ts FROM orders) "
+        "SELECT f.o_orderkey, f.o_custkey, f.probe_ts, "
+        "d.o_orderstatus AS status_asof FROM facts f "
+        "JOIN d2 d ON f.o_custkey = d.o_custkey "
+        "AND f.probe_ts >= d.valid_from AND f.probe_ts < d.valid_to"
+    )
+    # Event-time RANGE frame: same value-defined window in DuckDB; sum
+    # cast back to BIGINT (DuckDB widens BIGINT sums to HUGEINT).
+    d["window_sliding_range"] = (
+        "SELECT event_id, user_id, "
+        "count(*) OVER w AS n_prev_hour, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS cents_prev_hour FROM events "
+        "WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY CAST(epoch(ts) AS BIGINT) "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
     )
     return d

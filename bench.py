@@ -159,6 +159,11 @@ EXTENDED = [
     # the GIF/LZW and baseline-JPEG hash-exact codec twins.
     "multimodal_gif_exact",
     "multimodal_jpeg_exact",
+    # Round-10 session-2: layout / temporal / IVM quartet.
+    "sort_zorder_layout",
+    "rel_ivm_delta",
+    "rel_scd2_pit",
+    "window_sliding_range",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

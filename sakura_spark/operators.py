@@ -354,3 +354,78 @@ def scd2_intervalize(
         F.coalesce(nxt, F.lit(high_date).cast("timestamp")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Morton / Z-order key: bit-interleave ``len(cols)`` already-quantized
+    dimension columns (each a non-negative integer < 2**bits) into one
+    BIGINT whose lexicographic order is the Z space-filling curve
+    (Morton 1966). Sorting or range-partitioning a table by this key
+    clusters rows that are close in EVERY dimension into the same file /
+    row group, so min-max zone maps prune multi-dimensional predicates —
+    the layout step behind Delta/Iceberg ``OPTIMIZE ZORDER BY`` at 100 TB.
+
+    Pure column arithmetic (shift/and/or), unrolled bits×dims times: stays
+    inside whole-stage codegen, no UDF, no shuffle of its own. Total key
+    width bits×dims must fit a signed BIGINT (≤ 62).
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least 2 dimension columns")
+    if bits * n > 62:
+        raise ValueError("bits * dims must be <= 62 to fit a signed BIGINT")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + d))
+    return z
+
+
+def quantize_minmax(col: Column, min_col: Column, max_col: Column, bits: int = 8) -> Column:
+    """Equi-width quantizer for :func:`zorder_key`: map an integer column
+    with data range [min_col, max_col] onto [0, 2**bits) —
+    ``floor((x - min) * 2**bits / (max - min + 1))``. Integer arithmetic
+    throughout (BIGINT-safe for ranges < 2**54), so Spark and any SQL
+    twin agree bit-for-bit. min/max come in as columns (a broadcast
+    scalar aggregate in practice) to keep the whole layout pass one job.
+    """
+    span = max_col.cast("long") - min_col.cast("long") + F.lit(1).cast("long")
+    off = col.cast("long") - min_col.cast("long")
+    return F.floor(off * F.lit(2**bits).cast("long") / span).cast("long")
+
+
+def incremental_agg_apply(
+    state: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates (SUM /
+    COUNT families): merge a materialized per-key aggregate ``state``
+    with a pre-aggregated SIGNED delta ``delta_agg`` (same schema —
+    inserts contributed with +1 multiplicity, deletes with -1, so a
+    deleted row's measures arrive negated), re-aggregate, and drop keys
+    whose surviving ``count_col`` is 0 (the group vanished). This is the
+    Z-set / delta-query evaluation of DBSP (Budiu et al., VLDB 2023) and
+    classic counting-IVM (Gupta-Mumick): refresh cost is O(|delta|) plus
+    one merge touch of the state — never a rescan of the 100 TB base.
+
+    Shape: ``delta_agg`` is produced by aggregating ONLY the changelog
+    (map-side combinable), then union + re-agg shuffles on the same key
+    as the state's own partitioning — with the state bucketed/partitioned
+    by key the exchange elides on its side, so only the (small) delta
+    moves. Measures must be order-independent-exact (longs / decimals);
+    float measures should be decimal-cast upstream.
+    """
+    measures = [c for c in state.columns if c not in keys]
+    if count_col not in measures:
+        raise ValueError(f"state must carry the multiplicity column {count_col!r}")
+    if set(state.columns) != set(delta_agg.columns):
+        raise ValueError("state and delta_agg must share one schema")
+    merged = (
+        state.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(*[F.sum(F.col(c)).alias(c) for c in measures])
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -408,3 +408,157 @@ def test_merge_upsert_delete_col_validation(spark):
     s = spark.createDataFrame([(1, 2.0)], "k long, v double")
     with pytest.raises(ValueError):
         merge_upsert(t, s, ["k"], delete_col="nope")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (round-10 session 2)
+# ---------------------------------------------------------------------------
+
+
+def _morton2(x, y, bits=8):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from sakura_spark.operators import zorder_key
+
+    pts = [(x, y) for x in (0, 1, 5, 127, 255) for y in (0, 3, 64, 200, 255)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z"))
+    for r in out.collect():
+        assert r.z == _morton2(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_key_orders_locality(spark):
+    """Points in the same quadrant (high bits equal in both dims) must be
+    contiguous under the Z key — the property zone-map pruning relies on."""
+    from sakura_spark.operators import zorder_key
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = (
+        df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    # Walk the curve: every run of 16 consecutive rows is one 4x4 quadrant.
+    for q in range(16):
+        quad = rows[q * 16 : (q + 1) * 16]
+        assert len({(r.x >> 2, r.y >> 2) for r in quad}) == 1
+
+
+def test_zorder_key_validation(spark):
+    from sakura_spark.operators import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
+
+
+def test_quantize_minmax_bounds(spark):
+    from sakura_spark.operators import quantize_minmax
+
+    df = spark.createDataFrame([(v,) for v in range(100, 201)], "v long")
+    out = df.select(
+        quantize_minmax(F.col("v"), F.lit(100), F.lit(200), bits=8).alias("q")
+    )
+    qs = [r.q for r in out.collect()]
+    assert min(qs) == 0 and max(qs) < 256
+    assert qs == sorted(qs)  # monotone
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (round-10 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_agg_matches_recompute(spark):
+    from sakura_spark.operators import incremental_agg_apply
+
+    base = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 7)], "k long, v long"
+    )
+    state = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sv")
+    )
+    # delete (1,10) and BOTH rows of key 2's group-mate... key 2 has one
+    # row: delete it entirely (group must vanish); insert (4, 100).
+    delta = spark.createDataFrame(
+        [(1, -1, -10), (2, -1, -5), (4, 1, 100)], "k long, cnt long, sv long"
+    )
+    delta_agg = delta.groupBy("k").agg(
+        F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv")
+    )
+    got = {
+        r.k: (r.cnt, r.sv)
+        for r in incremental_agg_apply(state, delta_agg, ["k"], "cnt").collect()
+    }
+    assert got == {1: (1, 20), 3: (1, 7), 4: (1, 100)}
+    assert 2 not in got  # vanished group dropped
+
+
+def test_incremental_agg_validation(spark):
+    from sakura_spark.operators import incremental_agg_apply
+
+    state = spark.createDataFrame([(1, 1)], "k long, cnt long")
+    bad = spark.createDataFrame([(1, 1, 2)], "k long, cnt long, extra long")
+    with pytest.raises(ValueError):
+        incremental_agg_apply(state, bad, ["k"], "cnt")
+    with pytest.raises(ValueError):
+        incremental_agg_apply(state, state, ["k"], "missing")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time lookup == interval join (round-10 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_pit_asof_equals_interval_join(spark):
+    """The as-of composition over a contiguous SCD2 dim (zero-length
+    regimes filtered) must equal the literal valid_from <= t < valid_to
+    join — including a same-timestamp tie that creates a zero-length
+    regime."""
+    from sakura_spark.operators import asof_join, scd2_intervalize
+
+    changes = spark.createDataFrame(
+        [
+            (1, ts(0), 1, "A"),
+            (1, ts(10), 2, "B"),
+            # same-timestamp tie: seq 3 then 4 -> regime "C" is
+            # zero-length, "D" starts at t=10 too
+            (2, ts(10), 3, "C"),
+            (2, ts(10), 4, "D"),
+            (2, ts(30), 5, "E"),
+        ],
+        "k long, t timestamp, seq long, attr string",
+    )
+    dim = scd2_intervalize(
+        changes, keys=["k"], ts_col="t", attr_cols=["attr"], seq_col="seq",
+        high_date="2200-01-01 00:00:00",
+    ).filter(F.col("valid_from") < F.col("valid_to"))
+    facts = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(10)), (2, ts(10)), (2, ts(29)), (2, ts(31))],
+        "k long, pt timestamp",
+    )
+    via_asof = asof_join(
+        facts,
+        dim.select("k", "valid_from", F.col("attr").alias("attr_asof")),
+        on="k", left_time="pt", right_time="valid_from",
+    ).select("k", "pt", "attr_asof")
+    via_interval = facts.join(
+        dim,
+        on=[
+            facts.k == dim.k,
+            facts.pt >= dim.valid_from,
+            facts.pt < dim.valid_to,
+        ],
+    ).select(facts.k, "pt", F.col("attr").alias("attr_asof"))
+    a = {(r.k, r.pt, r.attr_asof) for r in via_asof.collect()}
+    b = {(r.k, r.pt, r.attr_asof) for r in via_interval.collect()}
+    assert a == b
+    assert (2, ts(10), "D") in a  # the tie resolves to the LAST change
