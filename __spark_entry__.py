@@ -4015,6 +4015,69 @@ def q_window_sliding_range(spark, sf_dir):
     )
 
 
+def q_events_gapfill_locf(spark, sf_dir):
+    """Time-bucket gap-fill + LOCF (operators.gapfill_locf — the
+    TimescaleDB time_bucket_gapfill/locf pair as one DataFrame op): the
+    per-(user, hour) activity table is completed to EVERY hour between
+    each user's first and last event; silent hours appear with n=0
+    (additive measures zero-fill), the integer-cent hourly value carries
+    forward across gaps (LOCF), and synthesized rows are flagged. Grid
+    size is |users| × span-hours — data-volume-independent; the join and
+    the carry window share ONE user partitioning, per-reducer state is
+    one user's bounded span. Oracle: DuckDB generate_series +
+    last_value IGNORE NULLS over the same frame."""
+    from sakura_spark.operators import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    return gapfill_locf(
+        obs, ["user_id"], "hour", 3600, carry_cols=["cents"], zero_cols=["n"]
+    )
+
+
+def q_agg_equidepth_hist(spark, sf_dir):
+    """Exact equi-depth histogram (stats.equidepth_histogram — the
+    per-column CBO/data-quality statistic): 16 buckets of near-equal row
+    count over l_extendedprice per return flag, boundaries bit-identical
+    to ntile(16) OVER (ORDER BY value, id) but computed with the
+    DISTRIBUTED two-pass rank (range partition + broadcast prefix-sum,
+    the perplexity_buckets idiom) — no per-group single-reducer sort, so
+    a hot group at 100 TB splits across range partitions instead of
+    collapsing one reducer. Oracle: the literal ntile(16) spelling."""
+    from sakura_spark.functions.stats import equidepth_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("sid"),
+    )
+    return equidepth_histogram(
+        staged, ["l_returnflag"], "l_extendedprice", "sid", k=16
+    )
+
+
+def q_curation_freshness_decay(spark, sf_dir):
+    """Freshness-decayed counts (stats.decayed_counts): each event
+    contributes floor(1e6 / 2^age_days) relative to the corpus' newest
+    timestamp — the recency-weighting input of a mixture/sampling policy,
+    kept EXACT (IEEE power-of-two division + floor lands on the same
+    BIGINT in every engine, so the sum commutes across any aggregation
+    order). One broadcast max(ts) scalar, a map-only weight expression,
+    one combinable aggregate — plain-count cost at 100 TB. Oracle: the
+    identical arithmetic in DuckDB (epoch floored to whole seconds to
+    match unix_timestamp's truncation)."""
+    from sakura_spark.functions.stats import decayed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_counts(
+        ev, ["event_type"], "ts", halflife_buckets=1, bucket_seconds=86400
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4302,6 +4365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ivm_delta": q_rel_ivm_delta,
         "rel_scd2_pit": q_rel_scd2_pit,
         "window_sliding_range": q_window_sliding_range,
+        "events_gapfill_locf": q_events_gapfill_locf,
+        "agg_equidepth_hist": q_agg_equidepth_hist,
+        "curation_freshness_decay": q_curation_freshness_decay,
     }
 
 
@@ -6256,5 +6322,47 @@ def oracle_sql() -> dict[str, str]:
         "WINDOW w AS (PARTITION BY user_id "
         "ORDER BY CAST(epoch(ts) AS BIGINT) "
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
+    )
+    # Gap-fill + LOCF twin: generate_series grid, left join, IGNORE
+    # NULLS carry over the same user/hour frame.
+    d["events_gapfill_locf"] = (
+        "WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS hour, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM events GROUP BY 1, 2), "
+        "spans AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi "
+        "FROM obs GROUP BY 1), "
+        "grid AS (SELECT user_id, unnest(generate_series(lo, hi, "
+        "INTERVAL 1 HOUR)) AS hour FROM spans), "
+        "j AS (SELECT g.user_id, g.hour, o.n, o.cents, "
+        "o.user_id IS NULL AS is_gap FROM grid g "
+        "LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour) "
+        "SELECT user_id, hour, "
+        "last_value(cents IGNORE NULLS) OVER w AS cents, "
+        "COALESCE(n, 0) AS n, is_gap FROM j "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY hour "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    # Equi-depth histogram twin: the literal ntile(16) spelling the
+    # distributed two-pass rank must reproduce bit-for-bit.
+    d["agg_equidepth_hist"] = (
+        "WITH t AS (SELECT l_returnflag, l_extendedprice, "
+        "ntile(16) OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice, l_orderkey * 8 + l_linenumber) AS bucket "
+        "FROM lineitem) "
+        "SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket, "
+        "count(*) AS depth, min(l_extendedprice) AS lo, "
+        "max(l_extendedprice) AS hi FROM t GROUP BY 1, 2"
+    )
+    # Freshness decay twin: identical power-of-two arithmetic; epoch()
+    # floored to whole seconds to match unix_timestamp's truncation.
+    d["curation_freshness_decay"] = (
+        "WITH mx AS (SELECT max(ts) AS m FROM events) "
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(floor(1000000.0 / pow(2.0, least("
+        "CAST(floor((CAST(floor(epoch(m)) AS BIGINT) - "
+        "CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0) AS BIGINT), 40))) "
+        "AS BIGINT)) AS BIGINT) AS decayed_weight "
+        "FROM events, mx GROUP BY event_type"
     )
     return d

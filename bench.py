@@ -164,6 +164,9 @@ EXTENDED = [
     "rel_ivm_delta",
     "rel_scd2_pit",
     "window_sliding_range",
+    "events_gapfill_locf",
+    "agg_equidepth_hist",
+    "curation_freshness_decay",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

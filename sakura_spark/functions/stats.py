@@ -1,0 +1,136 @@
+"""Table statistics for planner/CBO-style consumers: exact equi-depth
+histograms and freshness-decayed counts.
+
+Equi-depth histograms are what a cost-based optimizer (and a data-quality
+monitor) keeps per column: ``k`` buckets of near-equal row count with
+min/max value boundaries. Exactness matters for the oracle proof, so the
+bucket assignment uses the SQL-standard ``ntile`` size formula (the first
+``n mod k`` tiles take one extra row over ``n div k``) computed from a
+DISTRIBUTED two-pass rank — the same range-partition + broadcast
+prefix-sum idiom as curation.perplexity_buckets (see that docstring for
+the skew analysis): a per-group window would sort each group through one
+reducer, the classic skewed-window scale-killer once a group holds a
+meaningful fraction of 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Exact ``k``-bucket equi-depth histogram of ``value_col`` per group:
+    one output row per (group, bucket) with the bucket's row count and
+    inclusive [lo, hi] value range. Ties are broken by ``id_col`` so the
+    total order — and therefore every boundary — is engine-independent;
+    the result is bit-identical to ``ntile(k) OVER (PARTITION BY group
+    ORDER BY value, id)`` without any per-group single-reducer sort.
+
+    Pass 1 range-partitions on the full sort key (group, value, id) and
+    pins the partition ids (eager localCheckpoint — both consumers must
+    see one assignment; see curation.perplexity_buckets). Pass 2 ranks
+    within (partition, group) — bounded by the ~equal range partition
+    size — and adds a broadcast prefix-sum offset; the bucket follows
+    from the rank via the exact ntile size formula, then one combinable
+    aggregate per (group, bucket) emits the histogram.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    staged = df.select(*group_cols, value_col, id_col)
+    parted = (
+        staged.repartitionByRange(*group_cols, value_col, id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = parted.groupBy("__pid", *group_cols).agg(F.count(F.lit(1)).alias("__c"))
+    w_prefix = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__c").over(w_prefix), F.lit(0)).alias("__offset"),
+        F.sum("__c").over(Window.partitionBy(*group_cols)).alias("__n"),
+    )
+    w_local = Window.partitionBy("__pid", *group_cols).orderBy(value_col, id_col)
+    ranked = (
+        parted.withColumn("__rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["__pid"] + list(group_cols))
+        .withColumn("__rank", F.col("__offset") + F.col("__rn"))
+    )
+    # ntile(k): the first rem = n mod k tiles hold base+1 = n div k + 1
+    # rows. Invert rank -> tile with integer arithmetic (float division
+    # + floor is exact here: operands < 2**53).
+    n, r = F.col("__n").cast("long"), F.col("__rank").cast("long")
+    base = F.floor(n / F.lit(k)).cast("long")
+    rem = n - base * F.lit(k)
+    head = rem * (base + 1)  # rows living in the widened tiles
+    bucket = F.when(
+        base == 0, r  # fewer rows than tiles: row i IS tile i
+    ).otherwise(
+        F.when(
+            r <= head,
+            F.ceil(r / (base + F.lit(1))).cast("long"),
+        ).otherwise(rem + F.ceil((r - head) / base).cast("long"))
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("depth"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )
+
+
+def decayed_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    halflife_buckets: int = 1,
+    bucket_seconds: int = 86400,
+    max_shift: int = 40,
+    unit_weight: int = 1_000_000,
+) -> DataFrame:
+    """Freshness-decayed counts per group: each row contributes
+    ``floor(unit_weight / 2**(age_buckets // halflife_buckets))`` where
+    age is measured in ``bucket_seconds`` steps back from the corpus'
+    newest timestamp — an exponential half-life decay kept EXACT (IEEE
+    division by a power of two is exact, and the floor lands on the same
+    integer in every engine; shift capped at ``max_shift``), so the sum
+    is a plain BIGINT that commutes across any aggregation order. The
+    recency-weighting step of a mixture/sampling policy ("prefer fresh
+    documents") without float drift.
+
+    Shape: one scalar max(ts) broadcast, a map-only weight expression,
+    one combinable aggregate — the same cost as a plain count.
+    """
+    mx = df.agg(F.max(ts_col).alias("__mx"))
+    sec = F.unix_timestamp(F.col(ts_col))
+    mx_sec = F.unix_timestamp(F.col("__mx"))
+    age = F.floor((mx_sec - sec) / F.lit(bucket_seconds)).cast("long")
+    shift = F.least(
+        F.floor(age / F.lit(halflife_buckets)).cast("long"),
+        F.lit(max_shift).cast("long"),
+    )
+    weight = F.floor(
+        F.lit(float(unit_weight)) / F.pow(F.lit(2.0), shift.cast("double"))
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(weight).alias("decayed_weight"),
+        )
+    )

@@ -429,3 +429,56 @@ def incremental_agg_apply(
         .agg(*[F.sum(F.col(c)).alias(c) for c in measures])
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def gapfill_locf(
+    obs: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    step_seconds: int,
+    carry_cols: list[str],
+    zero_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-bucket gap-fill + last-observation-carried-forward (the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` pair): ``obs`` holds at
+    most one row per (key, bucket timestamp); emit EVERY ``step_seconds``
+    bucket between each key's first and last observation, carrying
+    ``carry_cols`` forward across the gaps (LOCF), zero-filling
+    ``zero_cols`` (additive measures — a silent hour really is 0 events),
+    and flagging synthesized rows with ``is_gap``.
+
+    Shape: per-key min/max span (one combinable agg), sequence+explode of
+    the bucket grid (fan-out = span/step, data-independent), left join of
+    observations on (key, bucket), ONE window per key ordered by bucket
+    for the carry — the join and the window share the key partitioning.
+    Per-reducer state is one key's bounded span; grid size is
+    |keys| × span/step regardless of corpus row count.
+    """
+    spans = obs.groupBy(*keys).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+            )
+        ).alias(ts_col),
+    )
+    joined = grid.join(
+        obs.withColumn("__obs", F.lit(1)), on=list(keys) + [ts_col], how="left"
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cols = [F.col(c) for c in keys] + [F.col(ts_col)]
+    for c in carry_cols:
+        cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+    for c in zero_cols or []:
+        cols.append(F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c))
+    cols.append(F.col("__obs").isNull().alias("is_gap"))
+    return joined.select(*cols)
