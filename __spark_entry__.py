@@ -3229,6 +3229,96 @@ def q_sketch_kmv(spark, sf_dir):
     return sketches.kmv_sketch(li, ["l_returnflag"], "l_partkey", k=32)
 
 
+def _time_ordered_stream_dir(spark, src, mx, tmp):
+    """Lay out the events table as a TIME-ORDERED file stream plus two
+    sentinel files (+2h/+4h past max ts, mtime-ordered last): range
+    partition + per-file sort means each batch's rows are newer than the
+    previous batch's, so the advancing watermark never late-drops a real
+    row, and the sentinels push the final watermark past every real
+    window/session end so ALL real state emits in append mode. With
+    maxFilesPerTrigger=4 the batches are {d0, d1, d2, s+2h} and {s+4h}
+    (see q_streaming_kmv_equiv's docstring for the watermark walk)."""
+    import datetime
+    import os
+    import shutil
+
+    from sakura_spark.streaming import events as ev
+
+    data_dir = os.path.join(tmp, "stream")
+    os.makedirs(data_dir)
+    src.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "d"))
+    parts = sorted(
+        f for f in os.listdir(os.path.join(tmp, "d")) if f.startswith("part-")
+    )
+    t0 = 1_700_000_000.0
+    for i, p in enumerate(parts):
+        dst = os.path.join(data_dir, f"{i:02d}-data.parquet")
+        shutil.move(os.path.join(tmp, "d", p), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    for j, hours in enumerate((2, 4)):
+        srow = spark.createDataFrame(
+            [(-1, mx + datetime.timedelta(hours=hours), -1, "sentinel", 0.0, "{}")],
+            ev.EVENTS_SCHEMA,
+        )
+        sdir = os.path.join(tmp, f"s{j}")
+        srow.coalesce(1).write.mode("overwrite").parquet(sdir)
+        sp = next(f for f in os.listdir(sdir) if f.startswith("part-"))
+        dst = os.path.join(data_dir, f"{90 + j:02d}-sentinel.parquet")
+        shutil.move(os.path.join(sdir, sp), dst)
+        os.utime(dst, (t0 + 50 + j, t0 + 50 + j))
+    return data_dir
+
+
+def q_streaming_session_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for NATIVE SESSION WINDOWS
+    (streaming.events.session_windows / F.session_window): gap-based
+    sessions (30 min) merged incrementally across microbatches by the
+    session-window state store, proven bit-identical to the one-shot
+    batch sessionization. Same sentinel harness as streaming_kmv_equiv:
+    time-ordered data files + two sentinel events past max ts push the
+    final watermark beyond every real session end (end <= max+gap <
+    max+2h-30m), so append mode emits ALL real sessions; sentinel
+    sessions never close and are filtered by session_start <= max ts.
+    The oracle is the full-precision lag-chain SQL with the
+    session_window merge rule — a NEW session starts iff the gap to the
+    previous event STRICTLY exceeds 30 min (the state store merges
+    INCLUSIVELY at the boundary: an event exactly `gap` after the
+    previous one extends the session — pinned by
+    tests/test_streaming.py::test_session_window_gap_boundary), and
+    session_end = last event + gap. Note this twin works on raw
+    microsecond timestamps, not the batch events_sessionize spelling's
+    whole-second unix_timestamp — hash-green proves the state store's
+    merge semantics, boundary behavior and microsecond arithmetic at
+    once. In production the watermark bounds state to open sessions
+    per user within the horizon."""
+    import shutil
+    import tempfile
+
+    from sakura_spark.streaming import events as ev
+
+    src = _t(spark, sf_dir, "events")
+    mx = src.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="sakura_stream_sess_")
+    try:
+        data_dir = _time_ordered_stream_dir(spark, src, mx, tmp)
+        stream = ev.read_event_stream(spark, data_dir, max_files_per_trigger=4)
+        q = ev.run_to_memory(
+            ev.session_windows(stream, gap="30 minutes", watermark="30 minutes"),
+            "streaming_session_equiv_sink",
+            output_mode="append",
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table("streaming_session_equiv_sink")
+        .filter(F.col("session_start") <= F.lit(mx))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def _run_events_stream(spark, sf_dir, builder, sink_name, src=None,
                        output_mode="complete"):
     """Shared harness for the streaming ⇔ batch equivalence entries: the
@@ -3354,8 +3444,6 @@ def q_streaming_kmv_equiv(spark, sf_dir):
     exactly ALL real hourly windows — bit-identical to batch
     kmv_sketch, oracle with NO cutoff clause. Measured at sf0.1:
     5 batches 26.4s -> 2 batches 13.6s, same 23,040-row output."""
-    import datetime
-    import os
     import shutil
     import tempfile
 
@@ -3365,33 +3453,7 @@ def q_streaming_kmv_equiv(spark, sf_dir):
     mx = src.agg(F.max("ts")).first()[0]
     tmp = tempfile.mkdtemp(prefix="sakura_stream_kmv_")
     try:
-        data_dir = os.path.join(tmp, "stream")
-        os.makedirs(data_dir)
-        # Time-ordered data files: range partition + per-file sort means
-        # each batch's rows are newer than the previous batch's, so the
-        # advancing watermark never late-drops a real row.
-        src.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(tmp, "d"))
-        parts = sorted(
-            f for f in os.listdir(os.path.join(tmp, "d")) if f.startswith("part-")
-        )
-        t0 = 1_700_000_000.0
-        for i, p in enumerate(parts):
-            dst = os.path.join(data_dir, f"{i:02d}-data.parquet")
-            shutil.move(os.path.join(tmp, "d", p), dst)
-            os.utime(dst, (t0 + i, t0 + i))
-        for j, hours in enumerate((2, 4)):
-            srow = spark.createDataFrame(
-                [(-1, mx + datetime.timedelta(hours=hours), -1, "sentinel", 0.0, "{}")],
-                ev.EVENTS_SCHEMA,
-            )
-            sdir = os.path.join(tmp, f"s{j}")
-            srow.coalesce(1).write.mode("overwrite").parquet(sdir)
-            sp = next(f for f in os.listdir(sdir) if f.startswith("part-"))
-            dst = os.path.join(data_dir, f"{90 + j:02d}-sentinel.parquet")
-            shutil.move(os.path.join(sdir, sp), dst)
-            os.utime(dst, (t0 + 50 + j, t0 + 50 + j))
+        data_dir = _time_ordered_stream_dir(spark, src, mx, tmp)
         stream = ev.read_event_stream(spark, data_dir, max_files_per_trigger=4)
         q = ev.run_to_memory(
             ev.windowed_user_kmv(stream, window="1 hour", k=32),
@@ -4368,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_locf": q_events_gapfill_locf,
         "agg_equidepth_hist": q_agg_equidepth_hist,
         "curation_freshness_decay": q_curation_freshness_decay,
+        "streaming_session_equiv": q_streaming_session_equiv,
     }
 
 
@@ -6364,5 +6427,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0) AS BIGINT), 40))) "
         "AS BIGINT)) AS BIGINT) AS decayed_weight "
         "FROM events, mx GROUP BY event_type"
+    )
+    # Session-window equivalence twin: the full-precision lag-chain with
+    # the session_window merge rule (INCLUSIVE boundary: a new session
+    # starts only when the gap STRICTLY exceeds 30 min on raw
+    # timestamps; end = last event + gap).
+    d["streaming_session_equiv"] = (
+        "WITH s AS (SELECT user_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+        "AS is_new FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "g AS (SELECT user_id, ts, sum(is_new) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) "
+        "SELECT user_id, min(ts) AS session_start, "
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "count(*) AS n_events FROM g GROUP BY user_id, sid"
     )
     return d

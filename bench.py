@@ -167,6 +167,7 @@ EXTENDED = [
     "events_gapfill_locf",
     "agg_equidepth_hist",
     "curation_freshness_decay",
+    "streaming_session_equiv",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -333,3 +333,41 @@ def test_windowed_user_kmv_matches_batch_sketch(spark, stream):
         assert all(r["n_vals"] <= kk for r in est)
     finally:
         q.stop()
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    """The session_window merge rule is INCLUSIVE at the gap: an event
+    exactly `gap` after the previous one EXTENDS the session (a new
+    session needs a STRICTLY larger gap) — the boundary the
+    streaming_session_equiv oracle encodes with `>`."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "view", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=30), 7, "view", 0.0, "{}"),       # == gap: merges
+        (3, base + dt.timedelta(minutes=59), 7, "view", 0.0, "{}"),       # < gap: merges
+        (4, base + dt.timedelta(minutes=89, seconds=0, microseconds=1), 7,
+         "view", 0.0, "{}"),                                              # > gap: new session
+    ]
+    src = str(tmp_path / "sessboundary")
+    spark.createDataFrame(rows, ev.EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    q = ev.run_to_memory(
+        ev.session_windows(ev.read_event_stream(spark, src), gap="30 minutes",
+                           watermark="1 second"),
+        "sess_boundary",
+        output_mode="complete",
+    )
+    try:
+        got = sorted(
+            (r.session_start, r.n_events)
+            for r in spark.table("sess_boundary").collect()
+        )
+        # events 1-3 chain into one session (each step <= gap); event 4
+        # is 30m + 1us after event 3 -> strictly past the gap, new session.
+        assert got == [
+            (base, 3),
+            (base + dt.timedelta(minutes=89, seconds=0, microseconds=1), 1),
+        ]
+    finally:
+        q.stop()
