@@ -4140,6 +4140,72 @@ def q_curation_freshness_decay(spark, sf_dir):
     )
 
 
+def q_rel_unpivot(spark, sf_dir):
+    """UNPIVOT / melt (the inverse of agg_pivot): lineitem's four money
+    measures rotated from columns into (measure, value) rows —
+    DataFrame.unpivot compiles to a single Expand node (each input row
+    emits 4 output rows inside the same task), so the op is map-only:
+    no shuffle, no UDF, output rows = 4x input. The wide-to-long step
+    before a generic per-measure aggregation or quality profile.
+    Oracle: the literal 4-way UNION ALL spelling."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+def q_window_rank_funcs(spark, sf_dir):
+    """Ranking-function parity row: rank / dense_rank / percent_rank /
+    cume_dist per event type ordered by value — ties are REAL here
+    (2-decimal values over few types), so the four functions' tie
+    semantics (gap vs no-gap ranks, peer-inclusive cume_dist, the
+    (rank-1)/(n-1) percent_rank formula) are all exercised and must
+    match DuckDB bit-for-bit (the divisions are single IEEE ops on
+    exact integers — deterministic in any engine). Rank values depend
+    only on the ORDER key, never on arrival order among peers, so no
+    tiebreak column is needed for determinism. Scale note: a per-type
+    window puts each type through one reducer — fine for bounded type
+    cardinality; for CBO-stats-sized ranking use the distributed
+    two-pass rank (agg_equidepth_hist / perplexity_buckets)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def q_agg_mode(spark, sf_dir):
+    """Deterministic MODE per group: the most frequent user per event
+    type, ties broken by smallest user id — spelled as count + one
+    row_number window over the (type, user) COUNT TABLE (bounded by
+    distinct pairs, not event rows), never a collect or a full sort of
+    the raw data. The canonical 'dominant value' data-profiling
+    statistic with an explicit, engine-independent tie rule (Spark's
+    own `mode()` leaves ties unspecified — unusable under a hash gate).
+    Oracle: the identical count + row_number SQL."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), "cnt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4431,6 +4497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_equidepth_hist": q_agg_equidepth_hist,
         "curation_freshness_decay": q_curation_freshness_decay,
         "streaming_session_equiv": q_streaming_session_equiv,
+        "rel_unpivot": q_rel_unpivot,
+        "window_rank_funcs": q_window_rank_funcs,
+        "agg_mode": q_agg_mode,
     }
 
 
@@ -6444,5 +6513,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, min(ts) AS session_start, "
         "max(ts) + INTERVAL 30 MINUTE AS session_end, "
         "count(*) AS n_events FROM g GROUP BY user_id, sid"
+    )
+    # UNPIVOT twin: the literal UNION ALL spelling of the Expand node.
+    d["rel_unpivot"] = (
+        "SELECT l_orderkey, l_linenumber, measure, value FROM ("
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+        "l_quantity AS value FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+        "l_extendedprice FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+        "l_discount FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+        "l_tax FROM lineitem)"
+    )
+    # Ranking-function parity: tie semantics must match bit-for-bit.
+    d["window_rank_funcs"] = (
+        "SELECT event_id, event_type, value, "
+        "CAST(rank() OVER w AS BIGINT) AS rnk, "
+        "CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+        "percent_rank() OVER w AS prank, "
+        "cume_dist() OVER w AS cdist FROM events "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value)"
+    )
+    # Deterministic mode: count table + row_number with the explicit
+    # (cnt DESC, user ASC) tie rule.
+    d["agg_mode"] = (
+        "WITH c AS (SELECT event_type, user_id, count(*) AS cnt "
+        "FROM events GROUP BY 1, 2), "
+        "r AS (SELECT event_type, user_id, cnt, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn "
+        "FROM c) "
+        "SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1"
     )
     return d

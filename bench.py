@@ -168,6 +168,9 @@ EXTENDED = [
     "agg_equidepth_hist",
     "curation_freshness_decay",
     "streaming_session_equiv",
+    "rel_unpivot",
+    "window_rank_funcs",
+    "agg_mode",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
