@@ -4140,6 +4140,28 @@ def q_curation_freshness_decay(spark, sf_dir):
     )
 
 
+def q_graph_bfs_levels(spark, sf_dir):
+    """Multi-source BFS hop distances (graph.bfs_level_sweeps, the
+    fixed-sweep Bellman-Ford form): every 50th document seeds distance 0
+    over the rare-shingle co-occurrence graph; after 4 sweeps the table
+    holds exactly the nodes within 4 hops at their true distance —
+    hash-checked row-for-row against the unrolled CTE twin (the
+    components/pagerank discipline extended to shortest paths).
+    Distances are exact integers, min is order-free. Plan: one hash join
+    + one combinable min-agg per sweep over the pinned self-loop-
+    augmented edge table; sweep count is a compile-time constant."""
+    from sakura_spark.functions import graph
+
+    edges = _rare_shingle_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 50 == 0)
+    return graph.bfs_level_sweeps(edges, seeds, iterations=4)
+
+
 def q_rel_unpivot(spark, sf_dir):
     """UNPIVOT / melt (the inverse of agg_pivot): lineitem's four money
     measures rotated from columns into (measure, value) rows —
@@ -4500,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_unpivot": q_rel_unpivot,
         "window_rank_funcs": q_window_rank_funcs,
         "agg_mode": q_agg_mode,
+        "graph_bfs_levels": q_graph_bfs_levels,
     }
 
 
@@ -6082,6 +6105,14 @@ def oracle_sql() -> dict[str, str]:
         # applied to connected components).
         "graph_components": graph.min_label_sweeps_oracle_sql(
             _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES), iterations=4
+        ),
+        # Unrolled fixed-sweep multi-source BFS over the same edge set;
+        # generated by the operator module (shortest-path distances,
+        # the components discipline extended to weights 0/1).
+        "graph_bfs_levels": graph.bfs_level_sweeps_oracle_sql(
+            _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES),
+            "node % 50 = 0",
+            iterations=4,
         ),
         # BM25 tf-saturation scoring in exact arithmetic: each term weight
         # is CAST(int64)/CAST(int64) — correctly rounded by IEEE 754 in

@@ -171,6 +171,7 @@ EXTENDED = [
     "rel_unpivot",
     "window_rank_funcs",
     "agg_mode",
+    "graph_bfs_levels",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -352,3 +352,88 @@ def pagerank_oracle_sql(
         )
     head = ", ".join(parts)
     return f"{head} SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}"
+
+
+def bfs_level_sweeps(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, dist) after ``iterations`` SYNCHRONOUS Bellman-Ford/BFS
+    sweeps over the undirected simple graph: ``seeds`` (one ``node``
+    column) start at distance 0 and every sweep each node adopts
+    ``min(own dist, min over neighbors (their dist + 1))`` — after the
+    k-th sweep the table holds EXACTLY the nodes within k hops of the
+    seed set, at their true hop distance (unreached nodes are absent,
+    not NULL). The fixed-sweep form of multi-source shortest paths: like
+    min_label_sweeps, deliberately expressible as unrolled SQL so a
+    DuckDB twin hash-checks every distance row-for-row; distances are
+    exact integers and min is order-free, so the result is partitioning-
+    and engine-independent by construction.
+
+    Each sweep is one hash join (edges x current frontier table) + one
+    map-side-combinable min aggregation — no Python, no collect, no
+    driver state; the self-edge-with-weight-0 augmentation makes the
+    'keep my old distance' case part of the SAME join instead of a
+    second outer join per sweep. At 100 TB: frontier rows <= reached
+    nodes, edge table bucketed by src keeps the per-sweep join
+    co-located, and the sweep count is a compile-time constant (use an
+    explicit convergence-detected loop for unbounded-diameter graphs —
+    the duplicate_clusters pattern)."""
+    if iterations < 1:
+        raise ValueError("bfs_level_sweeps needs at least one iteration")
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e0 = _pin(edges.select(a, b).where(F.col("a") != F.col("b")).distinct())
+    both = e0.select(
+        F.col("a").alias("__s"), F.col("b").alias("__d")
+    ).unionByName(e0.select(F.col("b").alias("__s"), F.col("a").alias("__d")))
+    nodes = both.select(F.col("__s").alias("node")).distinct()
+    # Pinned: referenced once per sweep. Edge weight 1, self-loop weight 0.
+    e = _pin(
+        both.withColumn("__w", F.lit(1).cast("long")).unionByName(
+            nodes.select(
+                F.col("node").alias("__s"),
+                F.col("node").alias("__d"),
+                F.lit(0).cast("long").alias("__w"),
+            )
+        )
+    )
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(iterations):
+        dist = (
+            e.join(dist.withColumnRenamed("node", "__d"), "__d")
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("__w")).alias("dist"))
+        )
+    return dist
+
+
+def bfs_level_sweeps_oracle_sql(
+    edges_sql: str, seeds_where: str, iterations: int = 4
+) -> str:
+    """ANSI-SQL twin of :func:`bfs_level_sweeps`, unrolled to
+    ``iterations`` CTE blocks; ``edges_sql`` must yield (src, dst) and
+    ``seeds_where`` is a predicate over ``node`` selecting the seeds."""
+    parts = [
+        f"WITH raw AS ({edges_sql})",
+        "e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM raw WHERE src <> dst)",
+        "eb AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0)",
+        "nodes AS (SELECT DISTINCT s AS node FROM eb)",
+        "e AS (SELECT s, d, 1 AS w FROM eb "
+        "UNION ALL SELECT node, node, 0 FROM nodes)",
+        f"d0 AS (SELECT node, 0 AS dist FROM nodes WHERE {seeds_where})",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"d{i} AS (SELECT e.s AS node, min(r.dist + e.w) AS dist FROM e "
+            f"JOIN d{i-1} r ON e.d = r.node GROUP BY 1)"
+        )
+    head = ", ".join(parts)
+    return (
+        f"{head} SELECT node, CAST(dist AS BIGINT) AS dist "
+        f"FROM d{iterations}"
+    )

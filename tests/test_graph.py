@@ -223,3 +223,35 @@ def test_validation_and_plan(spark):
     plan = graph.pagerank(e, 2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bfs_level_sweeps_exact_distances(spark):
+    """Path 1-2-3-4-5 plus isolated pair 8-9; seeds {1, 8}: after 3
+    sweeps exactly the nodes within 3 hops appear, at true distance."""
+    from sakura_spark.functions.graph import bfs_level_sweeps
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (8,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_level_sweeps(edges, seeds, iterations=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 8: 0, 9: 1}  # 5 unreached in 3 sweeps
+    got4 = {
+        r.node: r.dist
+        for r in bfs_level_sweeps(edges, seeds, iterations=4).collect()
+    }
+    assert got4[5] == 4
+
+
+def test_bfs_level_sweeps_validation(spark):
+    from sakura_spark.functions.graph import bfs_level_sweeps
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        bfs_level_sweeps(edges, seeds, iterations=0)
