@@ -1773,6 +1773,24 @@ def q_multimodal_image_exact(spark, sf_dir):
     )
 
 
+def q_multimodal_resize_exact(spark, sf_dir):
+    """RESIZE proven hash-exact (multimodal.decode_resize_stats): the
+    formula-pixel PNG corpus decoded then nearest-neighbour resampled to
+    4x4 — NN resize is pure integer index arithmetic (y = Y*h//4,
+    x = X*w//4), so the resized pixels keep a plain-SQL closed form and
+    the thumbnail path every feature-extract pipeline runs AFTER decode
+    gets its own hash-exact row instead of riding on decode's
+    (multimodal_image_exact). The oracle enumerates the 4x4xch cells via
+    generate_series (<= 48 per row) and evaluates the source formula at
+    the mapped indices; order-sensitive probes catch a transposed or
+    off-by-one index map. Arrow-batched mapInPandas; payloads never
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_resize_stats(
+        multimodal.synthetic_formula_image_payload(docs), width=4, height=4
+    )
+
+
 def q_multimodal_gif_exact(spark, sf_dir):
     """GIF decode proven hash-exact (round 10, VERDICT r9 item 2 — the
     PNG precedent applied to the LZW family): formula-pixel grayscale
@@ -4523,6 +4541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_funcs": q_window_rank_funcs,
         "agg_mode": q_agg_mode,
         "graph_bfs_levels": q_graph_bfs_levels,
+        "multimodal_resize_exact": q_multimodal_resize_exact,
     }
 
 
@@ -6575,5 +6594,26 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn "
         "FROM c) "
         "SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1"
+    )
+    # Resize twin: evaluate the PNG corpus' pixel formula at the
+    # nearest-neighbour index map (y = Y*h//4, x = X*w//4) over the
+    # enumerated 4x4xch grid — the run-sum trick doesn't apply because
+    # resampled pixels aren't consecutive in j.
+    d["multimodal_resize_exact"] = (
+        "WITH p AS (SELECT doc_id, 6 + (doc_id % 4) * 3 AS w, "
+        "5 + (doc_id % 3) * 4 AS h, 1 + (doc_id % 3) AS ch FROM documents), "
+        "g AS (SELECT unnest(generate_series(0, 3)) AS i), "
+        "cc AS (SELECT unnest(generate_series(0, 2)) AS c), "
+        "cells AS (SELECT doc_id, ch, yy.i AS y, xx.i AS x, cc.c AS c, "
+        "(doc_id * 29 + (((yy.i * h) // 4) * w + (xx.i * w) // 4) * ch "
+        "+ cc.c) % 256 AS px "
+        "FROM p, g yy, g xx, cc WHERE cc.c < ch) "
+        "SELECT doc_id, CAST(4 AS INT) AS height, CAST(4 AS INT) AS width, "
+        "CAST(max(ch) AS INT) AS channels, "
+        "CAST(sum(px) AS BIGINT) AS pixel_checksum, "
+        "CAST(sum(CASE WHEN y = 0 AND x = 0 AND c = 0 THEN px ELSE 0 END) "
+        "AS BIGINT) AS first_pixel, "
+        "CAST(sum(CASE WHEN y = 0 THEN px ELSE 0 END) AS BIGINT) "
+        "AS row0_sum FROM cells GROUP BY doc_id"
     )
     return d

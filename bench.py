@@ -172,6 +172,7 @@ EXTENDED = [
     "window_rank_funcs",
     "agg_mode",
     "graph_bfs_levels",
+    "multimodal_resize_exact",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

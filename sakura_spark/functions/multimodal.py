@@ -2036,3 +2036,54 @@ def synthetic_formula_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> Dat
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
     return src.mapInPandas(op, schema=f"{id_col} long, payload binary")
+
+
+def decode_resize_stats(
+    df: DataFrame, width: int = 4, height: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode -> nearest-neighbour RESIZE (:func:`_nn_resize`, the pure
+    index-mapping resample: ys = Y*h//H', xs = X*w//W') -> the same
+    integer-exact statistic row as :func:`decode_image_stats`, over the
+    RESIZED pixels. Because NN resize is pure integer index arithmetic,
+    a formula-pixel corpus keeps a plain-SQL closed form straight
+    through the resample — resized[Y, X, c] is the source formula
+    evaluated at (Y*h//H', X*w//W') — so the resize path (the one every
+    thumbnail/feature-extract pipeline runs after decode) gets its own
+    hash-exact twin instead of riding on decode's. NULL row for
+    undecodable payloads. Arrow-batched mapInPandas; payloads never
+    shuffle; output is height*width*channels cells per row regardless
+    of source dims."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    arr = _decode_pixels(b)
+                except DecodeUnavailable:
+                    rows.append((int(i), None, None, None, None, None, None))
+                    continue
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                arr = _nn_resize(arr, width, height)
+                rows.append(
+                    (
+                        int(i),
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.shape[2],
+                        int(arr.sum(dtype=np.int64)),
+                        int(arr[0, 0, 0]),
+                        int(arr[0].sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "height", "width", "channels",
+                    "pixel_checksum", "first_pixel", "row0_sum",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, schema=IMAGE_STATS_SCHEMA)

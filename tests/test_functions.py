@@ -1910,3 +1910,26 @@ def test_decode_jpeg_stats_matches_closed_forms(spark):
         assert r["pixel_checksum"] == 64 * total
         assert r["first_pixel"] == v(0, 0)
         assert r["row0_sum"] == 8 * sum(v(0, bx) for bx in range(bw))
+
+
+def test_decode_resize_stats_matches_formula(spark):
+    """decode -> NN-resize -> stats equals the closed-form evaluation of
+    the pixel formula at the nearest-neighbour index map."""
+    from sakura_spark.functions import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_resize_stats(
+            multimodal.synthetic_formula_image_payload(docs), width=4, height=4
+        ).collect()
+    }
+    for i in range(12):
+        w, h, ch = 6 + (i % 4) * 3, 5 + (i % 3) * 4, 1 + (i % 3)
+        px = lambda y, x, c: (i * 29 + ((y * h // 4) * w + (x * w // 4)) * ch + c) % 256
+        want_sum = sum(px(y, x, c) for y in range(4) for x in range(4) for c in range(ch))
+        r = out[i]
+        assert (r.height, r.width, r.channels) == (4, 4, ch)
+        assert r.pixel_checksum == want_sum
+        assert r.first_pixel == px(0, 0, 0)
+        assert r.row0_sum == sum(px(0, x, c) for x in range(4) for c in range(ch))
