@@ -4158,6 +4158,48 @@ def q_curation_freshness_decay(spark, sf_dir):
     )
 
 
+def q_rel_snapshot_diff(spark, sf_dir):
+    """CDC EXTRACT (operators.snapshot_diff — the inverse of
+    rel_merge_upsert's APPLY, completing the warehouse CDC loop): diff
+    the orders snapshot against a deterministically patched successor
+    (keys ≡ 3 mod 10 updated, ≡ 7 mod 10 deleted, negated-key rows
+    inserted) into a |changes|-sized changelog of (op I/U/D, key, new
+    values) via ONE full-outer key join + null-safe column comparison —
+    log shipping instead of snapshot shipping at 100 TB. Oracle: the
+    literal FULL JOIN + CASE SQL. The merge_upsert round-trip law
+    (apply(diff(old, new), old) == new) is property-tested in
+    tests/test_operators.py."""
+    from sakura_spark.operators import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 10 != 7)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 10 == 3, F.lit("UPDATED"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 10 == 7).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("NEW").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 def q_graph_bfs_levels(spark, sf_dir):
     """Multi-source BFS hop distances (graph.bfs_level_sweeps, the
     fixed-sweep Bellman-Ford form): every 50th document seeds distance 0
@@ -4542,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mode": q_agg_mode,
         "graph_bfs_levels": q_graph_bfs_levels,
         "multimodal_resize_exact": q_multimodal_resize_exact,
+        "rel_snapshot_diff": q_rel_snapshot_diff,
     }
 
 
@@ -6615,5 +6658,32 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS first_pixel, "
         "CAST(sum(CASE WHEN y = 0 THEN px ELSE 0 END) AS BIGINT) "
         "AS row0_sum FROM cells GROUP BY doc_id"
+    )
+    # CDC-extract twin: FULL JOIN + CASE classification; D rows carry
+    # NULL values, unchanged rows are absent.
+    d["rel_snapshot_diff"] = (
+        "WITH old AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice FROM orders), "
+        "new AS (SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey % 10 = 3 THEN 'UPDATED' "
+        "ELSE o_orderstatus END AS o_orderstatus, "
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 "
+        "ELSE o_totalprice END AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 10 <> 7 "
+        "UNION ALL SELECT -o_orderkey, o_custkey, 'NEW', o_totalprice "
+        "FROM orders WHERE o_orderkey % 10 = 7), "
+        "j AS (SELECT o.o_orderkey AS ok, n.o_orderkey AS nk, "
+        "n.o_custkey AS n_ck, n.o_orderstatus AS n_st, "
+        "n.o_totalprice AS n_pr, "
+        "CASE WHEN o.o_orderkey IS NULL THEN 'I' "
+        "WHEN n.o_orderkey IS NULL THEN 'D' "
+        "WHEN o.o_custkey IS DISTINCT FROM n.o_custkey "
+        "OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus "
+        "OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'U' "
+        "END AS op "
+        "FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey) "
+        "SELECT op, COALESCE(ok, nk) AS o_orderkey, n_ck AS o_custkey, "
+        "n_st AS o_orderstatus, n_pr AS o_totalprice "
+        "FROM j WHERE op IS NOT NULL"
     )
     return d

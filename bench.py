@@ -173,6 +173,7 @@ EXTENDED = [
     "agg_mode",
     "graph_bfs_levels",
     "multimodal_resize_exact",
+    "rel_snapshot_diff",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -482,3 +482,62 @@ def gapfill_locf(
         cols.append(F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c))
     cols.append(F.col("__obs").isNull().alias("is_gap"))
     return joined.select(*cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """CDC EXTRACT — the inverse of :func:`merge_upsert`'s apply: diff two
+    snapshots of a keyed table into a changelog of (op, key, new values):
+    ``I`` for keys only in ``new``, ``D`` for keys only in ``old`` (value
+    columns NULL), ``U`` for keys in both whose non-key columns differ
+    under null-safe equality. Unchanged rows are absent — the changelog
+    is |changes|-sized, which is what makes log shipping cheaper than
+    snapshot shipping at 100 TB. Round-trip law (property-tested):
+    applying the changelog to ``old`` with merge_upsert + tombstone
+    deletes reproduces ``new`` exactly.
+
+    Shape: ONE full-outer hash join on the key (both snapshots bucketed
+    by key elide their exchanges), a null-safe column comparison, no
+    window, no driver state."""
+    val_cols = [c for c in old.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshot_diff requires identical schemas")
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+        F.lit(True).alias("__o_exists"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+        F.lit(True).alias("__n_exists"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, on=cond, how="full_outer")
+    changed = None
+    for c in val_cols:
+        neq = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    op = (
+        F.when(F.col("__o_exists").isNull(), F.lit("I"))
+        .when(F.col("__n_exists").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *out_keys,
+            *[F.col(f"__n_{c}").alias(c) for c in val_cols],
+        )
+    )

@@ -562,3 +562,50 @@ def test_pit_asof_equals_interval_join(spark):
     b = {(r.k, r.pt, r.attr_asof) for r in via_interval.collect()}
     assert a == b
     assert (2, ts(10), "D") in a  # the tie resolves to the LAST change
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC extract) and the merge round-trip law
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark):
+    """diff(old, new) yields exactly the I/U/D changelog, and applying it
+    back to old with the three-clause merge reproduces new exactly."""
+    from sakura_spark.operators import merge_upsert, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged: absent from the log
+         (2, "B", 20.0),          # U (value change)
+         (4, "d", 40.0),          # U (NULL -> value, null-safe compare)
+         (5, "e", 50.0)],         # I  (3 deleted)
+        "k long, s string, v double",
+    )
+    log = snapshot_diff(old, new, ["k"])
+    got = {r.k: (r.op, r.s, r.v) for r in log.collect()}
+    assert got == {
+        2: ("U", "B", 20.0),
+        3: ("D", None, None),
+        4: ("U", "d", 40.0),
+        5: ("I", "e", 50.0),
+    }
+    applied = merge_upsert(
+        old,
+        log.withColumn("__del", F.col("op") == F.lit("D")).drop("op"),
+        ["k"],
+        delete_col="__del",
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_snapshot_diff_validation(spark):
+    from sakura_spark.operators import snapshot_diff
+
+    a = spark.createDataFrame([(1, 2)], "k long, v long")
+    b = spark.createDataFrame([(1, "x")], "k long, other string")
+    with pytest.raises(ValueError):
+        snapshot_diff(a, b, ["k"])
