@@ -377,7 +377,9 @@ def bfs_level_sweeps(
     map-side-combinable min aggregation — no Python, no collect, no
     driver state; the self-edge-with-weight-0 augmentation makes the
     'keep my old distance' case part of the SAME join instead of a
-    second outer join per sweep. At 100 TB: frontier rows <= reached
+    second outer join per sweep. ``seeds`` must be nodes of the graph
+    (edge endpoints): an isolated seed has no self-loop row and drops
+    out after the first sweep. At 100 TB: frontier rows <= reached
     nodes, edge table bucketed by src keeps the per-sweep join
     co-located, and the sweep count is a compile-time constant (use an
     explicit convergence-detected loop for unbounded-diameter graphs —

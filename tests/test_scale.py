@@ -284,12 +284,18 @@ def test_all_registered_query_plans_are_scale_clean(spark):
     # join runs over |sources| SIGNATURE rows (one per source, after the
     # corpus-sized work has already been reduced by the combinable
     # min-agg), broadcast build side, corpus-size-independent.
+    # sort_zorder_layout and curation_freshness_decay broadcast a ONE-ROW
+    # scalar aggregate (the min/max quantization bounds; the corpus max
+    # timestamp) as the build side of a cross join — the same
+    # constant-time-probe class as the tpch scalar subqueries above.
     allowed_nested_loop = {
         "rel_cartesian",
         "tpch_q22_idle_customers",
         "tpch_q11_important_parts",
         "sketch_kmv_overlap",
         "dedup_corpus_overlap",
+        "sort_zorder_layout",
+        "curation_freshness_decay",
     }
     flagged = {}
 
