@@ -3492,6 +3492,31 @@ def q_streaming_kmv_equiv(spark, sf_dir):
     )
 
 
+def q_streaming_sliding_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for SLIDING (overlapping) windows —
+    the one named window type the equivalence family didn't yet cover
+    (tumbling: hll/cms/bloom; session: session_equiv; custom stateful:
+    kmv): windowed_counts with window=1h, slide=30min over the events
+    file stream, so every event lands in exactly TWO open windows and
+    the state store maintains overlapping frames across microbatches.
+    Complete-mode memory sink (the hll/cms/bloom harness — state never
+    finalizes, so batch order cannot late-drop); the oracle enumerates
+    each event's two epoch-aligned window starts (time_bucket 30min and
+    its predecessor) and re-aggregates — counts only, the integer-exact
+    measure. A hash-green row proves the overlapping-window assignment,
+    the epoch alignment of window origins, and cross-batch accumulation
+    all match the one-shot batch grouping."""
+    from sakura_spark.streaming import events as ev
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.windowed_counts(s, window="1 hour", slide="30 minutes"),
+        "streaming_sliding_equiv_sink",
+    )
+    return out.select("window_start", "window_end", "event_type", "n_events")
+
+
 def q_streaming_dedup_equiv(spark, sf_dir):
     """Streaming ⇔ batch equivalence for EXACT DEDUP
     (streaming.events.deduped_stream / dropDuplicatesWithinWatermark):
@@ -4585,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_levels": q_graph_bfs_levels,
         "multimodal_resize_exact": q_multimodal_resize_exact,
         "rel_snapshot_diff": q_rel_snapshot_diff,
+        "streaming_sliding_equiv": q_streaming_sliding_equiv,
     }
 
 
@@ -6685,5 +6711,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT op, COALESCE(ok, nk) AS o_orderkey, n_ck AS o_custkey, "
         "n_st AS o_orderstatus, n_pr AS o_totalprice "
         "FROM j WHERE op IS NOT NULL"
+    )
+    # Sliding-window equivalence twin: each event's two epoch-aligned
+    # 30-min-slide window starts, re-aggregated — counts only (the
+    # integer-exact measure).
+    d["streaming_sliding_equiv"] = (
+        "WITH x AS (SELECT event_type, "
+        "time_bucket(INTERVAL 30 MINUTE, ts) AS s0 FROM events), "
+        "w AS (SELECT event_type, s0 AS ws FROM x "
+        "UNION ALL SELECT event_type, s0 - INTERVAL 30 MINUTE FROM x) "
+        "SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, "
+        "event_type, count(*) AS n_events FROM w GROUP BY 1, 3"
     )
     return d

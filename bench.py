@@ -174,6 +174,7 @@ EXTENDED = [
     "graph_bfs_levels",
     "multimodal_resize_exact",
     "rel_snapshot_diff",
+    "streaming_sliding_equiv",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
