@@ -4183,6 +4183,27 @@ def q_curation_freshness_decay(spark, sf_dir):
     )
 
 
+def q_agg_corr_exact(spark, sf_dir):
+    """Pearson correlation + sample covariance per return flag
+    (stats.grouped_pearson): price-cents vs quantity-hundredths, both
+    integer-encoded, five moments accumulated in exact decimal (ONE
+    map-side-combinable pass — profiling cost = a plain count), then a
+    FIXED tree of individually-correctly-rounded IEEE ops (the
+    bm25/cosine discipline applied to second-order statistics — the
+    hash-unsafe thing is accumulating floats ACROSS rows, which Spark's
+    own corr() does). Oracle: the identical moment SQL with the
+    identical final expression tree, so the doubles hash
+    bit-identically."""
+    from sakura_spark.functions.stats import grouped_pearson
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
+    )
+    return grouped_pearson(li, ["l_returnflag"], "cents", "qty100")
+
+
 def q_rel_snapshot_diff(spark, sf_dir):
     """CDC EXTRACT (operators.snapshot_diff — the inverse of
     rel_merge_upsert's APPLY, completing the warehouse CDC loop): diff
@@ -4611,6 +4632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_exact": q_multimodal_resize_exact,
         "rel_snapshot_diff": q_rel_snapshot_diff,
         "streaming_sliding_equiv": q_streaming_sliding_equiv,
+        "agg_corr_exact": q_agg_corr_exact,
     }
 
 
@@ -6722,5 +6744,33 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT event_type, s0 - INTERVAL 30 MINUTE FROM x) "
         "SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, "
         "event_type, count(*) AS n_events FROM w GROUP BY 1, 3"
+    )
+    # Exact-correlation twin: identical decimal moments, identical final
+    # IEEE expression tree (every op individually correctly rounded).
+    d["agg_corr_exact"] = (
+        "WITH b AS (SELECT l_returnflag, "
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "AS DECIMAL(18,0)) AS x, "
+        "CAST(CAST(round(l_quantity * 100) AS BIGINT) "
+        "AS DECIMAL(18,0)) AS y FROM lineitem), "
+        "m AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+        "sum(y * y) AS syy FROM b GROUP BY 1) "
+        "SELECT l_returnflag, n, "
+        "CASE WHEN n >= 2 THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) "
+        "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) - 1.0) END AS covariance, "
+        "CASE WHEN n >= 2 "
+        "AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 "
+        "AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS correlation "
+        "FROM m"
     )
     return d

@@ -175,6 +175,7 @@ EXTENDED = [
     "multimodal_resize_exact",
     "rel_snapshot_diff",
     "streaming_sliding_equiv",
+    "agg_corr_exact",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -134,3 +134,62 @@ def decayed_counts(
             F.sum(weight).alias("decayed_weight"),
         )
     )
+
+
+def grouped_pearson(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pearson correlation and sample covariance per group from ONE pass
+    of integer moments: callers supply INTEGER-valued columns (fixed-
+    point-encode floats upstream — cents, basis points; |value| < 10^18),
+    the five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in exact
+    decimal — inputs DECIMAL(18,0), products (37,0), sums (38,0), widths
+    both Spark and ANSI engines accept — exact and
+    commutative at any aggregation order or partitioning — and the
+    covariance/correlation are computed from them in a FIXED expression
+    tree of individually-correctly-rounded IEEE ops (casts, -, *, /,
+    sqrt), so the resulting doubles are bit-identical in any IEEE-754
+    engine (the bm25/cosine discipline applied to second-order
+    statistics; never accumulate floats across rows — THAT is
+    order-dependent). cov = (Σxy - Σx·Σy/n)/(n-1);
+    corr = (n·Σxy - Σx·Σy) / (sqrt(n·Σx² - Σx²) · sqrt(n·Σy² - Σy²)).
+    Groups with n < 2 or zero variance yield NULLs rather than
+    divide-by-zero.
+
+    Shape: one map-side-combinable aggregate — profiling cost equals a
+    plain count at 100 TB; moments are mergeable so the same expression
+    serves incremental refresh (incremental_agg_apply) and sketch-style
+    rollups."""
+    dec = "decimal(18,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = F.when(
+        F.col("n") >= 2, (sxy - sx * sy / nd) / (nd - F.lit(1.0))
+    )
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    corr = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        (nd * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return m.select(
+        *group_cols,
+        "n",
+        cov.alias("covariance"),
+        corr.alias("correlation"),
+    )

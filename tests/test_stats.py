@@ -113,3 +113,35 @@ def test_gapfill_locf_semantics(spark):
     assert rows[(1, 3)] == (70, 1, False)   # fresh observation replaces carry
     assert rows[(2, 5)] == (9, 4, False)
     assert len(rows) == 5  # 4 buckets for key 1, 1 for key 2
+
+
+def test_grouped_pearson_matches_numpy(spark):
+    """Moment-form covariance/correlation equals numpy's within one ulp
+    scale of rounding (values are small exact integers here, so equality
+    is exact), and degenerate groups yield NULLs."""
+    import numpy as np
+
+    from sakura_spark.functions.stats import grouped_pearson
+
+    xs = [1, 2, 3, 4, 7]
+    ys = [2, 1, 4, 6, 9]
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    rows += [("single", 5, 5)]          # n < 2 -> NULLs
+    rows += [("flat", 3, 1), ("flat", 3, 9)]  # zero x-variance -> corr NULL
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in grouped_pearson(df, ["g"], "x", "y").collect()}
+
+    x, y = np.array(xs, float), np.array(ys, float)
+    n = len(xs)
+    want_cov = (x * y).sum() - x.sum() * y.sum() / n
+    want_cov /= n - 1
+    want_corr = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        np.sqrt(n * (x * x).sum() - x.sum() ** 2)
+        * np.sqrt(n * (y * y).sum() - y.sum() ** 2)
+    )
+    assert got["g"].n == n
+    assert got["g"].covariance == pytest.approx(want_cov, abs=0)
+    assert got["g"].correlation == pytest.approx(want_corr, abs=0)
+    assert got["single"].covariance is None and got["single"].correlation is None
+    assert got["flat"].covariance is not None  # cov of zero-x-var is 0.0
+    assert got["flat"].correlation is None
