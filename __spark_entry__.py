@@ -4011,6 +4011,78 @@ def q_sort_zorder_layout(spark, sf_dir):
     )
 
 
+def q_sort_zorder_pruning(spark, sf_dir):
+    """Zone-map PRUNING selectivity — the number the Z-order layout
+    exists to improve: against the 64-zone map of sort_zorder_layout, a
+    2-D box predicate (middle third of the customer range x middle
+    third of the date range) reports zones_total / zones_touched (zone
+    [min,max] box intersects the predicate box) / rows_scanned (rows in
+    touched zones) / rows_matched (exact predicate hits) — i.e. the
+    scan amplification a reader would pay: rows_scanned/rows_matched
+    close to 1 is the property Z-ORDER buys that a one-column sort
+    cannot (its untouched dimension's zone ranges span everything, so
+    it touches ~every zone for a predicate on that dimension). All
+    counts are exact integers from the SAME zone-map aggregate; oracle
+    = the zone-map SQL + the same intersection arithmetic. At 100 TB
+    this IS the file-skipping estimate: zones are files, the zone map
+    is the parquet footer min/max."""
+    from sakura_spark.operators import quantize_minmax, zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    base = orders.select(
+        F.col("o_custkey").cast("long").alias("ck"), day.alias("dy")
+    )
+    bounds = base.agg(
+        F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
+        F.min("dy").alias("dy_min"), F.max("dy").alias("dy_max"),
+    )
+    q = base.crossJoin(F.broadcast(bounds)).select(
+        "ck", "dy", "ck_min", "ck_max", "dy_min", "dy_max",
+        quantize_minmax(F.col("ck"), F.col("ck_min"), F.col("ck_max"), bits=8).alias("qck"),
+        quantize_minmax(F.col("dy"), F.col("dy_min"), F.col("dy_max"), bits=8).alias("qdy"),
+    )
+    # Predicate box: middle third of each dimension's data range
+    # (integer arithmetic, same spelling in the oracle).
+    pred_ck_lo = F.col("ck_min") + (F.col("ck_max") - F.col("ck_min")) / 3
+    pred_ck_hi = F.col("ck_min") + (F.col("ck_max") - F.col("ck_min")) * 2 / 3
+    pred_dy_lo = F.col("dy_min") + (F.col("dy_max") - F.col("dy_min")) / 3
+    pred_dy_hi = F.col("dy_min") + (F.col("dy_max") - F.col("dy_min")) * 2 / 3
+    z = q.select(
+        "ck", "dy",
+        zorder_key([F.col("qck"), F.col("qdy")], bits=8).alias("z"),
+        (F.floor(pred_ck_lo)).cast("long").alias("p_ck_lo"),
+        (F.floor(pred_ck_hi)).cast("long").alias("p_ck_hi"),
+        (F.floor(pred_dy_lo)).cast("long").alias("p_dy_lo"),
+        (F.floor(pred_dy_hi)).cast("long").alias("p_dy_hi"),
+    )
+    zones = z.groupBy(F.shiftright(F.col("z"), 10).alias("zone")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"), F.max("dy").alias("dy_hi"),
+        F.max("p_ck_lo").alias("p_ck_lo"), F.max("p_ck_hi").alias("p_ck_hi"),
+        F.max("p_dy_lo").alias("p_dy_lo"), F.max("p_dy_hi").alias("p_dy_hi"),
+        F.sum(
+            F.when(
+                F.col("ck").between(F.col("p_ck_lo"), F.col("p_ck_hi"))
+                & F.col("dy").between(F.col("p_dy_lo"), F.col("p_dy_hi")),
+                1,
+            ).otherwise(0)
+        ).alias("matched"),
+    )
+    touched = (F.col("ck_lo") <= F.col("p_ck_hi")) & (
+        F.col("ck_hi") >= F.col("p_ck_lo")
+    ) & (F.col("dy_lo") <= F.col("p_dy_hi")) & (
+        F.col("dy_hi") >= F.col("p_dy_lo")
+    )
+    return zones.agg(
+        F.count(F.lit(1)).alias("zones_total"),
+        F.sum(touched.cast("long")).alias("zones_touched"),
+        F.sum(F.when(touched, F.col("n")).otherwise(F.lit(0))).alias("rows_scanned"),
+        F.sum("matched").alias("rows_matched"),
+    )
+
+
 def q_rel_ivm_delta(spark, sf_dir):
     """Incremental view maintenance (operators.incremental_agg_apply —
     DBSP / counting-IVM): a per-part sales aggregate (count, summed
@@ -4633,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_snapshot_diff": q_rel_snapshot_diff,
         "streaming_sliding_equiv": q_streaming_sliding_equiv,
         "agg_corr_exact": q_agg_corr_exact,
+        "sort_zorder_pruning": q_sort_zorder_pruning,
     }
 
 
@@ -4775,6 +4848,52 @@ def _zorder_oracle_sql() -> str:
         "SELECT z >> 10 AS zone, count(*) AS n, "
         "min(ck) AS ck_lo, max(ck) AS ck_hi, "
         "min(dy) AS dy_lo, max(dy) AS dy_hi FROM z GROUP BY zone"
+    )
+
+
+def _zorder_pruning_oracle_sql() -> str:
+    """DuckDB twin of q_sort_zorder_pruning: the zone-map SQL of
+    _zorder_oracle_sql plus the middle-third box predicate, the per-zone
+    matched counts, and the final box-intersection aggregate — every
+    count an exact integer."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(((qck >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((qdy >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return (
+        "WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS ck, "
+        "date_diff('day', DATE '1970-01-01', o_orderdate) AS dy FROM orders), "
+        "b AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max, "
+        "min(dy) AS dy_min, max(dy) AS dy_max FROM base), "
+        "p AS (SELECT *, "
+        "CAST(floor(ck_min + (ck_max - ck_min) / 3.0) AS BIGINT) AS p_ck_lo, "
+        "CAST(floor(ck_min + (ck_max - ck_min) * 2.0 / 3.0) AS BIGINT) AS p_ck_hi, "
+        "CAST(floor(dy_min + (dy_max - dy_min) / 3.0) AS BIGINT) AS p_dy_lo, "
+        "CAST(floor(dy_min + (dy_max - dy_min) * 2.0 / 3.0) AS BIGINT) AS p_dy_hi "
+        "FROM b), "
+        "q AS (SELECT ck, dy, "
+        "CAST(floor((ck - ck_min) * 256.0 / (ck_max - ck_min + 1)) AS BIGINT) AS qck, "
+        "CAST(floor((dy - dy_min) * 256.0 / (dy_max - dy_min + 1)) AS BIGINT) AS qdy, "
+        "p_ck_lo, p_ck_hi, p_dy_lo, p_dy_hi FROM base, p), "
+        f"zv AS (SELECT ck, dy, ({z}) AS z, "
+        "p_ck_lo, p_ck_hi, p_dy_lo, p_dy_hi FROM q), "
+        "zones AS (SELECT z >> 10 AS zone, count(*) AS n, "
+        "min(ck) AS ck_lo, max(ck) AS ck_hi, "
+        "min(dy) AS dy_lo, max(dy) AS dy_hi, "
+        "max(p_ck_lo) AS p_ck_lo, max(p_ck_hi) AS p_ck_hi, "
+        "max(p_dy_lo) AS p_dy_lo, max(p_dy_hi) AS p_dy_hi, "
+        "sum(CASE WHEN ck BETWEEN p_ck_lo AND p_ck_hi "
+        "AND dy BETWEEN p_dy_lo AND p_dy_hi THEN 1 ELSE 0 END) AS matched "
+        "FROM zv GROUP BY 1) "
+        "SELECT count(*) AS zones_total, "
+        "CAST(sum(CASE WHEN ck_lo <= p_ck_hi AND ck_hi >= p_ck_lo "
+        "AND dy_lo <= p_dy_hi AND dy_hi >= p_dy_lo THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS zones_touched, "
+        "CAST(sum(CASE WHEN ck_lo <= p_ck_hi AND ck_hi >= p_ck_lo "
+        "AND dy_lo <= p_dy_hi AND dy_hi >= p_dy_lo THEN n ELSE 0 END) "
+        "AS BIGINT) AS rows_scanned, "
+        "CAST(sum(matched) AS BIGINT) AS rows_matched FROM zones"
     )
 
 
@@ -6546,6 +6665,9 @@ def oracle_sql() -> dict[str, str]:
     # Generated Morton interleave + zone-map aggregate (one loop emits
     # both the Spark expression and this SQL, so they cannot drift).
     d["sort_zorder_layout"] = _zorder_oracle_sql()
+    # The pruning-selectivity twin: zone map + middle-third box
+    # predicate + intersection arithmetic, all exact integers.
+    d["sort_zorder_pruning"] = _zorder_pruning_oracle_sql()
     # IVM twin: the oracle is the FULL RECOMPUTE over the patched base
     # (base minus the mod-13-0 deletes plus the tripled mod-13-5
     # re-inserts) — hash-green proves delta-apply == recompute.

@@ -176,6 +176,7 @@ EXTENDED = [
     "rel_snapshot_diff",
     "streaming_sliding_equiv",
     "agg_corr_exact",
+    "sort_zorder_pruning",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
