@@ -295,6 +295,7 @@ def test_all_registered_query_plans_are_scale_clean(spark):
         "sketch_kmv_overlap",
         "dedup_corpus_overlap",
         "sort_zorder_layout",
+        "sort_zorder_pruning",
         "curation_freshness_decay",
     }
     flagged = {}
