@@ -4276,6 +4276,26 @@ def q_agg_corr_exact(spark, sf_dir):
     return grouped_pearson(li, ["l_returnflag"], "cents", "qty100")
 
 
+def q_agg_linear_fit(spark, sf_dir):
+    """OLS trend fit per group (stats.grouped_linear_fit): price-cents
+    regressed on quantity-hundredths per return flag, from the same
+    ONE-pass exact-decimal moments as agg_corr_exact — slope and
+    intercept are fixed trees of individually-correctly-rounded IEEE
+    ops over exactly-accumulated integers, so the doubles hash
+    bit-identically (Spark's regr_slope/regr_intercept accumulate
+    floats across rows and are hash-unsafe). The drift-detection /
+    trend-profiling statistic at plain-count cost. Oracle: identical
+    moment SQL + identical final expression tree."""
+    from sakura_spark.functions.stats import grouped_linear_fit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return grouped_linear_fit(li, ["l_returnflag"], "qty100", "cents")
+
+
 def q_rel_snapshot_diff(spark, sf_dir):
     """CDC EXTRACT (operators.snapshot_diff — the inverse of
     rel_merge_upsert's APPLY, completing the warehouse CDC loop): diff
@@ -4706,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_equiv": q_streaming_sliding_equiv,
         "agg_corr_exact": q_agg_corr_exact,
         "sort_zorder_pruning": q_sort_zorder_pruning,
+        "agg_linear_fit": q_agg_linear_fit,
     }
 
 
@@ -6893,6 +6914,34 @@ def oracle_sql() -> dict[str, str]:
         "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
         "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
         "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS correlation "
+        "FROM m"
+    )
+    # OLS twin: identical moments, identical slope/intercept trees
+    # (slope's expression repeated verbatim inside intercept — identical
+    # tree, identical double).
+    _slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    d["agg_linear_fit"] = (
+        "WITH b AS (SELECT l_returnflag, "
+        "CAST(CAST(round(l_quantity * 100) AS BIGINT) "
+        "AS DECIMAL(18,0)) AS x, "
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "AS DECIMAL(18,0)) AS y FROM lineitem), "
+        "m AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx "
+        "FROM b GROUP BY 1) "
+        "SELECT l_returnflag, n, "
+        "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 THEN "
+        f"{_slope} END AS slope, "
+        "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 THEN "
+        f"(CAST(sy AS DOUBLE) - {_slope} * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE) END AS intercept "
         "FROM m"
     )
     return d

@@ -177,6 +177,7 @@ EXTENDED = [
     "streaming_sliding_equiv",
     "agg_corr_exact",
     "sort_zorder_pruning",
+    "agg_linear_fit",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -193,3 +193,42 @@ def grouped_pearson(
         cov.alias("covariance"),
         corr.alias("correlation"),
     )
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Ordinary-least-squares fit y ~ slope·x + intercept per group, from
+    the same ONE-pass exact-decimal moments as :func:`grouped_pearson`
+    (and under the same integer-input contract):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²),
+    intercept = (Σy − slope·Σx) / n — each a fixed tree of
+    individually-correctly-rounded IEEE ops over exactly-accumulated
+    moments, bit-identical in any IEEE engine. Groups with n < 2 or zero
+    x-variance yield NULLs. The trend-profiling / drift-detection
+    statistic at plain-count cost; moments are mergeable, so the same
+    fit serves incremental refresh."""
+    dec = "decimal(18,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    vx = nd * sxx - sx * sx
+    slope = F.when((F.col("n") >= 2) & (vx > 0), (nd * sxy - sx * sy) / vx)
+    intercept = F.when(
+        (F.col("n") >= 2) & (vx > 0), (sy - slope * sx) / nd
+    )
+    return m.select(
+        *group_cols, "n", slope.alias("slope"), intercept.alias("intercept")
+    )

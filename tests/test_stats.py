@@ -145,3 +145,18 @@ def test_grouped_pearson_matches_numpy(spark):
     assert got["single"].covariance is None and got["single"].correlation is None
     assert got["flat"].covariance is not None  # cov of zero-x-var is 0.0
     assert got["flat"].correlation is None
+
+
+def test_grouped_linear_fit_matches_formula(spark):
+    """Moment-form OLS equals the closed formula (here y = 3x + 2 exactly,
+    so slope/intercept recover the generating line), and zero-x-variance
+    groups yield NULLs."""
+    from sakura_spark.functions.stats import grouped_linear_fit
+
+    rows = [("g", x, 3 * x + 2) for x in (1, 2, 5, 9)]
+    rows += [("flat", 4, 1), ("flat", 4, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in grouped_linear_fit(df, ["g"], "x", "y").collect()}
+    assert got["g"].slope == pytest.approx(3.0, abs=0)
+    assert got["g"].intercept == pytest.approx(2.0, abs=0)
+    assert got["flat"].slope is None and got["flat"].intercept is None
