@@ -4276,6 +4276,33 @@ def q_agg_corr_exact(spark, sf_dir):
     return grouped_pearson(li, ["l_returnflag"], "cents", "qty100")
 
 
+def q_events_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type) estimated from counts — one lead()
+    window over the unique (ts, event_id) order per user, a combinable
+    (type, next_type) count, a broadcast per-type total, and ONE
+    correctly-rounded IEEE division per cell (the hash-safe probability
+    discipline: integers all the way, floats only at the final single
+    op). The sequence-modeling statistic behind session simulation and
+    next-action evaluation; last events per user (no successor) are
+    excluded from the denominator, so rows of the matrix sum to 1.
+    Oracle: the identical lead + count + division SQL."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("t"),
+        F.lead("event_type").over(w).alias("nt"),
+    ).filter(F.col("nt").isNotNull())
+    cnt = pairs.groupBy("t", "nt").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("t").agg(F.sum("n").alias("tn"))
+    return cnt.join(F.broadcast(tot), "t").select(
+        F.col("t").alias("event_type"),
+        F.col("nt").alias("next_type"),
+        "n",
+        (F.col("n").cast("double") / F.col("tn").cast("double")).alias("p"),
+    )
+
+
 def q_agg_linear_fit(spark, sf_dir):
     """OLS trend fit per group (stats.grouped_linear_fit): price-cents
     regressed on quantity-hundredths per return flag, from the same
@@ -4727,6 +4754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_corr_exact": q_agg_corr_exact,
         "sort_zorder_pruning": q_sort_zorder_pruning,
         "agg_linear_fit": q_agg_linear_fit,
+        "events_transition_probs": q_events_transition_probs,
     }
 
 
@@ -6943,5 +6971,17 @@ def oracle_sql() -> dict[str, str]:
         f"(CAST(sy AS DOUBLE) - {_slope} * CAST(sx AS DOUBLE)) "
         "/ CAST(n AS DOUBLE) END AS intercept "
         "FROM m"
+    )
+    # Markov-transition twin: identical lead + count + single division.
+    d["events_transition_probs"] = (
+        "WITH s AS (SELECT event_type AS t, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nt FROM events), "
+        "c AS (SELECT t, nt, count(*) AS n FROM s "
+        "WHERE nt IS NOT NULL GROUP BY 1, 2), "
+        "tt AS (SELECT t, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1) "
+        "SELECT c.t AS event_type, c.nt AS next_type, c.n, "
+        "CAST(c.n AS DOUBLE) / CAST(tt.tn AS DOUBLE) AS p "
+        "FROM c JOIN tt ON c.t = tt.t"
     )
     return d

@@ -178,6 +178,7 @@ EXTENDED = [
     "agg_corr_exact",
     "sort_zorder_pruning",
     "agg_linear_fit",
+    "events_transition_probs",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
