@@ -3255,12 +3255,17 @@ def _time_ordered_stream_dir(spark, src, mx, tmp):
     row, and the sentinels push the final watermark past every real
     window/session end so ALL real state emits in append mode. With
     maxFilesPerTrigger=4 the batches are {d0, d1, d2, s+2h} and {s+4h}
-    (see q_streaming_kmv_equiv's docstring for the watermark walk)."""
-    import datetime
+    (see q_streaming_kmv_equiv's docstring for the watermark walk).
+
+    The sentinel rows are built with SQL literals, not createDataFrame:
+    a local-Python-rows plan executes through a Python-worker RDD scan
+    whose per-job worker launch cost ~5 s each at bench scale (measured
+    round 11 — 11 s of the session entry's 20 s was the two one-row
+    sentinel writes); the literal SELECT stays JVM-side and writes in
+    ~0.2 s. Same rows, byte-identical parquet schema (cast to the
+    events schema explicitly)."""
     import os
     import shutil
-
-    from sakura_spark.streaming import events as ev
 
     data_dir = os.path.join(tmp, "stream")
     os.makedirs(data_dir)
@@ -3275,10 +3280,13 @@ def _time_ordered_stream_dir(spark, src, mx, tmp):
         dst = os.path.join(data_dir, f"{i:02d}-data.parquet")
         shutil.move(os.path.join(tmp, "d", p), dst)
         os.utime(dst, (t0 + i, t0 + i))
+    mx_lit = mx.strftime("%Y-%m-%d %H:%M:%S.%f")
     for j, hours in enumerate((2, 4)):
-        srow = spark.createDataFrame(
-            [(-1, mx + datetime.timedelta(hours=hours), -1, "sentinel", 0.0, "{}")],
-            ev.EVENTS_SCHEMA,
+        srow = spark.sql(
+            f"SELECT CAST(-1 AS LONG) AS event_id, "
+            f"TIMESTAMP'{mx_lit}' + INTERVAL {hours} HOURS AS ts, "
+            f"CAST(-1 AS LONG) AS user_id, 'sentinel' AS event_type, "
+            f"CAST(0.0 AS DOUBLE) AS value, '{{}}' AS props"
         )
         sdir = os.path.join(tmp, f"s{j}")
         srow.coalesce(1).write.mode("overwrite").parquet(sdir)
@@ -3310,7 +3318,20 @@ def q_streaming_session_equiv(spark, sf_dir):
     whole-second unix_timestamp — hash-green proves the state store's
     merge semantics, boundary behavior and microsecond arithmetic at
     once. In production the watermark bounds state to open sessions
-    per user within the horizon."""
+    per user within the horizon.
+
+    Round-11 wall-time audit (VERDICT r10 item 3, the KMV batch-count
+    precedent applied): the 12.5 s BENCH_r10 reading was (a) ~11 s of
+    createDataFrame sentinel writes (now SQL literals — see
+    _time_ordered_stream_dir) and (b) a trailing no-data micro-batch +
+    32 state-store partitions of fixed setup cost. Batch 1's incoming
+    watermark (max+2h − 30 min) already exceeds every real session end
+    (≤ max+30 min), so append mode emits ALL real sessions in the
+    sentinel batch and the no-data batch only finalizes the +2h
+    sentinel's session — which the session_start ≤ max(ts) filter
+    drops regardless; no_data_batch=False is therefore byte-identical
+    (measured: same crc checksum over 95,465 rows at sf0.1, 20.3 s →
+    2.9 s, batches {d0,d1,d2,s+2h} and {s+4h})."""
     import shutil
     import tempfile
 
@@ -3326,6 +3347,8 @@ def q_streaming_session_equiv(spark, sf_dir):
             ev.session_windows(stream, gap="30 minutes", watermark="30 minutes"),
             "streaming_session_equiv_sink",
             output_mode="append",
+            state_partitions=8,
+            no_data_batch=False,
         )
         q.stop()
     finally:
@@ -3361,7 +3384,14 @@ def _run_events_stream(spark, sf_dir, builder, sink_name, src=None,
     try:
         src.coalesce(4).write.mode("overwrite").parquet(tmp)
         stream = ev.read_event_stream(spark, tmp, max_files_per_trigger=2)
-        q = ev.run_to_memory(builder(stream), sink_name, output_mode=output_mode)
+        # state_partitions=8 is a bench-harness knob (fixed state-store
+        # setup cost per partition per micro-batch dwarfs the data at
+        # sf0.1); production keeps the cluster default. Output content
+        # is partition-count independent — the same oracle hash gates it.
+        q = ev.run_to_memory(
+            builder(stream), sink_name, output_mode=output_mode,
+            state_partitions=8,
+        )
         q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3461,7 +3491,11 @@ def q_streaming_kmv_equiv(spark, sf_dir):
     filtered by window_start <= max(ts) regardless, so the output is
     exactly ALL real hourly windows — bit-identical to batch
     kmv_sketch, oracle with NO cutoff clause. Measured at sf0.1:
-    5 batches 26.4s -> 2 batches 13.6s, same 23,040-row output."""
+    5 batches 26.4s -> 2 batches 13.6s (round 10), then -> 4.6s
+    (round 11: SQL-literal sentinel writes, no_data_batch=False —
+    byte-identical by the argument above, the no-data batch only ever
+    timed out the filtered +2h sentinel window — and state_partitions=8,
+    a harness knob; same output, same oracle hash)."""
     import shutil
     import tempfile
 
@@ -3477,6 +3511,8 @@ def q_streaming_kmv_equiv(spark, sf_dir):
             ev.windowed_user_kmv(stream, window="1 hour", k=32),
             "streaming_kmv_equiv_sink",
             output_mode="append",
+            state_partitions=8,
+            no_data_batch=False,
         )
         q.stop()
     finally:

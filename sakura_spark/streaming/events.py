@@ -395,16 +395,52 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "update",
+    state_partitions: int | None = None,
+    no_data_batch: bool = True,
+):
     """Drive a streaming frame to completion against a memory sink (local
     smoke harness): returns the StreamingQuery after processing all
-    available input."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
+    available input.
+
+    ``state_partitions`` and ``no_data_batch`` are HARNESS knobs, not
+    operator semantics: each state-store partition pays a fixed
+    setup/commit cost per micro-batch, so a bench-scale run with a
+    handful of windows wants far fewer than the session-wide shuffle
+    partition count (production keeps the cluster default — state
+    partitioning is baked into the checkpoint at first batch, and these
+    runs use fresh temp checkpoints). ``no_data_batch=False`` skips the
+    trailing empty micro-batch availableNow otherwise runs; callers must
+    only pass it when their emission logic provably doesn't rely on that
+    final watermark tick (the sentinel-file harnesses — see
+    q_streaming_kmv_equiv's watermark walk — are designed exactly so).
+    Both confs are set before start() (query planning reads them there)
+    and restored after the run so the shared session is untouched."""
+    spark = df.sparkSession
+    restore: dict[str, str] = {}
+    if state_partitions is not None:
+        restore["spark.sql.shuffle.partitions"] = spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batch:
+        restore["spark.sql.streaming.noDataMicroBatches.enabled"] = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
     return q
