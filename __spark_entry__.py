@@ -4401,6 +4401,57 @@ def q_rel_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+def q_rel_snapshot_roundtrip(spark, sf_dir):
+    """CDC EXTRACT∘APPLY = IDENTITY under the driver's hash (VERDICT r10
+    item 5 — the merge round-trip law, property-tested in
+    tests/test_operators.py, driven through the oracle gate): the same
+    old→new patch as rel_snapshot_diff, but the OUTPUT is the
+    round-tripped table — merge_upsert(old, snapshot_diff(old, new))
+    with 'D' rows as tombstones — hashed against the plain SQL that
+    builds `new` directly. A green row proves extract and apply are
+    exact inverses value-for-value on real data: inserts land, updates
+    overwrite, deletes remove, untouched rows pass through bit-
+    identically. Plan: two full-outer key joins (diff, then apply) —
+    the complete log-shipping cycle a 100 TB warehouse runs nightly,
+    with each side shuffled by key once per phase (bucketed tables
+    elide the target-side exchanges)."""
+    from sakura_spark.operators import merge_upsert, snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 10 != 7)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 10 == 3, F.lit("UPDATED"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 10 == 7).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("NEW").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    log = snapshot_diff(old, new, ["o_orderkey"])
+    return merge_upsert(
+        old,
+        log.withColumn("__del", F.col("op") == F.lit("D")).drop("op"),
+        ["o_orderkey"],
+        delete_col="__del",
+    )
+
+
 def q_graph_bfs_levels(spark, sf_dir):
     """Multi-source BFS hop distances (graph.bfs_level_sweeps, the
     fixed-sweep Bellman-Ford form): every 50th document seeds distance 0
@@ -4421,6 +4472,36 @@ def q_graph_bfs_levels(spark, sf_dir):
     )
     seeds = nodes.filter(F.col("node") % 50 == 0)
     return graph.bfs_level_sweeps(edges, seeds, iterations=4)
+
+
+def q_graph_bfs_converged(spark, sf_dir):
+    """CONVERGENCE-DETECTED multi-source BFS (graph.bfs_converged — the
+    explicit fixpoint loop bfs_level_sweeps' docstring prescribes for
+    unbounded-diameter graphs, VERDICT r10 item 6): same seeds and
+    rare-shingle edge set as graph_bfs_levels, but the sweep count is
+    DISCOVERED at run time — each localCheckpoint-pinned sweep is
+    followed by one bounded (count, sum(dist)) aggregate, and the loop
+    stops at the first unchanged pair (a complete fixpoint witness
+    because min-sweeps are monotone). Hash-checked against the
+    fixed-sweep unrolled-CTE oracle at iterations=8: the converged
+    table equals ANY fixed-sweep run with iterations >= the seeds'
+    eccentricity, so a green row proves the loop stopped exactly at the
+    true all-reachable shortest-path table — measured eccentricity 2
+    (sf0.001/0.01, 3 sweeps) to 4 (sf0.1, 5 sweeps), comfortably under
+    the oracle's 8 (and a future corpus whose diameter exceeded 8 would
+    hash-mismatch, not silently pass). Sweep-count-vs-diameter numbers
+    are recorded in SCALE.md."""
+    from sakura_spark.functions import graph
+
+    edges = _rare_shingle_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 50 == 0)
+    dist, _sweeps = graph.bfs_converged(edges, seeds)
+    return dist
 
 
 def q_rel_unpivot(spark, sf_dir):
@@ -4561,56 +4642,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     audio leg in-window), graph_triangles + graph_components (r8-r9;
     graph_pagerank stays), dedup_jaccard_selfjoin (r8-r9; the portable
     MinHash/SimHash twins stay).
+
+    Round-11 rotation (VERDICT r10 items 1, 5, 6): the 19 round-10
+    entries enter (first driver hash exposure), plus the two NEW
+    oracle-backed round-11 entries (rel_snapshot_roundtrip — the CDC
+    round-trip law under the driver hash; graph_bfs_converged — the
+    convergence-detected BFS loop). OUT: the 10 rows-only entries
+    (one-time row/schema recording completed in CORRECTNESS_r10; hash
+    gates live on their in-window fixed twins) and 11 entries
+    driver-green in BOTH r9 and r10 with in-window siblings:
+    graph_pagerank (bfs_levels + bfs_converged carry graph),
+    curation_source_stats (gopher/leakage/ppl/freshness stay),
+    sim_random_projection + sim_ivf_assign_fixed + sim_pq_topk_fixed
+    (ivf/ivfpq topk + semdedup + lsh + near_dup stay),
+    rel_salted_join (group_checksum + merge/scd2/snapshot family
+    stay), dedup_simhash_portable (minhash_portable + corpus_overlap
+    stay), sketch_merge_law (hll_cube stays), text_hash_score
+    (hash_features stays), sim_embedding_moments (r9+r10 green incl.
+    one round on the round-10 wide-agg plan), multimodal_video_frames
+    (video + av_demux + image/gif/jpeg/resize exact twins stay). ALL
+    EIGHT streaming equivalence entries stay in-window: their shared
+    harness changed this round (SQL-literal sentinels,
+    state_partitions/no_data_batch knobs) and changed implementations
+    are re-verified by the driver before rotating.
     """
     return {
-        # --- driver sweep window (first 50). Round-10 rotation
-        # (VERDICT r9 item 1): ALL 15 never-driver-checked entries
-        # enter — the 5 oracle-backed queued twins
-        # (streaming_cms/bloom/kmv_equiv, rel_group_checksum,
-        # sim_embedding_near_dup) plus the 10 rows-only entries so
-        # the driver records their row/schema status at least once.
-        # 15 multi-round-green entries with in-window siblings rotate
-        # past the cap (see the past-cap block below). Entries whose
-        # implementation changes this round (sim_embedding_moments,
-        # sketch_hll_cube, rel_merge_*, streaming_kmv_equiv) stay in
-        # the window so the driver re-verifies the new plans. Prior
-        # rounds' per-entry rotation comments live in git history. ---
-        "graph_pagerank": q_graph_pagerank,
-        "curation_source_stats": q_curation_source_stats,
-        "sim_random_projection": q_sim_random_projection,
-        "rel_salted_join": q_rel_salted_join,
-        "dedup_minhash_portable": q_dedup_minhash_portable,
-        "dedup_simhash_portable": q_dedup_simhash_portable,
-        "sim_ivf_assign_fixed": q_sim_ivf_assign_fixed,
+        # --- driver sweep window (first 50). Round-11 rotation
+        # (VERDICT r10 items 1, 5, 6): the 19 round-10 entries that had
+        # never faced the driver's hash gate enter, plus the two NEW
+        # round-11 oracle-backed entries (rel_snapshot_roundtrip,
+        # graph_bfs_converged — new oracle-backed operators enter
+        # immediately per policy). The 10 rows-only entries rotate OUT
+        # (their one-time row/schema recording is CORRECTNESS_r10) and
+        # 11 multi-round-green oracle entries with in-window siblings
+        # rotate past the cap (see the past-cap block). ALL streaming
+        # equivalence entries STAY: their shared harness changed this
+        # round (SQL-literal sentinels, state_partitions/no_data_batch
+        # knobs), and changed implementations stay in-window for driver
+        # re-verification. ---
         "curation_ppl_buckets": q_curation_ppl_buckets,
-        "sketch_merge_law": q_sketch_merge_law,
+        "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_corpus_overlap": q_dedup_corpus_overlap,
-        "sim_embedding_moments": q_sim_embedding_moments,
         "text_hash_features": q_text_hash_features,
         "sim_ivfpq_topk_fixed": q_sim_ivfpq_topk_fixed,
         "sim_ann_lsh": q_sim_ann_lsh,
         "streaming_hll_equiv": q_streaming_hll_equiv,
         "sim_ivf_topk_fixed": q_sim_ivf_topk_fixed,
         "sim_semdedup_fixed": q_sim_semdedup_fixed,
-        "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
         "streaming_dedup_equiv": q_streaming_dedup_equiv,
-        "text_hash_score": q_text_hash_score,
         "text_bpe_portable": q_text_bpe_portable,
         "multimodal_video": q_multimodal_video,
-        "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_av_demux": q_multimodal_av_demux,
         "text_hybrid_rrf": q_text_hybrid_rrf,
         "curation_leakage_split": q_curation_leakage_split,
         "multimodal_image_exact": q_multimodal_image_exact,
-        # Round-10 session 1: multimodal_gif_exact + multimodal_jpeg_exact
-        # (NEW oracle-backed — the LZW and baseline-JPEG decode legs
-        # proven hash-exact via formula/flat-block corpora, VERDICT r9
-        # item 2; rows-only tail 10 -> 8... stays 10 registered entries
-        # but the two remaining image families gain hash-exact twins)
-        # enter the window immediately per the new-oracle-backed policy;
-        # text_bm25_topk + text_readability (driver-green r8+r9, text
-        # siblings text_hybrid_rrf + text_hash_* stay in-window) rotate
-        # past the cap.
         "multimodal_gif_exact": q_multimodal_gif_exact,
         "multimodal_jpeg_exact": q_multimodal_jpeg_exact,
         "sketch_hll_cube": q_sketch_hll_cube,
@@ -4619,19 +4704,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_merge_upsert": q_rel_merge_upsert,
         "rel_scd2": q_rel_scd2,
         "curation_gopher_filter": q_curation_gopher_filter,
-        # Round-10 in: oracle-backed, queued since round 9 — first
-        # driver hash-gate exposure (local sweeps were green, but
-        # round 8 proved local green != driver hash-green).
         "streaming_cms_equiv": q_streaming_cms_equiv,
         "streaming_bloom_equiv": q_streaming_bloom_equiv,
         "streaming_kmv_equiv": q_streaming_kmv_equiv,
         "rel_group_checksum": q_rel_group_checksum,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
-        # Round-10 in: the rows-only tail (no SQL-expressible oracle —
-        # float cosine, iterative k-means codebooks, md5-derived
-        # pixels; each family has a hash-exact fixed twin above). In
-        # the window ONCE so the driver records rows/schema status;
-        # the hash gate for these families stays on the fixed twins.
+        # Round-11 in: the 19 round-10 entries (registry positions
+        # 174-192 last round), first driver hash-gate exposure.
+        "sort_zorder_layout": q_sort_zorder_layout,
+        "sort_zorder_pruning": q_sort_zorder_pruning,
+        "rel_ivm_delta": q_rel_ivm_delta,
+        "rel_scd2_pit": q_rel_scd2_pit,
+        "rel_snapshot_diff": q_rel_snapshot_diff,
+        "rel_unpivot": q_rel_unpivot,
+        "window_sliding_range": q_window_sliding_range,
+        "window_rank_funcs": q_window_rank_funcs,
+        "events_gapfill_locf": q_events_gapfill_locf,
+        "events_transition_probs": q_events_transition_probs,
+        "agg_equidepth_hist": q_agg_equidepth_hist,
+        "agg_mode": q_agg_mode,
+        "agg_corr_exact": q_agg_corr_exact,
+        "agg_linear_fit": q_agg_linear_fit,
+        "curation_freshness_decay": q_curation_freshness_decay,
+        "streaming_session_equiv": q_streaming_session_equiv,
+        "streaming_sliding_equiv": q_streaming_sliding_equiv,
+        "graph_bfs_levels": q_graph_bfs_levels,
+        "multimodal_resize_exact": q_multimodal_resize_exact,
+        # Round-11 in: NEW oracle-backed (enter immediately per policy).
+        "rel_snapshot_roundtrip": q_rel_snapshot_roundtrip,
+        "graph_bfs_converged": q_graph_bfs_converged,
+        # --- past the driver's 50-entry cap (all still locally
+        # verified by scripts/check_correctness.py; rotation history
+        # in the queries() docstring + git). Round-11 outs: the 10
+        # rows-only entries (one-time row/schema recording done in
+        # CORRECTNESS_r10; their hash gates live on the in-window
+        # fixed twins) and 11 r9+r10 driver-green oracle entries with
+        # in-window siblings: ---
         "multimodal_decode": q_multimodal_decode,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -4642,10 +4750,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "sim_ann_recall": q_sim_ann_recall,
-        # --- past the driver's 50-entry cap (all still locally
-        # verified by scripts/check_correctness.py; rotation history
-        # in the queries() docstring + git). Round-10 outs, all
-        # multi-round driver-green with siblings in the window: ---
+        "graph_pagerank": q_graph_pagerank,
+        "curation_source_stats": q_curation_source_stats,
+        "sim_random_projection": q_sim_random_projection,
+        "rel_salted_join": q_rel_salted_join,
+        "dedup_simhash_portable": q_dedup_simhash_portable,
+        "sim_ivf_assign_fixed": q_sim_ivf_assign_fixed,
+        "sketch_merge_law": q_sketch_merge_law,
+        "text_hash_score": q_text_hash_score,
+        "sim_embedding_moments": q_sim_embedding_moments,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
+        # Round-10 outs (multi-round driver-green, siblings in window):
         "text_bm25_topk": q_text_bm25_topk,
         "text_readability": q_text_readability,
         "drl_intensional_plus": q_drl_intensional_plus,
@@ -4771,26 +4887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
         "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        # --- round-10 session-2: layout / temporal / IVM quartet ---
-        "sort_zorder_layout": q_sort_zorder_layout,
-        "rel_ivm_delta": q_rel_ivm_delta,
-        "rel_scd2_pit": q_rel_scd2_pit,
-        "window_sliding_range": q_window_sliding_range,
-        "events_gapfill_locf": q_events_gapfill_locf,
-        "agg_equidepth_hist": q_agg_equidepth_hist,
-        "curation_freshness_decay": q_curation_freshness_decay,
-        "streaming_session_equiv": q_streaming_session_equiv,
-        "rel_unpivot": q_rel_unpivot,
-        "window_rank_funcs": q_window_rank_funcs,
-        "agg_mode": q_agg_mode,
-        "graph_bfs_levels": q_graph_bfs_levels,
-        "multimodal_resize_exact": q_multimodal_resize_exact,
-        "rel_snapshot_diff": q_rel_snapshot_diff,
-        "streaming_sliding_equiv": q_streaming_sliding_equiv,
-        "agg_corr_exact": q_agg_corr_exact,
-        "sort_zorder_pruning": q_sort_zorder_pruning,
-        "agg_linear_fit": q_agg_linear_fit,
-        "events_transition_probs": q_events_transition_probs,
     }
 
 
@@ -7019,5 +7115,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c.t AS event_type, c.nt AS next_type, c.n, "
         "CAST(c.n AS DOUBLE) / CAST(tt.tn AS DOUBLE) AS p "
         "FROM c JOIN tt ON c.t = tt.t"
+    )
+    # Round-trip twin: the Spark side runs extract THEN apply
+    # (merge_upsert(old, snapshot_diff(old, new))); the oracle is simply
+    # `new` built directly — a hash match proves extract∘apply =
+    # identity under the driver's gate, not just in the property test.
+    d["rel_snapshot_roundtrip"] = (
+        "SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey % 10 = 3 THEN 'UPDATED' "
+        "ELSE o_orderstatus END AS o_orderstatus, "
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 "
+        "ELSE o_totalprice END AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 10 <> 7 "
+        "UNION ALL SELECT -o_orderkey, o_custkey, 'NEW', o_totalprice "
+        "FROM orders WHERE o_orderkey % 10 = 7"
+    )
+    # Convergence-detected BFS twin: the SAME unrolled fixed-sweep CTE
+    # as graph_bfs_levels but at iterations=8 — any fixed count >= the
+    # seeds' eccentricity (measured 2-4 across SFs) equals the converged
+    # fixpoint, so the runtime-discovered sweep count is gated by the
+    # same hash as a static unroll with 2x margin.
+    d["graph_bfs_converged"] = graph.bfs_level_sweeps_oracle_sql(
+        _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES),
+        "node % 50 = 0",
+        iterations=8,
     )
     return d

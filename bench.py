@@ -179,6 +179,28 @@ EXTENDED = [
     "sort_zorder_pruning",
     "agg_linear_fit",
     "events_transition_probs",
+    # Round-11 additions (first measurements recorded in BASELINE.md):
+    # the CDC round-trip law and the convergence-detected BFS.
+    "rel_snapshot_roundtrip",
+    "graph_bfs_converged",
+]
+
+# Entries whose implementation (or shared harness) changed in the CURRENT
+# round, pinned into the compact extended line regardless of rank so the
+# driver artifact always carries the numbers the round's work is judged
+# on (VERDICT r10 item 2: BENCH_r10's tail capture lost the two entries
+# round 10 specifically optimized).
+WATCH = [
+    "streaming_session_equiv",
+    "streaming_kmv_equiv",
+    "streaming_hll_equiv",
+    "streaming_cms_equiv",
+    "streaming_bloom_equiv",
+    "streaming_dedup_equiv",
+    "streaming_join_equiv",
+    "streaming_sliding_equiv",
+    "rel_snapshot_roundtrip",
+    "graph_bfs_converged",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -482,31 +504,50 @@ def main() -> None:
             }
         )
     )
-    # The driver records only a fixed-size TAIL of stdout; the full line
-    # above has outgrown it (BENCH_r07 "parsed": null — the line's head,
-    # including the headline total, fell outside the capture window). Emit
-    # a compact summary LAST so the tail window always ends with a complete
-    # parseable JSON line carrying the headline numbers; the full line
-    # stays for humans and local tooling.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "value_normalized": normalized,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpu_probe_md5_64mib_sec": env.get("cpu_probe_md5_64mib_sec"),
-                "cpu_probe_mt8_md5_64mib_sec": env.get(
-                    "cpu_probe_mt8_md5_64mib_sec"
-                ),
-                "cpu_steal_pct_since_boot": env.get("cpu_steal_pct_since_boot"),
-                "loadavg_1m_at_start": env.get("loadavg_1m_at_start"),
-                "note": "compact twin of the full line above (driver tail-capture safety)",
-            }
-        )
+    # The driver records only a fixed-size TAIL of stdout (~2000 chars);
+    # the full line above has outgrown it (BENCH_r07 "parsed": null;
+    # BENCH_r10 lost the extended dict's head, including the two entries
+    # round 10 optimized). Emit TWO compact lines last, budgeted so both
+    # always fit the capture window together: first the extended summary
+    # (WATCH entries pinned + slowest-first fill), then the headline twin
+    # LAST so the tail always ends with a complete parseable JSON line.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "value_normalized": normalized,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "cpu_probe_md5_64mib_sec": env.get("cpu_probe_md5_64mib_sec"),
+            "cpu_probe_mt8_md5_64mib_sec": env.get("cpu_probe_mt8_md5_64mib_sec"),
+            "cpu_steal_pct_since_boot": env.get("cpu_steal_pct_since_boot"),
+            "loadavg_1m_at_start": env.get("loadavg_1m_at_start"),
+            "note": "compact twin of the full line above (driver tail-capture safety)",
+        }
     )
+    # Budget: tail window minus the headline twin and a safety margin.
+    ext_budget = 2000 - len(compact) - 100
+    pinned = [n for n in WATCH if n in extended]
+    by_slowest = sorted(
+        (n for n in extended if n not in pinned),
+        key=lambda n: extended[n],
+        reverse=True,
+    )
+    shown: dict[str, float] = {}
+    base = {
+        "metric": "extended_sec",
+        "n_extended": len(extended),
+        "total_extended_sec": round(sum(extended.values()), 3),
+        "note": "watch+slowest subset; full set in the big line above",
+    }
+    for n in pinned + by_slowest:
+        trial = {**base, "queries": {**shown, n: extended[n]}}
+        if len(json.dumps(trial)) > ext_budget:
+            break
+        shown[n] = extended[n]
+    print(json.dumps({**base, "queries": shown}))
+    print(compact)
 
 
 if __name__ == "__main__":

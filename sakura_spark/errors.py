@@ -93,3 +93,9 @@ class ConvergenceError(SakuraError):
     """An iterative fixpoint operator (e.g. connected-component label
     propagation) hit its iteration cap while state was still changing —
     returning the partial result would be silently wrong."""
+
+
+class SclParseError(SakuraError):
+    """SCL statement validation failure — non-positive limit
+    (lib/scl/parser.ml:3-7), serialized as (parse-error <msg>) under the
+    listener's sublanguage-error wrap (lib/scl/executor.ml:24-26)."""

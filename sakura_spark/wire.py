@@ -219,6 +219,11 @@ def error_sexp(e: Exception) -> str:
         # lib/scl/executor.ml:28 (cursor-error <msg>) nested under the
         # listener's SublanguageError wrap (lib/listener.ml:38).
         return f"(error (sublanguage-error (error (cursor-error {_atom(str(e))}))))"
+    if isinstance(e, errors.SclParseError):
+        # lib/scl/executor.ml:24-26 (parse-error <msg>) under the same
+        # SublanguageError wrap — the validate() rejection path
+        # (lib/scl/parser.ml:3-7).
+        return f"(error (sublanguage-error (error (parse-error {_atom(str(e))}))))"
     if isinstance(e, errors.SakuraError):
         # Any other engine diagnostic wraps like the reference's
         # SublanguageError catch-all (lib/error.ml:31).
@@ -536,12 +541,28 @@ class Server:
 
     # --- SCL ---------------------------------------------------------------
 
+    @staticmethod
+    def _scl_limit(f) -> int:
+        """Optional (limit N) field with the reference parser's validation
+        (lib/scl/parser.ml:3-7): an explicit non-positive limit is a
+        statement-level rejection with the verbatim message, BEFORE any
+        execution — absent limit falls back to the 50-row default
+        (lib/scl/executor.ml:1)."""
+        if "limit" not in f:
+            return DEFAULT_BATCH
+        limit = int(_atom_str(f["limit"]))
+        if limit <= 0:
+            raise errors.SclParseError(
+                "The provision of `limit` is expected to be positive."
+            )
+        return limit
+
     def _exec_scl(self, stmt) -> dict:
         tag = stmt[0]
         if tag == "Begin":
             f = _fields(stmt)
             q = _build(f["query"])
-            limit = int(_atom_str(f["limit"])) if "limit" in f else DEFAULT_BATCH
+            limit = self._scl_limit(f)
             df = compile_query(self.spark, q, self.db.resolver)
             cid, batch = self.sessions.begin(
                 df, query=str(f["query"]), db_hash=self.db.hash, limit=limit
@@ -549,7 +570,7 @@ class Server:
             return self._cursor_response(cid, batch, schema=df.columns)
         if tag == "Fetch":
             f = _fields(stmt)
-            limit = int(_atom_str(f["limit"])) if "limit" in f else DEFAULT_BATCH
+            limit = self._scl_limit(f)
             cid = _atom_str(f["cursor"])
             batch = self.sessions.fetch(cid, limit)
             return self._cursor_response(cid, batch)

@@ -255,3 +255,55 @@ def test_bfs_level_sweeps_validation(spark):
 
     with pytest.raises(ValueError):
         bfs_level_sweeps(edges, seeds, iterations=0)
+
+
+def test_bfs_converged_reaches_fixpoint(spark):
+    """The convergence-detected loop stops at eccentricity+1 sweeps and
+    returns exactly the full shortest-path table — equal to any
+    fixed-sweep run with iterations >= eccentricity."""
+    from sakura_spark.functions.graph import bfs_converged, bfs_level_sweeps
+
+    # Path 1-2-3-4-5 (ecc 4 from seed 1) plus pair 8-9 (ecc 1 from 8).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (8,)], "node long")
+    dist, sweeps = bfs_converged(edges, seeds)
+    got = {r.node: r.dist for r in dist.collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 8: 0, 9: 1}
+    assert sweeps == 5  # eccentricity 4 + the fixpoint-witness sweep
+    fixed = {
+        r.node: r.dist
+        for r in bfs_level_sweeps(edges, seeds, iterations=6).collect()
+    }
+    assert got == fixed  # converged == any-unroll-past-diameter
+
+
+def test_bfs_converged_unreachable_component_absent(spark):
+    """Nodes in a component with no seed never appear, and the loop still
+    converges (it does not wait for them)."""
+    from sakura_spark.functions.graph import bfs_converged
+
+    edges = spark.createDataFrame(
+        [(1, 2), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    dist, sweeps = bfs_converged(edges, seeds)
+    got = {r.node: r.dist for r in dist.collect()}
+    assert got == {1: 0, 2: 1}
+    assert sweeps == 2
+
+
+def test_bfs_converged_iteration_guard(spark):
+    """max_iterations hit raises instead of returning a half-converged
+    table."""
+    import pytest
+
+    from sakura_spark.functions.graph import bfs_converged
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        bfs_converged(edges, seeds, max_iterations=2)

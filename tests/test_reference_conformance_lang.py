@@ -1169,3 +1169,159 @@ def test_commit_clears_deferred_second_passes(db):
     db.insert_tuples("Dept", [{"dept_id": 7}])  # repair
     db.commit()  # deferred list re-armed by the insert; now satisfied
     db.commit()  # cleared — second commit trivially passes
+
+
+# --------------------------------------------------------------------------
+# SCL cursor conformance OVER THE SOCKET (VERDICT r10 item 7; reference
+# lib/scl/executor.ml:41-70 Begin/Fetch/Close + the 50-row default at :1,
+# lib/session.ml:7-79 registry semantics, lib/scl/parser.ml:3-7 limit
+# validation). The in-process Server.execute SCL tests live in
+# tests/test_wire.py; these drive the cursor LIFECYCLE through a real TCP
+# connection (TcpFrontend) — listener envelope included — and pin the
+# snapshot-at-Begin repeatable-read contract under a concurrent insert.
+# --------------------------------------------------------------------------
+
+import re as _re
+
+
+def _cursor_fields(resp: str) -> tuple[str, int, bool]:
+    """(id, row_count, has_more) out of a listener cursor sexp."""
+    assert resp.startswith("(cursor (id "), resp
+    cid = _re.search(r"\(id (\S+?)\)", resp).group(1)
+    n = int(_re.search(r"\(row_count (\d+)\)", resp).group(1))
+    more = _re.search(r"\(has_more (true|false)\)", resp).group(1) == "true"
+    return cid, n, more
+
+
+def _scl_fixture(server, n_rows: int) -> None:
+    server.execute('(ddl (CreateRelation (name "nums") (schema (("n" "integer")))))')
+    rows = " ".join(f'(("n" (Int {i})))' for i in range(n_rows))
+    server.execute(f'(dml (InsertTuples (relation "nums") (tuples ({rows}))))')
+
+
+def test_scl_wire_default_batch_and_exhaustion(spark, store):
+    """scl: Begin/Fetch with NO limit use the 50-row default
+    (lib/scl/executor.ml:1, Option.value ~default at :54,:62) and the
+    draining fetch flips has_more and removes the cursor
+    (lib/session.ml:38-73) — through the real socket."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_scl", store=store, snapshot_on_mutation=False)
+    _scl_fixture(server, 120)
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        cid, n, more = _cursor_fields(cmd('(scl (Begin (query (Base "nums"))))'))
+        assert (n, more) == (50, True)
+        cid2, n2, more2 = _cursor_fields(cmd(f'(scl (Fetch (cursor "{cid}")))'))
+        assert (cid2, n2, more2) == (cid, 50, True)
+        _, n3, more3 = _cursor_fields(cmd(f'(scl (Fetch (cursor "{cid}")))'))
+        assert (n3, more3) == (20, False)
+        # Exhaustion auto-removed the cursor (lib/session.ml:73): the next
+        # Fetch fails with the registry's verbatim message, serialized as
+        # the nested (cursor-error ...) sublanguage error.
+        err = cmd(f'(scl (Fetch (cursor "{cid}")))')
+        assert err.startswith("(error (sublanguage-error (error (cursor-error ")
+        assert "was not found in the session registry" in err
+        c.close()
+
+
+def test_scl_wire_batches_partition_without_overlap(spark, store):
+    """scl: successive fetches continue from the cursor position without
+    replaying (lib/session.ml:49-67 position threading): the three
+    batches partition the 120 rows exactly — no duplicates, no gaps."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_scl", store=store, snapshot_on_mutation=False)
+    _scl_fixture(server, 120)
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        seen: list[int] = []
+
+        def grab(resp):
+            seen.extend(int(v) for v in _re.findall(r"\(\(n (\d+)\)\)", resp))
+            return _cursor_fields(resp)
+
+        cid, _, _ = grab(cmd('(scl (Begin (query (Base "nums")) (limit 48)))'))
+        grab(cmd(f'(scl (Fetch (cursor "{cid}") (limit 48)))'))
+        _, _, more = grab(cmd(f'(scl (Fetch (cursor "{cid}") (limit 48)))'))
+        assert more is False
+        assert sorted(seen) == list(range(120)) and len(seen) == 120
+        c.close()
+
+
+def test_scl_wire_snapshot_pinned_under_concurrent_insert(spark, store):
+    """scl: the cursor pins the db snapshot at Begin (lib/session.ml:11
+    db_snapshot) — rows inserted AFTER Begin never surface in later
+    fetches of the same cursor (repeatable reads), while a fresh Begin
+    sees them."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_scl", store=store, snapshot_on_mutation=False)
+    _scl_fixture(server, 6)
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        cid, n, more = _cursor_fields(
+            cmd('(scl (Begin (query (Base "nums")) (limit 3)))')
+        )
+        assert (n, more) == (3, True)
+        # Concurrent insert through the SAME live connection.
+        resp = cmd(
+            '(dml (InsertTuples (relation "nums") '
+            "(tuples (((\"n\" (Int 100))) ((\"n\" (Int 101)))))))"
+        )
+        assert resp.startswith("(ok ")
+        drained = cmd(f'(scl (Fetch (cursor "{cid}") (limit 100)))')
+        _, n2, more2 = _cursor_fields(drained)
+        vals = {int(v) for v in _re.findall(r"\(\(n (\d+)\)\)", drained)}
+        assert n2 == 3 and more2 is False
+        assert vals.isdisjoint({100, 101}), "post-Begin insert leaked into cursor"
+        # A NEW cursor over the mutated relation sees all 8 rows.
+        _, n3, _ = _cursor_fields(cmd('(scl (Begin (query (Base "nums")) (limit 50)))'))
+        assert n3 == 8
+        c.close()
+
+
+def test_scl_wire_close_is_transition_and_invalidates(spark, store):
+    """scl: Close responds with the reference's Transition envelope
+    ("cursor closed", lib/scl/sublanguage.ml:22) and the id is gone —
+    a subsequent Fetch fails with the registry message
+    (lib/session.ml:42-44)."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_scl", store=store, snapshot_on_mutation=False)
+    _scl_fixture(server, 10)
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        cid, _, _ = _cursor_fields(cmd('(scl (Begin (query (Base "nums")) (limit 2)))'))
+        resp = cmd(f'(scl (Close (cursor "{cid}")))')
+        assert resp.startswith("(ok ") and '(message "cursor closed")' in resp
+        err = cmd(f'(scl (Fetch (cursor "{cid}") (limit 1)))')
+        assert err.startswith("(error (sublanguage-error (error (cursor-error ")
+        assert cid in err
+        c.close()
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        '(scl (Begin (query (Base "nums")) (limit 0)))',
+        '(scl (Begin (query (Base "nums")) (limit -3)))',
+        '(scl (Fetch (cursor "whatever") (limit 0)))',
+    ],
+)
+def test_scl_wire_nonpositive_limit_rejected(spark, store, stmt):
+    """scl: the parser's validate() rejects a non-positive limit with the
+    verbatim message BEFORE execution (lib/scl/parser.ml:3-7) — even on a
+    Fetch whose cursor id doesn't exist (validation precedes registry
+    lookup), serialized as (parse-error ...) under the sublanguage
+    wrap."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_scl", store=store, snapshot_on_mutation=False)
+    _scl_fixture(server, 3)
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        err = cmd(stmt)
+        assert err.startswith("(error (sublanguage-error (error (parse-error ")
+        assert "expected to be positive" in err
+        c.close()

@@ -206,28 +206,37 @@ def test_extract_metadata_has_no_python_in_plan(spark):
 
 def test_registry_contract():
     """Driver-registry invariants: every oracle key has a query, and the
-    round-10 rotation (VERDICT r9 item 1) holds — all 15 entries that had
-    never seen a driver CORRECTNESS row sit inside the first-50 window
-    (the 10 rows-only ones take a one-time slot so the driver records
-    their rows/schema status; their families' hash gates stay on the
-    in-window oracle-backed fixed twins)."""
+    round-11 rotation (VERDICT r10 items 1, 5, 6) holds — the 19
+    round-10 entries plus the two NEW round-11 entries sit inside the
+    first-50 window, the rows-only entries are back OUT (their one-time
+    row/schema recording is CORRECTNESS_r10), and the window is 100%
+    oracle-backed again."""
     import __spark_entry__ as e
 
     qs, oracles = list(e.queries()), e.oracle_sql()
     assert len(qs) >= 50
     assert set(oracles) <= set(qs), "oracle without a registered query"
-    never_checked = {
-        "streaming_cms_equiv", "streaming_bloom_equiv", "streaming_kmv_equiv",
-        "rel_group_checksum", "sim_embedding_near_dup", "multimodal_decode",
-        "dedup_minhash_pairs", "dedup_simhash", "dedup_near", "sim_ann_ivf",
-        "text_bpe_segment", "sim_pq_topk", "sim_ann_ivfpq",
-        "sim_semantic_dedup", "sim_ann_recall",
+    round11_in = {
+        # the 19 round-10 entries, first driver hash exposure this round
+        "sort_zorder_layout", "sort_zorder_pruning", "rel_ivm_delta",
+        "rel_scd2_pit", "rel_snapshot_diff", "rel_unpivot",
+        "window_sliding_range", "window_rank_funcs", "events_gapfill_locf",
+        "events_transition_probs", "agg_equidepth_hist", "agg_mode",
+        "agg_corr_exact", "agg_linear_fit", "curation_freshness_decay",
+        "streaming_session_equiv", "streaming_sliding_equiv",
+        "graph_bfs_levels", "multimodal_resize_exact",
+        # NEW round-11 oracle-backed entries (enter immediately)
+        "rel_snapshot_roundtrip", "graph_bfs_converged",
     }
     window = set(qs[:50])
-    assert never_checked <= window, sorted(never_checked - window)
-    # every non-oracle entry in the window must be one of the rotated-in
-    # rows-only fifteen — no accidental oracle-less additions.
-    assert {q for q in qs[:50] if q not in oracles} <= never_checked
+    assert round11_in <= window, sorted(round11_in - window)
+    # the streaming harness changed this round — every equivalence entry
+    # stays in-window for driver re-verification of the new plans.
+    streaming = {q for q in qs if q.startswith("streaming_")}
+    assert streaming <= window, sorted(streaming - window)
+    # window is 100% oracle-backed again (the round-10 rows-only
+    # rotation was one-time; hash gates live on the fixed twins).
+    assert {q for q in qs[:50] if q not in oracles} == set()
 
     # COVERAGE.md's prose counters must match the actual registry — asserted
     # here so a registry change without a doc sync fails the suite.
