@@ -3621,6 +3621,70 @@ def q_streaming_join_equiv(spark, sf_dir):
     )
 
 
+def q_streaming_outer_join_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for the stream-stream LEFT OUTER
+    interval join — the genuinely hard streaming join case: a
+    null-padded row may only be emitted once the view's state EVICTS
+    (the watermark must pass view_ts + window + delay before Spark can
+    prove no matching purchase will ever arrive), so outer results are
+    inherently horizon-delayed and silently missing if nothing pushes
+    the final watermark. This entry proves the engine's outer emission
+    is EXACT: the sentinel-file harness (_time_ordered_stream_dir, the
+    kmv/session discipline) pushes the final watermark past every real
+    view's bound (mx+2h−30m > mx+1h), so every unattributed view
+    null-pads exactly once, and the whole output — inner matches AND
+    null-padded rows — hashes against the plain batch LEFT JOIN SQL.
+
+    The sentinels ride INTO both filtered branches (event_type IN
+    (view|purchase, sentinel)) so they advance each side's OWN
+    watermark column — filtered out before the withWatermark node they
+    would advance nothing; their join rows and their unmatched rows are
+    excluded by user_id >= 0 (sentinel user is −1, and −1 never
+    equi-joins a real user). Verified bit-identical to the batch twin
+    at sf0.001 before wiring (inner rows + 185 null-padded rows, same
+    crc). In production the same plan runs unbounded: outer rows
+    trickle out one horizon behind the stream — the structural latency
+    floor of a correct streaming outer join."""
+    import shutil
+    import tempfile
+
+    from sakura_spark.streaming import events as ev
+
+    src = _t(spark, sf_dir, "events")
+    mx = src.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="sakura_stream_oj_")
+    try:
+        data_dir = _time_ordered_stream_dir(spark, src, mx, tmp)
+        stream = ev.read_event_stream(spark, data_dir, max_files_per_trigger=4)
+        q = ev.run_to_memory(
+            ev.attributed_purchases(
+                stream.filter(F.col("event_type").isin("view", "sentinel")),
+                stream.filter(F.col("event_type").isin("purchase", "sentinel")),
+                attribution_window="1 hour",
+                watermark="30 minutes",
+                how="left_outer",
+            ),
+            "streaming_outer_join_equiv_sink",
+            output_mode="append",
+            state_partitions=8,
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table("streaming_outer_join_equiv_sink")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "view_id",
+            "view_ts",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
 def q_rel_merge_upsert(spark, sf_dir):
     """MERGE INTO / upsert (operators.merge_upsert — the Delta/Iceberg
     CDC-apply step as a pure DataFrame transform): a deterministic change
@@ -4162,6 +4226,111 @@ def q_rel_ivm_delta(spark, sf_dir):
     )
 
 
+def q_rel_ivm_join_delta(spark, sf_dir):
+    """Incremental maintenance of a JOIN view (operators.zset_join +
+    zset_consolidate — the BILINEAR case of DBSP, completing the IVM
+    family: rel_ivm_delta maintains an aggregate, this maintains
+    V = R ⋈ S under simultaneous changes to BOTH sides): orders ⋈
+    customer is materialized as a Z-set (mult=1 per pair), then a
+    deterministic changelog patches both bases — ΔR deletes o_orderkey
+    ≡ 0 (mod 13) and re-prices ≡ 5 (mod 13) (delete + insert pair);
+    ΔS retags c_custkey ≡ 3 (mod 7)'s market segment (delete + insert)
+    — and the view refreshes by the bilinearity identity
+    ΔV = ΔR⋈S + R⋈ΔS + ΔR⋈ΔS, consolidated with signed multiplicities.
+    The oracle RECOMPUTES (patched R) ⋈ (patched S) with count(*)
+    multiplicities, so a hash-green row proves delta-apply ≡ recompute
+    tuple- and multiplicity-exactly, including the annihilation of
+    delete+insert pairs and the CROSS term (a re-priced order of a
+    retagged customer must appear exactly once, via ΔR⋈ΔS — drop that
+    term and those pairs go missing; double it and they duplicate).
+    At 100 TB each term joins ONE delta against a base (or the other
+    delta) — |Δ|-sized probes into bucketed tables — and the view is
+    never rescanned; refresh is O(|ΔR|+|ΔS|) exchanges."""
+    from sakura_spark.operators import zset_consolidate, zset_join
+
+    r = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    s = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    one = F.lit(1).cast("long").alias("mult")
+    neg = F.lit(-1).cast("long").alias("mult")
+    rz = r.select("*", one)
+    sz = s.select("*", one)
+    cond_r_del = F.col("o_orderkey") % 13 == 0
+    cond_r_upd = F.col("o_orderkey") % 13 == 5
+    delta_r = (
+        r.filter(cond_r_del).select("*", neg)
+        .unionByName(r.filter(cond_r_upd).select("*", neg))
+        .unionByName(
+            r.filter(cond_r_upd).select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                one,
+            )
+        )
+    )
+    cond_s_upd = F.col("c_custkey") % 7 == 3
+    delta_s = (
+        s.filter(cond_s_upd).select("*", neg)
+        .unionByName(
+            s.filter(cond_s_upd).select(
+                "c_custkey", F.lit("PATCHED").alias("c_mktsegment"), one
+            )
+        )
+    )
+    on = [F.col("o_custkey") == F.col("c_custkey")]
+    v_old = zset_join(rz, sz, on)
+    delta_v = (
+        zset_join(delta_r, sz, on)
+        .unionByName(zset_join(rz, delta_s, on))
+        .unionByName(zset_join(delta_r, delta_s, on))
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_custkey", "c_mktsegment"]
+    return zset_consolidate(v_old.unionByName(delta_v), cols)
+
+
+def q_rel_changelog_compact(spark, sf_dir):
+    """Changelog compaction (operators.changelog_compact — Kafka
+    log-compaction / the replay inverse of rel_snapshot_diff's extract):
+    a three-generation ordered changelog over orders — seq 1 inserts
+    every original row, seq 2 updates keys ≡ 3 (mod 10) to status
+    UPDATED at doubled price, seq 3 deletes keys ≡ 7 (mod 10) — is
+    collapsed to each key's latest record with delete tombstones
+    dropped: ONE row_number window per key over the seq order, O(|log|),
+    partitioned by the key the snapshot is stored under. Oracle: the
+    identical window SQL. Together with rel_snapshot_diff (snapshot →
+    log) and rel_snapshot_roundtrip (log → snapshot via MERGE), this
+    pins the third CDC leg: log → snapshot WITHOUT a base table — what a
+    warehouse does when bootstrapping a replica from the retained log
+    alone."""
+    from sakura_spark.operators import changelog_compact
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    log = (
+        o.select(
+            F.lit(1).alias("seq"), F.lit("I").alias("op"), "o_orderkey",
+            "o_custkey", "o_orderstatus", "o_totalprice",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 3).select(
+                F.lit(2).alias("seq"), F.lit("U").alias("op"), "o_orderkey",
+                "o_custkey", F.lit("UPDATED").alias("o_orderstatus"),
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 7).select(
+                F.lit(3).alias("seq"), F.lit("D").alias("op"), "o_orderkey",
+                "o_custkey", "o_orderstatus", "o_totalprice",
+            )
+        )
+    )
+    return changelog_compact(log, ["o_orderkey"], "seq")
+
+
 def q_rel_scd2_pit(spark, sf_dir):
     """Point-in-time enrichment over the SCD2 dimension (SQL:2011 temporal
     FOR SYSTEM_TIME AS OF): the per-customer status-regime dimension from
@@ -4680,7 +4849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (SQL-literal sentinels, state_partitions/no_data_batch
         # knobs), and changed implementations stay in-window for driver
         # re-verification. ---
-        "curation_ppl_buckets": q_curation_ppl_buckets,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_corpus_overlap": q_dedup_corpus_overlap,
         "text_hash_features": q_text_hash_features,
@@ -4690,8 +4858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk_fixed": q_sim_ivf_topk_fixed,
         "sim_semdedup_fixed": q_sim_semdedup_fixed,
         "streaming_dedup_equiv": q_streaming_dedup_equiv,
-        "text_bpe_portable": q_text_bpe_portable,
-        "multimodal_video": q_multimodal_video,
         "multimodal_av_demux": q_multimodal_av_demux,
         "text_hybrid_rrf": q_text_hybrid_rrf,
         "curation_leakage_split": q_curation_leakage_split,
@@ -4731,8 +4897,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_levels": q_graph_bfs_levels,
         "multimodal_resize_exact": q_multimodal_resize_exact,
         # Round-11 in: NEW oracle-backed (enter immediately per policy).
+        # Session 2 adds three more — the left-outer streaming join, the
+        # bilinear join-IVM, and changelog compaction — displacing three
+        # r9+r10-green stayers (curation_ppl_buckets, text_bpe_portable,
+        # multimodal_video; siblings keep each family's window row).
         "rel_snapshot_roundtrip": q_rel_snapshot_roundtrip,
         "graph_bfs_converged": q_graph_bfs_converged,
+        "streaming_outer_join_equiv": q_streaming_outer_join_equiv,
+        "rel_ivm_join_delta": q_rel_ivm_join_delta,
+        "rel_changelog_compact": q_rel_changelog_compact,
         # --- past the driver's 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-11 outs: the 10
@@ -4761,6 +4934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_moments": q_sim_embedding_moments,
         "multimodal_video_frames": q_multimodal_video_frames,
         "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
+        # Round-11 session-2 outs (r9+r10 green, siblings in window):
+        "curation_ppl_buckets": q_curation_ppl_buckets,
+        "text_bpe_portable": q_text_bpe_portable,
+        "multimodal_video": q_multimodal_video,
         # Round-10 outs (multi-round driver-green, siblings in window):
         "text_bm25_topk": q_text_bm25_topk,
         "text_readability": q_text_readability,
@@ -7139,5 +7316,49 @@ def oracle_sql() -> dict[str, str]:
         _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES),
         "node % 50 = 0",
         iterations=8,
+    )
+    # Left-outer interval-join twin: the inner oracle's LEFT JOIN form —
+    # the Spark side must emit exactly the same null-padded view rows
+    # once its watermark evicts their state.
+    d["streaming_outer_join_equiv"] = (
+        "SELECT v.user_id AS user_id, p.event_id AS purchase_id, "
+        "p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts, "
+        "CAST(p.value AS DOUBLE) AS value "
+        "FROM (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type = 'view') v "
+        "LEFT JOIN (SELECT user_id, ts, event_id, value FROM events "
+        "WHERE event_type = 'purchase') p "
+        "ON v.user_id = p.user_id AND v.ts <= p.ts "
+        "AND v.ts >= p.ts - INTERVAL 1 HOUR"
+    )
+    # Join-IVM twin: FULL RECOMPUTE of (patched R) join (patched S) with
+    # count(*) multiplicities — delta-apply must equal it tuple- and
+    # multiplicity-exactly.
+    d["rel_ivm_join_delta"] = (
+        "WITH r AS (SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey % 13 = 5 THEN o_totalprice * 2 "
+        "ELSE o_totalprice END AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 13 <> 0), "
+        "s AS (SELECT c_custkey, "
+        "CASE WHEN c_custkey % 7 = 3 THEN 'PATCHED' "
+        "ELSE c_mktsegment END AS c_mktsegment FROM customer) "
+        "SELECT r.o_orderkey, r.o_custkey, r.o_totalprice, "
+        "s.c_custkey, s.c_mktsegment, CAST(count(*) AS BIGINT) AS mult "
+        "FROM r JOIN s ON r.o_custkey = s.c_custkey "
+        "GROUP BY 1, 2, 3, 4, 5"
+    )
+    # Compaction twin: the identical last-wins window over the same
+    # generated three-generation changelog.
+    d["rel_changelog_compact"] = (
+        "WITH log AS (SELECT 1 AS seq, 'I' AS op, o_orderkey, o_custkey, "
+        "o_orderstatus, o_totalprice FROM orders "
+        "UNION ALL SELECT 2, 'U', o_orderkey, o_custkey, 'UPDATED', "
+        "o_totalprice * 2 FROM orders WHERE o_orderkey % 10 = 3 "
+        "UNION ALL SELECT 3, 'D', o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice FROM orders WHERE o_orderkey % 10 = 7), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+        "ORDER BY seq DESC) AS rn FROM log) "
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM r WHERE rn = 1 AND op <> 'D'"
     )
     return d

@@ -183,6 +183,11 @@ EXTENDED = [
     # the CDC round-trip law and the convergence-detected BFS.
     "rel_snapshot_roundtrip",
     "graph_bfs_converged",
+    # Round-11 session-2 additions: the left-outer streaming join, the
+    # bilinear join-IVM, and changelog compaction.
+    "streaming_outer_join_equiv",
+    "rel_ivm_join_delta",
+    "rel_changelog_compact",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -201,6 +206,9 @@ WATCH = [
     "streaming_sliding_equiv",
     "rel_snapshot_roundtrip",
     "graph_bfs_converged",
+    "streaming_outer_join_equiv",
+    "rel_ivm_join_delta",
+    "rel_changelog_compact",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

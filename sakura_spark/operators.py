@@ -431,6 +431,72 @@ def incremental_agg_apply(
     return merged.filter(F.col(count_col) > 0)
 
 
+def zset_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    mult_col: str = "mult",
+) -> DataFrame:
+    """Z-set (signed multiset) equi-join: both sides carry a signed
+    ``mult_col`` multiplicity and each joined pair's multiplicity is the
+    PRODUCT — the bilinear operator that makes join views incrementally
+    maintainable (DBSP, Budiu et al. VLDB 2023 §4: join is bilinear, so
+    Δ(R ⋈ S) = ΔR ⋈ S + R ⋈ ΔS + ΔR ⋈ ΔS, each term touching only one
+    delta or both — never a rescan of the maintained view). Plain inner
+    hash join + one multiplication; a zero or negative product is
+    meaningful (a delete joining an insert cancels downstream in
+    :func:`zset_consolidate`)."""
+    lm = left.withColumnRenamed(mult_col, "__lm")
+    rm = right.withColumnRenamed(mult_col, "__rm")
+    return (
+        lm.join(rm, on)
+        .withColumn(mult_col, (F.col("__lm") * F.col("__rm")).cast("long"))
+        .drop("__lm", "__rm")
+    )
+
+
+def zset_consolidate(
+    df: DataFrame,
+    cols: list[str],
+    mult_col: str = "mult",
+    drop_nonpositive: bool = True,
+) -> DataFrame:
+    """Z-set consolidation: group identical tuples, sum their signed
+    multiplicities, drop the zeros (a matched insert+delete pair
+    annihilates). ``drop_nonpositive`` keeps only mult > 0 — the
+    materialize step that turns a maintained Z-set back into a bag; pass
+    False to keep negative rows (a changelog that still awaits its
+    matching base rows). One key shuffle, map-side combinable."""
+    out = df.groupBy(*cols).agg(F.sum(mult_col).cast("long").alias(mult_col))
+    cond = F.col(mult_col) > 0 if drop_nonpositive else F.col(mult_col) != 0
+    return out.filter(cond)
+
+
+def changelog_compact(
+    log: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Changelog compaction (the Kafka log-compaction / Delta CDF
+    collapse): from an ordered changelog of (seq, op, key, values) keep
+    each key's LATEST record and drop keys whose latest op is a delete —
+    the snapshot the log replays to. ``seq_col`` must totally order each
+    key's records (a commit LSN / version; ties are a producer bug and
+    surface as nondeterminism upstream, not here). One window over the
+    log partitioned by key — cost O(|log|), grouped by the same key the
+    snapshot is stored under, so the downstream merge/apply reuses the
+    partitioning. The inverse direction of snapshot_diff: diff EXTRACTS
+    a log from two snapshots; compact REPLAYS a log into one."""
+    w = W.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn", op_col, seq_col)
+    )
+
+
 def gapfill_locf(
     obs: DataFrame,
     keys: list[str],

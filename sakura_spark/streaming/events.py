@@ -309,9 +309,10 @@ def attributed_purchases(
     purchases: DataFrame,
     attribution_window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time bound: each purchase
-    joins the views by the same user within the preceding
+    """Stream-stream join with an event-time bound: each purchase joins
+    the views by the same user within the preceding
     ``attribution_window`` — the candidate set for touch attribution.
 
     Both inputs are watermarked and the join condition carries the time
@@ -322,7 +323,19 @@ def attributed_purchases(
     100 TB/day stream spreads evenly; per-user state is a handful of rows.
     The same function applied to batch DataFrames produces the identical
     plan modulo state — which is how the pytest batch-equivalence oracle
-    validates it."""
+    validates it.
+
+    ``how='left_outer'`` keeps unattributed views: the hard streaming
+    case, because a null-padded row can only be emitted once the view's
+    state EVICTS (the watermark must pass view_ts + window + delay before
+    Spark can prove no matching purchase will ever arrive) — so outer
+    results are inherently delayed by the horizon, and a harness that
+    wants them all must push the final watermark past every view's bound
+    (the sentinel-file discipline of q_streaming_kmv_equiv). The output
+    user_id comes from the VIEW side under left_outer (the purchase side
+    is NULL on exactly the rows the outer join exists to keep)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -338,6 +351,7 @@ def attributed_purchases(
         v = v.withWatermark("view_ts", watermark)
     if purchases.isStreaming:
         p = p.withWatermark("purchase_ts", watermark)
+    user = F.col("v_user") if how == "left_outer" else F.col("p_user")
     return v.join(
         p,
         (F.col("v_user") == F.col("p_user"))
@@ -346,8 +360,9 @@ def attributed_purchases(
             F.col("view_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
         ),
+        how,
     ).select(
-        F.col("p_user").alias("user_id"),
+        user.alias("user_id"),
         "purchase_id",
         "purchase_ts",
         "view_id",

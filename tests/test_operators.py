@@ -609,3 +609,73 @@ def test_snapshot_diff_validation(spark):
     b = spark.createDataFrame([(1, "x")], "k long, other string")
     with pytest.raises(ValueError):
         snapshot_diff(a, b, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# Z-set join IVM (bilinearity) and changelog compaction
+# ---------------------------------------------------------------------------
+
+
+def test_zset_join_multiplies_and_consolidate_annihilates(spark):
+    """zset_join multiplies signed multiplicities per joined pair;
+    consolidation cancels matched insert+delete and drops zeros."""
+    from sakura_spark.operators import zset_consolidate, zset_join
+
+    r = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", -1), (2, "b", 2)], "k long, rv string, mult long"
+    )
+    s = spark.createDataFrame([(1, "x", 1), (2, "y", 3)], "k long, sv string, mult long")
+    j = zset_join(r, s, "k")
+    got = {(row.k, row.rv, row.sv): row.mult for row in j.collect()}
+    # (1,a,x) appears twice with mult +1 and -1; (2,b,y) with 2*3
+    assert got[(2, "b", "y")] == 6
+    out = zset_consolidate(j, ["k", "rv", "sv"])
+    rows = {(row.k, row.rv, row.sv): row.mult for row in out.collect()}
+    assert rows == {(2, "b", "y"): 6}  # the +1/-1 pair annihilated
+
+
+def test_zset_join_delta_identity_bilinear(spark):
+    """(R+dR) x (S+dS) == RxS + dRxS + RxdS + dRxdS after consolidation —
+    the identity rel_ivm_join_delta relies on, checked on a fixture
+    where every term is non-trivial."""
+    from sakura_spark.operators import zset_consolidate, zset_join
+
+    r0 = spark.createDataFrame([(1, "r1", 1), (2, "r2", 1)], "k long, rv string, mult long")
+    dr = spark.createDataFrame(
+        [(2, "r2", -1), (2, "R2", 1), (3, "r3", 1)], "k long, rv string, mult long"
+    )
+    s0 = spark.createDataFrame([(1, "s1", 1), (2, "s2", 1), (3, "s3", 1)], "k long, sv string, mult long")
+    ds = spark.createDataFrame(
+        [(1, "s1", -1), (1, "S1", 1)], "k long, sv string, mult long"
+    )
+    cols = ["k", "rv", "sv"]
+    full = zset_consolidate(
+        zset_join(zset_consolidate(r0.unionByName(dr), ["k", "rv"]),
+                  zset_consolidate(s0.unionByName(ds), ["k", "sv"]), "k"),
+        cols,
+    )
+    delta = (
+        zset_join(r0, s0, "k")
+        .unionByName(zset_join(dr, s0, "k"))
+        .unionByName(zset_join(r0, ds, "k"))
+        .unionByName(zset_join(dr, ds, "k"))
+    )
+    incremental = zset_consolidate(delta, cols)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incremental.collect()))
+
+
+def test_changelog_compact_last_wins_and_tombstones(spark):
+    from sakura_spark.operators import changelog_compact
+
+    log = spark.createDataFrame(
+        [
+            (1, "I", 10, "a"),
+            (2, "U", 10, "b"),   # latest for key 10
+            (1, "I", 20, "c"),
+            (3, "D", 20, "c"),   # key 20 deleted
+            (1, "I", 30, "d"),   # untouched
+        ],
+        "seq long, op string, k long, v string",
+    )
+    out = {(r.k, r.v) for r in changelog_compact(log, ["k"], "seq").collect()}
+    assert out == {(10, "b"), (30, "d")}

@@ -227,6 +227,8 @@ def test_registry_contract():
         "graph_bfs_levels", "multimodal_resize_exact",
         # NEW round-11 oracle-backed entries (enter immediately)
         "rel_snapshot_roundtrip", "graph_bfs_converged",
+        "streaming_outer_join_equiv", "rel_ivm_join_delta",
+        "rel_changelog_compact",
     }
     window = set(qs[:50])
     assert round11_in <= window, sorted(round11_in - window)

@@ -371,3 +371,39 @@ def test_session_window_gap_boundary(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_attributed_purchases_left_outer_batch_twin(spark):
+    """how='left_outer' keeps unattributed views with NULL purchase
+    columns and takes user_id from the VIEW side; bad how raises."""
+    import datetime
+
+    import pytest
+
+    from sakura_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(eid, minutes, uid, typ, val):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, typ, val, "{}")
+
+    df = spark.createDataFrame(
+        [
+            row(1, 0, 7, "view", 0.0),       # matched by purchase 30 min later
+            row(2, 30, 7, "purchase", 9.0),
+            row(3, 0, 8, "view", 0.0),       # unmatched: purchase 2h later
+            row(4, 120, 8, "purchase", 5.0),
+            row(5, 10, 9, "view", 0.0),      # unmatched: no purchase at all
+        ],
+        ev.EVENTS_SCHEMA,
+    )
+    out = ev.attributed_purchases(
+        df.filter(df.event_type == "view"),
+        df.filter(df.event_type == "purchase"),
+        attribution_window="1 hour",
+        how="left_outer",
+    )
+    rows = {r.view_id: (r.user_id, r.purchase_id) for r in out.collect()}
+    assert rows == {1: (7, 2), 3: (8, None), 5: (9, None)}
+    with pytest.raises(ValueError):
+        ev.attributed_purchases(df, df, how="full")
