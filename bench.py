@@ -188,6 +188,11 @@ EXTENDED = [
     "streaming_outer_join_equiv",
     "rel_ivm_join_delta",
     "rel_changelog_compact",
+    # Round-11 session-3 additions: tolerance-asof, CBO join-size
+    # profile, interval concurrency sweep.
+    "asof_join_tolerance",
+    "stats_join_cardinality",
+    "events_concurrency",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -209,6 +214,9 @@ WATCH = [
     "streaming_outer_join_equiv",
     "rel_ivm_join_delta",
     "rel_changelog_compact",
+    "asof_join_tolerance",
+    "stats_join_cardinality",
+    "events_concurrency",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

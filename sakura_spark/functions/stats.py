@@ -232,3 +232,57 @@ def grouped_linear_fit(
     return m.select(
         *group_cols, "n", slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Exact join-size estimation WITHOUT executing the join — the CBO
+    primitive behind join reordering and skew planning at 100 TB:
+    |R ⋈ S| = Σ_key cnt_R(key) · cnt_S(key), computed by joining the two
+    per-key COUNT tables (each bounded by distinct-key cardinality, not
+    row count — the only shuffle this profile pays). Output: the
+    ``top_k`` heaviest join keys by pair contribution, each with its
+    per-side counts, pair count, and share of the total join size — the
+    row a planner reads to decide "salt this key" or "broadcast that
+    side" before burning a 100 TB shuffle on a join that would explode.
+    Determinism: counts and pair products are exact longs; share is ONE
+    IEEE division per emitted row; ties rank by key ascending."""
+    lc = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    pairs = lc.join(rc, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).cast("long").alias("pairs"),
+    )
+    # One-row exact total, broadcast back (constant-size driver transfer).
+    total = pairs.agg(F.sum("pairs").cast("long").alias("__total"))
+    # Distributed top-k (TakeOrderedAndProject — per-partition pruning,
+    # never a global sort over the distinct-key table, which at 100 TB
+    # can itself be billions of rows); the rank window then runs over
+    # the <= top_k surviving rows only.
+    top = pairs.orderBy(F.col("pairs").desc(), F.col("key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("pairs").desc(), F.col("key").asc())
+    top = top.withColumn("rank", F.row_number().over(w))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "key",
+            "n_left",
+            "n_right",
+            "pairs",
+            (F.col("pairs").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

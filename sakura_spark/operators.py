@@ -72,12 +72,17 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     suffix: str = "_r",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_time`` <= ``left_time`` (direction='backward'; 'forward' takes
     the smallest >=) within the same ``on`` key. Right payload columns are
     suffixed on collision. Left rows with no match keep NULL payloads
     (left-outer asof semantics, matching pandas.merge_asof / ASOF JOIN).
+    ``tolerance`` (an SQL INTERVAL string, e.g. ``'7 days'``) bounds the
+    match distance like pandas.merge_asof(tolerance=...): a nearest match
+    farther than the tolerance becomes a no-match (NULL payload), never a
+    fallback to an older row.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -112,6 +117,21 @@ def asof_join(
         F.col("__is_left"),
         carried,
     ).filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        # pandas.merge_asof(tolerance=...) semantics: the asof MATCH is
+        # still the nearest preceding (following) row — a match farther
+        # than the tolerance nulls the whole payload rather than falling
+        # back to an older row. Nulling the STRUCT keeps all payload
+        # columns from the same decision (the same reason the carry is a
+        # struct).
+        t_r = F.col("__carried")[renames[right_time]]
+        if direction == "backward":
+            ok = t_r >= F.col(left_time) - F.expr(f"INTERVAL {tolerance}")
+        else:
+            ok = t_r <= F.col(left_time) + F.expr(f"INTERVAL {tolerance}")
+        out = out.withColumn(
+            "__carried", F.when(ok, F.col("__carried"))
+        )
     # Unpack: field access on a NULL struct yields NULL (no-match rows).
     return out.select(
         *[F.col(c) for c in left.columns],
@@ -470,6 +490,93 @@ def zset_consolidate(
     out = df.groupBy(*cols).agg(F.sum(mult_col).cast("long").alias(mult_col))
     cond = F.col(mult_col) > 0 if drop_nonpositive else F.col(mult_col) != 0
     return out.filter(cond)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """INCLUSIVE running sum of ``value_col`` over the GLOBAL total order
+    given by ``order_cols`` — without a single-task global sort: range
+    partition on the order, pin the placement (localCheckpoint, the
+    shard_pack discipline — repartitionByRange samples fresh per
+    execution, so an unpinned layout could move boundary rows between
+    the totals job and the window job), per-partition window cumsum,
+    then add driver-computed partition prefix offsets (one (pid, total)
+    row per partition crosses to the driver — bytes, not data). The
+    timeline/prefix-scan primitive behind interval concurrency, ordered
+    checkpoints, and exact CDF points; values must be exact (long —
+    floats would make the sum order-dependent)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    staged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = dict(
+        staged.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offset_expr = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+                ),
+                F.col("__pid"),
+            ),
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = W.partitionBy("__pid").orderBy(*cols)
+    local_incl = F.sum(F.col(value_col).cast("long")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return staged.withColumn(
+        out_col, (offset_expr + local_incl).cast("long")
+    ).drop("__pid")
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Timeline sweep: from a table of [start, end] intervals, the exact
+    concurrency curve — (ts, net, concurrent) at every boundary
+    timestamp, where ``concurrent`` counts intervals containing ts
+    (closed at start, open at end after its own −1 is applied; an
+    interval with start == end nets to zero). The classic
+    max-concurrent-sessions / room-scheduling sweep, distributed: +1/−1
+    boundary deltas are PRE-AGGREGATED per timestamp (making the
+    subsequent order a total order by construction — no tiebreak row
+    ambiguity can reach the running sum), then scanned by
+    :func:`global_running_sum` — a range shuffle and one driver-side
+    offsets map, never a single-reducer global sort."""
+    b = intervals.select(
+        F.col(start_col).alias("ts"), F.lit(1).cast("long").alias("__d")
+    ).unionByName(
+        intervals.select(
+            F.col(end_col).alias("ts"), F.lit(-1).cast("long").alias("__d")
+        )
+    )
+    net = b.groupBy("ts").agg(F.sum("__d").cast("long").alias("net"))
+    return global_running_sum(
+        net, ["ts"], "net", out_col="concurrent", num_partitions=num_partitions
+    )
 
 
 def changelog_compact(

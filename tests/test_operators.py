@@ -679,3 +679,77 @@ def test_changelog_compact_last_wins_and_tombstones(spark):
     )
     out = {(r.k, r.v) for r in changelog_compact(log, ["k"], "seq").collect()}
     assert out == {(10, "b"), (30, "d")}
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """tolerance='...' nulls the whole payload when the nearest match is
+    too old — never falls back to an older row (pandas.merge_asof
+    semantics)."""
+    import datetime
+
+    from sakura_spark.operators import asof_join
+
+    t0 = datetime.datetime(2024, 1, 10)
+
+    def d(days):
+        return t0 + datetime.timedelta(days=days)
+
+    left = spark.createDataFrame(
+        [(1, 7, d(0)), (2, 7, d(5)), (3, 8, d(0))], "eid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, d(-1), "fresh-for-eid1"), (8, d(-10), "stale")],
+        "k long, rts timestamp, pay string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="ts", right_time="rts", tolerance="3 days"
+    )
+    rows = {r.eid: (r.pay, r.rts) for r in out.collect()}
+    assert rows[1] == ("fresh-for-eid1", d(-1))   # 1 day old, within 3
+    assert rows[2] == (None, None)                # 6 days old: nulled, no fallback
+    assert rows[3] == (None, None)                # 10 days old: nulled
+
+
+def test_global_running_sum_matches_single_node_window(spark):
+    """The distributed prefix sum (range partition + pinned placement +
+    offsets) equals the single-partition window cumsum exactly."""
+    from pyspark.sql import Window
+
+    from sakura_spark.operators import global_running_sum
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("o"),
+        ((F.col("id") % 7) - 3).cast("long").alias("v"),
+    )
+    got = {
+        r.o: r.running
+        for r in global_running_sum(df, ["o"], "v", num_partitions=8).collect()
+    }
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.o: r.running for r in df.withColumn("running", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_interval_concurrency_sweep(spark):
+    """Boundary sweep: overlap counted exactly; start==end intervals net
+    to zero at their timestamp."""
+    import datetime
+
+    from sakura_spark.operators import interval_concurrency
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    iv = spark.createDataFrame(
+        [(m(0), m(30)), (m(10), m(20)), (m(10), m(10)), (m(40), m(50))],
+        "s timestamp, e timestamp",
+    )
+    rows = {r.ts: (r.net, r.concurrent) for r in interval_concurrency(iv, "s", "e").collect()}
+    assert rows[m(0)] == (1, 1)
+    assert rows[m(10)] == (1, 2)   # +1 (second) +1/-1 (point interval) = net 1
+    assert rows[m(20)] == (-1, 1)
+    assert rows[m(30)] == (-1, 0)
+    assert rows[m(40)] == (1, 1)
+    assert rows[m(50)] == (-1, 0)

@@ -228,7 +228,8 @@ def test_registry_contract():
         # NEW round-11 oracle-backed entries (enter immediately)
         "rel_snapshot_roundtrip", "graph_bfs_converged",
         "streaming_outer_join_equiv", "rel_ivm_join_delta",
-        "rel_changelog_compact",
+        "rel_changelog_compact", "asof_join_tolerance",
+        "stats_join_cardinality", "events_concurrency",
     }
     window = set(qs[:50])
     assert round11_in <= window, sorted(round11_in - window)
@@ -299,6 +300,8 @@ def test_all_registered_query_plans_are_scale_clean(spark):
     # scalar aggregate (the min/max quantization bounds; the corpus max
     # timestamp) as the build side of a cross join — the same
     # constant-time-probe class as the tpch scalar subqueries above.
+    # stats_join_cardinality broadcasts the ONE-ROW exact join-size total
+    # against the <= top_k heaviest-key rows — the same class.
     allowed_nested_loop = {
         "rel_cartesian",
         "tpch_q22_idle_customers",
@@ -308,6 +311,7 @@ def test_all_registered_query_plans_are_scale_clean(spark):
         "sort_zorder_layout",
         "sort_zorder_pruning",
         "curation_freshness_decay",
+        "stats_join_cardinality",
     }
     flagged = {}
 
