@@ -3208,6 +3208,28 @@ def q_text_bm25_topk(spark, sf_dir):
     )
 
 
+def q_text_mrr(spark, sf_dir):
+    """Retrieval-quality EVALUATION as a driver row (ir.mrr_at_k): the
+    reciprocal rank of each query's relevant document within the BM25
+    tf-saturation top-25, for five single-term queries — the metric
+    rows whose mean is MRR@25, the first-relevant-hit measure every
+    retrieval deployment tracks. Relevance labels are deterministic by
+    construction (smallest doc_id containing the term — replace with a
+    labels table in production; the construction is what makes the
+    metric SQL-oracle-hashable, so the EVAL HARNESS itself is now
+    correctness-gated, not just the retrievers it measures). Ranks use
+    the integer-exact single-division sv with doc_id tiebreak; rr is
+    one IEEE division or exactly 0.0 on a top-k miss. Plan: one corpus
+    pass + per-term rank windows bounded by term document frequency +
+    one broadcast join of the 5-row relevance table."""
+    from sakura_spark.functions import ir
+
+    docs = _t(spark, sf_dir, "documents")
+    return ir.mrr_at_k(
+        docs, ["spark", "window", "merge", "vector", "data"], k=25
+    )
+
+
 def q_text_hybrid_rrf(spark, sf_dir):
     """HYBRID RETRIEVAL via Reciprocal Rank Fusion (ir.rrf_fuse —
     Cormack et al. 2009, the standard lexical+dense combiner): BM25
@@ -3777,6 +3799,47 @@ def q_streaming_outer_join_equiv(spark, sf_dir):
             "view_ts",
             F.col("value").cast("double").alias("value"),
         )
+    )
+
+
+def q_streaming_update_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for the UPDATE-MODE custom stateful
+    operator (streaming.events.running_user_stats /
+    applyInPandasWithState, NoTimeout): exact per-user running
+    count/sum/mean maintained across micro-batches, with the FINAL state
+    per user — its last emitted update row, selected by the
+    strictly-increasing count — hash-checked against the one-shot batch
+    aggregate. Completes the stateful-operator verification matrix:
+    append-mode timeout emission is streaming_kmv_equiv; update-mode
+    incremental emission was pytest-only until this row. Values are
+    pre-scaled to integer cents AS DOUBLES before the Python boundary
+    (integer-valued float64s sum exactly in any order — pandas' pairwise
+    sum, the cross-batch accumulation, and SQL's sum all agree
+    bit-for-bat), and mean is the operator's own single IEEE division,
+    so the driver hash gates the state machine's arithmetic, not a
+    rounded shadow of it. State: one (count, total) pair per user,
+    update rows emitted only for keys touched in the batch."""
+    from pyspark.sql import Window as _W
+
+    from sakura_spark.streaming import events as ev
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.running_user_stats(
+            s.select(
+                "user_id",
+                F.round(F.col("value") * 100).cast("double").alias("value"),
+            )
+        ),
+        "streaming_update_equiv_sink",
+        output_mode="update",
+    )
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total", "mean")
     )
 
 
@@ -4949,9 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk_fixed": q_sim_ivfpq_topk_fixed,
         "sim_ann_lsh": q_sim_ann_lsh,
         "streaming_hll_equiv": q_streaming_hll_equiv,
-        "sim_ivf_topk_fixed": q_sim_ivf_topk_fixed,
         "streaming_dedup_equiv": q_streaming_dedup_equiv,
-        "text_hybrid_rrf": q_text_hybrid_rrf,
         "curation_leakage_split": q_curation_leakage_split,
         "multimodal_image_exact": q_multimodal_image_exact,
         "multimodal_gif_exact": q_multimodal_gif_exact,
@@ -5005,6 +5066,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": q_asof_join_tolerance,
         "stats_join_cardinality": q_stats_join_cardinality,
         "events_concurrency": q_events_concurrency,
+        # Session 4: update-mode stateful equivalence + retrieval-eval
+        # MRR — displacing sim_ivf_topk_fixed (sim_ivfpq_topk_fixed
+        # composes the IVF path) and text_hybrid_rrf (text_hash_features
+        # + text_mrr keep the text window rows); both r9+r10 green.
+        "streaming_update_equiv": q_streaming_update_equiv,
+        "text_mrr": q_text_mrr,
         # --- past the driver's 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-11 outs: the 10
@@ -5033,7 +5100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_moments": q_sim_embedding_moments,
         "multimodal_video_frames": q_multimodal_video_frames,
         "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
-        # Round-11 session-2/3 outs (r9+r10 green, siblings in window):
+        # Round-11 session-2/3/4 outs (r9+r10 green, siblings in window):
+        "sim_ivf_topk_fixed": q_sim_ivf_topk_fixed,
+        "text_hybrid_rrf": q_text_hybrid_rrf,
         "dedup_corpus_overlap": q_dedup_corpus_overlap,
         "sim_semdedup_fixed": q_sim_semdedup_fixed,
         "multimodal_av_demux": q_multimodal_av_demux,
@@ -7503,6 +7572,40 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ts, net, CAST(sum(net) OVER (ORDER BY ts "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS concurrent FROM n"
+    )
+    # MRR twin: same integer-exact sv constants as text_bm25_topk
+    # (k1=6/5, b=3/4 -> 44/20/6/18), per-term rank window, min-doc
+    # relevance, COALESCE'd reciprocal.
+    d["text_mrr"] = (
+        "WITH t AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
+        "FROM documents), "
+        "tot AS (SELECT sum(len(w)) AS L, count(*) AS N FROM t), "
+        "m AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t), "
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM m "
+        "WHERE term IN ('spark', 'window', 'merge', 'vector', 'data') "
+        "GROUP BY 1, 2, 3), "
+        "s AS (SELECT term, doc_id, CAST(tf * 44 * L AS DOUBLE) / "
+        "CAST(tf * 20 * L + 6 * L + dl * 18 * N AS DOUBLE) AS sv "
+        "FROM tf, tot), "
+        "r AS (SELECT term, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY term ORDER BY sv DESC, doc_id ASC) AS BIGINT) AS rnk "
+        "FROM s), "
+        "rel AS (SELECT term, min(doc_id) AS rel_doc FROM tf GROUP BY 1) "
+        "SELECT rel.term, rel.rel_doc, r.rnk, "
+        "COALESCE(CAST(1 AS DOUBLE) / CAST(r.rnk AS DOUBLE), 0.0) AS rr "
+        "FROM rel LEFT JOIN (SELECT * FROM r WHERE rnk <= 25) r "
+        "ON rel.term = r.term AND rel.rel_doc = r.doc_id"
+    )
+    # Update-mode stateful twin: the one-shot batch aggregate over the
+    # same cents-scaled values; mean is the identical IEEE division.
+    d["streaming_update_equiv"] = (
+        "WITH b AS (SELECT user_id, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "m AS (SELECT user_id, count(*) AS n_events, sum(cents) AS tot "
+        "FROM b GROUP BY 1) "
+        "SELECT user_id, n_events, CAST(tot AS DOUBLE) AS total, "
+        "CAST(tot AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean FROM m"
     )
     # Compaction twin: the identical last-wins window over the same
     # generated three-generation changelog.

@@ -193,6 +193,10 @@ EXTENDED = [
     "asof_join_tolerance",
     "stats_join_cardinality",
     "events_concurrency",
+    # Round-11 session-4 additions: update-mode stateful equivalence and
+    # the retrieval-eval MRR row.
+    "streaming_update_equiv",
+    "text_mrr",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -217,6 +221,8 @@ WATCH = [
     "asof_join_tolerance",
     "stats_join_cardinality",
     "events_concurrency",
+    "streaming_update_equiv",
+    "text_mrr",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

@@ -413,3 +413,82 @@ def rrf_fuse(
 
 def _rrf_names(n: int) -> list[str]:
     return [f"rank_{i}" for i in range(n)]
+
+
+def mrr_at_k(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 25,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval-quality evaluation: per single-term query, the
+    reciprocal rank of that query's RELEVANT document within the BM25
+    tf-saturation top-``k`` — (term, rel_doc, rnk, rr) rows whose mean
+    is MRR@k, the standard first-relevant-hit metric of a retrieval
+    eval harness. The relevance labels are deterministic by
+    construction (the smallest doc_id containing the term — derivable
+    in plain SQL, which is what makes the metric oracle-hashable; swap
+    in a labels table in production), and the score is the same
+    integer-exact single-division ``sv`` as bm25_saturation_topk, so
+    ranks are engine-independent: ties break by doc_id ascending, rr is
+    ONE IEEE division (1/rank) or exactly 0.0 when the relevant doc
+    misses the top-k.
+
+    Plan: one corpus pass (tokenize → explode → isin prune → tf agg),
+    one per-term rank window (bounded by each term's document
+    frequency — prune fat terms upstream via a max_df filter when a
+    query term matches a meaningful fraction of 100 TB), one broadcast
+    join of the |terms|-row relevance table against the ≤ |terms|·k
+    rank rows."""
+    if not terms:
+        raise ValueError("mrr_at_k needs at least one query term")
+    seen: set[str] = set()
+    terms = [t for t in terms if not (t in seen or seen.add(t))]
+    k1n, k1d = k1
+    bn, bd = b
+    toks = word_tokens(F.col(text_col))
+    totals = df.select(F.sum(F.size(toks)).alias("L"), F.count("*").alias("N")).first()
+    if int(totals["N"]) == 0:
+        raise ValueError("mrr_at_k: empty corpus")
+    L, N = int(totals["L"]), int(totals["N"])
+    matched = (
+        df.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    num = F.col("tf") * F.lit((k1n + k1d) * bd * L)
+    den = (
+        F.col("tf") * F.lit(k1d * bd * L)
+        + F.lit(k1n * (bd - bn) * L)
+        + F.col("dl") * F.lit(k1n * bn * N)
+    )
+    sv = (num.cast("double") / den.cast("double")).alias("sv")
+    scored = matched.select("term", id_col, sv)
+    w = Window.partitionBy("term").orderBy(F.col("sv").desc(), F.col(id_col).asc())
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("term", F.col(id_col).alias("__rdoc"), "rnk")
+    )
+    relevant = matched.groupBy("term").agg(F.min(id_col).alias("rel_doc"))
+    out = relevant.join(
+        ranked,
+        (relevant["term"] == ranked["term"])
+        & (F.col("rel_doc") == F.col("__rdoc")),
+        "left",
+    )
+    return out.select(
+        relevant["term"],
+        "rel_doc",
+        "rnk",
+        F.when(
+            F.col("rnk").isNotNull(),
+            F.lit(1.0) / F.col("rnk").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )

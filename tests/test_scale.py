@@ -230,6 +230,7 @@ def test_registry_contract():
         "streaming_outer_join_equiv", "rel_ivm_join_delta",
         "rel_changelog_compact", "asof_join_tolerance",
         "stats_join_cardinality", "events_concurrency",
+        "streaming_update_equiv", "text_mrr",
     }
     window = set(qs[:50])
     assert round11_in <= window, sorted(round11_in - window)
