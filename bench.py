@@ -197,6 +197,9 @@ EXTENDED = [
     # the retrieval-eval MRR row.
     "streaming_update_equiv",
     "text_mrr",
+    # Round-11 session-5 additions: Hilbert layout + pruning.
+    "sort_hilbert_layout",
+    "sort_hilbert_pruning",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -223,6 +226,8 @@ WATCH = [
     "events_concurrency",
     "streaming_update_equiv",
     "text_mrr",
+    "sort_hilbert_layout",
+    "sort_hilbert_pruning",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

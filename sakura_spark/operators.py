@@ -402,6 +402,90 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     return z
 
 
+def hilbert_key_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    out_col: str = "h",
+) -> DataFrame:
+    """Hilbert-curve key for two already-quantized dimensions (each a
+    non-negative integer < 2**bits): appends ``out_col`` = the point's
+    distance along the order-``bits`` Hilbert curve (Hilbert 1891; the
+    xy2d walk of Warren, Hacker's Delight §16). Like zorder_key this
+    makes one BIGINT whose sort order clusters rows close in BOTH
+    dimensions — but the Hilbert curve has no Z-curve 'jumps'
+    (consecutive keys are always grid-adjacent), so zone min/max boxes
+    are tighter and zone-map pruning touches fewer zones for the same
+    box predicate (the reason Databricks liquid clustering moved from
+    Z-order to Hilbert). The measured selectivity comparison lives in
+    the sort_hilbert_pruning entry.
+
+    The rotation step is data-dependent (reflect+swap when ry=0), so the
+    key is built as ``bits`` chained projections — each level's x/y/d
+    are real aliased columns referencing the previous level's at most
+    twice, keeping the expression tree linear in ``bits`` under
+    CollapseProject (a single nested expression would triple per level).
+    Pure integer CASE/shift arithmetic: whole-stage codegen, no UDF, no
+    shuffle; the identical level-by-level spelling generates the DuckDB
+    oracle CTE chain so the two cannot drift."""
+    out = (
+        df.withColumn("__hx", F.col(x_col).cast("long"))
+        .withColumn("__hy", F.col(y_col).cast("long"))
+        .withColumn("__hd", F.lit(0).cast("long"))
+    )
+    keep = [c for c in df.columns]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = (F.col("__hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("__hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        d_next = F.col("__hd") + F.lit(s * s).cast("long") * (
+            (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+        )
+        # ry=0: reflect when rx=1 (x' = s-1-x, y' = s-1-y), then swap.
+        nx = (
+            F.when(ry == 1, F.col("__hx"))
+            .when(rx == 1, F.lit(s - 1).cast("long") - F.col("__hy"))
+            .otherwise(F.col("__hy"))
+        )
+        ny = (
+            F.when(ry == 1, F.col("__hy"))
+            .when(rx == 1, F.lit(s - 1).cast("long") - F.col("__hx"))
+            .otherwise(F.col("__hx"))
+        )
+        out = out.select(
+            *keep,
+            d_next.alias("__hd"),
+            nx.alias("__hx"),
+            ny.alias("__hy"),
+        )
+    return out.select(*keep, F.col("__hd").alias(out_col))
+
+
+def hilbert_oracle_ctes(bits: int = 8) -> str:
+    """The DuckDB CTE chain twin of :func:`hilbert_key_2d` — one CTE per
+    level, generated from the same loop so the spellings cannot drift.
+    Expects an upstream CTE named ``h{bits}`` with columns
+    (..., hx, hy, hd); produces ``h0`` whose ``hd`` is the key. Callers
+    splice: ``WITH ..., h8 AS (SELECT *, qx AS hx, qy AS hy, 0 AS hd
+    ...), <this> SELECT ... FROM h0``."""
+    parts = []
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"h{level} AS (SELECT * REPLACE ("
+            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd, "
+            f"CASE WHEN {ry} = 1 THEN hx "
+            f"WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END AS hx, "
+            f"CASE WHEN {ry} = 1 THEN hy "
+            f"WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END AS hy) "
+            f"FROM h{level + 1})"
+        )
+    return ", ".join(parts)
+
+
 def quantize_minmax(col: Column, min_col: Column, max_col: Column, bits: int = 8) -> Column:
     """Equi-width quantizer for :func:`zorder_key`: map an integer column
     with data range [min_col, max_col] onto [0, 2**bits) —

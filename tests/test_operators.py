@@ -753,3 +753,80 @@ def test_interval_concurrency_sweep(spark):
     assert rows[m(30)] == (-1, 0)
     assert rows[m(40)] == (1, 1)
     assert rows[m(50)] == (-1, 0)
+
+
+def _xy2d_ref(n_bits, x, y):
+    """Pure-Python Hilbert xy2d (the Wikipedia/Hacker's Delight walk) —
+    the independent reference both engine spellings must match."""
+    d = 0
+    s = 1 << (n_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    import random
+
+    from sakura_spark.operators import hilbert_key_2d
+
+    random.seed(7)
+    pts = [(random.randrange(256), random.randrange(256)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y): r.h for r in hilbert_key_2d(df, "x", "y", bits=8).collect()}
+    assert all(got[(x, y)] == _xy2d_ref(8, x, y) for x, y in pts)
+    # bijection on the full 4-bit grid: every curve position hit once
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    hs = sorted(
+        r.h
+        for r in hilbert_key_2d(
+            spark.createDataFrame(grid, "x long, y long"), "x", "y", bits=4
+        ).collect()
+    )
+    assert hs == list(range(256))
+
+
+def test_hilbert_oracle_ctes_match_reference():
+    """The generated DuckDB CTE chain computes the same curve."""
+    import random
+
+    import duckdb
+
+    from sakura_spark.operators import hilbert_oracle_ctes
+
+    random.seed(11)
+    pts = [(random.randrange(256), random.randrange(256)) for _ in range(200)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") t(x, y)"
+    )
+    sql = (
+        "WITH h8 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd "
+        "FROM pts), " + hilbert_oracle_ctes(8) + " SELECT x, y, hd FROM h0"
+    )
+    assert all(hd == _xy2d_ref(8, x, y) for x, y, hd in con.execute(sql).fetchall())
+
+
+def test_hilbert_adjacency(spark):
+    """The property Z-order lacks: consecutive curve positions are always
+    grid-adjacent (Manhattan distance exactly 1) — no jumps."""
+    from sakura_spark.operators import hilbert_key_2d
+
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    rows = hilbert_key_2d(
+        spark.createDataFrame(grid, "x long, y long"), "x", "y", bits=4
+    ).collect()
+    by_d = {r.h: (r.x, r.y) for r in rows}
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])

@@ -231,6 +231,7 @@ def test_registry_contract():
         "rel_changelog_compact", "asof_join_tolerance",
         "stats_join_cardinality", "events_concurrency",
         "streaming_update_equiv", "text_mrr",
+        "sort_hilbert_layout", "sort_hilbert_pruning",
     }
     window = set(qs[:50])
     assert round11_in <= window, sorted(round11_in - window)
@@ -313,6 +314,11 @@ def test_all_registered_query_plans_are_scale_clean(spark):
         "sort_zorder_pruning",
         "curation_freshness_decay",
         "stats_join_cardinality",
+        # the Hilbert layout/pruning entries broadcast the same one-row
+        # scalar aggregates (quantization bounds; the exact row total
+        # for equal-count zoning).
+        "sort_hilbert_layout",
+        "sort_hilbert_pruning",
     }
     flagged = {}
 
