@@ -5146,8 +5146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     asof_join_tolerance + stats_join_cardinality + events_concurrency
     (out: dedup_corpus_overlap, sim_semdedup_fixed,
     multimodal_av_demux); streaming_update_equiv + text_mrr (out:
-    sim_ivf_topk_fixed, text_hybrid_rrf). Every displaced family keeps
-    at least one hash-gated window row.
+    sim_ivf_topk_fixed, text_hybrid_rrf); sort_hilbert_layout +
+    sort_hilbert_pruning (out: rel_merge_upsert,
+    curation_gopher_filter). Every displaced family keeps at least one
+    hash-gated window row.
     """
     return {
         # --- driver sweep window (first 50). Round-11 rotation
