@@ -55,6 +55,14 @@ class UnknownBranch(SakuraError):
     pass
 
 
+class BranchNotFound(UnknownBranch):
+    """A named branch is absent from the registry — the reference's
+    distinct BranchNotFound variant (lib/dcl/executor.ml:9), serialized
+    on the wire as (branch-not-found <name>) rather than the generic
+    sublanguage message. The exception message is the bare branch name,
+    exactly what the reference's error sexp carries."""
+
+
 class Conflict(SakuraError):
     """Optimistic-concurrency failure: a mutation's base database hash is
     stale — another writer advanced the head since the client read it

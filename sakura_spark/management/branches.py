@@ -64,11 +64,14 @@ class BranchManager:
         try:
             return self.branches[name]
         except KeyError:
-            raise errors.UnknownBranch(name) from None
+            # Bare-name payload: the wire layer serializes this as the
+            # reference's (branch-not-found <name>) variant
+            # (lib/dcl/executor.ml:9,19).
+            raise errors.BranchNotFound(name) from None
 
     def update_branch_tip(self, name: str, db_hash: str) -> None:
         if name not in self.branches:
-            raise errors.UnknownBranch(name)
+            raise errors.BranchNotFound(name)
         if not self.store.has_manifest(db_hash):
             raise errors.UnknownBranch(f"unknown database hash: {db_hash}")
         self.branches[name] = db_hash

@@ -219,6 +219,12 @@ def error_sexp(e: Exception) -> str:
         # lib/scl/executor.ml:28 (cursor-error <msg>) nested under the
         # listener's SublanguageError wrap (lib/listener.ml:38).
         return f"(error (sublanguage-error (error (cursor-error {_atom(str(e))}))))"
+    if isinstance(e, errors.BranchNotFound):
+        # lib/dcl/executor.ml:19 (branch-not-found <name>) under the
+        # listener's SublanguageError wrap.
+        return (
+            f"(error (sublanguage-error (error (branch-not-found {_atom(str(e))}))))"
+        )
     if isinstance(e, errors.SclParseError):
         # lib/scl/executor.ml:24-26 (parse-error <msg>) under the same
         # SublanguageError wrap — the validate() rejection path

@@ -1325,3 +1325,94 @@ def test_scl_wire_nonpositive_limit_rejected(spark, store, stmt):
         assert err.startswith("(error (sublanguage-error (error (parse-error ")
         assert "expected to be positive" in err
         c.close()
+
+
+# --------------------------------------------------------------------------
+# DCL branch lifecycle OVER THE SOCKET (reference lib/dcl/executor.ml:30-97
+# statements + messages, lib/listener.ml Transition serialize). The
+# in-process Server.execute DCL tests live in tests/test_wire.py; these
+# drive CreateBranch / GetHead / Checkout / GetBranchTip / Merge and the
+# BranchNotFound error variant through a real TCP connection.
+# --------------------------------------------------------------------------
+
+
+def test_dcl_wire_branch_lifecycle(spark, store):
+    """dcl: CreateBranch/GetHead/Checkout/GetBranchTip round-trip the
+    reference's exact Transition messages (lib/dcl/executor.ml:35-68:
+    'Branch N created', 'HEAD is unset' is NOT an error, 'HEAD:N',
+    'branch:N=<tip>') over the socket."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_dcl", store=store, snapshot_on_mutation=True)
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        created = cmd('(dcl (CreateBranch (name "main")))')
+        assert created.startswith("(ok ") and '(message "Branch main created")' in created
+        head = cmd("(dcl (GetHead))")
+        assert head.startswith("(ok ") and "HEAD:main" in head
+        tip = cmd('(dcl (GetBranchTip "main"))')
+        assert tip.startswith("(ok ") and f"branch:main={server.db.hash}" in tip
+        co = cmd('(dcl (Checkout "main"))')
+        assert co.startswith("(ok ") and "HEAD:main" in co
+        c.close()
+
+
+def test_dcl_wire_merge_workflow(spark, store):
+    """dcl: the divergent-branch merge workflow over the socket — branch,
+    checkout, mutate, merge PreferLeft — responds with the reference's
+    'Merged:right→left' Transition (lib/dcl/executor.ml:96) and the
+    merged extension is queryable through the SAME connection."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_dcl", store=store, snapshot_on_mutation=True)
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    server.execute('(dml (InsertTuple (relation "t") (attributes (("v" (Int 1))))))')
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        assert cmd('(dcl (CreateBranch (name "main")))').startswith("(ok ")
+        assert cmd('(dcl (CreateBranch (name "feature")))').startswith("(ok ")
+        assert "HEAD:feature" in cmd('(dcl (Checkout "feature"))')
+        assert cmd(
+            '(dml (InsertTuple (relation "t") (attributes (("v" (Int 5))))))'
+        ).startswith("(ok ")
+        assert "HEAD:main" in cmd('(dcl (Checkout "main"))')
+        merged = cmd(
+            '(dcl (Merge (left "main") (right "feature") (strategy PreferLeft)))'
+        )
+        assert merged.startswith("(ok ") and "Merged:feature→main" in merged
+        rows = cmd('(drl (Base "t"))')
+        assert "((v 1))" in rows and "((v 5))" in rows
+        c.close()
+
+
+def test_dcl_wire_branch_not_found(spark, store):
+    """dcl: Checkout/GetBranchTip of a missing branch serialize the
+    reference's distinct BranchNotFound variant —
+    (branch-not-found <name>) under the sublanguage wrap
+    (lib/dcl/executor.ml:9,19) — with the BARE branch name as payload."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_dcl", store=store, snapshot_on_mutation=True)
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        for stmt in ('(dcl (Checkout "nope"))', '(dcl (GetBranchTip "nope"))'):
+            err = cmd(stmt)
+            assert err.startswith(
+                "(error (sublanguage-error (error (branch-not-found "
+            ), err
+            assert "nope" in err
+        c.close()
+
+
+def test_dcl_wire_unset_head_is_not_an_error(spark, store):
+    """dcl: GetHead before any branch exists responds with the 'HEAD is
+    unset' Transition, never an error (lib/dcl/executor.ml:61-62)."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_dcl", store=store, snapshot_on_mutation=True)
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        resp = cmd("(dcl (GetHead))")
+        assert resp.startswith("(ok ") and "HEAD is unset" in resp
+        c.close()
