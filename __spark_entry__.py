@@ -3904,6 +3904,50 @@ def q_rel_scd2(spark, sf_dir):
     )
 
 
+def q_rel_scd2_apply(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance under the driver hash
+    (operators.scd2_apply — the nightly close-and-open step, completing
+    the SCD2 loop the way rel_snapshot_roundtrip completed CDC): the
+    orders change log is split at 1997-06-01 into history and a nightly
+    batch; the dimension is built from history alone
+    (scd2_intervalize), the batch is applied INCREMENTALLY — untouched
+    keys anti-join through unrewritten, touched keys' closed rows pass
+    through, each touched current row is replayed as a log stub and
+    re-intervalized with its batch rows (a no-op first batch regime
+    COMPRESSES back into the existing row, original valid_from
+    preserved) — and the output hashes against the FULL REBUILD over
+    the whole log (the identical rel_scd2 oracle SQL). A green row
+    proves apply(build(history), batch) ≡ build(history + batch)
+    row-for-row: interval closes, compression across the boundary,
+    tie-breaks, current flags. At 100 TB the apply touches
+    O(|batch| + touched keys), never the dimension's history."""
+    from sakura_spark.operators import scd2_apply, scd2_intervalize
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-06-01").cast("timestamp")
+    history = orders.filter(F.col("o_orderdate") < cut)
+    batch = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"
+    )
+    dim = scd2_intervalize(
+        history,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        seq_col="o_orderkey",
+        high_date="2200-01-01 00:00:00",
+    )
+    return scd2_apply(
+        dim,
+        batch,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        seq_col="o_orderkey",
+        high_date="2200-01-01 00:00:00",
+    )
+
+
 def q_rel_merge_delete(spark, sf_dir):
     """Three-clause MERGE (operators.merge_upsert with delete_col — the
     full Delta/Iceberg CDC apply: WHEN MATCHED AND s.del THEN DELETE,
@@ -5172,7 +5216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_equiv": q_streaming_hll_equiv,
         "streaming_dedup_equiv": q_streaming_dedup_equiv,
         "curation_leakage_split": q_curation_leakage_split,
-        "multimodal_image_exact": q_multimodal_image_exact,
         "multimodal_gif_exact": q_multimodal_gif_exact,
         "multimodal_jpeg_exact": q_multimodal_jpeg_exact,
         "sketch_hll_cube": q_sketch_hll_cube,
@@ -5236,6 +5279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9+r10 green.
         "sort_hilbert_layout": q_sort_hilbert_layout,
         "sort_hilbert_pruning": q_sort_hilbert_pruning,
+        # Session 6: incremental SCD2 apply (apply ≡ rebuild law) —
+        # displacing multimodal_image_exact (gif/jpeg/resize exact twins
+        # keep the codec family's window rows; r9+r10 green).
+        "rel_scd2_apply": q_rel_scd2_apply,
         # --- past the driver's 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-11 outs: the 10
@@ -5264,7 +5311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_moments": q_sim_embedding_moments,
         "multimodal_video_frames": q_multimodal_video_frames,
         "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
-        # Round-11 session-2/3/4/5 outs (r9+r10 green, siblings in window):
+        # Round-11 session-2/3/4/5/6 outs (r9+r10 green, siblings in window):
+        "multimodal_image_exact": q_multimodal_image_exact,
         "rel_merge_upsert": q_rel_merge_upsert,
         "curation_gopher_filter": q_curation_gopher_filter,
         "sim_ivf_topk_fixed": q_sim_ivf_topk_fixed,
@@ -7849,6 +7897,29 @@ def oracle_sql() -> dict[str, str]:
         "FROM b GROUP BY 1) "
         "SELECT user_id, n_events, CAST(tot AS DOUBLE) AS total, "
         "CAST(tot AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean FROM m"
+    )
+    # Incremental-SCD2 twin: the FULL REBUILD over the whole log — the
+    # identical rel_scd2 SQL — which apply(build(history), batch) must
+    # reproduce row-for-row.
+    d["rel_scd2_apply"] = (
+        "WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+        "o_orderstatus, "
+        "lag(o_orderstatus) OVER w AS prev, "
+        "row_number() OVER w AS rn "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)), "
+        "kept AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+        "o_orderstatus FROM c "
+        "WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus) "
+        "SELECT o_custkey, o_orderstatus, "
+        "o_orderdate AS valid_from, "
+        "COALESCE(lead(o_orderdate) OVER w2, "
+        "TIMESTAMP '2200-01-01 00:00:00') AS valid_to, "
+        "(lead(o_orderdate) OVER w2 IS NULL) AS is_current "
+        "FROM kept "
+        "WINDOW w2 AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)"
     )
     # Compaction twin: the identical last-wins window over the same
     # generated three-generation changelog.

@@ -200,6 +200,8 @@ EXTENDED = [
     # Round-11 session-5 additions: Hilbert layout + pruning.
     "sort_hilbert_layout",
     "sort_hilbert_pruning",
+    # Round-11 session-6 addition: incremental SCD2 apply.
+    "rel_scd2_apply",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -228,6 +230,7 @@ WATCH = [
     "text_mrr",
     "sort_hilbert_layout",
     "sort_hilbert_pruning",
+    "rel_scd2_apply",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop

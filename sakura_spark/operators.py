@@ -376,6 +376,60 @@ def scd2_intervalize(
     )
 
 
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    seq_col: str | None = None,
+    high_date: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Incremental Type-2 SCD maintenance — the NIGHTLY apply step that
+    closes current rows and opens new versions, without rebuilding the
+    dimension: given an existing :func:`scd2_intervalize` output ``dim``
+    and a new observation ``batch`` (key, event time, attributes; every
+    batch timestamp strictly AFTER the key's current ``valid_from`` —
+    late data needs a rebuild of that key, same as any warehouse SCD2),
+    returns the dimension as a full rebuild over history+batch would —
+    the law the rel_scd2_apply entry proves under the driver hash.
+
+    Plan: untouched keys pass through by anti-join (zero rewrite — at
+    100 TB the nightly batch touches a sliver of the dimension);
+    touched keys' CLOSED rows pass through as-is (their regimes are
+    final; compression is local to consecutive log rows, so nothing
+    before the current regime can change); each touched key's CURRENT
+    row is replayed as a log stub at its own ``valid_from`` and
+    re-intervalized together with the key's batch rows — so a batch
+    whose first regime equals the current attributes COMPRESSES into
+    the existing row (original valid_from preserved, still current),
+    and a real change closes it at the first differing timestamp.
+    Cost: two |dim|-vs-|batch-keys| semi/anti joins + intervalize over
+    (touched current rows + batch) — O(|batch| + touched keys), never
+    the dimension's history."""
+    bkeys = batch.select(*keys).distinct()
+    touched = dim.join(bkeys, keys, "left_semi")
+    untouched = dim.join(bkeys, keys, "left_anti")
+    closed = touched.filter(~F.col("is_current"))
+    stub_cols = [F.col(k) for k in keys] + [F.col("valid_from").alias(ts_col)]
+    if seq_col is not None:
+        # The stub sorts before any batch row: its ts (the current
+        # regime's valid_from) strictly precedes every batch ts by the
+        # contract above, so the seq value is inert; -1 keeps the column.
+        stub_cols.append(F.lit(-1).cast("long").alias(seq_col))
+    stub_cols += [F.col(c) for c in attr_cols]
+    cur_stub = touched.filter(F.col("is_current")).select(*stub_cols)
+    minilog = cur_stub.unionByName(
+        batch.select(
+            *keys, ts_col, *([seq_col] if seq_col else []), *attr_cols
+        )
+    )
+    fresh = scd2_intervalize(
+        minilog, keys, ts_col, attr_cols, seq_col=seq_col, high_date=high_date
+    )
+    return untouched.unionByName(closed).unionByName(fresh)
+
+
 def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     """Morton / Z-order key: bit-interleave ``len(cols)`` already-quantized
     dimension columns (each a non-negative integer < 2**bits) into one

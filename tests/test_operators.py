@@ -830,3 +830,50 @@ def test_hilbert_adjacency(spark):
     for d in range(255):
         (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_scd2_apply_equals_rebuild(spark):
+    """apply(build(history), batch) == build(history + batch) — including
+    the three tricky cases: a no-op first batch regime COMPRESSES back
+    into the existing current row (original valid_from preserved), a
+    real change closes the current row at the first differing ts, a
+    brand-new key builds from the batch alone, an untouched key passes
+    through bit-identically."""
+    import datetime
+
+    from sakura_spark.operators import scd2_apply, scd2_intervalize
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def d(days):
+        return t0 + datetime.timedelta(days=days)
+
+    history = spark.createDataFrame(
+        [
+            (1, d(0), 10, "A"), (1, d(5), 11, "B"),   # key 1: A then B
+            (2, d(0), 20, "X"),                        # key 2: untouched by batch
+            (3, d(0), 30, "P"),                        # key 3: no-op batch change
+        ],
+        "k long, ts timestamp, seq long, st string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, d(10), 12, "C"),   # real change: closes B at d(10)
+            (3, d(10), 31, "P"),   # same attrs: must compress away
+            (4, d(10), 40, "N"),   # brand-new key
+        ],
+        "k long, ts timestamp, seq long, st string",
+    )
+    kw = dict(keys=["k"], ts_col="ts", attr_cols=["st"], seq_col="seq",
+              high_date="2200-01-01 00:00:00")
+    dim = scd2_intervalize(history, **kw)
+    applied = scd2_apply(dim, batch, **kw)
+    rebuilt = scd2_intervalize(history.unionByName(batch), **kw)
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    rows = {(r.k, r.st): (r.valid_from, r.valid_to, r.is_current)
+            for r in applied.collect()}
+    assert rows[(3, "P")][0] == d(0) and rows[(3, "P")][2]  # compressed, still current
+    assert rows[(1, "B")] == (d(5), d(10), False)           # closed at the change
+    assert rows[(4, "N")][2] and rows[(2, "X")][2]

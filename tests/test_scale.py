@@ -232,6 +232,7 @@ def test_registry_contract():
         "stats_join_cardinality", "events_concurrency",
         "streaming_update_equiv", "text_mrr",
         "sort_hilbert_layout", "sort_hilbert_pruning",
+        "rel_scd2_apply",
     }
     window = set(qs[:50])
     assert round11_in <= window, sorted(round11_in - window)
