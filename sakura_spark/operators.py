@@ -384,15 +384,45 @@ def scd2_apply(
     attr_cols: list[str],
     seq_col: str | None = None,
     high_date: str = "9999-12-31 00:00:00",
+    on_late: str = "error",
 ) -> DataFrame:
     """Incremental Type-2 SCD maintenance — the NIGHTLY apply step that
     closes current rows and opens new versions, without rebuilding the
     dimension: given an existing :func:`scd2_intervalize` output ``dim``
     and a new observation ``batch`` (key, event time, attributes; every
     batch timestamp strictly AFTER the key's current ``valid_from`` —
-    late data needs a rebuild of that key, same as any warehouse SCD2),
-    returns the dimension as a full rebuild over history+batch would —
-    the law the rel_scd2_apply entry proves under the driver hash.
+    the standard warehouse SCD2 contract), returns the dimension as a
+    full rebuild over history+batch would — the law the rel_scd2_apply
+    entry proves under the driver hash.
+
+    ``on_late`` routes LATE data (a batch row whose ts <= its key's
+    current ``valid_from`` — i.e. landing inside or before the current
+    regime, where the fast path would silently produce a wrong
+    dimension):
+
+    - ``'error'`` (default): the contract is ENFORCED in-plan — the
+      minilog carries a stub marker, a whole-partition window computes
+      each key's current ``valid_from`` (the stub's ts), and the
+      event-time column is wrapped in a raise_error guard, so a
+      violating batch fails the job loudly at execution. The detector
+      is JOIN-FREE: the window runs over the same hash partitioning the
+      intervalize windows already use (Catalyst reuses the exchange),
+      and the guard rides the ts column those windows evaluate anyway —
+      no extra driver action, no extra shuffle.
+    - ``'rebuild'``: every TOUCHED key is re-intervalized from its
+      RETAINED regimes — each regime replayed as a log row at its
+      ``valid_from`` (regime order preserved via a large-negative
+      ordinal seq, so replayed rows also sort before any batch row
+      sharing the same timestamp) and unioned with the batch. Late keys
+      get their per-key history rebuild; non-late keys reproduce the
+      fast-path output bit-for-bit (intervalize is order-insensitive
+      and idempotent on its own output-as-log, and a non-late batch row
+      never ties a replayed regime's timestamp), so no late-key join is
+      needed at all. Note the rebuild is over the dimension's RETAINED
+      history: log rows compressed away as no-op changes are not
+      resurrectable (inherent to any SCD2 store that keeps only
+      regimes), so the law is apply ≡ intervalize(replay(dim) ∪ batch)
+      — exact whenever the dimension is the system of record.
 
     Plan: untouched keys pass through by anti-join (zero rewrite — at
     100 TB the nightly batch touches a sliver of the dimension);
@@ -406,10 +436,54 @@ def scd2_apply(
     and a real change closes it at the first differing timestamp.
     Cost: two |dim|-vs-|batch-keys| semi/anti joins + intervalize over
     (touched current rows + batch) — O(|batch| + touched keys), never
-    the dimension's history."""
-    bkeys = batch.select(*keys).distinct()
+    the dimension's history; rebuild mode reads the touched keys'
+    regime rows instead of only their current rows (per-entity
+    histories are bounded, so still O(|batch| + touched regimes)).
+
+    Both modes deliberately avoid joining the batch back against the
+    dimension INSIDE the re-intervalized branch: a plan whose union
+    branches share the dim lineage twice trips Spark's
+    DeduplicateRelations into mis-rewriting the window partition keys
+    (branch results change when unioned — observed on 4.1.2), so late
+    detection is a window over the minilog and the rebuild replays
+    regimes straight off the touched split."""
+    if on_late not in ("error", "rebuild"):
+        raise ValueError("on_late must be 'error' or 'rebuild'")
+    b = batch.select(*keys, ts_col, *([seq_col] if seq_col else []), *attr_cols)
+    bkeys = b.select(*keys).distinct()
     touched = dim.join(bkeys, keys, "left_semi")
     untouched = dim.join(bkeys, keys, "left_anti")
+    if on_late == "rebuild":
+        rn = F.row_number().over(
+            W.partitionBy(*[F.col(k) for k in keys]).orderBy(
+                # Regimes within a key are ordered by (valid_from,
+                # valid_to): two regimes share valid_from only when the
+                # earlier is zero-length, and then its valid_to is
+                # strictly smaller. The one residual tie — two
+                # zero-length regimes at the SAME instant — is broken by
+                # the attributes (consecutive regimes always differ), so
+                # the replay order is total and deterministic; original
+                # log order among such same-instant zero-length pairs is
+                # not retained by the dimension, which is part of the
+                # retained-history caveat above.
+                "valid_from",
+                "valid_to",
+                *attr_cols,
+            )
+        )
+        replay_cols = [F.col(k) for k in keys] + [F.col("valid_from").alias(ts_col)]
+        if seq_col is not None:
+            replay_cols.append((rn.cast("long") - F.lit(2**40)).alias(seq_col))
+        replay_cols += [F.col(c) for c in attr_cols]
+        rebuilt = scd2_intervalize(
+            touched.select(*replay_cols).unionByName(b),
+            keys,
+            ts_col,
+            attr_cols,
+            seq_col=seq_col,
+            high_date=high_date,
+        )
+        return untouched.unionByName(rebuilt)
     closed = touched.filter(~F.col("is_current"))
     stub_cols = [F.col(k) for k in keys] + [F.col("valid_from").alias(ts_col)]
     if seq_col is not None:
@@ -419,11 +493,30 @@ def scd2_apply(
         stub_cols.append(F.lit(-1).cast("long").alias(seq_col))
     stub_cols += [F.col(c) for c in attr_cols]
     cur_stub = touched.filter(F.col("is_current")).select(*stub_cols)
-    minilog = cur_stub.unionByName(
-        batch.select(
-            *keys, ts_col, *([seq_col] if seq_col else []), *attr_cols
-        )
+    minilog0 = cur_stub.withColumn("__stub", F.lit(True)).unionByName(
+        b.withColumn("__stub", F.lit(False))
     )
+    stub_ts = F.max(F.when(F.col("__stub"), F.col(ts_col))).over(
+        W.partitionBy(*[F.col(k) for k in keys])
+    )
+    guard = F.when(
+        (~F.col("__stub")) & (F.col(ts_col) <= stub_ts),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "scd2_apply: late batch row (ts <= current valid_from) "
+                    "for key ("
+                ),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+                F.lit("): "),
+                F.col(ts_col).cast("string"),
+                F.lit(" <= "),
+                stub_ts.cast("string"),
+                F.lit("; pass on_late='rebuild' to re-intervalize late keys"),
+            )
+        ),
+    ).otherwise(F.col(ts_col))
+    minilog = minilog0.withColumn(ts_col, guard).drop("__stub")
     fresh = scd2_intervalize(
         minilog, keys, ts_col, attr_cols, seq_col=seq_col, high_date=high_date
     )
@@ -537,6 +630,158 @@ def hilbert_oracle_ctes(bits: int = 8) -> str:
             f"WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END AS hy) "
             f"FROM h{level + 1})"
         )
+    return ", ".join(parts)
+
+
+def hilbert_key_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "h",
+) -> DataFrame:
+    """N-dimensional Hilbert-curve key (Skilling's transpose walk,
+    "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004; the
+    n-D generalization Butz 1971 / Lawder 2000 describe as a state
+    walk): appends ``out_col`` = the point's distance along the
+    order-``bits`` Hilbert curve through ``len(cols)`` already-quantized
+    dimensions (each a non-negative integer < 2**bits). This is the
+    3-4-column liquid-clustering case :func:`hilbert_key_2d` can't
+    cover: consecutive keys are always grid-adjacent in n-D (verified
+    exhaustively in tests), so equal-row-count zone cuts keep tighter
+    min/max boxes than :func:`zorder_key` on the same columns.
+
+    Spelled exactly like the 2-D walk: the data-dependent
+    exchange/invert steps unroll to (bits-1)*n chained projections of
+    pure integer CASE/XOR arithmetic (each level's columns reference
+    the previous level's at most twice, linear under CollapseProject),
+    then the Gray encode, the rotation-correction XOR fold, and the
+    final bit interleave (X[0]'s bit most significant within each
+    level group). Whole-stage codegen throughout — no UDF, no shuffle;
+    :func:`hilbert_nd_oracle_ctes` generates the DuckDB CTE twin from
+    the same loop so the spellings cannot drift. Total key width
+    bits*dims must fit a signed BIGINT (<= 62)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert_key_nd needs at least 2 dimension columns")
+    if bits * n > 62:
+        raise ValueError("bits * dims must be <= 62 to fit a signed BIGINT")
+    keep = list(df.columns)
+    xs = [f"__hx{i}" for i in range(n)]
+    out = df.select(
+        *keep, *[F.col(c).cast("long").alias(x) for c, x in zip(cols, xs)]
+    )
+
+    def proj(repl: dict):
+        cs = [F.col(c) for c in keep]
+        cs += [repl.get(x, F.col(x)).alias(x) for x in xs]
+        return out.select(*cs)
+
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            cond = F.col(xs[i]).bitwiseAND(F.lit(q).cast("long")) != 0
+            if i == 0:
+                out = proj(
+                    {
+                        xs[0]: F.when(
+                            cond, F.col(xs[0]).bitwiseXOR(F.lit(p).cast("long"))
+                        ).otherwise(F.col(xs[0]))
+                    }
+                )
+            else:
+                t = (
+                    F.col(xs[0]).bitwiseXOR(F.col(xs[i]))
+                ).bitwiseAND(F.lit(p).cast("long"))
+                out = proj(
+                    {
+                        xs[0]: F.when(
+                            cond, F.col(xs[0]).bitwiseXOR(F.lit(p).cast("long"))
+                        ).otherwise(F.col(xs[0]).bitwiseXOR(t)),
+                        xs[i]: F.when(cond, F.col(xs[i])).otherwise(
+                            F.col(xs[i]).bitwiseXOR(t)
+                        ),
+                    }
+                )
+        q >>= 1
+    for i in range(1, n):
+        out = proj({xs[i]: F.col(xs[i]).bitwiseXOR(F.col(xs[i - 1]))})
+    t_fold = F.lit(0).cast("long")
+    q = 1 << (bits - 1)
+    while q > 1:
+        t_fold = t_fold.bitwiseXOR(
+            F.when(
+                F.col(xs[n - 1]).bitwiseAND(F.lit(q).cast("long")) != 0,
+                F.lit(q - 1).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        q >>= 1
+    out = out.select(*keep, *[F.col(x) for x in xs], t_fold.alias("__ht"))
+    out = out.select(
+        *keep,
+        *[F.col(x).bitwiseXOR(F.col("__ht")).alias(x) for x in xs],
+    )
+    h = F.lit(0).cast("long")
+    for lvl in range(bits):
+        for i in range(n):
+            bit = F.shiftright(F.col(xs[i]), lvl).bitwiseAND(F.lit(1).cast("long"))
+            h = h.bitwiseOR(F.shiftleft(bit, lvl * n + (n - 1 - i)))
+    return out.select(*keep, h.alias(out_col))
+
+
+def hilbert_nd_oracle_ctes(n: int, bits: int = 8) -> str:
+    """The DuckDB CTE chain twin of :func:`hilbert_key_nd` — generated
+    from the same loop so the spellings cannot drift. Expects an
+    upstream CTE named ``g_in`` with columns (..., hx0..hx{n-1});
+    produces ``g_fin`` whose ``hd`` column is the Hilbert index.
+    Callers splice: ``WITH ..., g_in AS (SELECT *, q0 AS hx0, ...
+    FROM ...), <this> SELECT ... FROM g_fin``."""
+    parts: list[str] = []
+    prev = "g_in"
+
+    def emit(replaces: str):
+        nonlocal prev
+        name = f"g{len(parts)}"
+        parts.append(f"{name} AS (SELECT * REPLACE ({replaces}) FROM {prev})")
+        prev = name
+
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if i == 0:
+                emit(
+                    f"CASE WHEN (hx0 & {q}) <> 0 THEN xor(hx0, {p}) "
+                    f"ELSE hx0 END AS hx0"
+                )
+            else:
+                t = f"(xor(hx0, hx{i}) & {p})"
+                emit(
+                    f"CASE WHEN (hx{i} & {q}) <> 0 THEN xor(hx0, {p}) "
+                    f"ELSE xor(hx0, {t}) END AS hx0, "
+                    f"CASE WHEN (hx{i} & {q}) <> 0 THEN hx{i} "
+                    f"ELSE xor(hx{i}, {t}) END AS hx{i}"
+                )
+        q >>= 1
+    for i in range(1, n):
+        emit(f"xor(hx{i}, hx{i-1}) AS hx{i}")
+    t_fold = "CAST(0 AS BIGINT)"
+    q = 1 << (bits - 1)
+    while q > 1:
+        t_fold = (
+            f"xor({t_fold}, CASE WHEN (hx{n-1} & {q}) <> 0 "
+            f"THEN {q - 1} ELSE 0 END)"
+        )
+        q >>= 1
+    parts.append(f"gt AS (SELECT *, ({t_fold}) AS ht FROM {prev})")
+    prev = "gt"
+    emit(", ".join(f"xor(hx{i}, ht) AS hx{i}" for i in range(n)))
+    interleave = " | ".join(
+        f"(((hx{i} >> {lvl}) & 1) << {lvl * n + (n - 1 - i)})"
+        for lvl in range(bits)
+        for i in range(n)
+    )
+    parts.append(f"g_fin AS (SELECT *, CAST({interleave} AS BIGINT) AS hd FROM {prev})")
     return ", ".join(parts)
 
 

@@ -455,6 +455,19 @@ def run_to_memory(
             .start()
         )
         q.processAllAvailable()
+        # Emission barrier: processAllAvailable() returns once every batch
+        # AVAILABLE AT CALL TIME is processed, but an availableNow query may
+        # still owe its trailing no-data micro-batch (the final watermark
+        # tick that closes append-mode windows) when it returns — reading
+        # the memory sink in that gap sees watermark-closed output as
+        # EMPTY on a loaded JVM. availableNow queries self-terminate after
+        # that final batch commits, so awaiting termination is the
+        # deterministic "all output is in the sink" signal.
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                f"availableNow query '{name}' still active after 300s; "
+                f"lastProgress={q.lastProgress}"
+            )
     finally:
         for k, v in restore.items():
             spark.conf.set(k, v)

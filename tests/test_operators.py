@@ -832,6 +832,108 @@ def test_hilbert_adjacency(spark):
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
 
 
+def _hilbert_nd_ref(bits, coords):
+    """Pure-Python Skilling AxesToTranspose + interleave — the published
+    reference walk the Spark/DuckDB twins must reproduce bit-for-bit."""
+    X = list(coords)
+    n = len(X)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (bits - 1)
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    X = [x ^ t for x in X]
+    h = 0
+    for lvl in range(bits):
+        for i in range(n):
+            h |= ((X[i] >> lvl) & 1) << (lvl * n + (n - 1 - i))
+    return h
+
+
+def test_hilbert_nd_matches_reference(spark):
+    """hilbert_key_nd == the published Skilling walk on random 3-D and
+    4-D points."""
+    import random
+
+    from sakura_spark.operators import hilbert_key_nd
+
+    random.seed(12)
+    for n, bits in ((3, 8), (4, 6)):
+        side = 1 << bits
+        pts = [tuple(random.randrange(side) for _ in range(n)) for _ in range(300)]
+        cols = [f"x{i}" for i in range(n)]
+        df = spark.createDataFrame(pts, ", ".join(f"{c} long" for c in cols))
+        got = {
+            tuple(r[c] for c in cols): r["h"]
+            for r in hilbert_key_nd(df, cols, bits=bits).collect()
+        }
+        assert got == {p: _hilbert_nd_ref(bits, p) for p in pts}
+
+
+def test_hilbert_nd_adjacency_and_bijection(spark):
+    """The n-D curve property: exhaustively over the 8x8x8 grid, the key
+    is a bijection onto [0, 512) and consecutive keys are grid-adjacent
+    (Manhattan distance exactly 1) — no Z-order jumps in any dimension."""
+    from sakura_spark.operators import hilbert_key_nd
+
+    grid = [(x, y, z) for x in range(8) for y in range(8) for z in range(8)]
+    rows = hilbert_key_nd(
+        spark.createDataFrame(grid, "x long, y long, z long"),
+        ["x", "y", "z"],
+        bits=3,
+    ).collect()
+    by_d = {r.h: (r.x, r.y, r.z) for r in rows}
+    assert sorted(by_d) == list(range(512))
+    for d in range(511):
+        a, b = by_d[d], by_d[d + 1]
+        assert sum(abs(i - j) for i, j in zip(a, b)) == 1, (d, a, b)
+
+
+def test_hilbert_nd_oracle_ctes_duckdb():
+    """The generated DuckDB CTE chain reproduces the reference walk."""
+    import random
+
+    import duckdb
+
+    from sakura_spark.operators import hilbert_nd_oracle_ctes
+
+    random.seed(13)
+    pts = [
+        (random.randrange(64), random.randrange(64), random.randrange(64))
+        for _ in range(200)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y},{z})" for x, y, z in pts)
+        + ") t(x, y, z)"
+    )
+    sql = (
+        "WITH g_in AS (SELECT x, y, z, x AS hx0, y AS hy_unused, "
+        "y AS hx1, z AS hx2 FROM pts), "
+        + hilbert_nd_oracle_ctes(3, bits=6)
+        + " SELECT x, y, z, hd FROM g_fin"
+    )
+    assert all(
+        hd == _hilbert_nd_ref(6, (x, y, z))
+        for x, y, z, hd in con.execute(sql).fetchall()
+    )
+
+
 def test_scd2_apply_equals_rebuild(spark):
     """apply(build(history), batch) == build(history + batch) — including
     the three tricky cases: a no-op first batch regime COMPRESSES back
@@ -877,3 +979,103 @@ def test_scd2_apply_equals_rebuild(spark):
     assert rows[(3, "P")][0] == d(0) and rows[(3, "P")][2]  # compressed, still current
     assert rows[(1, "B")] == (d(5), d(10), False)           # closed at the change
     assert rows[(4, "N")][2] and rows[(2, "X")][2]
+
+
+def test_scd2_apply_late_data_errors_by_default(spark):
+    """The late-data contract is ENFORCED: a batch row with ts <= its
+    key's current valid_from fails the job loudly (in-plan raise_error,
+    naming the key), instead of silently producing a wrong dimension."""
+    import datetime
+
+    import pytest
+
+    from sakura_spark.operators import scd2_apply, scd2_intervalize
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def d(days):
+        return t0 + datetime.timedelta(days=days)
+
+    kw = dict(keys=["k"], ts_col="ts", attr_cols=["st"], seq_col="seq",
+              high_date="2200-01-01 00:00:00")
+    history = spark.createDataFrame(
+        [(5, d(0), 10, "A"), (5, d(4), 11, "B"), (5, d(8), 12, "C")],
+        "k long, ts timestamp, seq long, st string",
+    )
+    dim = scd2_intervalize(history, **kw)
+    late_batch = spark.createDataFrame(
+        [(5, d(2), 50, "Z")], "k long, ts timestamp, seq long, st string"
+    )
+    with pytest.raises(Exception, match="late batch row"):
+        scd2_apply(dim, late_batch, **kw).collect()
+    with pytest.raises(ValueError):
+        scd2_apply(dim, late_batch, on_late="drop", **kw)
+    # Equality with the current valid_from is also late (strictly-after).
+    eq_batch = spark.createDataFrame(
+        [(5, d(8), 50, "Z")], "k long, ts timestamp, seq long, st string"
+    )
+    with pytest.raises(Exception, match="late batch row"):
+        scd2_apply(dim, eq_batch, **kw).collect()
+    # A clean batch still passes through the guard untouched.
+    ok = scd2_apply(
+        dim,
+        spark.createDataFrame(
+            [(5, d(9), 50, "Z")], "k long, ts timestamp, seq long, st string"
+        ),
+        **kw,
+    )
+    assert {(r.st, r.is_current) for r in ok.collect()} == {
+        ("A", False), ("B", False), ("C", False), ("Z", True)
+    }
+
+
+def test_scd2_apply_on_late_rebuild_equals_full_rebuild(spark):
+    """on_late='rebuild' re-intervalizes touched keys from their
+    retained regimes: the output equals the full rebuild over
+    history + batch (fixture has no compressed no-op rows, so the
+    retained regimes ARE the raw history); non-late touched keys
+    reproduce their fast-path output bit-for-bit and untouched keys
+    pass through."""
+    import datetime
+
+    from sakura_spark.operators import scd2_apply, scd2_intervalize
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def d(days):
+        return t0 + datetime.timedelta(days=days)
+
+    kw = dict(keys=["k"], ts_col="ts", attr_cols=["st"], seq_col="seq",
+              high_date="2200-01-01 00:00:00")
+    history = spark.createDataFrame(
+        [
+            (5, d(0), 10, "A"), (5, d(4), 11, "B"), (5, d(8), 12, "C"),
+            (6, d(0), 20, "X"),                      # non-late batch key
+            (7, d(0), 30, "Q"),                      # untouched key
+        ],
+        "k long, ts timestamp, seq long, st string",
+    )
+    dim = scd2_intervalize(history, **kw)
+    batch = spark.createDataFrame(
+        [
+            (5, d(2), 50, "Z"),    # LATE: lands between A and B
+            (5, d(12), 51, "D"),   # same key, on-time row: rides the rebuild
+            (6, d(3), 60, "Y"),    # non-late: fast path
+        ],
+        "k long, ts timestamp, seq long, st string",
+    )
+    applied = scd2_apply(dim, batch, on_late="rebuild", **kw)
+    rebuilt = scd2_intervalize(history.unionByName(batch), **kw)
+    assert sorted(
+        (r.k, r.st, r.valid_from, r.valid_to, r.is_current)
+        for r in applied.collect()
+    ) == sorted(
+        (r.k, r.st, r.valid_from, r.valid_to, r.is_current)
+        for r in rebuilt.collect()
+    )
+    rows = {(r.k, r.st): (r.valid_from, r.valid_to, r.is_current)
+            for r in applied.collect()}
+    assert rows[(5, "A")] == (d(0), d(2), False)    # closed by the late row
+    assert rows[(5, "Z")] == (d(2), d(4), False)    # late regime inserted
+    assert rows[(5, "D")][2]                         # on-time row is current
+    assert rows[(6, "Y")][2] and rows[(7, "Q")][2]
