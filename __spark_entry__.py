@@ -3317,6 +3317,29 @@ def q_er_name_pairs(spark, sf_dir):
     return er.blocked_name_pairs(part, "p_name", max_distance=4)
 
 
+def q_er_clusters(spark, sf_dir):
+    """Entity RESOLUTION, not just match pairs (er.er_clusters — round-12
+    item 6): the er_name_pairs matches transitively closed into
+    entities. The pair graph over the distinct p_name vocabulary is
+    swept 6 synchronous min-label rounds (graph.min_label_sweeps — min
+    over strings, so the label IS the component's lexicographically
+    smallest name), and every input name resolves: matched names to
+    their component's canonical representative, unmatched names to
+    themselves. Output (name, entity, n). Oracle: the identical
+    blocked-pair SQL as er_name_pairs feeding the unrolled 6-sweep
+    min-label CTE chain (graph.min_label_sweeps_oracle_sql — the same
+    generator the graph entries use), left-joined back to the name
+    counts — so a green row proves blocking, matching, transitive
+    closure AND the singleton fallback value-exactly. Scale shape: the
+    sweeps run on the matched-name edge table (vocabulary-sized,
+    bounded-smalls class); the fact table is touched once, by the
+    distinct."""
+    from sakura_spark.functions import er
+
+    part = _t(spark, sf_dir, "part")
+    return er.er_clusters(part, "p_name", max_distance=4, iterations=6)
+
+
 def q_sketch_hll_registers(spark, sf_dir):
     """HyperLogLog registers (sketches.hll_registers): per-returnflag
     distinct-partkey HLL state at p=5 — for each of the 32 buckets the max
@@ -3802,6 +3825,115 @@ def q_streaming_outer_join_equiv(spark, sf_dir):
     )
 
 
+def q_streaming_timeout_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for EVENT-TIME-TIMEOUT state GC
+    (streaming.events.user_epochs_with_timeout — round-12 item 5): the
+    stateful template's missing bound. running_user_stats deliberately
+    keeps NoTimeout state (the canonical 100 TB stateful-pipeline leak);
+    this entry proves the GC'd variant is EXACT: per-user activity
+    epochs whose state is evicted — and thereby emitted, append-mode,
+    exactly once — when the watermark passes last-seen + 1h, with
+    in-batch gaps > 1h splitting identically (the two split paths agree
+    by construction over the time-ordered harness: a timeout only fires
+    where the data-gap rule would split anyway). Values ride as
+    JVM-rounded cents so sums are exact integers. The oracle computes
+    the SAME expiry in SQL — per-user gap sessionization (strict > 1h
+    break, inclusive merge at exactly 1h, tie-safe RANGE running sum) —
+    so a hash-green row proves eviction timing, the +1ms exact-horizon
+    guard, cross-batch epoch continuation, and the final sentinel-driven
+    flush all reproduce the batch grouping. Scale shape: state is four
+    longs per ACTIVE user (inside the horizon), not per user ever seen —
+    the difference between bounded and unbounded state at 100 TB/day."""
+    import shutil
+    import tempfile
+
+    from sakura_spark.streaming import events as ev
+
+    src = _t(spark, sf_dir, "events")
+    mx = src.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="sakura_stream_to_")
+    try:
+        data_dir = _time_ordered_stream_dir(spark, src, mx, tmp)
+        stream = ev.read_event_stream(spark, data_dir, max_files_per_trigger=4)
+        q = ev.run_to_memory(
+            ev.user_epochs_with_timeout(
+                stream, horizon="1 hour", watermark="30 minutes"
+            ),
+            "streaming_timeout_equiv_sink",
+            output_mode="append",
+            state_partitions=8,
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table("streaming_timeout_equiv_sink")
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "epoch_start", "epoch_end", "n_events", "total_cents")
+    )
+
+
+def q_streaming_full_outer_join_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence for the stream-stream FULL OUTER
+    interval join — the bidirectional-attribution completion of
+    streaming_outer_join_equiv (round-12 item 4): BOTH sides' unmatched
+    rows must emit, each at its OWN side's state eviction — an
+    unattributed view null-pads once the watermark passes
+    view_ts + window + delay, an unattributed purchase (no same-user
+    view in the preceding hour) once it passes purchase_ts + delay — so
+    the two eviction horizons run independently and the hard mode is
+    proving NEITHER side drops or double-emits at the boundary. Same
+    sentinel-file harness (_time_ordered_stream_dir): the sentinels
+    ride into both filtered branches and push the final watermark past
+    both bounds (mx+4h−30m clears view_ts+1h+30m and purchase_ts+30m
+    for every real row); sentinel joins and sentinel-unmatched rows are
+    excluded by user_id >= 0 (the output user is COALESCE(view,
+    purchase) and sentinels are user −1 on both sides). The whole
+    output — inner matches, null-padded views AND null-padded purchases
+    — hashes against the plain batch FULL JOIN SQL. In production this
+    is the two-sided state-horizon plan: each side's join state is
+    bounded by its own watermark + range condition, outer rows trickle
+    one horizon behind their side of the stream."""
+    import shutil
+    import tempfile
+
+    from sakura_spark.streaming import events as ev
+
+    src = _t(spark, sf_dir, "events")
+    mx = src.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="sakura_stream_foj_")
+    try:
+        data_dir = _time_ordered_stream_dir(spark, src, mx, tmp)
+        stream = ev.read_event_stream(spark, data_dir, max_files_per_trigger=4)
+        q = ev.run_to_memory(
+            ev.attributed_purchases(
+                stream.filter(F.col("event_type").isin("view", "sentinel")),
+                stream.filter(F.col("event_type").isin("purchase", "sentinel")),
+                attribution_window="1 hour",
+                watermark="30 minutes",
+                how="full_outer",
+            ),
+            "streaming_full_outer_join_equiv_sink",
+            output_mode="append",
+            state_partitions=8,
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table("streaming_full_outer_join_equiv_sink")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "view_id",
+            "view_ts",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
 def q_streaming_update_equiv(spark, sf_dir):
     """Streaming ⇔ batch equivalence for the UPDATE-MODE custom stateful
     operator (streaming.events.running_user_stats /
@@ -3995,6 +4127,78 @@ def q_rel_scd2_late(spark, sf_dir):
         high_date="2200-01-01 00:00:00",
         on_late="rebuild",
     )
+
+
+def q_rel_cdc_to_scd2(spark, sf_dir):
+    """The FULL WAREHOUSE INGESTION PIPELINE as one verified law
+    (round-12 item 7 — composing the round-11 pieces): a CDC changelog
+    is cut into yearly EPOCHS; each epoch is COMPACTED
+    (operators.changelog_compact — per key keep the epoch's latest
+    record by commit seq, drop keys whose latest record is a tombstone:
+    every o_orderkey ≡ 0 (mod 17) change is retracted upstream); each
+    compacted epoch becomes the nightly batch APPLIED incrementally to
+    the Type-2 dimension (operators.scd2_apply, on_late='error' — the
+    epochs are time-ordered, so a green row also proves the whole chain
+    honors the strictly-after contract through SEVEN chained applies);
+    and the final dimension hashes against the ONE-SHOT
+    scd2_intervalize over the union of all compacted epochs. That is:
+    compact-per-epoch ∘ apply-per-epoch ≡ intervalize(retained
+    history) — interval closes, compression across epoch boundaries,
+    tie-breaks and current flags surviving seven incremental rounds.
+    (Intra-epoch intermediate changes are collapsed BY DESIGN — that is
+    what compaction is; the oracle's history is exactly the records
+    compaction retains.) The commit seq is day*2^32+orderkey — a total
+    order consistent with (event time, tie-break) so compaction and
+    intervalization agree on 'latest'. Scale shape: each epoch's apply
+    is O(|epoch| + touched keys); the epoch list is the only driver
+    transfer (a handful of year integers)."""
+    from sakura_spark.operators import (
+        changelog_compact,
+        scd2_apply,
+        scd2_intervalize,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    log = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("ep"),
+        F.when(F.col("o_orderkey") % 17 == 0, "D").otherwise("U").alias("op"),
+        (day * F.lit(2**32).cast("long") + F.col("o_orderkey")).alias("seq"),
+    )
+    years = sorted(r[0] for r in log.select("ep").distinct().collect())
+    kw = dict(
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        seq_col="o_orderkey",
+        high_date="2200-01-01 00:00:00",
+    )
+    dim = None
+    for y in years:
+        batch = changelog_compact(
+            log.filter(F.col("ep") == y).drop("ep"),
+            keys=["o_custkey"],
+            seq_col="seq",
+            op_col="op",
+        )
+        dim = (
+            scd2_intervalize(batch, **kw)
+            if dim is None
+            else scd2_apply(dim, batch, **kw)
+        )
+        # Materialize each epoch's dimension (executor-local, no driver
+        # transfer) — exactly what a nightly job does by WRITING the dim
+        # table between runs. Structurally required too: every apply
+        # references its input dim three times (untouched/closed/stub),
+        # so an unmaterialized 7-epoch chain is a 3^7-leaf plan.
+        dim = dim.localCheckpoint()
+    return dim
 
 
 def q_rel_merge_delete(spark, sf_dir):
@@ -5421,6 +5625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_snapshot_roundtrip": q_rel_snapshot_roundtrip,
         "graph_bfs_converged": q_graph_bfs_converged,
         "streaming_outer_join_equiv": q_streaming_outer_join_equiv,
+        "streaming_full_outer_join_equiv": q_streaming_full_outer_join_equiv,
+        "streaming_timeout_equiv": q_streaming_timeout_equiv,
         "rel_ivm_join_delta": q_rel_ivm_join_delta,
         "rel_changelog_compact": q_rel_changelog_compact,
         # Session 3: tolerance-asof, CBO join-size profile, interval
@@ -5450,6 +5656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep the codec family's window rows; r9+r10 green).
         "rel_scd2_apply": q_rel_scd2_apply,
         "rel_scd2_late": q_rel_scd2_late,
+        "rel_cdc_to_scd2": q_rel_cdc_to_scd2,
         # --- past the driver's 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-11 outs: the 10
@@ -5545,6 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "rel_diff": q_rel_diff,
         "er_name_pairs": q_er_name_pairs,
+        "er_clusters": q_er_clusters,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
@@ -7489,6 +7697,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name "
             "WHERE levenshtein(a.name, b.name) <= 4"
         ),
+        # ER-cluster twin: the er_name_pairs blocked-match SQL as the edge
+        # list, the unrolled 6-sweep min-label chain (the same generator
+        # as the graph entries), left-joined back to the name counts with
+        # the singleton coalesce.
+        "er_clusters": (
+            "WITH names AS (SELECT p_name AS name, count(*) AS n "
+            "FROM part GROUP BY 1) "
+            "SELECT names.name AS name, "
+            "COALESCE(lbl.label, names.name) AS entity, n "
+            "FROM names LEFT JOIN ("
+            + graph.min_label_sweeps_oracle_sql(
+                "SELECT a.name AS src, b.name AS dst FROM "
+                "(SELECT name, regexp_split_to_array(trim(name), '\\s+')[-1] "
+                "AS b FROM (SELECT DISTINCT p_name AS name FROM part)) a "
+                "JOIN (SELECT name, "
+                "regexp_split_to_array(trim(name), '\\s+')[-1] AS b "
+                "FROM (SELECT DISTINCT p_name AS name FROM part)) b "
+                "ON a.b = b.b AND a.name < b.name "
+                "WHERE levenshtein(a.name, b.name) <= 4",
+                iterations=6,
+            )
+            + ") lbl ON names.name = lbl.node"
+        ),
         # Sketch registers: the hash is 60-bit words cut from sha256 hex,
         # identical across engines (Spark conv(substr(h),16,10) == DuckDB
         # ('0x'||substr(h))::BIGINT), so the register tables are exact.
@@ -8046,6 +8277,38 @@ def oracle_sql() -> dict[str, str]:
         "ON v.user_id = p.user_id AND v.ts <= p.ts "
         "AND v.ts >= p.ts - INTERVAL 1 HOUR"
     )
+    # Event-time-timeout twin: per-user gap sessionization — strict >1h
+    # breaks, inclusive merge at exactly 1h, cents-scaled exact sums.
+    # The running epoch id uses the default RANGE frame so tied
+    # timestamps land in the same epoch regardless of tie order.
+    d["streaming_timeout_equiv"] = (
+        "WITH e AS (SELECT user_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "m AS (SELECT user_id, ts, cents, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep FROM m) "
+        "SELECT user_id, min(ts) AS epoch_start, max(ts) AS epoch_end, "
+        "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents "
+        "FROM g GROUP BY user_id, ep"
+    )
+    # Full-outer twin: the same interval join as a plain batch FULL JOIN
+    # — unmatched views AND unmatched purchases null-pad, user_id is
+    # COALESCE of the two sides.
+    d["streaming_full_outer_join_equiv"] = (
+        "SELECT COALESCE(v.user_id, p.user_id) AS user_id, "
+        "p.event_id AS purchase_id, "
+        "p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts, "
+        "CAST(p.value AS DOUBLE) AS value "
+        "FROM (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type = 'view') v "
+        "FULL JOIN (SELECT user_id, ts, event_id, value FROM events "
+        "WHERE event_type = 'purchase') p "
+        "ON v.user_id = p.user_id AND v.ts <= p.ts "
+        "AND v.ts >= p.ts - INTERVAL 1 HOUR"
+    )
     # Join-IVM twin: FULL RECOMPUTE of (patched R) join (patched S) with
     # count(*) multiplicities — delta-apply must equal it tuple- and
     # multiplicity-exactly.
@@ -8172,6 +8435,33 @@ def oracle_sql() -> dict[str, str]:
         "(lead(o_orderdate) OVER w2 IS NULL) AS is_current "
         "FROM kept "
         "WINDOW w2 AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)"
+    )
+    # CDC-to-SCD2 twin: the one-shot intervalize over exactly the records
+    # per-epoch compaction retains — per (key, year) keep the latest
+    # record by the same day*2^32+orderkey commit seq, drop tombstones,
+    # then the rel_scd2 window SQL.
+    d["rel_cdc_to_scd2"] = (
+        "WITH log AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+        "o_orderstatus, year(o_orderdate) AS ep, "
+        "CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op, "
+        "date_diff('day', DATE '1970-01-01', o_orderdate) * 4294967296 "
+        "+ o_orderkey AS seq FROM orders), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, ep "
+        "ORDER BY seq DESC) AS rn FROM log), "
+        "hist AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus "
+        "FROM r WHERE rn = 1 AND op <> 'D'), "
+        "c AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, "
+        "lag(o_orderstatus) OVER w AS prev, row_number() OVER w AS rn "
+        "FROM hist WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)), "
+        "kept AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus "
+        "FROM c WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus) "
+        "SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, "
+        "COALESCE(lead(o_orderdate) OVER w2, "
+        "TIMESTAMP '2200-01-01 00:00:00') AS valid_to, "
+        "(lead(o_orderdate) OVER w2 IS NULL) AS is_current "
+        "FROM kept WINDOW w2 AS (PARTITION BY o_custkey "
         "ORDER BY o_orderdate, o_orderkey)"
     )
     # Late-data SCD2 twin: the rebuild law spelled end-to-end in SQL —

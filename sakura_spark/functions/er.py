@@ -82,3 +82,50 @@ def blocked_name_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("name_a", "name_b", "distance", "n_a", "n_b")
     )
+
+
+def er_clusters(
+    df: DataFrame,
+    name_col: str,
+    block_key=None,
+    max_distance: int = 3,
+    max_block_size: int = 10_000,
+    iterations: int = 6,
+) -> DataFrame:
+    """(name, entity, n): the match PAIRS closed into ENTITIES — real ER
+    resolves records, not edges. The :func:`blocked_name_pairs` matches
+    become an undirected graph over the distinct-name vocabulary;
+    ``iterations`` synchronous min-label sweeps
+    (:func:`sakura_spark.functions.graph.min_label_sweeps` — min works
+    on strings, so labels ARE names) assign every matched name its
+    component's lexicographically smallest name as the canonical
+    ``entity``; unmatched names are their own entity (left join +
+    coalesce), so every input name resolves. ``n`` is the name's row
+    count in the input — entity row counts are one further groupBy away.
+
+    Fixed sweeps, not convergence detection, for the same reason as
+    min_label_sweeps: the unrolled form is oracle-expressible, and a
+    match chain longer than ``iterations`` hops (Levenshtein variants
+    chained 7+ deep under the default) is pathological for name data;
+    raise ``iterations`` if your blocks chain deeper.
+
+    Scale shape: everything downstream of the first groupBy runs on the
+    distinct-name vocabulary (bounded-smalls class) — the sweeps join
+    edge tables of matched names only, never the fact table."""
+    from sakura_spark.functions.graph import min_label_sweeps
+
+    pairs = blocked_name_pairs(
+        df,
+        name_col,
+        block_key=block_key,
+        max_distance=max_distance,
+        max_block_size=max_block_size,
+    )
+    edges = pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+    labels = min_label_sweeps(edges, iterations=iterations)
+    names = df.groupBy(F.col(name_col).alias("name")).agg(F.count("*").alias("n"))
+    return names.join(labels.withColumnRenamed("node", "name"), "name", "left").select(
+        "name",
+        F.coalesce(F.col("label"), F.col("name")).alias("entity"),
+        "n",
+    )

@@ -333,9 +333,20 @@ def attributed_purchases(
     wants them all must push the final watermark past every view's bound
     (the sentinel-file discipline of q_streaming_kmv_equiv). The output
     user_id comes from the VIEW side under left_outer (the purchase side
-    is NULL on exactly the rows the outer join exists to keep)."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError("how must be 'inner' or 'left_outer'")
+    is NULL on exactly the rows the outer join exists to keep).
+
+    ``how='full_outer'`` additionally keeps unmatched PURCHASES (a
+    purchase with no same-user view in the preceding hour — the
+    bidirectional-attribution case): BOTH sides' unmatched rows emit at
+    their own side's state eviction, so the two horizons run
+    independently — an unmatched view null-pads once the watermark
+    passes view_ts + window + delay, an unmatched purchase once it
+    passes purchase_ts + delay (the purchase side's range condition
+    derives the earlier bound). The output user_id is
+    COALESCE(view, purchase) — exactly one side is non-NULL on every
+    outer row."""
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError("how must be 'inner', 'left_outer' or 'full_outer'")
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -351,7 +362,11 @@ def attributed_purchases(
         v = v.withWatermark("view_ts", watermark)
     if purchases.isStreaming:
         p = p.withWatermark("purchase_ts", watermark)
-    user = F.col("v_user") if how == "left_outer" else F.col("p_user")
+    user = {
+        "inner": F.col("p_user"),
+        "left_outer": F.col("v_user"),
+        "full_outer": F.coalesce(F.col("v_user"), F.col("p_user")),
+    }[how]
     return v.join(
         p,
         (F.col("v_user") == F.col("p_user"))
@@ -407,6 +422,99 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf="NoTimeout",
         )
+    )
+
+
+_EPOCH_STATE_SCHEMA = "start_us long, last_us long, n long, cents long"
+_EPOCH_OUT_SCHEMA = (
+    "user_id long, epoch_start timestamp, epoch_end timestamp, "
+    "n_events long, total_cents long"
+)
+
+
+def user_epochs_with_timeout(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user activity EPOCHS with event-time-timeout state GC — the
+    stateful template completed: unlike running_user_stats (NoTimeout —
+    state lives forever, the canonical stateful-pipeline leak at
+    100 TB), every user's state here is evicted when the watermark
+    passes last-seen + ``horizon``, and eviction IS the emission: a
+    completed epoch (user_id, epoch_start, epoch_end, n_events,
+    total_cents) appends exactly once, either when an in-batch gap
+    > ``horizon`` splits the run or when the event-time timeout fires.
+
+    The two split paths agree by construction: a timeout fires only
+    when watermark > last_seen + horizon, and any later row for that
+    user has ts >= watermark + delay > last_seen + horizon — i.e. the
+    timeout only ever splits where the data-gap rule would have split
+    anyway — so over a time-ordered stream the emitted epochs are
+    exactly the batch gap-sessionization with the same (inclusive)
+    horizon, which is what the streaming_timeout_equiv oracle hashes.
+    The timeout is set to last+horizon+1ms so an exact-horizon gap
+    (which MERGES under the inclusive rule) can never be pre-split by
+    an equal watermark.
+
+    Scale shape: state per user is four longs (no row buffer — values
+    are cents-scaled JVM-side before the Python boundary, so sums are
+    exact integers); the state store holds only users active within the
+    horizon, the bound NoTimeout lacks. Emission is append-mode and
+    watermark-final: a GC'd epoch can never be resurrected."""
+    hz_us = int(pd.Timedelta(horizon).value // 1000)
+    prepped = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user,) = key
+
+        def epoch_row(start_us, last_us, n, cents):
+            return pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "epoch_start": [pd.to_datetime(start_us * 1000)],
+                    "epoch_end": [pd.to_datetime(last_us * 1000)],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield epoch_row(start_us, last_us, n, cents)
+            return
+        cur = list(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for t, c in zip(ts_us, pdf["cents"]):
+                t, c = int(t), int(c)
+                if cur is not None and t - cur[1] > hz_us:
+                    yield epoch_row(*cur)
+                    cur = None
+                if cur is None:
+                    cur = [t, t, 1, c]
+                else:
+                    cur[1], cur[2], cur[3] = t, cur[2] + 1, cur[3] + c
+        state.update(tuple(cur))
+        # Fire strictly after last+horizon (the +1ms keeps an
+        # exact-horizon gap mergeable); must exceed the current
+        # watermark for setTimeoutTimestamp to accept it.
+        fire_ms = (cur[1] + hz_us) // 1000 + 1
+        state.setTimeoutTimestamp(max(fire_ms, state.getCurrentWatermarkMs() + 1))
+        return
+
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_EPOCH_OUT_SCHEMA,
+        stateStructType=_EPOCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
     )
 
 

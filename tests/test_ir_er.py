@@ -296,3 +296,30 @@ def test_rrf_fuse_rejects_empty_rankings():
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_er_clusters_transitive_closure_and_singletons(spark):
+    """Match pairs close transitively into entities: a chain A-B-C takes
+    the lexicographically smallest name as its representative even where
+    A-C alone is out of match distance; unmatched names resolve to
+    themselves; n carries input row multiplicity."""
+    from sakura_spark.functions.er import er_clusters
+
+    rows = (
+        [("acme corp",)] * 3
+        + [("acmex corp",)] * 2
+        + [("acmexxx corp",)]         # chain: acme -1- acmex -2- acmexxx
+        + [("zeta widgets",)]         # singleton (own block)
+        + [("romeo corp",)]           # same block, distance 5 > 2: singleton
+    )
+    df = spark.createDataFrame(rows, "name string")
+    out = {r.name: (r.entity, r.n) for r in
+           er_clusters(df, "name", max_distance=2).collect()}
+    # acme->acmexxx is distance 3 (out of range): only the chain links them.
+    assert out == {
+        "acme corp": ("acme corp", 3),
+        "acmex corp": ("acme corp", 2),
+        "acmexxx corp": ("acme corp", 1),
+        "zeta widgets": ("zeta widgets", 1),
+        "romeo corp": ("romeo corp", 1),
+    }

@@ -407,3 +407,44 @@ def test_attributed_purchases_left_outer_batch_twin(spark):
     assert rows == {1: (7, 2), 3: (8, None), 5: (9, None)}
     with pytest.raises(ValueError):
         ev.attributed_purchases(df, df, how="full")
+
+
+def test_attributed_purchases_full_outer_batch_twin(spark):
+    """how='full_outer' keeps unmatched rows from BOTH sides — an
+    unattributed view null-pads the purchase columns, an unattributed
+    purchase null-pads the view columns — and user_id is COALESCE of
+    the two sides (exactly one is non-NULL on every outer row)."""
+    import datetime
+
+    from sakura_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(eid, minutes, uid, typ, val):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, typ, val, "{}")
+
+    df = spark.createDataFrame(
+        [
+            row(1, 0, 7, "view", 0.0),       # matched pair
+            row(2, 30, 7, "purchase", 9.0),
+            row(3, 0, 8, "view", 0.0),       # unmatched view: purchase 2h later
+            row(4, 120, 8, "purchase", 5.0),  # unmatched purchase (view too old)
+            row(5, 10, 9, "view", 0.0),      # unmatched view: no purchase at all
+            row(6, 40, 10, "purchase", 3.0),  # unmatched purchase: no view at all
+        ],
+        ev.EVENTS_SCHEMA,
+    )
+    out = ev.attributed_purchases(
+        df.filter(df.event_type == "view"),
+        df.filter(df.event_type == "purchase"),
+        attribution_window="1 hour",
+        how="full_outer",
+    )
+    rows = {(r.view_id, r.purchase_id): r.user_id for r in out.collect()}
+    assert rows == {
+        (1, 2): 7,
+        (3, None): 8,
+        (None, 4): 8,
+        (5, None): 9,
+        (None, 6): 10,
+    }
