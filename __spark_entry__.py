@@ -3219,14 +3219,17 @@ def q_text_mrr(spark, sf_dir):
     metric SQL-oracle-hashable, so the EVAL HARNESS itself is now
     correctness-gated, not just the retrievers it measures). Ranks use
     the integer-exact single-division sv with doc_id tiebreak; rr is
-    one IEEE division or exactly 0.0 on a top-k miss. Plan: one corpus
-    pass + per-term rank windows bounded by term document frequency +
-    one broadcast join of the 5-row relevance table."""
+    one IEEE division or exactly 0.0 on a top-k miss — and a term
+    ABSENT from the corpus still emits (term, NULL, NULL, 0.0) (the
+    planted 'zzzunseen' query), so the mean over the output is the true
+    MRR, never overstated by silent omission. Plan: one corpus pass +
+    per-term rank windows bounded by term document frequency + one
+    broadcast join of the 6-row relevance table."""
     from sakura_spark.functions import ir
 
     docs = _t(spark, sf_dir, "documents")
     return ir.mrr_at_k(
-        docs, ["spark", "window", "merge", "vector", "data"], k=25
+        docs, ["spark", "window", "merge", "vector", "data", "zzzunseen"], k=25
     )
 
 
@@ -8390,15 +8393,19 @@ def oracle_sql() -> dict[str, str]:
         "tot AS (SELECT sum(len(w)) AS L, count(*) AS N FROM t), "
         "m AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t), "
         "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM m "
-        "WHERE term IN ('spark', 'window', 'merge', 'vector', 'data') "
-        "GROUP BY 1, 2, 3), "
+        "WHERE term IN ('spark', 'window', 'merge', 'vector', 'data', "
+        "'zzzunseen') GROUP BY 1, 2, 3), "
         "s AS (SELECT term, doc_id, CAST(tf * 44 * L AS DOUBLE) / "
         "CAST(tf * 20 * L + 6 * L + dl * 18 * N AS DOUBLE) AS sv "
         "FROM tf, tot), "
         "r AS (SELECT term, doc_id, CAST(row_number() OVER ("
         "PARTITION BY term ORDER BY sv DESC, doc_id ASC) AS BIGINT) AS rnk "
         "FROM s), "
-        "rel AS (SELECT term, min(doc_id) AS rel_doc FROM tf GROUP BY 1) "
+        "q AS (SELECT unnest(['spark', 'window', 'merge', 'vector', "
+        "'data', 'zzzunseen']) AS term), "
+        "rel AS (SELECT q.term, m.rel_doc FROM q LEFT JOIN "
+        "(SELECT term, min(doc_id) AS rel_doc FROM tf GROUP BY 1) m "
+        "ON q.term = m.term) "
         "SELECT rel.term, rel.rel_doc, r.rnk, "
         "COALESCE(CAST(1 AS DOUBLE) / CAST(r.rnk AS DOUBLE), 0.0) AS rr "
         "FROM rel LEFT JOIN (SELECT * FROM r WHERE rnk <= 25) r "

@@ -202,6 +202,16 @@ EXTENDED = [
     "sort_hilbert_pruning",
     # Round-11 session-6 addition: incremental SCD2 apply.
     "rel_scd2_apply",
+    # Round-12 additions (first measurements recorded in BASELINE.md):
+    # the late-data SCD2 rebuild, the CDC-to-SCD2 pipeline law, 3-D
+    # Hilbert-vs-Morton, the full-outer and event-time-timeout streaming
+    # equivalences, and ER clusters.
+    "rel_scd2_late",
+    "rel_cdc_to_scd2",
+    "sort_hilbert_3d",
+    "streaming_full_outer_join_equiv",
+    "streaming_timeout_equiv",
+    "er_clusters",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -210,6 +220,19 @@ EXTENDED = [
 # on (VERDICT r10 item 2: BENCH_r10's tail capture lost the two entries
 # round 10 specifically optimized).
 WATCH = [
+    # Round-12 new entries.
+    "rel_scd2_late",
+    "rel_cdc_to_scd2",
+    "sort_hilbert_3d",
+    "streaming_full_outer_join_equiv",
+    "streaming_timeout_equiv",
+    "er_clusters",
+    # Round-12 changed implementations / shared harness: scd2_apply
+    # gained the in-plan late guard; mrr_at_k gained the absent-term
+    # rows; run_to_memory gained the termination barrier every
+    # streaming entry now runs through.
+    "rel_scd2_apply",
+    "text_mrr",
     "streaming_session_equiv",
     "streaming_kmv_equiv",
     "streaming_hll_equiv",
@@ -218,19 +241,8 @@ WATCH = [
     "streaming_dedup_equiv",
     "streaming_join_equiv",
     "streaming_sliding_equiv",
-    "rel_snapshot_roundtrip",
-    "graph_bfs_converged",
     "streaming_outer_join_equiv",
-    "rel_ivm_join_delta",
-    "rel_changelog_compact",
-    "asof_join_tolerance",
-    "stats_join_cardinality",
-    "events_concurrency",
     "streaming_update_equiv",
-    "text_mrr",
-    "sort_hilbert_layout",
-    "sort_hilbert_pruning",
-    "rel_scd2_apply",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -437,6 +449,24 @@ def wait_for_quiet(threshold: float, max_wait_sec: float) -> dict:
         time.sleep(5.0)
 
 
+def probe_md5(mib: int) -> float:
+    """Single-thread md5 over ``mib`` MiB of zeros — the same machine-speed
+    probe as environment(), sized small enough (16 MiB ≈ 0.03 s on the
+    record-fast state) to run PER HEADLINE QUERY: a mid-run co-tenant
+    burst then shows up against the exact queries it inflated, instead of
+    being adjudicated from one pre-run reading (round-12 item 8 — the
+    r11 artifact landed on a drifted window the per-run probes could
+    only explain in aggregate)."""
+    import hashlib
+
+    chunk = b"\x00" * (1 << 20)
+    h = hashlib.md5()
+    t0 = time.time()
+    for _ in range(mib):
+        h.update(chunk)
+    return round(time.time() - t0, 4)
+
+
 def run_query(fn, spark, sf_dir, noop: bool = False):
     df = fn(spark, sf_dir)
     if noop:
@@ -470,11 +500,22 @@ def main() -> None:
     # Warm-up: JVM, parquet footer caches, codegen paths.
     run_query(qs["rel_equijoin"], spark, sf_dir)
 
+    # Headline is best-of-3 by default (round-12 item 8; extended stays
+    # best-of-2) — one more sample per frozen query buys drift immunity
+    # for the number BASELINE.md is compared against.
+    runs_headline = int(os.environ.get("BENCH_RUNS_HEADLINE", str(max(runs, 3))))
     times: dict[str, float] = {}
+    q_load: list = []
+    q_probe: list = []
     for name in HEADLINE:
         fn = qs[name]
+        try:
+            q_load.append(round(os.getloadavg()[0], 2))
+        except OSError:
+            q_load.append(None)
+        q_probe.append(probe_md5(16))
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(runs_headline):
             t0 = time.time()
             run_query(fn, spark, sf_dir)
             best = min(best, time.time() - t0)
@@ -520,6 +561,9 @@ def main() -> None:
                 "value_normalized": normalized,
                 "unit": "sec",
                 "queries": times,
+                "headline_loadavg_per_query": q_load,
+                "headline_probe16_per_query": q_probe,
+                "headline_runs": runs_headline,
                 "headline_noop": headline_noop,
                 "extended": extended,
                 "sf": sf,
@@ -553,6 +597,11 @@ def main() -> None:
             "cpu_probe_mt8_md5_64mib_sec": env.get("cpu_probe_mt8_md5_64mib_sec"),
             "cpu_steal_pct_since_boot": env.get("cpu_steal_pct_since_boot"),
             "loadavg_1m_at_start": env.get("loadavg_1m_at_start"),
+            # Per-headline-query machine state, positionally aligned with
+            # the queries dict (insertion order): a mid-run burst is
+            # attributable to the exact queries it inflated.
+            "q_load": q_load,
+            "q_probe16": q_probe,
             "note": "compact twin of the full line above (driver tail-capture safety)",
         }
     )

@@ -63,6 +63,16 @@ class BranchNotFound(UnknownBranch):
     exactly what the reference's error sexp carries."""
 
 
+class StorageError(SakuraError):
+    """The reference's generic storage-layer failure
+    (lib/dcl/executor.ml:11 StorageError), serialized on the wire as
+    (storage-error <message>). Only UpdateBranchTip surfaces a missing
+    branch through THIS variant — Branch.update_tip returns the string
+    'Branch not found: <name>' (lib/management/branch.ml:59) which the
+    executor wraps as StorageError — unlike Checkout/GetBranchTip/Merge,
+    which use the BranchNotFound variant above."""
+
+
 class Conflict(SakuraError):
     """Optimistic-concurrency failure: a mutation's base database hash is
     stale — another writer advanced the head since the client read it

@@ -469,6 +469,14 @@ def bfs_converged(
     ``max_iterations`` bounds a disconnected-pathology runaway; hitting
     it raises rather than returning a half-converged table.
 
+    SEEDS CONTRACT (same as bfs_level_sweeps, restated because the
+    convergence loop MASKS a violation as a normal fixpoint): ``seeds``
+    must be nodes of the graph (edge endpoints). An isolated seed has
+    no self-loop row in the augmented edge table, so it drops out after
+    sweep 1 instead of reporting dist 0 — and the loop then converges
+    on the remaining nodes as if nothing were lost. Union isolated ids
+    into ``edges`` as explicit self-edges first if they must survive.
+
     At 100 TB: per-sweep cost is O(|edges within the reached frontier|)
     shuffled by node key; the convergence agg moves two longs to the
     driver per sweep. Real diameters of co-occurrence / similarity

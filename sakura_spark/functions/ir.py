@@ -435,7 +435,10 @@ def mrr_at_k(
     integer-exact single-division ``sv`` as bm25_saturation_topk, so
     ranks are engine-independent: ties break by doc_id ascending, rr is
     ONE IEEE division (1/rank) or exactly 0.0 when the relevant doc
-    misses the top-k.
+    misses the top-k. EVERY query term emits a row: a term absent from
+    the corpus has no relevant document and scores (term, NULL, NULL,
+    0.0) — silently dropping it would overstate the mean, the one
+    mistake an eval metric must not make.
 
     Plan: one corpus pass (tokenize → explode → isin prune → tf agg),
     one per-term rank window (bounded by each term's document
@@ -474,7 +477,16 @@ def mrr_at_k(
         .filter(F.col("rnk") <= k)
         .select("term", F.col(id_col).alias("__rdoc"), "rnk")
     )
-    relevant = matched.groupBy("term").agg(F.min(id_col).alias("rel_doc"))
+    # Literal values, not createDataFrame: a local-Python-rows plan pays
+    # a Python-worker scan per job; the exploded lit array stays JVM-side.
+    terms_df = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term")
+    )
+    relevant = terms_df.join(
+        matched.groupBy("term").agg(F.min(id_col).alias("rel_doc")),
+        "term",
+        "left",
+    )
     out = relevant.join(
         ranked,
         (relevant["term"] == ranked["term"])

@@ -71,7 +71,12 @@ class BranchManager:
 
     def update_branch_tip(self, name: str, db_hash: str) -> None:
         if name not in self.branches:
-            raise errors.BranchNotFound(name)
+            # UpdateBranchTip surfaces a missing branch as the GENERIC
+            # storage error with lib/management/branch.ml:59's exact
+            # message, wrapped StorageError by lib/dcl/executor.ml:70-73
+            # — only Checkout/GetBranchTip/Merge use the BranchNotFound
+            # variant.
+            raise errors.StorageError(f"Branch not found: {name}")
         if not self.store.has_manifest(db_hash):
             raise errors.UnknownBranch(f"unknown database hash: {db_hash}")
         self.branches[name] = db_hash

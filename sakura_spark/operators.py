@@ -892,7 +892,18 @@ def global_running_sum(
     row per partition crosses to the driver — bytes, not data). The
     timeline/prefix-scan primitive behind interval concurrency, ordered
     checkpoints, and exact CDF points; values must be exact (long —
-    floats would make the sum order-dependent)."""
+    floats would make the sum order-dependent).
+
+    PRECONDITION: ``order_cols`` must be a TOTAL order over the input —
+    or any tied rows must be interchangeable (identical in every column
+    the caller reads downstream, or carrying equal ``value_col``). Tied
+    rows with differing values get an arbitrary relative cumsum (the
+    within-partition window breaks ties by physical order), so the
+    per-row running values would be nondeterministic even though the
+    post-tie total is exact. Both in-repo callers satisfy this:
+    interval_concurrency pre-aggregates deltas per timestamp (ties
+    impossible), and the layout entries order by (key, dims) with
+    value_col = 1 (tied rows interchangeable)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     staged = (

@@ -225,6 +225,12 @@ def error_sexp(e: Exception) -> str:
         return (
             f"(error (sublanguage-error (error (branch-not-found {_atom(str(e))}))))"
         )
+    if isinstance(e, errors.StorageError):
+        # lib/dcl/executor.ml:22 (storage-error <msg>) under the same
+        # wrap — the UpdateBranchTip missing-branch path among others.
+        return (
+            f"(error (sublanguage-error (error (storage-error {_atom(str(e))}))))"
+        )
     if isinstance(e, errors.SclParseError):
         # lib/scl/executor.ml:24-26 (parse-error <msg>) under the same
         # SublanguageError wrap — the validate() rejection path
@@ -700,7 +706,7 @@ class Server:
         if self.db.hash and self.branches.get_branch_tip(head) != self.db.hash:
             try:
                 self.branches.update_branch_tip(head, self.db.hash)
-            except errors.UnknownBranch:
+            except (errors.UnknownBranch, errors.StorageError):
                 pass
 
 

@@ -818,9 +818,13 @@ def test_branch_update_tip_advances(vdb):
 
 
 def test_branch_update_tip_fails_on_unknown(vdb):
-    """branch: update_tip fails on unknown branch."""
+    """branch: update_tip fails on unknown branch — as the reference's
+    GENERIC storage error with Branch.update_tip's exact message
+    (lib/management/branch.ml:59 'Branch not found: <name>', wrapped
+    StorageError by lib/dcl/executor.ml:70-73), NOT the BranchNotFound
+    variant Checkout/GetBranchTip/Merge use."""
     mgr = BranchManager(vdb.store)
-    with pytest.raises(errors.UnknownBranch):
+    with pytest.raises(errors.StorageError, match="^Branch not found: ghost$"):
         mgr.update_branch_tip("ghost", vdb.hash)
 
 
@@ -1402,6 +1406,31 @@ def test_dcl_wire_branch_not_found(spark, store):
                 "(error (sublanguage-error (error (branch-not-found "
             ), err
             assert "nope" in err
+        c.close()
+
+
+def test_dcl_wire_update_tip_missing_branch_storage_error(spark, store):
+    """dcl: UpdateBranchTip of a missing branch serializes the GENERIC
+    storage-error variant with Branch.update_tip's message — (storage-error
+    "Branch not found: <name>") under the sublanguage wrap
+    (lib/dcl/executor.ml:70-73, lib/management/branch.ml:59) — distinct
+    from the BranchNotFound variant the read paths use; and a present
+    branch still answers the 'Branch N updated' Transition."""
+    from sakura_spark.wire import TcpFrontend
+
+    server = Server(spark, "wire_dcl", store=store, snapshot_on_mutation=True)
+    server.execute('(ddl (CreateRelation (name "t") (schema (("v" "integer")))))')
+    with TcpFrontend(server) as fe:
+        c, cmd = _wire_session(fe)
+        err = cmd(f'(dcl (UpdateBranchTip (name "ghost") (hash "{server.db.hash}")))')
+        assert err.startswith(
+            "(error (sublanguage-error (error (storage-error "
+        ), err
+        assert "Branch not found: ghost" in err
+        assert "branch-not-found" not in err
+        assert cmd('(dcl (CreateBranch (name "main")))').startswith("(ok ")
+        ok = cmd(f'(dcl (UpdateBranchTip (name "main") (hash "{server.db.hash}")))')
+        assert ok.startswith("(ok ") and "Branch main updated" in ok
         c.close()
 
 
