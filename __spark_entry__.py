@@ -5566,6 +5566,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sort_hilbert_pruning (out: rel_merge_upsert,
     curation_gopher_filter). Every displaced family keeps at least one
     hash-gated window row.
+
+    Round-12 rotation (minimal churn — one out per new entry in): the
+    six NEW oracle-backed entries enter immediately per policy
+    (rel_scd2_late — the on_late='rebuild' law; rel_cdc_to_scd2 — the
+    compact-per-epoch ∘ apply pipeline law; sort_hilbert_3d — n-D
+    Hilbert vs Morton; streaming_full_outer_join_equiv +
+    streaming_timeout_equiv — the two new streaming laws; er_clusters —
+    ER transitive closure). OUT, each r10/r11 driver-green with
+    in-window siblings: sort_zorder_layout (sort_zorder_pruning stays,
+    and sort_hilbert_3d carries the Morton key on the identical
+    predicate), rel_scd2_pit (rel_scd2 + the three apply-family rows
+    stay), rel_snapshot_diff (rel_snapshot_roundtrip composes diff ∘
+    apply), agg_mode (equidepth/corr/linear_fit keep the stats family),
+    window_rank_funcs (window_sliding_range stays), graph_bfs_levels
+    (graph_bfs_converged proves the same sweep plan plus the fixpoint).
+    STAYING for re-verification because their implementation changed
+    this round: rel_scd2_apply (in-plan late guard), text_mrr
+    (absent-term rows) and ALL streaming entries (run_to_memory gained
+    the availableNow termination barrier).
     """
     return {
         # --- driver sweep window (first 50). Round-11 rotation
@@ -5601,24 +5620,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
         # Round-11 in: the 19 round-10 entries (registry positions
         # 174-192 last round), first driver hash-gate exposure.
-        "sort_zorder_layout": q_sort_zorder_layout,
         "sort_zorder_pruning": q_sort_zorder_pruning,
         "rel_ivm_delta": q_rel_ivm_delta,
-        "rel_scd2_pit": q_rel_scd2_pit,
-        "rel_snapshot_diff": q_rel_snapshot_diff,
         "rel_unpivot": q_rel_unpivot,
         "window_sliding_range": q_window_sliding_range,
-        "window_rank_funcs": q_window_rank_funcs,
         "events_gapfill_locf": q_events_gapfill_locf,
         "events_transition_probs": q_events_transition_probs,
         "agg_equidepth_hist": q_agg_equidepth_hist,
-        "agg_mode": q_agg_mode,
         "agg_corr_exact": q_agg_corr_exact,
         "agg_linear_fit": q_agg_linear_fit,
         "curation_freshness_decay": q_curation_freshness_decay,
         "streaming_session_equiv": q_streaming_session_equiv,
         "streaming_sliding_equiv": q_streaming_sliding_equiv,
-        "graph_bfs_levels": q_graph_bfs_levels,
         "multimodal_resize_exact": q_multimodal_resize_exact,
         # Round-11 in: NEW oracle-backed (enter immediately per policy).
         # Session 2 adds three more — the left-outer streaming join, the
@@ -5660,6 +5673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scd2_apply": q_rel_scd2_apply,
         "rel_scd2_late": q_rel_scd2_late,
         "rel_cdc_to_scd2": q_rel_cdc_to_scd2,
+        "er_clusters": q_er_clusters,
         # --- past the driver's 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-11 outs: the 10
@@ -5667,6 +5681,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r10; their hash gates live on the in-window
         # fixed twins) and 11 r9+r10 driver-green oracle entries with
         # in-window siblings: ---
+        # Round-12 outs (each r10/r11 driver-green with in-window
+        # siblings; one per round-12 entry entering):
+        "sort_zorder_layout": q_sort_zorder_layout,
+        "rel_scd2_pit": q_rel_scd2_pit,
+        "rel_snapshot_diff": q_rel_snapshot_diff,
+        "agg_mode": q_agg_mode,
+        "window_rank_funcs": q_window_rank_funcs,
+        "graph_bfs_levels": q_graph_bfs_levels,
         "multimodal_decode": q_multimodal_decode,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -5755,7 +5777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "rel_diff": q_rel_diff,
         "er_name_pairs": q_er_name_pairs,
-        "er_clusters": q_er_clusters,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_bloom_semijoin": q_sketch_bloom_semijoin,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -489,18 +490,53 @@ def user_epochs_with_timeout(
             yield epoch_row(start_us, last_us, n, cents)
             return
         cur = list(state.get) if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
-            ts_us = pdf["ts"].astype("int64") // 1000
-            for t, c in zip(ts_us, pdf["cents"]):
-                t, c = int(t), int(c)
-                if cur is not None and t - cur[1] > hz_us:
-                    yield epoch_row(*cur)
-                    cur = None
-                if cur is None:
-                    cur = [t, t, 1, c]
-                else:
-                    cur[1], cur[2], cur[3] = t, cur[2] + 1, cur[3] + c
+        # One group's batch rows may arrive as several Arrow chunks, and
+        # only per-chunk order is meaningful — concat and sort ONCE so
+        # the gap scan sees the group's true event-time order.
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values("ts") if len(pdfs) > 1 else pdfs[0].sort_values("ts")
+            ts = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            cents = pdf["cents"].to_numpy()
+            # Vectorized gap split: a row opens a new epoch when its gap
+            # from the previous row (or from the carried state's last_ts
+            # for the first row) exceeds the horizon; every epoch but the
+            # last is final. Per-epoch aggregates come from the break
+            # indices (counts by diff, sums by prefix-sum differences).
+            brk = np.empty(len(ts), dtype=bool)
+            brk[0] = cur is None or ts[0] - cur[1] > hz_us
+            if len(ts) > 1:
+                brk[1:] = (ts[1:] - ts[:-1]) > hz_us
+            starts = np.flatnonzero(brk)
+            if not brk[0]:
+                starts = np.concatenate(([0], starts))
+            ep_start = ts[starts]
+            ep_last = np.append(ts[starts[1:] - 1], ts[-1])
+            ep_n = np.append(np.diff(starts), len(ts) - starts[-1]).astype("int64")
+            csum = np.concatenate(([0], np.cumsum(cents, dtype="int64")))
+            ends = np.append(starts[1:], len(ts))
+            ep_cents = csum[ends] - csum[starts]
+            if not brk[0]:
+                # First run continues the carried epoch.
+                ep_start[0] = cur[0]
+                ep_n[0] += cur[2]
+                ep_cents[0] += cur[3]
+            elif cur is not None:
+                yield epoch_row(*cur)
+            # Emit every completed epoch in one frame; carry the last.
+            if len(ep_start) > 1:
+                yield pd.DataFrame(
+                    {
+                        "user_id": user,
+                        "epoch_start": pd.to_datetime(ep_start[:-1] * 1000),
+                        "epoch_end": pd.to_datetime(ep_last[:-1] * 1000),
+                        "n_events": ep_n[:-1],
+                        "total_cents": ep_cents[:-1],
+                    }
+                )
+            cur = [int(ep_start[-1]), int(ep_last[-1]), int(ep_n[-1]), int(ep_cents[-1])]
+        if cur is None:
+            return
         state.update(tuple(cur))
         # Fire strictly after last+horizon (the +1ms keeps an
         # exact-horizon gap mergeable); must exceed the current

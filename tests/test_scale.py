@@ -206,36 +206,32 @@ def test_extract_metadata_has_no_python_in_plan(spark):
 
 def test_registry_contract():
     """Driver-registry invariants: every oracle key has a query, and the
-    round-11 rotation (VERDICT r10 items 1, 5, 6) holds — the 19
-    round-10 entries plus the two NEW round-11 entries sit inside the
-    first-50 window, the rows-only entries are back OUT (their one-time
-    row/schema recording is CORRECTNESS_r10), and the window is 100%
-    oracle-backed again."""
+    round-12 rotation holds — the six NEW round-12 entries plus the two
+    changed implementations sit inside the first-50 window, every
+    streaming entry stays in-window (shared harness changed), the six
+    sibling-covered green entries rotated past the cap, and the window
+    is 100% oracle-backed."""
     import __spark_entry__ as e
 
     qs, oracles = list(e.queries()), e.oracle_sql()
     assert len(qs) >= 50
     assert set(oracles) <= set(qs), "oracle without a registered query"
-    round11_in = {
-        # the 19 round-10 entries, first driver hash exposure this round
-        "sort_zorder_layout", "sort_zorder_pruning", "rel_ivm_delta",
-        "rel_scd2_pit", "rel_snapshot_diff", "rel_unpivot",
-        "window_sliding_range", "window_rank_funcs", "events_gapfill_locf",
-        "events_transition_probs", "agg_equidepth_hist", "agg_mode",
-        "agg_corr_exact", "agg_linear_fit", "curation_freshness_decay",
-        "streaming_session_equiv", "streaming_sliding_equiv",
-        "graph_bfs_levels", "multimodal_resize_exact",
-        # NEW round-11 oracle-backed entries (enter immediately)
-        "rel_snapshot_roundtrip", "graph_bfs_converged",
-        "streaming_outer_join_equiv", "rel_ivm_join_delta",
-        "rel_changelog_compact", "asof_join_tolerance",
-        "stats_join_cardinality", "events_concurrency",
-        "streaming_update_equiv", "text_mrr",
-        "sort_hilbert_layout", "sort_hilbert_pruning",
-        "rel_scd2_apply",
+    round12_in = {
+        # NEW round-12 oracle-backed entries (enter immediately)
+        "rel_scd2_late", "rel_cdc_to_scd2", "sort_hilbert_3d",
+        "streaming_full_outer_join_equiv", "streaming_timeout_equiv",
+        "er_clusters",
+        # changed implementations stay for driver re-verification
+        "rel_scd2_apply", "text_mrr",
+    }
+    round12_out = {
+        # each r10/r11 driver-green with an in-window sibling
+        "sort_zorder_layout", "rel_scd2_pit", "rel_snapshot_diff",
+        "agg_mode", "window_rank_funcs", "graph_bfs_levels",
     }
     window = set(qs[:50])
-    assert round11_in <= window, sorted(round11_in - window)
+    assert round12_in <= window, sorted(round12_in - window)
+    assert not (round12_out & window), sorted(round12_out & window)
     # the streaming harness changed this round — every equivalence entry
     # stays in-window for driver re-verification of the new plans.
     streaming = {q for q in qs if q.startswith("streaming_")}
