@@ -313,9 +313,11 @@ def test_all_registered_query_plans_are_scale_clean(spark):
         "stats_join_cardinality",
         # the Hilbert layout/pruning entries broadcast the same one-row
         # scalar aggregates (quantization bounds; the exact row total
-        # for equal-count zoning).
+        # for equal-count zoning); the 3-D entry adds one more of each
+        # (6-column bounds row, per-curve totals), still one-row builds.
         "sort_hilbert_layout",
         "sort_hilbert_pruning",
+        "sort_hilbert_3d",
     }
     flagged = {}
 
