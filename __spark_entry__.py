@@ -4150,9 +4150,12 @@ def q_rel_cdc_to_scd2(spark, sf_dir):
     tie-breaks and current flags surviving seven incremental rounds.
     (Intra-epoch intermediate changes are collapsed BY DESIGN — that is
     what compaction is; the oracle's history is exactly the records
-    compaction retains.) The commit seq is day*2^32+orderkey — a total
+    compaction retains.) The commit seq is day*2^40+orderkey — a total
     order consistent with (event time, tie-break) so compaction and
-    intervalization agree on 'latest'. Scale shape: each epoch's apply
+    intervalization agree on 'latest'; the 2^40 multiplier keeps the
+    encoding collision-free up to o_orderkey < 2^40 (~sf 180M — far
+    past any TPC-H scale), where 2^32 would alias across days at
+    sf >= ~700. Scale shape: each epoch's apply
     is O(|epoch| + touched keys); the epoch list is the only driver
     transfer (a handful of year integers)."""
     from sakura_spark.operators import (
@@ -4172,7 +4175,7 @@ def q_rel_cdc_to_scd2(spark, sf_dir):
         "o_orderstatus",
         F.year("o_orderdate").alias("ep"),
         F.when(F.col("o_orderkey") % 17 == 0, "D").otherwise("U").alias("op"),
-        (day * F.lit(2**32).cast("long") + F.col("o_orderkey")).alias("seq"),
+        (day * F.lit(2**40).cast("long") + F.col("o_orderkey")).alias("seq"),
     )
     years = sorted(r[0] for r in log.select("ep").distinct().collect())
     kw = dict(
@@ -8467,13 +8470,13 @@ def oracle_sql() -> dict[str, str]:
     )
     # CDC-to-SCD2 twin: the one-shot intervalize over exactly the records
     # per-epoch compaction retains — per (key, year) keep the latest
-    # record by the same day*2^32+orderkey commit seq, drop tombstones,
+    # record by the same day*2^40+orderkey commit seq, drop tombstones,
     # then the rel_scd2 window SQL.
     d["rel_cdc_to_scd2"] = (
         "WITH log AS (SELECT o_custkey, o_orderdate, o_orderkey, "
         "o_orderstatus, year(o_orderdate) AS ep, "
         "CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op, "
-        "date_diff('day', DATE '1970-01-01', o_orderdate) * 4294967296 "
+        "date_diff('day', DATE '1970-01-01', o_orderdate) * 1099511627776 "
         "+ o_orderkey AS seq FROM orders), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, ep "
         "ORDER BY seq DESC) AS rn FROM log), "

@@ -413,7 +413,13 @@ def scd2_apply(
       RETAINED regimes — each regime replayed as a log row at its
       ``valid_from`` (regime order preserved via a large-negative
       ordinal seq, so replayed rows also sort before any batch row
-      sharing the same timestamp) and unioned with the batch. Late keys
+      sharing the same timestamp — PRECONDITION: batch ``seq_col``
+      values must be > -2**40, the replay ordinals' offset; a batch
+      whose own seq values sort at or below -2**40 would silently
+      invert tie-breaking against the replayed regimes. Real commit
+      sequences are non-negative, so this bounds nothing in practice,
+      but it is a hard contract, not an implication) and unioned with
+      the batch. Late keys
       get their per-key history rebuild; non-late keys reproduce the
       fast-path output bit-for-bit (intervalize is order-insensitive
       and idempotent on its own output-as-log, and a non-late batch row

@@ -458,6 +458,15 @@ def user_epochs_with_timeout(
     (which MERGES under the inclusive rule) can never be pre-split by
     an equal watermark.
 
+    CONTRACT — time-ordered stream per user across micro-batches: rows
+    within one micro-batch are sorted here, but a row arriving in a
+    LATER micro-batch with an event time earlier than state already
+    carried cannot retroactively move a split decision (gap breaks are
+    scanned against the carried last_us). The carried epoch's BOUNDS
+    are still correct for such stragglers (min/max merge below), but
+    split positions assume per-user cross-batch time order — the same
+    assumption the batch gap-sessionization oracle makes.
+
     Scale shape: state per user is four longs (no row buffer — values
     are cents-scaled JVM-side before the Python boundary, so sums are
     exact integers); the state store holds only users active within the
@@ -517,8 +526,15 @@ def user_epochs_with_timeout(
             ends = np.append(starts[1:], len(ts))
             ep_cents = csum[ends] - csum[starts]
             if not brk[0]:
-                # First run continues the carried epoch.
-                ep_start[0] = cur[0]
+                # First run continues the carried epoch. min/max (not
+                # plain carry-over) keep the bounds correct even when a
+                # watermark-admitted straggler precedes the carried
+                # epoch_start or trails behind the carried last_us —
+                # over a time-ordered stream (the contract the SPLIT
+                # POSITIONS assume; see docstring) they reduce to the
+                # plain assignment.
+                ep_start[0] = min(cur[0], ep_start[0])
+                ep_last[0] = max(cur[1], ep_last[0])
                 ep_n[0] += cur[2]
                 ep_cents[0] += cur[3]
             elif cur is not None:
