@@ -5343,6 +5343,157 @@ def q_rel_snapshot_roundtrip(spark, sf_dir):
     )
 
 
+_DCL_MERGE_CACHE: dict[str, tuple] = {}
+
+
+def _dcl_merge_fixture(spark, sf_dir):
+    """Shared DCL fixture: ancestor database + two divergent branches built
+    through the real Database/BranchManager API (snapshots, content hashes,
+    branch tips — reference lib/management/branch.ml + merge.ml), with all
+    row sets derived from the parquet `customer`/`nation` tables by
+    deterministic mod predicates so a plain-SQL oracle can reproduce the
+    merged extension. Bulk-ingest discipline: snapshot_on_mutation=False
+    with ONE commit per state, so each branch costs exactly one snapshot
+    write regardless of how many DML statements built it.
+
+    The built store is memoized per sf_dir — the two sibling entries run
+    DIFFERENT merges over the SAME branch pair, exactly like two
+    strategies tried against one repository, so the second entry reuses
+    the snapshots instead of replaying the DML (branch tips are re-pinned
+    on reuse because bm.merge advances `left`). Correctness is unaffected:
+    everything the fixture builds flows into each entry's merged-output
+    hash, and a fresh process (the no-cache path) produces the identical
+    content-addressed state."""
+    from sakura_spark.database import Database
+    from sakura_spark.management.branches import BranchManager
+    from sakura_spark.management.store import SnapshotStore
+
+    if sf_dir in _DCL_MERGE_CACHE:
+        store, left_tip, right_tip = _DCL_MERGE_CACHE[sf_dir]
+        bm = BranchManager(store)
+        bm.update_branch_tip("left", left_tip)
+        bm.update_branch_tip("right", right_tip)
+        return bm
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    anc_cust = cust.filter(F.col("c_custkey") % 7 != 0)
+    store = SnapshotStore()
+    db = Database(spark, "dcl_merge", store=store, snapshot_on_mutation=False)
+    db.create_relation(
+        "cust",
+        [("c_custkey", "integer"), ("c_nationkey", "integer"), ("c_mktsegment", "string")],
+    )
+    db.insert_tuples("cust", anc_cust)
+    db.create_relation("aux", [("n_nationkey", "integer"), ("n_name", "string")])
+    db.insert_tuples("aux", nation)
+    anc_hash = db.commit()
+    bm = BranchManager(store)
+    bm.create_branch("left", anc_hash)
+    bm.create_branch("right", anc_hash)
+
+    # LEFT: delete cust keys ≡1 (mod 5), insert the even half of the ≡0
+    # (mod 7) keys with segment LEFT, and RETRACT aux entirely.
+    ldb = bm.checkout(spark, "left")
+    ldb.snapshot_on_mutation = False
+    ldb.delete_where(
+        "cust", anc_cust.filter(F.col("c_custkey") % 5 == 1).select("c_custkey")
+    )
+    ldb.insert_tuples(
+        "cust",
+        cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 2 == 0))
+        .select("c_custkey", "c_nationkey", F.lit("LEFT").alias("c_mktsegment")),
+    )
+    ldb.retract_relation("aux")
+    bm.update_branch_tip("left", ldb.commit())
+
+    # RIGHT: delete cust keys ≡2 (mod 5), insert the odd half of the ≡0
+    # (mod 7) keys with segment RIGHT, and MODIFY aux (shifted echo rows)
+    # — setting up the drop-vs-modify conflict with LEFT's retraction.
+    rdb = bm.checkout(spark, "right")
+    rdb.snapshot_on_mutation = False
+    rdb.delete_where(
+        "cust", anc_cust.filter(F.col("c_custkey") % 5 == 2).select("c_custkey")
+    )
+    rdb.insert_tuples(
+        "cust",
+        cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 2 == 1))
+        .select("c_custkey", "c_nationkey", F.lit("RIGHT").alias("c_mktsegment")),
+    )
+    rdb.insert_tuples(
+        "aux",
+        nation.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.concat(F.col("n_name"), F.lit("_R")).alias("n_name"),
+        ),
+    )
+    bm.update_branch_tip("right", rdb.commit())
+    _DCL_MERGE_CACHE[sf_dir] = (store, ldb.hash, rdb.hash)
+    return bm
+
+
+def q_dcl_merge_prefer_left(spark, sf_dir):
+    """DCL 3-WAY BRANCH MERGE under the driver hash (VERDICT r12 item 1 —
+    the last SURVEY §2 subsystem whose correctness signal was pytest-only):
+    ancestor → two branches of divergent DML through the real
+    Database/BranchManager API → Merge PreferLeft (reference semantics
+    lib/management/merge.ml:97-157: LCA from the history chains, both
+    sides diffed against it at tuple-hash granularity, merged = ancestor −
+    left.removed − right.removed ∪ left.added ∪ right.added). The output
+    is the merged `cust` extension — after round-tripping through the
+    content-addressed snapshot store TWICE (branch commit, merge commit) —
+    against the plain SQL spelling the same set algebra on the customer
+    table. The merge also surfaces the aux drop-vs-modify conflict
+    (LEFT retracted, RIGHT modified); n_conflicts carries it into the
+    hash so a silently-missed conflict fails the row. PreferLeft keeps
+    the drop, so the merged database has no aux — the sibling entry
+    verifies PreferRight's resurrection. Plan: tuple-set arithmetic is
+    anti-joins/unions on the precomputed tuple-hash column; only changed
+    relations are touched; snapshots are content-addressed parquet (the
+    identical ancestor blob is written once, not three times)."""
+    from sakura_spark.management.merge import PREFER_LEFT
+
+    bm = _dcl_merge_fixture(spark, sf_dir)
+    merged, conflicts = bm.merge(spark, "left", "right", PREFER_LEFT)
+    assert "aux" not in merged.state.relations  # PreferLeft keeps the drop
+    return merged.relation("cust").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.lit(len(conflicts)).cast("long").alias("n_conflicts"),
+    )
+
+
+def q_dcl_merge_conflict(spark, sf_dir):
+    """DCL MERGE CONFLICT surfaced under the driver hash — the sibling of
+    dcl_merge_prefer_left on the SAME divergent branches, PreferRight:
+    LEFT retracted relation `aux` while RIGHT modified it — the reference's
+    drop-vs-modify conflict (lib/management/merge.ml:58-79) — so the merge
+    must (a) report exactly that conflict and (b) keep RIGHT's modified
+    extension. The output is the resurrected aux extension with the
+    conflict string as a literal column: a merge that silently dropped the
+    relation, kept the ancestor's version, or failed to flag the conflict
+    all hash-mismatch. The clean cust three-way apply still runs in the
+    same merge (PreferRight's cust result equals PreferLeft's here — no
+    tuple-level conflicts by content-addressed construction), exercising
+    the multi-relation loop."""
+    from sakura_spark.management.merge import PREFER_RIGHT
+
+    bm = _dcl_merge_fixture(spark, sf_dir)
+    merged, conflicts = bm.merge(spark, "left", "right", PREFER_RIGHT)
+    return merged.relation("aux").select(
+        "n_nationkey",
+        "n_name",
+        F.lit("; ".join(sorted(conflicts))).alias("conflict"),
+    )
+
+
 def q_graph_bfs_levels(spark, sf_dir):
     """Multi-source BFS hop distances (graph.bfs_level_sweeps, the
     fixed-sweep Bellman-Ford form): every 50th document seeds distance 0
@@ -5677,6 +5828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scd2_late": q_rel_scd2_late,
         "rel_cdc_to_scd2": q_rel_cdc_to_scd2,
         "er_clusters": q_er_clusters,
+        # Round-13 in: DCL 3-way merge under the driver hash gate
+        # (VERDICT r12 item 1 — the last §2 subsystem that was
+        # pytest-only). New oracle-backed entries enter immediately.
+        "dcl_merge_prefer_left": q_dcl_merge_prefer_left,
+        "dcl_merge_conflict": q_dcl_merge_conflict,
         # --- past the driver's 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-11 outs: the 10
@@ -8434,6 +8590,36 @@ def oracle_sql() -> dict[str, str]:
         "COALESCE(CAST(1 AS DOUBLE) / CAST(r.rnk AS DOUBLE), 0.0) AS rr "
         "FROM rel LEFT JOIN (SELECT * FROM r WHERE rnk <= 25) r "
         "ON rel.term = r.term AND rel.rel_doc = r.doc_id"
+    )
+    # DCL merge twins: the reference 3-way merge law spelled as plain set
+    # algebra (lib/management/merge.ml:97-157) — merged = ancestor −
+    # left.removed − right.removed ∪ left.added ∪ right.added, with the
+    # fixture's mod predicates defining each delta. Exactly ONE conflict
+    # exists (aux: LEFT retracted / RIGHT modified), so n_conflicts = 1.
+    d["dcl_merge_prefer_left"] = (
+        "WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        "CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment "
+        "FROM customer), "
+        "kept AS (SELECT * FROM cust WHERE c_custkey % 7 <> 0 "
+        "AND c_custkey % 5 <> 1 AND c_custkey % 5 <> 2), "
+        "ladd AS (SELECT c_custkey, c_nationkey, 'LEFT' AS c_mktsegment "
+        "FROM cust WHERE c_custkey % 7 = 0 AND c_custkey % 2 = 0), "
+        "radd AS (SELECT c_custkey, c_nationkey, 'RIGHT' AS c_mktsegment "
+        "FROM cust WHERE c_custkey % 7 = 0 AND c_custkey % 2 = 1) "
+        "SELECT c_custkey, c_nationkey, c_mktsegment, "
+        "CAST(1 AS BIGINT) AS n_conflicts FROM "
+        "(SELECT * FROM kept UNION ALL SELECT * FROM ladd "
+        "UNION ALL SELECT * FROM radd)"
+    )
+    # PreferRight resurrects RIGHT's modified aux (ancestor nation rows
+    # plus the shifted echo batch) and reports the drop-vs-modify conflict.
+    d["dcl_merge_conflict"] = (
+        "WITH aux AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+        "n_name FROM nation "
+        "UNION ALL SELECT CAST(n_nationkey AS BIGINT) + 100, "
+        "n_name || '_R' FROM nation) "
+        "SELECT n_nationkey, n_name, 'aux: drop_vs_modify' AS conflict "
+        "FROM aux"
     )
     # Update-mode stateful twin: the one-shot batch aggregate over the
     # same cents-scaled values; mean is the identical IEEE division.
