@@ -4853,56 +4853,82 @@ def q_sort_hilbert_3d(spark, sf_dir):
     keyed = keyed.withColumn(
         "zk", zorder_key([F.col("qck"), F.col("qdy"), F.col("qpr")], bits=8)
     )
+    # BOTH curve keys materialize in ONE scan (round-13 item 3): the
+    # 21-level Hilbert projection chain plus the Morton interleave are
+    # pure codegen, but unpinned they would re-execute ~5x — once per
+    # curve's range-sampling pass, once per shuffle, once per totals job.
+    # localCheckpoint pins the keyed rows so each curve's layout pass
+    # reads 150k-row pinned partitions instead of replaying the scan;
+    # the row count (identical for both curves by construction) is read
+    # once from the pinned data rather than recomputed per curve.
+    keyed = keyed.withColumn("__one", F.lit(1).cast("long")).localCheckpoint()
+    n_rows = keyed.count()
 
-    def curve_stats(key_col, label):
-        rn = global_running_sum(
-            keyed.withColumn("__one", F.lit(1).cast("long")),
-            [key_col, "ck", "dy", "pr"],
-            "__one",
-            out_col="rn",
+    # ONE layout pass for BOTH curves: stack (curve, key) — Hilbert rows
+    # as cv=0, Morton rows as cv=1 — and run a single range-shuffle
+    # prefix sum over the stacked total order (cv, key, dims). Each
+    # curve's per-curve rank is rn − cv·n, so the two equal-count
+    # zonings come out of one repartitionByRange + one pinned window
+    # instead of two full barrier chains. (The prefix-sum window runs on
+    # a post-localCheckpoint lineage root, so the self-union cannot
+    # perturb its partitioning.)
+    carry = [
+        "ck", "dy", "pr", "__one",
+        *[f"p_{d}_{s}" for d in dims for s in ("lo", "hi")],
+    ]
+    stacked = keyed.select(
+        F.lit(0).alias("cv"), F.col("hk").alias("ckey"), *carry
+    ).unionByName(
+        keyed.select(F.lit(1).alias("cv"), F.col("zk").alias("ckey"), *carry)
+    )
+    rn = global_running_sum(
+        stacked, ["cv", "ckey", "ck", "dy", "pr"], "__one", out_col="rn"
+    )
+    zoned = rn.withColumn(
+        "zone", F.expr(f"((rn - 1 - cv * {n_rows}L) * 64) div {n_rows}L")
+    )
+    matched = (
+        F.col("ck").between(F.col("p_ck_lo"), F.col("p_ck_hi"))
+        & F.col("dy").between(F.col("p_dy_lo"), F.col("p_dy_hi"))
+        & F.col("pr").between(F.col("p_pr_lo"), F.col("p_pr_hi"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for d in dims:
+        aggs += [
+            F.min(d).alias(f"{d}_lo"),
+            F.max(d).alias(f"{d}_hi"),
+            F.max(f"p_{d}_lo").alias(f"p_{d}_lo"),
+            F.max(f"p_{d}_hi").alias(f"p_{d}_hi"),
+        ]
+    aggs.append(F.sum(F.when(matched, 1).otherwise(0)).alias("matched"))
+    zones = zoned.groupBy("cv", "zone").agg(*aggs)
+    touched = F.lit(True)
+    for d in dims:
+        touched = (
+            touched
+            & (F.col(f"{d}_lo") <= F.col(f"p_{d}_hi"))
+            & (F.col(f"{d}_hi") >= F.col(f"p_{d}_lo"))
         )
-        total = rn.agg(F.count(F.lit(1)).alias("__n"))
-        zoned = rn.crossJoin(F.broadcast(total)).withColumn(
-            "zone", F.expr("((rn - 1) * 64) div __n")
-        )
-        matched = (
-            F.col("ck").between(F.col("p_ck_lo"), F.col("p_ck_hi"))
-            & F.col("dy").between(F.col("p_dy_lo"), F.col("p_dy_hi"))
-            & F.col("pr").between(F.col("p_pr_lo"), F.col("p_pr_hi"))
-        )
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for d in dims:
-            aggs += [
-                F.min(d).alias(f"{d}_lo"),
-                F.max(d).alias(f"{d}_hi"),
-                F.max(f"p_{d}_lo").alias(f"p_{d}_lo"),
-                F.max(f"p_{d}_hi").alias(f"p_{d}_hi"),
-            ]
-        aggs.append(F.sum(F.when(matched, 1).otherwise(0)).alias("matched"))
-        zones = zoned.groupBy("zone").agg(*aggs)
-        touched = F.lit(True)
-        for d in dims:
-            touched = (
-                touched
-                & (F.col(f"{d}_lo") <= F.col(f"p_{d}_hi"))
-                & (F.col(f"{d}_hi") >= F.col(f"p_{d}_lo"))
-            )
-        return zones.agg(
+    return (
+        zones.groupBy("cv")
+        .agg(
             F.count(F.lit(1)).alias("zones_total"),
             F.sum(touched.cast("long")).alias("zones_touched"),
             F.sum(F.when(touched, F.col("n")).otherwise(F.lit(0))).alias(
                 "rows_scanned"
             ),
             F.sum("matched").alias("rows_matched"),
-        ).select(
-            F.lit(label).alias("curve"),
+        )
+        .select(
+            F.when(F.col("cv") == 0, F.lit("hilbert"))
+            .otherwise(F.lit("morton"))
+            .alias("curve"),
             "zones_total",
             "zones_touched",
             "rows_scanned",
             "rows_matched",
         )
-
-    return curve_stats("hk", "hilbert").unionByName(curve_stats("zk", "morton"))
+    )
 
 
 def q_rel_ivm_delta(spark, sf_dir):
