@@ -4207,6 +4207,50 @@ def q_rel_cdc_to_scd2(spark, sf_dir):
     return dim
 
 
+def q_rel_cdc_to_scd2_fused(spark, sf_dir):
+    """The FUSED production path of rel_cdc_to_scd2 (VERDICT r12 item 6):
+    identical law, no epoch loop. The chained entry is the LAW'S WITNESS
+    — seven sequential scd2_apply rounds with a materialization each,
+    proving the nightly-apply cycle converges to the one-shot build.
+    This entry is what a 100 TB backfill should actually RUN: compact
+    the whole changelog per (key, epoch) in ONE window pass
+    (changelog_compact with the epoch folded into the compaction key —
+    same per-epoch 'latest by commit seq, drop tombstones' semantics,
+    zero driver transfer, no epoch collect), then ONE scd2_intervalize
+    over all retained records. Output hash-equal to the chained entry
+    under the SAME oracle SQL: chained apply ≡ fused intervalize ≡
+    DuckDB — the two-sided equation that licenses replacing a 7-pass
+    backfill with a 2-shuffle plan. Plan: one window keyed
+    (o_custkey, ep), one intervalize keyed o_custkey; the key shuffle
+    is reused across both (ep only narrows partitions)."""
+    from sakura_spark.operators import changelog_compact, scd2_intervalize
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    log = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("ep"),
+        F.when(F.col("o_orderkey") % 17 == 0, "D").otherwise("U").alias("op"),
+        (day * F.lit(2**40).cast("long") + F.col("o_orderkey")).alias("seq"),
+    )
+    compacted = changelog_compact(
+        log, keys=["o_custkey", "ep"], seq_col="seq", op_col="op"
+    ).drop("ep")
+    return scd2_intervalize(
+        compacted,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        seq_col="o_orderkey",
+        high_date="2200-01-01 00:00:00",
+    )
+
+
 def q_rel_merge_delete(spark, sf_dir):
     """Three-clause MERGE (operators.merge_upsert with delete_col — the
     full Delta/Iceberg CDC apply: WHEN MATCHED AND s.del THEN DELETE,
@@ -5859,6 +5903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-only). New oracle-backed entries enter immediately.
         "dcl_merge_prefer_left": q_dcl_merge_prefer_left,
         "dcl_merge_conflict": q_dcl_merge_conflict,
+        # Round-13 in: the fused CDC→SCD2 production path (hash-equal to
+        # the chained witness under the same oracle; VERDICT r12 item 6).
+        "rel_cdc_to_scd2_fused": q_rel_cdc_to_scd2_fused,
         # --- past the driver's 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the queries() docstring + git). Round-11 outs: the 10
@@ -8768,4 +8815,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
         "FROM r WHERE rn = 1 AND op <> 'D'"
     )
+    # The fused CDC path proves the SAME law as the chained entry, so it
+    # shares the identical oracle text: chained apply ≡ fused ≡ DuckDB.
+    d["rel_cdc_to_scd2_fused"] = d["rel_cdc_to_scd2"]
     return d
