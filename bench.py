@@ -504,22 +504,63 @@ def main() -> None:
     # best-of-2) — one more sample per frozen query buys drift immunity
     # for the number BASELINE.md is compared against.
     runs_headline = int(os.environ.get("BENCH_RUNS_HEADLINE", str(max(runs, 3))))
-    times: dict[str, float] = {}
-    q_load: list = []
-    q_probe: list = []
-    for name in HEADLINE:
-        fn = qs[name]
-        try:
-            q_load.append(round(os.getloadavg()[0], 2))
-        except OSError:
-            q_load.append(None)
-        q_probe.append(probe_md5(16))
-        best = float("inf")
-        for _ in range(runs_headline):
-            t0 = time.time()
-            run_query(fn, spark, sf_dir)
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+
+    def headline_window():
+        w_times: dict[str, float] = {}
+        w_load: list = []
+        w_probe: list = []
+        for name in HEADLINE:
+            fn = qs[name]
+            try:
+                w_load.append(round(os.getloadavg()[0], 2))
+            except OSError:
+                w_load.append(None)
+            w_probe.append(probe_md5(16))
+            best = float("inf")
+            for _ in range(runs_headline):
+                t0 = time.time()
+                run_query(fn, spark, sf_dir)
+                best = min(best, time.time() - t0)
+            w_times[name] = round(best, 3)
+        return w_times, w_load, w_probe
+
+    times1, q_load, q_probe = headline_window()
+    times = dict(times1)
+
+    # SELF-HEALING window (round-13, VERDICT r12 item 5): the r11 and r12
+    # driver artifacts both landed on contended windows that only the
+    # probe arrays could explain after the fact. Detect it DURING the
+    # run instead: the per-query 16 MiB probes sample machine speed
+    # mid-headline; if their median is >15% slower than the pre-run
+    # ambient probe (64 MiB reading scaled to 16), the window was
+    # contended — take ONE more full headline window and keep the
+    # per-query best across windows (the existing best-of-N spirit,
+    # widened across time). Both windows' load/probe arrays are recorded
+    # so the artifact shows exactly what happened.
+    probe_pre = env.get("cpu_probe_md5_64mib_sec")
+    ambient16 = probe_pre / 4 if probe_pre else None
+    med_probe = sorted(q_probe)[len(q_probe) // 2] if q_probe else None
+    headline_windows = 1
+    window2: dict = {}
+    retry_factor = float(os.environ.get("BENCH_RETRY_FACTOR", "1.15"))
+    if ambient16 and med_probe and med_probe > retry_factor * ambient16:
+        times2, q_load2, q_probe2 = headline_window()
+        for k in times:
+            times[k] = min(times[k], times2[k])
+        headline_windows = 2
+        # Re-measure machine speed after the retry; normalization uses
+        # the FASTER of the two readings — the per-query bests are
+        # dominated by whichever window ran on the faster state.
+        probe_post = probe_md5(64)
+        env["cpu_probe_md5_64mib_sec_post_retry"] = probe_post
+        if probe_post < probe_pre:
+            env["cpu_probe_md5_64mib_sec"] = probe_post
+        window2 = {
+            "q_load_w2": q_load2,
+            "q_probe16_w2": q_probe2,
+            "headline_times_w1": times1,
+            "headline_times_w2": times2,
+        }
 
     total = round(sum(times.values()), 3)
     # Probe-normalized total (round-8 verdict item 9): scale the headline
@@ -564,6 +605,8 @@ def main() -> None:
                 "headline_loadavg_per_query": q_load,
                 "headline_probe16_per_query": q_probe,
                 "headline_runs": runs_headline,
+                "headline_windows": headline_windows,
+                **window2,
                 "headline_noop": headline_noop,
                 "extended": extended,
                 "sf": sf,
@@ -602,6 +645,10 @@ def main() -> None:
             # attributable to the exact queries it inflated.
             "q_load": q_load,
             "q_probe16": q_probe,
+            # 2 = the mid-run probes flagged contention and the headline
+            # re-ran once, per-query best kept across both windows (the
+            # second window's arrays are in the full line above).
+            "headline_windows": headline_windows,
             "note": "compact twin of the full line above (driver tail-capture safety)",
         }
     )
