@@ -1772,13 +1772,19 @@ def q_sim_semantic_dedup(spark, sf_dir):
     natural corpus has no near-dups at 0.95). Identical vectors share an
     argmin cluster by construction, so every planted copy MUST be
     dropped by the keep-lowest-id rule and every natural vector kept
-    (max natural cosine ~0.42): n_dropped per cluster is deterministic
-    and non-zero for clusters holding planted rows. Returns the
-    per-cluster curation report (total/kept/dropped) — one row per
-    cluster (8 at sf0.01; auto-k grows the cluster count with the
-    corpus) whose values a rows-only gate can at least pin for
-    cardinality, with exactness covered by pytest planted-cluster
-    fixtures and the brute-force differential."""
+    (max natural cosine ~0.42). Oracle-backed as of round 13 (retiring
+    the rows-only tail) by the PLANTED-LAW spelling: identical vectors
+    share an argmin cluster under ANY trained centroids (equal distances
+    → equal argmin), cosine 1 ≥ 0.95 forces the pairwise prune, and
+    keep-lowest-id keeps the natural twin — so the planted/natural
+    kept/dropped totals are exact plain SQL REGARDLESS of the k-means
+    outcome: naturals (N, N, 0), planted (P, 0, P). A dedup that drops a
+    natural, keeps a copy, or loses a row anywhere in the
+    train→assign→prune pipeline hash-mismatches. The per-cluster
+    report this entry previously emitted remains covered by
+    tests/test_functions.py planted-cluster fixtures and the
+    brute-force differential; extended-bench timing meaning unchanged
+    (same pipeline, final groupBy key swapped)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
@@ -1793,17 +1799,18 @@ def q_sim_semantic_dedup(spark, sf_dir):
     k = max(8, -(-corpus.count() // 256))
     cents = similarity.ivf_train(corpus, n_centroids=k, iters=2)
     kept = similarity.semantic_dedup(corpus, threshold=0.95, centroids=cents)
-    totals = corpus.transform(lambda d: similarity.ivf_assign(d, cents)).groupBy(
-        "cluster_id"
-    ).agg(F.count(F.lit(1)).alias("n_total"))
-    kept_counts = kept.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_kept"))
     return (
-        totals.join(kept_counts, "cluster_id", "left")
-        .select(
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.col("n_total").cast("long").alias("n_total"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        corpus.select("vec_id")
+        .join(
+            kept.select("vec_id").withColumn("__kept", F.lit(1)),
+            "vec_id",
+            "left",
+        )
+        .groupBy((F.col("vec_id") >= 1000000).alias("is_planted"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.count("__kept").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.count("__kept"))
             .cast("long")
             .alias("n_dropped"),
         )
@@ -2809,9 +2816,12 @@ def q_multimodal_decode(spark, sf_dir):
     chosen round-robin PNG/GIF/JPEG by doc_id), pixel-decode with the
     pure-stdlib codecs, resize 8x8 -> 4x4 nearest-neighbour (output
     normalized to PNG), re-decode, and report both dims. Every stage is
-    Arrow-batched mapInPandas over (id, payload) only. Rows-only for the
-    driver (container bytes aren't expressible in portable SQL); pixel
-    exactness is pytest-asserted. Round-5 change: formerly PNG-only —
+    Arrow-batched mapInPandas over (id, payload) only. Oracle-backed as
+    of round 13: the synthesis geometry is data-independent (8x8 -> 4x4,
+    channels determined by the doc_id%4 container rotation), so the dims
+    report is plain SQL — a decode failure, geometry bug, or dropped doc
+    in ANY of the four codecs hash-mismatches; PIXEL exactness rides the
+    three *_exact twins (gif/jpeg/resize) in the driver window. Round-5 change: formerly PNG-only —
     JPEG pixel decode replaced the last codec stub, so the driver query
     now exercises it (extended-bench timing resets; noted in
     BASELINE.md). Round-6 change: the decode and resize branches are
@@ -3904,6 +3914,16 @@ def q_streaming_full_outer_join_equiv(spark, sf_dir):
 
     src = _t(spark, sf_dir, "events")
     mx = src.agg(F.max("ts")).first()[0]
+    # Two-sided join state is this entry's scale cost (VERDICT r12 item
+    # 4: per-row ratio 0.685 at 100x with the fixed 8-partition harness
+    # knob). State partitioning must TRACK the input: the sweep at sf10
+    # (40M events, /tmp/sf10_r11) read 354 s at 8 partitions, 101 s at
+    # 32, 114 s at 64 (over-partitioned: per-batch store setup), and
+    # 424 s under RocksDB (wrong provider for a local-JVM harness) — so
+    # scale the knob by the metadata row count, capped at 32, keeping 8
+    # at bench scale where store setup dominates. Output content is
+    # partition-count independent — the same oracle hash gates it.
+    n_events = src.count()
     tmp = tempfile.mkdtemp(prefix="sakura_stream_foj_")
     try:
         data_dir = _time_ordered_stream_dir(spark, src, mx, tmp)
@@ -3918,7 +3938,7 @@ def q_streaming_full_outer_join_equiv(spark, sf_dir):
             ),
             "streaming_full_outer_join_equiv_sink",
             output_mode="append",
-            state_partitions=8,
+            state_partitions=min(32, max(8, n_events // 500_000)),
         )
         q.stop()
     finally:
@@ -7572,6 +7592,20 @@ def oracle_sql() -> dict[str, str]:
         # Generated from the same 16-cell dyadic codebook as the Spark
         # entry; same planted-copy corpus, same pair orientation.
         "sim_semdedup_fixed": _semdedup_fixed_oracle_sql(),
+        # Planted-law twin for the TRAINED SemDeDup entry (round-13,
+        # retiring the rows-only tail): identical planted copies share
+        # an argmin cluster under any trained centroids and cosine 1
+        # forces the prune, so the planted/natural kept totals are
+        # training-independent plain SQL (see q_sim_semantic_dedup).
+        "sim_semantic_dedup": (
+            "SELECT FALSE AS is_planted, "
+            "CAST(count(*) AS BIGINT) AS n_total, "
+            "CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(0 AS BIGINT) AS n_dropped FROM embeddings "
+            "UNION ALL SELECT TRUE, CAST(count(*) AS BIGINT), "
+            "CAST(0 AS BIGINT), CAST(count(*) AS BIGINT) "
+            "FROM embeddings WHERE vec_id % 10 = 0"
+        ),
         # Generated from the same coarse/PQ codebooks, query, and
         # ivfpq_adc_tables helper as the Spark entry.
         "sim_ivfpq_topk_fixed": _ivfpq_topk_fixed_oracle_sql(),
@@ -7666,6 +7700,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Formula-PNG twin: same cyclic-walk closed form as the video
         # oracles, over the (y, x, channel) row-major pixel walk.
+        # multimodal_decode dims twin (round-13, retiring the rows-only
+        # tail): the md5-seeded synthetic image is ALWAYS 8x8, resized
+        # 4x4; the only doc-dependent output is the channel count of the
+        # round-robin container (GIF = doc_id%4==1 expands gray through
+        # the palette to RGB, the other three stay grayscale). A wrong
+        # decode/resize geometry in ANY of the four codecs — or a doc
+        # dropped by a decode failure — hash-mismatches. Pixel-level
+        # exactness rides the three *_exact twins below.
+        "multimodal_decode": (
+            "SELECT doc_id, CAST(8 AS INT) AS height, "
+            "CAST(8 AS INT) AS width, "
+            "CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS INT) "
+            "AS channels, "
+            "CAST(4 AS INT) AS r_height, CAST(4 AS INT) AS r_width "
+            "FROM documents"
+        ),
         "multimodal_image_exact": (
             "WITH p AS (SELECT doc_id, 6 + (doc_id % 4) * 3 AS w, "
             "5 + (doc_id % 3) * 4 AS h, 1 + (doc_id % 3) AS ch, "
