@@ -814,14 +814,26 @@ def simhash_candidates(
     text_col: str = "text",
     prefix_bits: int = 16,
     max_bucket_size: int = 1000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal high `prefix_bits` of the simhash (one
     block of a rotate-and-block scheme), then exact Hamming distance.
 
     Same no-self-join shape as minhash: one groupBy on the block collects
     (id, sim) structs, pairs + Hamming expand in-bucket.
+
+    ``signatures`` overrides the signature source: pass a precomputed
+    (id, sim) DataFrame — e.g. :func:`simhash_portable`'s engine-portable
+    signatures — to run the identical blocking/pair/Hamming stage over a
+    different hash family (the driver gate does this so the WHOLE
+    candidate semantics is SQL-recomputable; production omits it and gets
+    the fast xxhash64 signatures).
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, id_col, text_col)
+    )
     blocked = sig.withColumn("blk", F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits))
     grouped = (
         blocked.groupBy("blk")
