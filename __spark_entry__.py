@@ -5927,116 +5927,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round: rel_scd2_apply (in-plan late guard), text_mrr
     (absent-term rows) and ALL streaming entries (run_to_memory gained
     the availableNow termination barrier).
+
+    Round-13 rotation (VERDICT r12 items 1, 2, 8): IN (16) — the four
+    NEW oracle-backed entries (dcl_merge_prefer_left +
+    dcl_merge_conflict: the DCL 3-way merge under the driver hash, the
+    last pytest-only §2 subsystem; rel_cdc_to_scd2_fused: the loop-free
+    CDC backfill hash-equal to the chained witness;
+    dedup_minhash_superset: the production-LSH planted-recall law), the
+    six r12-outs re-entering within two rounds per policy
+    (sort_zorder_layout, rel_scd2_pit, rel_snapshot_diff, agg_mode,
+    window_rank_funcs, graph_bfs_levels), and the six formerly
+    rows-only entries whose oracles were CREATED this round — first
+    driver hash exposure (multimodal_decode dims twin,
+    sim_semantic_dedup planted law, dedup_near direct SQL pipeline,
+    dedup_simhash exact candidate semantics over portable signatures,
+    sim_ann_ivf full-probe exactness law, sim_ann_recall floor law).
+    OUT (16), each r11+r12 driver-green with in-window family rows: the
+    ten streaming equivalences whose shared harness and implementations
+    are UNCHANGED this round (the two streaming entries that DID change
+    — full_outer's adaptive state partitions, timeout's epoch-bound
+    min/max merge — stay in-window), dedup_minhash_portable,
+    sim_ivfpq_topk_fixed, multimodal_gif_exact, rel_merge_delete,
+    rel_ivm_delta, events_gapfill_locf. Also staying because their
+    implementation changed: sort_hilbert_3d (stacked single layout
+    pass) and rel_cdc_to_scd2 (2^40 commit-seq multiplier). The
+    rows-only tail is now FOUR entries (was 10), each with its
+    rationale in its docstring and a hash-gated family sibling
+    in-registry.
     """
     return {
-        # --- driver sweep window (first 50). Round-11 rotation
-        # (VERDICT r10 items 1, 5, 6): the 19 round-10 entries that had
-        # never faced the driver's hash gate enter, plus the two NEW
-        # round-11 oracle-backed entries (rel_snapshot_roundtrip,
-        # graph_bfs_converged — new oracle-backed operators enter
-        # immediately per policy). The 10 rows-only entries rotate OUT
-        # (their one-time row/schema recording is CORRECTNESS_r10) and
-        # 11 multi-round-green oracle entries with in-window siblings
-        # rotate past the cap (see the past-cap block). ALL streaming
-        # equivalence entries STAY: their shared harness changed this
-        # round (SQL-literal sentinels, state_partitions/no_data_batch
-        # knobs), and changed implementations stay in-window for driver
-        # re-verification. ---
-        "dedup_minhash_portable": q_dedup_minhash_portable,
+        # --- driver sweep window (first 50) — ROUND-13 ROTATION
+        # (VERDICT r12 items 1, 2, 8). IN (16): the four NEW
+        # oracle-backed round-13 entries (DCL merge pair, fused CDC,
+        # minhash superset law — new oracle-backed enter immediately),
+        # the six r12-outs re-entering within two rounds per the
+        # written policy (sort_zorder_layout, rel_scd2_pit,
+        # rel_snapshot_diff, agg_mode, window_rank_funcs,
+        # graph_bfs_levels), and the six entries whose oracles were
+        # CREATED this round — first driver hash exposure
+        # (multimodal_decode, sim_semantic_dedup, dedup_near,
+        # dedup_simhash, sim_ann_ivf, sim_ann_recall). STAYING for
+        # re-verification because their implementation changed this
+        # round: sort_hilbert_3d (stacked single layout pass),
+        # streaming_full_outer_join_equiv (adaptive state
+        # partitions), streaming_timeout_equiv (epoch-bound min/max
+        # merge), rel_cdc_to_scd2 (2^40 commit-seq multiplier).
+        # OUT (16), each r11+r12 driver-green with in-window family
+        # rows: ten streaming equivalences whose shared harness and
+        # implementations are UNCHANGED this round (the two changed
+        # streaming entries stay), dedup_minhash_portable (superset +
+        # near + simhash rows carry dedup), sim_ivfpq_topk_fixed
+        # (ann_ivf/ann_recall/ann_lsh carry sim), multimodal_gif_exact
+        # (jpeg/resize exact + decode dims stay), rel_merge_delete
+        # (snapshot_roundtrip composes MERGE), rel_ivm_delta
+        # (rel_ivm_join_delta stays), events_gapfill_locf
+        # (concurrency + transition_probs stay). ---
         "text_hash_features": q_text_hash_features,
-        "sim_ivfpq_topk_fixed": q_sim_ivfpq_topk_fixed,
         "sim_ann_lsh": q_sim_ann_lsh,
-        "streaming_hll_equiv": q_streaming_hll_equiv,
-        "streaming_dedup_equiv": q_streaming_dedup_equiv,
         "curation_leakage_split": q_curation_leakage_split,
-        "multimodal_gif_exact": q_multimodal_gif_exact,
         "multimodal_jpeg_exact": q_multimodal_jpeg_exact,
         "sketch_hll_cube": q_sketch_hll_cube,
-        "rel_merge_delete": q_rel_merge_delete,
-        "streaming_join_equiv": q_streaming_join_equiv,
         "rel_scd2": q_rel_scd2,
-        "streaming_cms_equiv": q_streaming_cms_equiv,
-        "streaming_bloom_equiv": q_streaming_bloom_equiv,
-        "streaming_kmv_equiv": q_streaming_kmv_equiv,
         "rel_group_checksum": q_rel_group_checksum,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
-        # Round-11 in: the 19 round-10 entries (registry positions
-        # 174-192 last round), first driver hash-gate exposure.
         "sort_zorder_pruning": q_sort_zorder_pruning,
-        "rel_ivm_delta": q_rel_ivm_delta,
         "rel_unpivot": q_rel_unpivot,
         "window_sliding_range": q_window_sliding_range,
-        "events_gapfill_locf": q_events_gapfill_locf,
         "events_transition_probs": q_events_transition_probs,
         "agg_equidepth_hist": q_agg_equidepth_hist,
         "agg_corr_exact": q_agg_corr_exact,
         "agg_linear_fit": q_agg_linear_fit,
         "curation_freshness_decay": q_curation_freshness_decay,
-        "streaming_session_equiv": q_streaming_session_equiv,
-        "streaming_sliding_equiv": q_streaming_sliding_equiv,
         "multimodal_resize_exact": q_multimodal_resize_exact,
-        # Round-11 in: NEW oracle-backed (enter immediately per policy).
-        # Session 2 adds three more — the left-outer streaming join, the
-        # bilinear join-IVM, and changelog compaction — displacing three
-        # r9+r10-green stayers (curation_ppl_buckets, text_bpe_portable,
-        # multimodal_video; siblings keep each family's window row).
         "rel_snapshot_roundtrip": q_rel_snapshot_roundtrip,
         "graph_bfs_converged": q_graph_bfs_converged,
-        "streaming_outer_join_equiv": q_streaming_outer_join_equiv,
         "streaming_full_outer_join_equiv": q_streaming_full_outer_join_equiv,
         "streaming_timeout_equiv": q_streaming_timeout_equiv,
         "rel_ivm_join_delta": q_rel_ivm_join_delta,
         "rel_changelog_compact": q_rel_changelog_compact,
-        # Session 3: tolerance-asof, CBO join-size profile, interval
-        # concurrency sweep — displacing dedup_corpus_overlap,
-        # sim_semdedup_fixed, multimodal_av_demux (r9+r10 green,
-        # siblings in window).
         "asof_join_tolerance": q_asof_join_tolerance,
         "stats_join_cardinality": q_stats_join_cardinality,
         "events_concurrency": q_events_concurrency,
-        # Session 4: update-mode stateful equivalence + retrieval-eval
-        # MRR — displacing sim_ivf_topk_fixed (sim_ivfpq_topk_fixed
-        # composes the IVF path) and text_hybrid_rrf (text_hash_features
-        # + text_mrr keep the text window rows); both r9+r10 green.
-        "streaming_update_equiv": q_streaming_update_equiv,
         "text_mrr": q_text_mrr,
-        # Session 5: Hilbert layout + pruning (the liquid-clustering
-        # curve, measured against the Morton baseline on the identical
-        # predicate) — displacing rel_merge_upsert (merge_delete keeps
-        # the MERGE window row) and curation_gopher_filter
-        # (leakage_split + freshness_decay keep curation's); both
-        # r9+r10 green.
         "sort_hilbert_layout": q_sort_hilbert_layout,
         "sort_hilbert_pruning": q_sort_hilbert_pruning,
         "sort_hilbert_3d": q_sort_hilbert_3d,
-        # Session 6: incremental SCD2 apply (apply ≡ rebuild law) —
-        # displacing multimodal_image_exact (gif/jpeg/resize exact twins
-        # keep the codec family's window rows; r9+r10 green).
         "rel_scd2_apply": q_rel_scd2_apply,
         "rel_scd2_late": q_rel_scd2_late,
         "rel_cdc_to_scd2": q_rel_cdc_to_scd2,
         "er_clusters": q_er_clusters,
-        # Round-13 in: DCL 3-way merge under the driver hash gate
-        # (VERDICT r12 item 1 — the last §2 subsystem that was
-        # pytest-only). New oracle-backed entries enter immediately.
+        # Round-13 ins (new + re-entries + first-oracle exposures):
         "dcl_merge_prefer_left": q_dcl_merge_prefer_left,
         "dcl_merge_conflict": q_dcl_merge_conflict,
-        # Round-13 in: the fused CDC→SCD2 production path (hash-equal to
-        # the chained witness under the same oracle; VERDICT r12 item 6)
-        # and the production-LSH planted-superset law (VERDICT r12 item
-        # 2 — the headline dedup_minhash_pairs keeps its frozen bench
-        # protocol; this row carries the family's oracle gate).
         "rel_cdc_to_scd2_fused": q_rel_cdc_to_scd2_fused,
         "dedup_minhash_superset": q_dedup_minhash_superset,
-        # --- past the driver's 50-entry cap (all still locally
-        # verified by scripts/check_correctness.py; rotation history
-        # in the queries() docstring + git). Round-11 outs: the 10
-        # rows-only entries (one-time row/schema recording done in
-        # CORRECTNESS_r10; their hash gates live on the in-window
-        # fixed twins) and 11 r9+r10 driver-green oracle entries with
-        # in-window siblings: ---
-        # Round-12 outs (each r10/r11 driver-green with in-window
-        # siblings; one per round-12 entry entering):
         "sort_zorder_layout": q_sort_zorder_layout,
         "rel_scd2_pit": q_rel_scd2_pit,
         "rel_snapshot_diff": q_rel_snapshot_diff,
@@ -6044,15 +6028,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_funcs": q_window_rank_funcs,
         "graph_bfs_levels": q_graph_bfs_levels,
         "multimodal_decode": q_multimodal_decode,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_simhash": q_dedup_simhash,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
         "dedup_near": q_dedup_near,
+        "dedup_simhash": q_dedup_simhash,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_recall": q_sim_ann_recall,
+        # --- past the driver 50-entry cap (all still locally
+        # verified by scripts/check_correctness.py; rotation history
+        # in the docstring + git). Round-13 outs (r11+r12 green,
+        # siblings in window): ---
+        "streaming_hll_equiv": q_streaming_hll_equiv,
+        "streaming_cms_equiv": q_streaming_cms_equiv,
+        "streaming_bloom_equiv": q_streaming_bloom_equiv,
+        "streaming_kmv_equiv": q_streaming_kmv_equiv,
+        "streaming_dedup_equiv": q_streaming_dedup_equiv,
+        "streaming_join_equiv": q_streaming_join_equiv,
+        "streaming_session_equiv": q_streaming_session_equiv,
+        "streaming_sliding_equiv": q_streaming_sliding_equiv,
+        "streaming_update_equiv": q_streaming_update_equiv,
+        "streaming_outer_join_equiv": q_streaming_outer_join_equiv,
+        "dedup_minhash_portable": q_dedup_minhash_portable,
+        "sim_ivfpq_topk_fixed": q_sim_ivfpq_topk_fixed,
+        "multimodal_gif_exact": q_multimodal_gif_exact,
+        "rel_merge_delete": q_rel_merge_delete,
+        "rel_ivm_delta": q_rel_ivm_delta,
+        "events_gapfill_locf": q_events_gapfill_locf,
+        # Earlier rotation outs (history in docstring + git):
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "text_bpe_segment": q_text_bpe_segment,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
-        "sim_semantic_dedup": q_sim_semantic_dedup,
-        "sim_ann_recall": q_sim_ann_recall,
         "graph_pagerank": q_graph_pagerank,
         "curation_source_stats": q_curation_source_stats,
         "sim_random_projection": q_sim_random_projection,
@@ -6064,7 +6069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_moments": q_sim_embedding_moments,
         "multimodal_video_frames": q_multimodal_video_frames,
         "sim_pq_topk_fixed": q_sim_pq_topk_fixed,
-        # Round-11 session-2/3/4/5/6 outs (r9+r10 green, siblings in window):
         "multimodal_image_exact": q_multimodal_image_exact,
         "rel_merge_upsert": q_rel_merge_upsert,
         "curation_gopher_filter": q_curation_gopher_filter,
@@ -6076,7 +6080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_ppl_buckets": q_curation_ppl_buckets,
         "text_bpe_portable": q_text_bpe_portable,
         "multimodal_video": q_multimodal_video,
-        # Round-10 outs (multi-round driver-green, siblings in window):
         "text_bm25_topk": q_text_bm25_topk,
         "text_readability": q_text_readability,
         "drl_intensional_plus": q_drl_intensional_plus,
@@ -6094,7 +6097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_components": q_graph_components,
         "dedup_jaccard_selfjoin": q_dedup_jaccard_selfjoin,
-        # previously rotated past the cap:
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "sketch_bloom_hourly_users": q_sketch_bloom_hourly_users,
         "sketch_hll_hourly_users": q_sketch_hll_hourly_users,

@@ -206,39 +206,57 @@ def test_extract_metadata_has_no_python_in_plan(spark):
 
 def test_registry_contract():
     """Driver-registry invariants: every oracle key has a query, and the
-    round-12 rotation holds — the six NEW round-12 entries plus the two
-    changed implementations sit inside the first-50 window, every
-    streaming entry stays in-window (shared harness changed), the six
-    sibling-covered green entries rotated past the cap, and the window
-    is 100% oracle-backed."""
+    round-13 rotation holds — the four NEW round-13 entries, the six
+    r12-outs re-entering per the two-round policy, the six
+    newly-oracled former rows-only entries, and every
+    changed-implementation entry all sit inside the first-50 window;
+    the sixteen r11+r12-green sibling-covered entries rotated past the
+    cap; and the window is 100% oracle-backed."""
     import __spark_entry__ as e
 
     qs, oracles = list(e.queries()), e.oracle_sql()
     assert len(qs) >= 50
     assert set(oracles) <= set(qs), "oracle without a registered query"
-    round12_in = {
-        # NEW round-12 oracle-backed entries (enter immediately)
-        "rel_scd2_late", "rel_cdc_to_scd2", "sort_hilbert_3d",
-        "streaming_full_outer_join_equiv", "streaming_timeout_equiv",
-        "er_clusters",
-        # changed implementations stay for driver re-verification
-        "rel_scd2_apply", "text_mrr",
-    }
-    round12_out = {
-        # each r10/r11 driver-green with an in-window sibling
+    round13_in = {
+        # NEW round-13 oracle-backed entries (enter immediately)
+        "dcl_merge_prefer_left", "dcl_merge_conflict",
+        "rel_cdc_to_scd2_fused", "dedup_minhash_superset",
+        # r12-outs re-entering within two rounds per the written policy
         "sort_zorder_layout", "rel_scd2_pit", "rel_snapshot_diff",
         "agg_mode", "window_rank_funcs", "graph_bfs_levels",
+        # formerly rows-only — oracles created this round, first
+        # driver hash exposure
+        "multimodal_decode", "sim_semantic_dedup", "dedup_near",
+        "dedup_simhash", "sim_ann_ivf", "sim_ann_recall",
+        # changed implementations stay for driver re-verification
+        "sort_hilbert_3d", "rel_cdc_to_scd2",
+        "streaming_full_outer_join_equiv", "streaming_timeout_equiv",
+    }
+    round13_out = {
+        # each r11+r12 driver-green with in-window family rows; the
+        # streaming harness did NOT change this round, so unchanged
+        # equivalence entries rotate like any other green entry
+        "streaming_hll_equiv", "streaming_cms_equiv",
+        "streaming_bloom_equiv", "streaming_kmv_equiv",
+        "streaming_dedup_equiv", "streaming_join_equiv",
+        "streaming_session_equiv", "streaming_sliding_equiv",
+        "streaming_update_equiv", "streaming_outer_join_equiv",
+        "dedup_minhash_portable", "sim_ivfpq_topk_fixed",
+        "multimodal_gif_exact", "rel_merge_delete", "rel_ivm_delta",
+        "events_gapfill_locf",
     }
     window = set(qs[:50])
-    assert round12_in <= window, sorted(round12_in - window)
-    assert not (round12_out & window), sorted(round12_out & window)
-    # the streaming harness changed this round — every equivalence entry
-    # stays in-window for driver re-verification of the new plans.
-    streaming = {q for q in qs if q.startswith("streaming_")}
-    assert streaming <= window, sorted(streaming - window)
-    # window is 100% oracle-backed again (the round-10 rows-only
-    # rotation was one-time; hash gates live on the fixed twins).
+    assert round13_in <= window, sorted(round13_in - window)
+    assert not (round13_out & window), sorted(round13_out & window)
+    # window is 100% oracle-backed (the rows-only tail — four entries,
+    # each with a documented rationale and a hash-gated family sibling
+    # — lives past the cap).
     assert {q for q in qs[:50] if q not in oracles} == set()
+    rows_only = {q for q in qs if q not in oracles}
+    assert rows_only == {
+        "dedup_minhash_pairs", "sim_pq_topk", "sim_ann_ivfpq",
+        "text_bpe_segment",
+    }, sorted(rows_only)
 
     # COVERAGE.md's prose counters must match the actual registry — asserted
     # here so a registry change without a doc sync fails the suite.
