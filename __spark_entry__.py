@@ -3278,6 +3278,29 @@ _RARE_SHINGLE_EDGES_SQL = (
 )
 
 
+def q_graph_kcore(spark, sf_dir):
+    """k-CORE PEEL (graph.kcore_peel, Seidman 1983) over the
+    rare-shingle co-occurrence graph — the graph-curation density
+    filter that keeps only documents embedded in at least-k-connected
+    duplicate neighborhoods (a standard pre-filter before expensive
+    pairwise verification at corpus scale): 4 synchronous peeling
+    rounds toward the 16-core, each round removing every node whose
+    degree among SURVIVORS is < 16 along with its edges (k chosen ABOVE
+    the graph's min degree — measured cascade 455→452→450→450 nodes at
+    sf0.001 — so every round does real peeling and a broken round is
+    visible; k=3 would be a no-op on this min-degree-4 graph). Output =
+    (node, degree-in-surviving-subgraph), hash-checked row-for-row
+    against the unrolled CTE twin (graph.kcore_peel_oracle_sql — the
+    min_label_sweeps/pagerank discipline extended to peeling).
+    Deterministic for ANY round count; degrees are exact integers.
+    Plan: per round ONE combinable degree agg + two semi-joins over the
+    pinned symmetric edge table — cost O(|surviving edges|) per round,
+    strictly non-increasing, no Python, no collect."""
+    from sakura_spark.functions import graph
+
+    return graph.kcore_peel(_rare_shingle_edges(spark, sf_dir), k=16, rounds=4)
+
+
 def q_graph_components(spark, sf_dir):
     """Fixed-sweep synchronous min-label propagation
     (graph.min_label_sweeps) over the rare-shingle co-occurrence graph:
@@ -5987,7 +6010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_leakage_split": q_curation_leakage_split,
         "multimodal_jpeg_exact": q_multimodal_jpeg_exact,
         "sketch_hll_cube": q_sketch_hll_cube,
-        "rel_scd2": q_rel_scd2,
         "rel_group_checksum": q_rel_group_checksum,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
         "sort_zorder_pruning": q_sort_zorder_pruning,
@@ -6033,10 +6055,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_recall": q_sim_ann_recall,
+        # Round-13 session-2 in: NEW oracle-backed k-core peel (enters
+        # immediately per policy); rel_scd2 rotates past the cap
+        # (r11+r12 green; the SCD2 family keeps FIVE window rows —
+        # apply, late, pit, cdc chained + fused).
+        "graph_kcore": q_graph_kcore,
         # --- past the driver 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the docstring + git). Round-13 outs (r11+r12 green,
         # siblings in window): ---
+        "rel_scd2": q_rel_scd2,
         "streaming_hll_equiv": q_streaming_hll_equiv,
         "streaming_cms_equiv": q_streaming_cms_equiv,
         "streaming_bloom_equiv": q_streaming_bloom_equiv,
@@ -8085,6 +8113,12 @@ def oracle_sql() -> dict[str, str]:
         # applied to connected components).
         "graph_components": graph.min_label_sweeps_oracle_sql(
             _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES), iterations=4
+        ),
+        # Unrolled fixed-round k-core peel over the same edge set;
+        # generated by the operator module (the fixed-sweep discipline
+        # extended to subgraph peeling — round-13 new capability).
+        "graph_kcore": graph.kcore_peel_oracle_sql(
+            _RARE_SHINGLE_EDGES_SQL.format(sh=_SHINGLES), k=16, rounds=4
         ),
         # Unrolled fixed-sweep multi-source BFS over the same edge set;
         # generated by the operator module (shortest-path distances,

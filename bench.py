@@ -212,6 +212,14 @@ EXTENDED = [
     "streaming_full_outer_join_equiv",
     "streaming_timeout_equiv",
     "er_clusters",
+    # Round-13 additions (first measurements recorded in BASELINE.md):
+    # the DCL merge pair, the fused CDC backfill, the production-LSH
+    # superset law, and the k-core peel.
+    "dcl_merge_prefer_left",
+    "dcl_merge_conflict",
+    "rel_cdc_to_scd2_fused",
+    "dedup_minhash_superset",
+    "graph_kcore",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -220,29 +228,27 @@ EXTENDED = [
 # on (VERDICT r10 item 2: BENCH_r10's tail capture lost the two entries
 # round 10 specifically optimized).
 WATCH = [
-    # Round-12 new entries.
-    "rel_scd2_late",
-    "rel_cdc_to_scd2",
+    # Round-13 new entries.
+    "dcl_merge_prefer_left",
+    "dcl_merge_conflict",
+    "rel_cdc_to_scd2_fused",
+    "dedup_minhash_superset",
+    "graph_kcore",
+    # Round-13 changed implementations: the stacked single-layout-pass
+    # Hilbert entry, the adaptive-state full-outer join, the epoch-bound
+    # min/max timeout fix, the 2^40 CDC commit seq, and the five
+    # formerly rows-only entries whose spellings changed to carry
+    # oracles (dims report unchanged-plan decode excepted).
     "sort_hilbert_3d",
     "streaming_full_outer_join_equiv",
     "streaming_timeout_equiv",
-    "er_clusters",
-    # Round-12 changed implementations / shared harness: scd2_apply
-    # gained the in-plan late guard; mrr_at_k gained the absent-term
-    # rows; run_to_memory gained the termination barrier every
-    # streaming entry now runs through.
-    "rel_scd2_apply",
-    "text_mrr",
-    "streaming_session_equiv",
-    "streaming_kmv_equiv",
-    "streaming_hll_equiv",
-    "streaming_cms_equiv",
-    "streaming_bloom_equiv",
-    "streaming_dedup_equiv",
-    "streaming_join_equiv",
-    "streaming_sliding_equiv",
-    "streaming_outer_join_equiv",
-    "streaming_update_equiv",
+    "rel_cdc_to_scd2",
+    "dedup_simhash",
+    "sim_semantic_dedup",
+    "sim_ann_ivf",
+    "sim_ann_recall",
+    "dedup_near",
+    "multimodal_decode",
 ]
 
 # Join-elimination-prone extended entries are forced through the noop
@@ -336,6 +342,10 @@ NOOP_SINK = {
     "text_hash_score",
     # The four word sums are aggregate columns a .count() would prune.
     "rel_group_checksum",
+    # Round-13: the found_by_lsh flag rides a left join that .count()
+    # could eliminate if the candidate side proves unique — which would
+    # skip the entire LSH pipeline under measurement.
+    "dedup_minhash_superset",
 }
 
 # Headline entries with the same .count()-collapse hazard (pure map-only

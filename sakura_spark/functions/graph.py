@@ -319,6 +319,79 @@ def min_label_sweeps_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
     return f"{head} SELECT node, label FROM l{iterations}"
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree) after ``rounds`` SYNCHRONOUS peeling rounds toward
+    the k-core (Seidman 1983; the standard graph-curation density
+    filter — e.g. dropping weakly-connected near-dup documents whose
+    cluster membership is circumstantial): each round computes every
+    surviving node's degree in the CURRENT surviving subgraph and
+    removes all nodes with degree < ``k`` together with their edges.
+    After enough rounds this is exactly the k-core; with fewer it is a
+    deterministic, engine-independent function of (graph, k, rounds) —
+    the min_label_sweeps discipline, which is what makes the unrolled
+    SQL twin (:func:`kcore_peel_oracle_sql`) an exact oracle. The
+    returned degree is the node's degree INSIDE the surviving subgraph
+    (so trailing rows can still carry degree < k if the peel has not
+    converged — auditable, not hidden).
+
+    Per round: ONE map-side-combinable degree aggregation + two
+    semi-joins restricting the symmetric edge table to surviving
+    endpoints, pinned per round (lineage stays one round deep; each
+    round's cost is O(|surviving edges|) shuffled by node key, strictly
+    non-increasing). No Python, no collect."""
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_peel needs k >= 1 and rounds >= 1")
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e0 = _pin(edges.select(a, b).where(F.col("a") != F.col("b")).distinct())
+    both = e0.select(
+        F.col("a").alias("__s"), F.col("b").alias("__d")
+    ).unionByName(e0.select(F.col("b").alias("__s"), F.col("a").alias("__d")))
+    for _ in range(rounds):
+        deg = both.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("__s")
+        both = _pin(
+            both.join(keep, "__s", "left_semi").join(
+                keep.withColumnRenamed("__s", "__d"), "__d", "left_semi"
+            )
+        )
+    return (
+        both.groupBy(F.col("__s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def kcore_peel_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 4) -> str:
+    """ANSI-SQL twin of :func:`kcore_peel`, unrolled to ``rounds`` CTE
+    blocks; ``edges_sql`` must yield (src, dst)."""
+    parts = [
+        f"WITH raw AS ({edges_sql})",
+        "e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM raw WHERE src <> dst)",
+        "b0 AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS (SELECT s FROM b{i-1} GROUP BY s "
+            f"HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"b{i} AS (SELECT b.s, b.d FROM b{i-1} b "
+            f"JOIN k{i} x ON b.s = x.s JOIN k{i} y ON b.d = y.s)"
+        )
+    head = ", ".join(parts)
+    return (
+        f"{head} SELECT s AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM b{rounds} GROUP BY 1"
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 3,

@@ -307,3 +307,35 @@ def test_bfs_converged_iteration_guard(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(RuntimeError, match="fixpoint"):
         bfs_converged(edges, seeds, max_iterations=2)
+
+
+def test_kcore_peel_pendant_cascade(spark):
+    """k=2 peel on a triangle with a pendant path: the path peels off
+    over TWO rounds (5 first — degree 1 — then 4, whose degree drops to
+    1 only after 5 is gone), the triangle survives with degree 2 —
+    exactly the cascade the synchronous semantics prescribe."""
+    from sakura_spark.functions.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.degree for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # one round is NOT enough: 4 still survives (its degree was 2 when
+    # the round was measured) — the fixed-round result is deterministic
+    # and distinguishable from the fixpoint.
+    got1 = {r.node: r.degree for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert set(got1) == {1, 2, 3, 4}
+
+
+def test_kcore_peel_whole_graph_survives(spark):
+    """A clique is its own k-core for k < size: nothing peels and every
+    degree is size-1."""
+    from sakura_spark.functions.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.degree for r in kcore_peel(edges, k=3, rounds=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
