@@ -5580,7 +5580,7 @@ def _dcl_merge_fixture(spark, sf_dir):
     from sakura_spark.management.store import SnapshotStore
 
     if sf_dir in _DCL_MERGE_CACHE:
-        store, left_tip, right_tip = _DCL_MERGE_CACHE[sf_dir]
+        store, _anc, left_tip, right_tip = _DCL_MERGE_CACHE[sf_dir]
         bm = BranchManager(store)
         bm.update_branch_tip("left", left_tip)
         bm.update_branch_tip("right", right_tip)
@@ -5645,7 +5645,7 @@ def _dcl_merge_fixture(spark, sf_dir):
         ),
     )
     bm.update_branch_tip("right", rdb.commit())
-    _DCL_MERGE_CACHE[sf_dir] = (store, ldb.hash, rdb.hash)
+    _DCL_MERGE_CACHE[sf_dir] = (store, anc_hash, ldb.hash, rdb.hash)
     return bm
 
 
@@ -5679,6 +5679,51 @@ def q_dcl_merge_prefer_left(spark, sf_dir):
         "c_mktsegment",
         F.lit(len(conflicts)).cast("long").alias("n_conflicts"),
     )
+
+
+def q_dcl_merge_revert(spark, sf_dir):
+    """The THIRD merge strategy under the driver hash (round-13 session
+    2, completing the strategy matrix the reference ships —
+    lib/management/merge.ml:97-157): the SAME divergent branches,
+    RevertToAncestor. The drop-vs-modify conflict on `aux` resolves to
+    the ANCESTOR extension (neither LEFT's retraction nor RIGHT's
+    modified rows), while the conflict-free `cust` three-way apply
+    STILL merges both sides' DML (revert applies per conflicted
+    relation, not globally — exactly the reference's per-relation
+    rule). Output: the reverted aux extension + the conflict literal;
+    a merge that reverted the wrong side, leaked RIGHT's echo rows, or
+    dropped the relation hash-mismatches. Fixture memoized with the
+    PreferLeft/PreferRight siblings — three strategies tried against
+    ONE repository state."""
+    from sakura_spark.management.merge import REVERT_TO_ANCESTOR
+
+    bm = _dcl_merge_fixture(spark, sf_dir)
+    merged, conflicts = bm.merge(spark, "left", "right", REVERT_TO_ANCESTOR)
+    return merged.relation("aux").select(
+        "n_nationkey",
+        "n_name",
+        F.lit("; ".join(sorted(conflicts))).alias("conflict"),
+    )
+
+
+def q_dcl_time_travel(spark, sf_dir):
+    """TIME TRAVEL under the driver hash (round-13 session 2): load the
+    ANCESTOR database by content hash AFTER both branches committed
+    divergent mutations on top of it (reference: load-from-hash,
+    lib/management/database.ml; repo Database.load), and return its
+    `cust` extension — which must be byte-identical to the extension as
+    originally inserted, untouched by either branch's deletes/inserts/
+    retraction. Round-trips the content-addressed store end-to-end
+    (snapshot write at commit, manifest resolution, parquet read-back)
+    under the hash gate; the oracle is the plain SQL of the ancestor
+    predicate. A stale-read bug, a snapshot overwritten by a branch, or
+    schema drift through the manifest all hash-mismatch."""
+    from sakura_spark.database import Database
+
+    _dcl_merge_fixture(spark, sf_dir)  # ensures the store is built
+    store, anc_hash, _lt, _rt = _DCL_MERGE_CACHE[sf_dir]
+    db = Database.load(spark, anc_hash, store)
+    return db.relation("cust").select("c_custkey", "c_nationkey", "c_mktsegment")
 
 
 def q_dcl_merge_conflict(spark, sf_dir):
@@ -6011,8 +6056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_exact": q_multimodal_jpeg_exact,
         "sketch_hll_cube": q_sketch_hll_cube,
         "rel_group_checksum": q_rel_group_checksum,
-        "sim_embedding_near_dup": q_sim_embedding_near_dup,
-        "sort_zorder_pruning": q_sort_zorder_pruning,
         "rel_unpivot": q_rel_unpivot,
         "window_sliding_range": q_window_sliding_range,
         "events_transition_probs": q_events_transition_probs,
@@ -6060,11 +6103,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r11+r12 green; the SCD2 family keeps FIVE window rows —
         # apply, late, pit, cdc chained + fused).
         "graph_kcore": q_graph_kcore,
+        # Round-13 session-2 in: the third merge strategy + time travel
+        # under the driver hash (new oracle-backed enter immediately);
+        # sim_embedding_near_dup and sort_zorder_pruning rotate past the
+        # cap (r11+r12 green; near-dup keeps sim_semantic_dedup +
+        # ann rows, zorder keeps layout + the Hilbert trio).
+        "dcl_merge_revert": q_dcl_merge_revert,
+        "dcl_time_travel": q_dcl_time_travel,
         # --- past the driver 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the docstring + git). Round-13 outs (r11+r12 green,
         # siblings in window): ---
         "rel_scd2": q_rel_scd2,
+        "sim_embedding_near_dup": q_sim_embedding_near_dup,
+        "sort_zorder_pruning": q_sort_zorder_pruning,
         "streaming_hll_equiv": q_streaming_hll_equiv,
         "streaming_cms_equiv": q_streaming_cms_equiv,
         "streaming_bloom_equiv": q_streaming_bloom_equiv,
@@ -8934,6 +8986,19 @@ def oracle_sql() -> dict[str, str]:
         "CAST(1 AS BIGINT) AS n_conflicts FROM "
         "(SELECT * FROM kept UNION ALL SELECT * FROM ladd "
         "UNION ALL SELECT * FROM radd)"
+    )
+    # RevertToAncestor resolves the same conflict to the ANCESTOR aux —
+    # the untouched nation rows, no echo batch, same conflict string.
+    d["dcl_merge_revert"] = (
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+        "'aux: drop_vs_modify' AS conflict FROM nation"
+    )
+    # Time travel: the ancestor extension exactly as inserted — the
+    # fixture's mod-7 predicate over customer, untouched by any branch.
+    d["dcl_time_travel"] = (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        "CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment "
+        "FROM customer WHERE c_custkey % 7 <> 0"
     )
     # PreferRight resurrects RIGHT's modified aux (ancestor nation rows
     # plus the shifted echo batch) and reports the drop-vs-modify conflict.

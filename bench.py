@@ -217,6 +217,8 @@ EXTENDED = [
     # superset law, and the k-core peel.
     "dcl_merge_prefer_left",
     "dcl_merge_conflict",
+    "dcl_merge_revert",
+    "dcl_time_travel",
     "rel_cdc_to_scd2_fused",
     "dedup_minhash_superset",
     "graph_kcore",
@@ -231,6 +233,8 @@ WATCH = [
     # Round-13 new entries.
     "dcl_merge_prefer_left",
     "dcl_merge_conflict",
+    "dcl_merge_revert",
+    "dcl_time_travel",
     "rel_cdc_to_scd2_fused",
     "dedup_minhash_superset",
     "graph_kcore",

@@ -231,8 +231,8 @@ def test_registry_contract():
         # changed implementations stay for driver re-verification
         "sort_hilbert_3d", "rel_cdc_to_scd2",
         "streaming_full_outer_join_equiv", "streaming_timeout_equiv",
-        # session-2 NEW oracle-backed entry (enters immediately)
-        "graph_kcore",
+        # session-2 NEW oracle-backed entries (enter immediately)
+        "graph_kcore", "dcl_merge_revert", "dcl_time_travel",
     }
     round13_out = {
         # each r11+r12 driver-green with in-window family rows; the
@@ -246,8 +246,10 @@ def test_registry_contract():
         "dedup_minhash_portable", "sim_ivfpq_topk_fixed",
         "multimodal_gif_exact", "rel_merge_delete", "rel_ivm_delta",
         "events_gapfill_locf",
-        # session-2 out: the SCD2 family keeps five window rows
-        "rel_scd2",
+        # session-2 outs: the SCD2 family keeps five window rows;
+        # near-dup keeps sim_semantic_dedup + the ann rows; zorder
+        # keeps layout + the Hilbert trio
+        "rel_scd2", "sim_embedding_near_dup", "sort_zorder_pruning",
     }
     window = set(qs[:50])
     assert round13_in <= window, sorted(round13_in - window)
