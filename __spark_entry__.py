@@ -3715,6 +3715,38 @@ def q_streaming_cms_equiv(spark, sf_dir):
     )
 
 
+def q_streaming_quantile_equiv(spark, sf_dir):
+    """Streaming ⇔ batch equivalence, DYADIC QUANTILES (round-13 session
+    3 — the last sketch family without a streaming twin):
+    windowed_value_quantile (16 levels x depth 2 x width 64 per-window
+    rank/percentile counters over cents-scaled purchase values, state
+    bounded at levels x depth x width rows per window at any value
+    cardinality) over the events file stream, hash-checked against the
+    same dyadic probe SQL as the batch sketch_quantile_registers entry
+    re-aimed at hourly event values. A green row proves incremental
+    watermarked execution accumulates the EXACT integer counters a
+    one-shot batch scan produces — which is the mergeability contract
+    (SUM across executors/windows/days) percentile dashboards rely on
+    at 100 TB."""
+    from sakura_spark.streaming import events as ev
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: ev.windowed_value_quantile(
+            s, window="1 hour", levels=16, depth=2, width=64
+        ),
+        "streaming_quantile_equiv_sink",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+        "level",
+        "row",
+        "bucket",
+        "cnt",
+    )
+
+
 def q_streaming_bloom_equiv(spark, sf_dir):
     """Streaming ⇔ batch equivalence, Bloom membership: windowed_user_bloom
     (m=1024, k=3 set bits per window — membership state bounded at m rows
@@ -6052,7 +6084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (concurrency + transition_probs stay). ---
         "text_hash_features": q_text_hash_features,
         "sim_ann_lsh": q_sim_ann_lsh,
-        "curation_leakage_split": q_curation_leakage_split,
         "multimodal_jpeg_exact": q_multimodal_jpeg_exact,
         "sketch_hll_cube": q_sketch_hll_cube,
         "rel_group_checksum": q_rel_group_checksum,
@@ -6110,11 +6141,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann rows, zorder keeps layout + the Hilbert trio).
         "dcl_merge_revert": q_dcl_merge_revert,
         "dcl_time_travel": q_dcl_time_travel,
+        # Round-13 session-3 in: the streaming dyadic-quantile twin —
+        # the last sketch family without a streaming equivalence row
+        # (new oracle-backed enters immediately); curation_leakage_split
+        # rotates past the cap (r11+r12 green, freshness_decay keeps
+        # curation's window row).
+        "streaming_quantile_equiv": q_streaming_quantile_equiv,
         # --- past the driver 50-entry cap (all still locally
         # verified by scripts/check_correctness.py; rotation history
         # in the docstring + git). Round-13 outs (r11+r12 green,
         # siblings in window): ---
         "rel_scd2": q_rel_scd2,
+        "curation_leakage_split": q_curation_leakage_split,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
         "sort_zorder_pruning": q_sort_zorder_pruning,
         "streaming_hll_equiv": q_streaming_hll_equiv,
@@ -8374,6 +8412,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(l AS INTEGER) AS level, CAST(i AS INTEGER) AS row, "
             "bucket, CAST(count(*) AS BIGINT) AS cnt "
             "FROM probes GROUP BY 1, 2, 3"
+        ),
+        # Streaming dyadic-quantile twin: the same probe spelling over
+        # hourly cents-scaled event values (round-13 session 3).
+        "streaming_quantile_equiv": (
+            "WITH v AS (SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:%M') AS hour, "
+            "CAST(floor(value * 100) AS BIGINT) AS x FROM events), "
+            "probes AS (SELECT hour, l, i, "
+            "('0x' || substr(sha256(concat_ws(chr(31), "
+            "'qd' || CAST(l AS VARCHAR) || '_' || CAST(i AS VARCHAR), "
+            "CAST(x >> l AS VARCHAR))), 1, 15))::BIGINT % 64 AS bucket "
+            "FROM v, range(16) tl(l), range(2) ti(i)) "
+            "SELECT hour, CAST(l AS INTEGER) AS level, "
+            "CAST(i AS INTEGER) AS row, bucket, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM probes GROUP BY 1, 2, 3, 4"
         ),
         "sketch_bloom_bits": (
             "WITH b AS (SELECT o_orderpriority, unnest(["

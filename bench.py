@@ -222,6 +222,7 @@ EXTENDED = [
     "rel_cdc_to_scd2_fused",
     "dedup_minhash_superset",
     "graph_kcore",
+    "streaming_quantile_equiv",
 ]
 
 # Entries whose implementation (or shared harness) changed in the CURRENT
@@ -238,6 +239,7 @@ WATCH = [
     "rel_cdc_to_scd2_fused",
     "dedup_minhash_superset",
     "graph_kcore",
+    "streaming_quantile_equiv",
     # Round-13 changed implementations: the stacked single-layout-pass
     # Hilbert entry, the adaptive-state full-outer join, the epoch-bound
     # min/max timeout fix, the 2^40 CDC commit seq, and the five

@@ -311,6 +311,34 @@ def dyadic_sketch(
         narrow = narrow.repartition(
             df.sparkSession.sparkContext.defaultParallelism
         )
+    return (
+        dyadic_probe_rows(
+            narrow, "__dy_x", levels, depth, width, salt=salt,
+            keep_cols=group_cols,
+        )
+        .groupBy(*group_cols, "level", "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dyadic_probe_rows(
+    df: DataFrame,
+    value_col: str,
+    levels: int,
+    depth: int,
+    width: int,
+    salt: str = "qd",
+    keep_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """The exploded (keep..., level, row, bucket) probe rows of the
+    dyadic structure BEFORE aggregation — shared by the batch
+    :func:`dyadic_sketch` and the streaming windowed variant
+    (sakura_spark/streaming/events.py) so both produce identical
+    counters, the cms_exprs convention. Two explodes of plain INT
+    arrays, then ONE hash on the already-exploded rows (see
+    dyadic_sketch's codegen note)."""
+    keep_cols = list(keep_cols)
+    v = F.col(value_col).cast("long")
     lvl_arr = F.array(*[F.lit(l) for l in range(levels)])
     row_arr = F.array(*[F.lit(i) for i in range(depth)])
     salt_col = F.concat(
@@ -319,17 +347,16 @@ def dyadic_sketch(
         F.lit("_"),
         F.col("row").cast("string"),
     )
-    prefix = F.expr(f"shiftright(__dy_x, level)")
+    prefix = F.expr("shiftright(__dy_px, level)")
     digest = F.sha2(
         F.concat_ws(_FS, salt_col, prefix.cast("string")), 256
     )
     bucket = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % width
     return (
-        narrow.select(*group_cols, "__dy_x", F.explode(lvl_arr).alias("level"))
+        df.select(*keep_cols, v.alias("__dy_px"))
+        .select(*keep_cols, "__dy_px", F.explode(lvl_arr).alias("level"))
         .select("*", F.explode(row_arr).alias("row"))
-        .select(*group_cols, "level", "row", bucket.alias("bucket"))
-        .groupBy(*group_cols, "level", "row", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(*keep_cols, "level", "row", bucket.alias("bucket"))
     )
 
 

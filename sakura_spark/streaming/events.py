@@ -176,6 +176,56 @@ def windowed_user_cms(
     )
 
 
+def windowed_value_quantile(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    levels: int = 16,
+    depth: int = 2,
+    width: int = 64,
+) -> DataFrame:
+    """Watermarked per-window DYADIC QUANTILE counters of the event value
+    (cents-scaled): (window_start, window_end, level, row, bucket, cnt)
+    — the streaming twin of the batch sketch_quantile_registers entry,
+    completing the streaming sketch matrix (HLL/CMS/Bloom/KMV had
+    windowed twins; rank/percentile state did not). Built from the SAME
+    probe spelling (sketches.dyadic_probe_rows), so a closed window's
+    counters are identical to a batch dyadic_sketch over that hour —
+    sketches.dyadic_quantiles then answers "p95 purchase value in hour
+    H" from kilobytes of counters without the stream ever storing raw
+    values. Mergeability by SUM is the operational point: executor
+    partials, late re-opens, and day-level rollups all combine without
+    resorting.
+
+    Scale shape: state per window is at most levels x depth x width
+    counter rows regardless of value cardinality; the levels x depth
+    row amplification happens BEFORE the window aggregation and
+    combines map-side. Domain contract (dyadic_sketch's): the scaled
+    value must be a non-negative integer < 2**levels."""
+    from sakura_spark.functions.sketches import dyadic_probe_rows
+
+    src = events.withWatermark("ts", watermark).select(
+        "ts", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    probes = dyadic_probe_rows(
+        src, "cents", levels, depth, width, keep_cols=("ts",)
+    )
+    return (
+        probes.groupBy(
+            F.window("ts", window).alias("win"), "level", "row", "bucket"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "level",
+            "row",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def windowed_user_bloom(
     events: DataFrame,
     window: str = "1 hour",

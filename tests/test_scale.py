@@ -231,8 +231,9 @@ def test_registry_contract():
         # changed implementations stay for driver re-verification
         "sort_hilbert_3d", "rel_cdc_to_scd2",
         "streaming_full_outer_join_equiv", "streaming_timeout_equiv",
-        # session-2 NEW oracle-backed entries (enter immediately)
+        # session-2/3 NEW oracle-backed entries (enter immediately)
         "graph_kcore", "dcl_merge_revert", "dcl_time_travel",
+        "streaming_quantile_equiv",
     }
     round13_out = {
         # each r11+r12 driver-green with in-window family rows; the
@@ -250,6 +251,8 @@ def test_registry_contract():
         # near-dup keeps sim_semantic_dedup + the ann rows; zorder
         # keeps layout + the Hilbert trio
         "rel_scd2", "sim_embedding_near_dup", "sort_zorder_pruning",
+        # session-3 out: freshness_decay keeps curation's window row
+        "curation_leakage_split",
     }
     window = set(qs[:50])
     assert round13_in <= window, sorted(round13_in - window)

@@ -448,3 +448,49 @@ def test_attributed_purchases_full_outer_batch_twin(spark):
         (5, None): 9,
         (None, 6): 10,
     }
+
+
+def test_windowed_value_quantile_matches_batch_counters(spark, stream):
+    """Closed streaming windows must carry identical dyadic-quantile
+    counters to the batch dyadic_sketch over the same rows — the
+    rank/percentile twin of the HLL/CMS/Bloom laws (round 13)."""
+    from sakura_spark.functions import sketches
+
+    q = ev.run_to_memory(
+        ev.windowed_value_quantile(
+            ev.read_event_stream(spark, stream),
+            window="1 hour", levels=10, depth=2, width=16,
+        ),
+        "value_quantile",
+        output_mode="append",
+    )
+    try:
+        got = {
+            (r["window_start"], r["level"], r["row"], r["bucket"]): r["cnt"]
+            for r in spark.table("value_quantile").collect()
+        }
+        assert got, "no watermark-closed windows emitted"
+        batch = spark.read.parquet(stream).select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        want = {
+            (r["window_start"], r["level"], r["row"], r["bucket"]): r["cnt"]
+            for r in sketches.dyadic_sketch(
+                batch, "cents", levels=10, depth=2, width=16,
+                group_cols=["window_start"],
+            ).collect()
+        }
+        for key, cnt in got.items():
+            assert want.get(key) == cnt, f"counter mismatch at {key}"
+        # The rank layer applies unchanged to one window's counters.
+        some_win = next(iter(got))[0]
+        counters = {
+            (lv, rw, b): c
+            for (w, lv, rw, b), c in got.items() if w == some_win
+        }
+        n = sum(c for (lv, rw, b), c in counters.items() if lv == 0 and rw == 0)
+        top_rank = sketches.dyadic_rank(counters, (1 << 10) - 1, 10, 2, 16)
+        assert top_rank == n  # every value ranks below the domain max
+    finally:
+        q.stop()
