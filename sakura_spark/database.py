@@ -23,6 +23,7 @@ History depth is capped at 128 states (lib/management/database.ml:45).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -388,8 +389,42 @@ class Database:
         for rname, rel in sorted(self.state.relations.items()):
             sig = schema_signature(rel.schema_pairs)
             if rel.hash is None:
-                rel.hash = relation_hash(rel.df, rname, sig)
-            self.store.put_relation(rel.hash, rel.df)
+                # Round-13 optimization (guide §2.4/§5): write FIRST to a
+                # temp dir (one execution of the mutation lineage), hash
+                # the WRITTEN parquet (a cheap re-scan, not a second run
+                # of the anti-join/union chain), then move the dir to its
+                # content-addressed key. The old order — hash-over-
+                # lineage then write-over-lineage — executed every
+                # mutation chain twice per commit (and AQE splits each
+                # into several jobs: the DCL fixture build dropped from
+                # 131 to ~90 Spark jobs). relation_hash is a commutative
+                # reduction over per-tuple sha256s, so hashing the
+                # read-back yields the identical hash (content-equal,
+                # order-free by construction).
+                import shutil
+                import tempfile
+
+                tmp = tempfile.mkdtemp(
+                    dir=os.path.join(self.store.root, "relations"),
+                    prefix="__staging_",
+                )
+                staged = os.path.join(tmp, "data")
+                rel.df.write.mode("overwrite").parquet(staged)
+                written = self.spark.read.parquet(staged)
+                rel.hash = relation_hash(written, rname, sig)
+                final = self.store.relation_path(rel.hash)
+                if os.path.exists(final):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    os.replace(staged, final)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                # Truncate the lineage: later readers (diff, merge, the
+                # entry's final select) scan the snapshot instead of
+                # re-running the mutation chain — the exact state
+                # Database.load would rebuild.
+                rel.df = self.store.get_relation(self.spark, rel.hash)
+            else:
+                self.store.put_relation(rel.hash, rel.df)
             manifest["relations"][rname] = {
                 "hash": rel.hash,
                 "schema": rel.schema_pairs,

@@ -694,10 +694,14 @@ def jaccard_selfjoin(
     pre = ranked.where(F.col("__rk") <= prefix_len).select("g", "id", "sz")
     # In-plan hot-bucket guard: count per prefix gram rides one more
     # window over the SAME g partitioning; an oversized bucket poisons
-    # the gram value with raise_error, so execution fails before the
-    # bounded collect below ever sees it.
+    # the row (via the struct's sz field, NOT the g key — poisoning g
+    # made the groupBy key a new expression and cost a second full
+    # Exchange on top of the window's; keyed on the untouched g the
+    # groupBy reuses the window's hashpartitioning, round-13 plan diff:
+    # 4 data Exchanges -> 3), so execution fails before the bounded
+    # collect below ever sees it.
     pre = pre.withColumn("__bc", F.count(F.lit(1)).over(W.partitionBy("g")))
-    guarded = F.when(F.col("__bc") <= max_prefix_bucket, F.col("g")).otherwise(
+    guarded_sz = F.when(F.col("__bc") <= max_prefix_bucket, F.col("sz")).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
@@ -709,11 +713,11 @@ def jaccard_selfjoin(
                     "'); raise the threshold (shorter prefixes) or "
                     "max_prefix_bucket"
                 ),
-            )
-        )
+            ).cast("string")
+        ).cast("int")
     )
     buckets = (
-        pre.select(guarded.alias("g"), F.struct("id", "sz").alias("x"))
+        pre.select("g", F.struct("id", guarded_sz.alias("sz")).alias("x"))
         .groupBy("g")
         .agg(F.sort_array(F.collect_list("x")).alias("xs"))
         .where(F.size("xs") > 1)
@@ -738,9 +742,42 @@ def jaccard_selfjoin(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    ver = cand.join(va, "id_a").join(vb, "id_b")
+    # Verification payload fetch: ONE join against the shingle table
+    # instead of two. Each candidate pair explodes into two legs keyed by
+    # the member id; the join attaches that member's shingle array (the
+    # shingle pipeline is computed ONCE here — the old two-join form
+    # recomputed the full tokenize+gram scan for va AND vb, 3 scans
+    # total counting the prefix pipeline; now 2), and the pair groupBy
+    # shuffles only CANDIDATE rows' arrays (bounded by the prefix
+    # principle), never the corpus. max() picks the single non-null
+    # array per side — exactly one row per (pair, side) by construction.
+    legs = cand.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id"),
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.lit(0).alias("side"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id"),
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.lit(1).alias("side"),
+                ),
+            )
+        ).alias("l")
+    ).select("l.*")
+    ver = (
+        sh.select("id", "sh")
+        .join(legs, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     uni = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (

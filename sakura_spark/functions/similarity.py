@@ -489,6 +489,7 @@ def pq_train(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — public
@@ -520,7 +521,10 @@ def pq_train(
     # a net loss — pq_train's heavy means stage shuffles anyway.
     base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)).persist()
     try:
-        dim = len(base.select(vec_col).first()[0])
+        if dim is None:
+            # One probe job; callers that already know the dimensionality
+            # (ivfpq_train — dim == len(coarse centroid)) pass it instead.
+            dim = len(base.select(vec_col).first()[0])
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         sub = dim // m
@@ -758,7 +762,10 @@ def ivfpq_train(
         train_df, n_centroids=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
     )
     res = ivf_residuals(train_df, centroids, vec_col=vec_col, id_col=id_col)
-    books = pq_train(res, m=m, k=k, iters=iters, vec_col="residual", id_col=id_col)
+    books = pq_train(
+        res, m=m, k=k, iters=iters, vec_col="residual", id_col=id_col,
+        dim=len(centroids[0]),
+    )
     return centroids, books
 
 
@@ -1124,19 +1131,29 @@ def embedding_moments(
     lattice with n=0 and NULL sums rather than zero rows — the
     statistic consumers (pca_from_moments) require n > 0 anyway.
     """
-    qs = [
-        F.floor(
-            F.col(vec_col).getItem(d).cast("double") * F.lit(float(grid))
-            + F.lit(0.5)
-        ).cast("long")
-        for d in range(dims)
-    ]
+    # Round-13: quantize in a SEPARATE projection so each q_d is
+    # evaluated once per row; inlining the floor expression into the
+    # aggregate list re-evaluated it in every sum that references it
+    # (~dims + 2 * C(dims+1, 2) evaluations per row instead of dims —
+    # measured 3.6 s -> 2.6 s at sf0.1, identical integer statistics).
+    quant = df.select(
+        *[
+            F.floor(
+                F.col(vec_col).getItem(d).cast("double") * F.lit(float(grid))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(f"__q{d}")
+            for d in range(dims)
+        ]
+    )
+    qs = [F.col(f"__q{d}") for d in range(dims)]
     aggs = [F.count(F.lit(1)).alias("n")]
     aggs += [F.sum(qs[d]).alias(f"s_{d}") for d in range(dims)]
     for i in range(dims):
         for j in range(i, dims):
             aggs.append(F.sum(qs[i] * qs[j]).alias(f"s_{i}_{j}"))
-    wide = df.agg(*aggs)
+    wide = quant.agg(*aggs)
     structs = []
     for i in range(dims):
         for j in range(i, dims):

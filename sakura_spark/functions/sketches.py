@@ -774,11 +774,39 @@ def heavy_hitters(
     representation): probing literal COUNT arrays instead paid the
     boxed-array interpreted-eval tax per probe (measured 16.5 s -> 2.2 s
     at sf0.1 for 260k x 4 probes when the count tables were the
-    width-sized array<long> literals)."""
+    width-sized array<long> literals).
+
+    Hash family (round-13 optimization): the prefilter's correctness
+    does NOT depend on the hash — ANY deterministic bucket function
+    gives the never-undercount property, and the exact second pass
+    kills the false positives regardless — so unlike the oracle-exact
+    cms_sketch entries (whose DuckDB twin must recompute sha256), this
+    operator hashes with JVM-codegen xxhash64 on both passes: 2*depth
+    xxhash64 evaluations per row instead of 2*depth sha256+hex-conv
+    (measured 4.8 s -> 2.9 s at sf0.1 on the 3-gram entry; the output
+    is provably the plain GROUP BY/HAVING either way, which is the
+    oracle)."""
     if min_count < 1:
         raise ValueError("min_count must be positive")
+
+    def bucket_of(col: Column, i: int) -> Column:
+        return F.pmod(F.xxhash64(F.lit(f"{salt}{i}"), col), F.lit(width))
+
     values = df.select(F.col(value_col).alias("item"))
-    sketch = cms_sketch(values, "item", depth=depth, width=width, salt=salt)
+    probe_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                bucket_of(F.col("item"), i).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    sketch = (
+        values.select(F.explode(probe_rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     nwords = -(-width // WORD_BITS)
     passes: list[list[int]] = [[0] * nwords for _ in range(depth)]
     for r in sketch.collect():
@@ -788,7 +816,7 @@ def heavy_hitters(
     masks = F.lit([1 << i for i in range(WORD_BITS)])
     cond = None
     for i in range(depth):
-        pos = hash_word(F.col("item"), f"{salt}{i}", word=0) % width
+        pos = bucket_of(F.col("item"), i)
         word = F.element_at(
             F.lit(passes[i]), (F.floor(pos / WORD_BITS) + 1).cast("int")
         )
