@@ -3776,14 +3776,28 @@ def q_streaming_quantile_equiv(spark, sf_dir):
     measurement flagged (executor OOM at 74k open windows), and
     pruning it with an event-time predicate is the production fix. The
     stream VOLUME still scales (every row crosses the filter); only
-    the retained window count is policy-bounded."""
+    the retained window count is policy-bounded.
+
+    Probe parallelism (round-13 optimization, guide §2.5 "input skew"):
+    each microbatch reads maxFilesPerTrigger=2 files, so WITHOUT the
+    repartition the levels*depth probe expansion + sha256 pipeline (32x
+    row amplification, the entry's dominant CPU) ran in TWO map tasks
+    regardless of core count — the single-row-group lesson from
+    dyadic_sketch's batch rebalance applied to the stream side. The
+    repartition shuffles only the narrow pre-expansion event rows
+    within each microbatch; batch boundaries, watermark advance, and
+    the aggregated counters are all partitioning-independent (verified:
+    exceptAll both ways = 0 rows; measured 9.7 -> 4.1 s at sf0.1).
+    defaultParallelism tracks local[$SPARK_GRAFT_CPUS], so the driver's
+    lower-core scaling run keeps a proportionate layout."""
     from sakura_spark.streaming import events as ev
 
     out = _run_events_stream(
         spark,
         sf_dir,
         lambda s: ev.windowed_value_quantile(
-            s.filter(F.col("ts") < F.lit("2024-02-01").cast("timestamp")),
+            s.filter(F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+            .repartition(spark.sparkContext.defaultParallelism),
             window="1 hour",
             levels=16,
             depth=2,
