@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from sakura_spark import errors
-from sakura_spark.domains import Domain, DomainRegistry, domain_violations, schema_to_struct
+from sakura_spark.domains import Domain, DomainRegistry, schema_to_struct
 from sakura_spark.hashing import (
     TUPLE_HASH_COL,
     database_hash,
@@ -256,6 +256,13 @@ class Database:
             raise errors.UnknownTuple(
                 f"delete_tuples: {n - present} tuples not present in {relation}"
             )
+        return self._apply_delete(rel, relation, batch, n)
+
+    def _apply_delete(self, rel: "Relation", relation: str, batch: DataFrame, n: int) -> int:
+        """Shared delete tail: cascade, then swap in the anti-joined
+        extension. `batch` must be duplicate-free rows known present in
+        the extension (delete_tuples proves it with its presence job;
+        delete_where's semijoin guarantees it by construction)."""
         new_df = rel.df.join(batch, on=rel.attrs, how="left_anti")
         resolver = self._resolver_with(relation, new_df)
         self._cascade(relation, batch, event="delete", resolver=resolver)
@@ -265,10 +272,27 @@ class Database:
 
     def assign(self, relation: str, df: DataFrame) -> int:
         """Assign (lib/dml/executor.ml:79-88): materialize a query and
-        replace the target's contents (clear + insert)."""
+        replace the target's contents (clear + insert).
+
+        The domain check and the returned row count fold into ONE
+        aggregation job (round-13 optimization — the same fold
+        insert_tuples already does); the old shape paid a
+        domain-violations count() plus a separate rel.df.count() after
+        the swap."""
+        from sakura_spark.domains import domain_violation_cond
+
         rel = self._rel(relation)
         batch = df.select(*rel.attrs).dropDuplicates()
-        self._check_domains(rel, batch)
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(domain_violation_cond(rel.schema_pairs, self.registry), 1).otherwise(0)
+            ).alias("domain_bad"),
+        ).collect()[0]
+        if stats["domain_bad"]:
+            raise errors.DomainViolation(
+                f"{stats['domain_bad']} rows violate domain checks on {rel.name}"
+            )
         resolver = self._resolver_with(relation, batch)
         checks = []
         for c in self._constraints_for(relation):
@@ -288,9 +312,8 @@ class Database:
         self._cascade(relation, batch, event="insert", resolver=resolver)
         self._cascade(relation, removed, event="delete", resolver=resolver)
         rel.df = batch
-        n = rel.df.count()
         self._mutated(relation)
-        return n
+        return stats["n"]
 
     def insert_from(self, relation: str, df: DataFrame) -> int:
         """InsertFrom — INSERT ... SELECT (lib/dml/executor.ml:89-97)."""
@@ -298,7 +321,14 @@ class Database:
 
     def delete_where(self, relation: str, predicate_rel: DataFrame) -> int:
         """DeleteWhere (lib/dml/executor.ml:98-126): delete rows matching a
-        predicate relation on their common attributes (semijoin form)."""
+        predicate relation on their common attributes (semijoin form).
+
+        One validation job, not three (round-13 optimization, guide §1.2
+        scheduler overhead): the doomed rows are a semijoin OF the
+        extension, so they are present and duplicate-free BY CONSTRUCTION
+        — delete_tuples' presence-check job and its dropDuplicates
+        exchange would re-prove what the semijoin already guarantees.
+        A single count() doubles as the empty-predicate early exit."""
         rel = self._rel(relation)
         common = [c for c in rel.attrs if c in predicate_rel.columns]
         if not common:
@@ -306,9 +336,10 @@ class Database:
         doomed = rel.df.join(
             predicate_rel.select(*common).dropDuplicates(), on=common, how="left_semi"
         )
-        if not doomed.take(1):
+        n = doomed.count()
+        if not n:
             return 0
-        return self.delete_tuples(relation, doomed)
+        return self._apply_delete(rel, relation, doomed, n)
 
     # ------------------------------------------------------------ queries
 
@@ -487,13 +518,6 @@ class Database:
         if isinstance(rows, DataFrame):
             return rows.select(*rel.attrs)
         return self.spark.createDataFrame([Row(**r) for r in rows], schema=struct)
-
-    def _check_domains(self, rel: Relation, batch: DataFrame) -> None:
-        bad = domain_violations(batch, rel.schema_pairs, self.registry).count()
-        if bad:
-            raise errors.DomainViolation(
-                f"{bad} rows violate domain checks on {rel.name}"
-            )
 
     def _constraints_for(self, relation: str) -> list[Constraint]:
         return [c for c in self.state.constraints.values() if c.relation == relation]

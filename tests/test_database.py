@@ -73,6 +73,64 @@ def test_insert_from_and_delete_where(db, spark):
     assert [r.name for r in db.relation("users").collect()] == ["Bob"]
 
 
+def test_delete_where_multi_row_and_noop(db, spark):
+    """Round-13 fold: delete_where runs ONE validation job (the semijoin
+    count) instead of take(1) + delete_tuples' presence job — the doomed
+    rows are present and duplicate-free by construction. Pins the
+    observable contract around the fold: exact multi-row count, exact
+    complement, zero on no match, and duplicate predicate rows counted
+    once."""
+    db.insert_tuples(
+        "users",
+        [{"name": "A", "age": 30}, {"name": "B", "age": 30}, {"name": "C", "age": 25}],
+    )
+    # Duplicate predicate rows must not double-count the deletions.
+    pred = spark.createDataFrame([(30,), (30,)], "age long")
+    assert db.delete_where("users", pred) == 2
+    assert [r.name for r in db.relation("users").collect()] == ["C"]
+    assert db.delete_where("users", spark.createDataFrame([(99,)], "age long")) == 0
+    assert db.relation("users").count() == 1
+
+
+def test_delete_where_cascade_rejection_is_atomic(spark, store):
+    """The folded delete_where tail still cascades: removing the last
+    Exists witness through a PREDICATE delete must raise and leave both
+    relations untouched (same contract test_delete_last_witness_rejected
+    pins for delete_tuples)."""
+    from sakura_spark.icl import Cmp, Exists, Var
+
+    db = Database(spark, "dw_cascade", store=store, snapshot_on_mutation=False)
+    db.create_relation("Parent", [("pid", "integer"), ("grp", "integer")])
+    db.create_relation("Child", [("cid", "integer"), ("grp", "integer")])
+    db.insert_tuples("Parent", [{"pid": 1, "grp": 100}, {"pid": 2, "grp": 200}])
+    db.register_constraint(
+        "child_has_parent",
+        "Child",
+        Exists("p", "Parent", Cmp("eq", Var("p.grp"), Var("grp"))),
+    )
+    db.insert_tuples("Child", [{"cid": 10, "grp": 100}])
+    with pytest.raises(errors.ConstraintViolation):
+        db.delete_where("Parent", spark.createDataFrame([(100,)], "grp long"))
+    assert db.relation("Parent").count() == 2
+    assert db.relation("Child").count() == 1
+
+
+def test_assign_returns_count_and_checks_domains(db, spark):
+    """Round-13 fold: assign's domain check and returned count share one
+    aggregation job. Pins the count (post-dropDuplicates) and the domain
+    rejection with the relation left untouched."""
+    db.insert_tuples("users", [{"name": "Alice", "age": 30}])
+    new = spark.createDataFrame(
+        [("X", 1), ("X", 1), ("Y", 2)], "name string, age long"
+    )
+    assert db.assign("users", new) == 2
+    assert {r.name for r in db.relation("users").collect()} == {"X", "Y"}
+    bad = spark.createDataFrame([("Neg", -5)], "name string, age long")
+    with pytest.raises(errors.DomainViolation):
+        db.assign("users", bad)
+    assert {r.name for r in db.relation("users").collect()} == {"X", "Y"}
+
+
 def test_catalog_relations(db):
     names = {r.name for r in db.relation("sakura:relation").collect()}
     assert names == {"users"}
