@@ -11,6 +11,8 @@ keys that hash-partition evenly.
 
 from __future__ import annotations
 
+import os
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -620,6 +622,22 @@ def user_epochs_with_timeout(
     )
 
 
+# run_to_memory mutates SHARED SparkSession conf (shuffle partitions /
+# no-data-batch) around each run with a save-then-restore. Session conf
+# is one mutable object across every thread, so CONCURRENT callers race
+# the capture: thread B reads thread A's in-flight values as its
+# "restore" state and writes them back last, leaving the session with
+# no_data_batch=False + state_partitions pinned AFTER both calls
+# finished. Measured in the full pytest suite (the registry-wide plan
+# lint runs 13 streaming entry builders on an 8-thread pool): the
+# leaked pair silently emptied every later append-mode memory sink —
+# windows never closed without the final watermark tick — failing six
+# streaming tests two modules downstream. One lock around the
+# conf-set → run → restore critical section makes the capture atomic;
+# sequential callers (driver, bench, sweep) never contend.
+_RUN_TO_MEMORY_LOCK = threading.Lock()
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,
@@ -643,7 +661,23 @@ def run_to_memory(
     final watermark tick (the sentinel-file harnesses — see
     q_streaming_kmv_equiv's watermark walk — are designed exactly so).
     Both confs are set before start() (query planning reads them there)
-    and restored after the run so the shared session is untouched."""
+    and restored after the run so the shared session is untouched; the
+    whole set → run → restore section holds _RUN_TO_MEMORY_LOCK so
+    concurrent callers cannot interleave captures and restores (see the
+    lock's comment for the measured six-test flake this fixes)."""
+    with _RUN_TO_MEMORY_LOCK:
+        return _run_to_memory_locked(
+            df, name, output_mode, state_partitions, no_data_batch
+        )
+
+
+def _run_to_memory_locked(
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int | None,
+    no_data_batch: bool,
+):
     spark = df.sparkSession
     restore: dict[str, str] = {}
     if state_partitions is not None:
@@ -677,6 +711,31 @@ def run_to_memory(
             raise RuntimeError(
                 f"availableNow query '{name}' still active after 300s; "
                 f"lastProgress={q.lastProgress}"
+            )
+        if os.environ.get("SAKURA_STREAM_DEBUG"):
+            # Post-mortem line per run (diagnosing the empty-memory-sink
+            # full-suite flake): batch count, final watermark, input rows
+            # and the effective no-data-batch conf tell apart "no final
+            # watermark tick" from "source listed nothing" from "sink
+            # table lost".
+            import sys as _sys
+
+            progs = [p for p in (q.recentProgress or []) if p]
+            last = progs[-1] if progs else {}
+            try:
+                sink_rows = spark.table(name).count()
+            except Exception as exc:  # pragma: no cover - diagnostic only
+                sink_rows = f"ERR:{exc}"
+            total_in = sum(int(p.get("numInputRows") or 0) for p in progs)
+            print(
+                f"[stream-debug] {name}: sink_rows={sink_rows} "
+                f"batches={len(progs)} last_batch={last.get('batchId')} "
+                f"watermark={(last.get('eventTime') or {}).get('watermark')} "
+                f"total_input_rows={total_in} "
+                f"noData={spark.conf.get('spark.sql.streaming.noDataMicroBatches.enabled')} "
+                f"shuffle={spark.conf.get('spark.sql.shuffle.partitions')}",
+                file=_sys.stderr,
+                flush=True,
             )
     finally:
         for k, v in restore.items():

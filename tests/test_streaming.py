@@ -450,6 +450,48 @@ def test_attributed_purchases_full_outer_batch_twin(spark):
     }
 
 
+def test_run_to_memory_concurrent_conf_restore(spark, stream):
+    """Regression (round-13 session 2): concurrent run_to_memory callers
+    raced the shared-session conf save/restore — a thread captured
+    another's in-flight shuffle/no-data values as its restore state and
+    wrote them back last, leaving noDataMicroBatches=false pinned
+    session-wide. Every later append-mode stream then emitted NOTHING
+    (no final watermark tick), failing six downstream tests whenever
+    the registry plan lint (8-thread pool over all entry builders) ran
+    earlier in the suite. run_to_memory now serializes the
+    set → run → restore section; this drives four concurrent runs with
+    conflicting knobs and asserts the session conf comes back exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+        )
+    }
+
+    def one(i):
+        q = ev.run_to_memory(
+            ev.windowed_counts(ev.read_event_stream(spark, stream), window="1 hour"),
+            f"conc_sink_{i}",
+            output_mode="append",
+            state_partitions=3 + i,
+            no_data_batch=bool(i % 2),
+        )
+        try:
+            return spark.table(f"conc_sink_{i}").count()
+        finally:
+            q.stop()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        counts = list(pool.map(one, range(4)))
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before, f"conf leaked: {after} != {before}"
+    # no_data_batch=True runs must have closed windows (nonempty sinks).
+    assert counts[1] > 0 and counts[3] > 0
+
+
 def test_windowed_value_quantile_matches_batch_counters(spark, stream):
     """Closed streaming windows must carry identical dyadic-quantile
     counters to the batch dyadic_sketch over the same rows — the
