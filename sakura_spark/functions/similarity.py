@@ -1151,38 +1151,40 @@ def embedding_moments(
     # aggregate list re-evaluated it in every sum that references it
     # (~dims + 2 * C(dims+1, 2) evaluations per row instead of dims —
     # measured 3.6 s -> 2.6 s at sf0.1, identical integer statistics).
-    quant = df.select(
+    #
+    # Round-13 (session 3): the SAME expressions, built server-side via
+    # selectExpr strings. The Column-API spelling issued one py4j round
+    # trip per expression NODE (~3000 for 153 aggregates + 136 structs x
+    # 6 fields), so plan BUILD dominated the entry's wall time — measured
+    # 4.2 s build / 0.7 s exec at sf0.1, vs 0.15 s build with three
+    # selectExpr calls (expressions parsed in the JVM). Bit-identical:
+    # double literals round-trip through repr()+D-suffix exactly, SQL
+    # arr[d] is getItem(d), named_struct/inline are the same operators,
+    # and a select of aggregate expressions plans the same global
+    # Aggregate as .agg() — verified schema-, value- and order-identical.
+    g = repr(float(grid))
+    quant = df.selectExpr(
         *[
-            F.floor(
-                F.col(vec_col).getItem(d).cast("double") * F.lit(float(grid))
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias(f"__q{d}")
+            f"CAST(FLOOR(CAST(`{vec_col}`[{d}] AS DOUBLE) * {g}D + 0.5D) "
+            f"AS BIGINT) AS __q{d}"
             for d in range(dims)
         ]
     )
-    qs = [F.col(f"__q{d}") for d in range(dims)]
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(qs[d]).alias(f"s_{d}") for d in range(dims)]
-    for i in range(dims):
-        for j in range(i, dims):
-            aggs.append(F.sum(qs[i] * qs[j]).alias(f"s_{i}_{j}"))
-    wide = quant.agg(*aggs)
-    structs = []
-    for i in range(dims):
-        for j in range(i, dims):
-            structs.append(
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.lit(j).alias("j"),
-                    F.col("n").alias("n"),
-                    F.col(f"s_{i}").alias("s_i"),
-                    F.col(f"s_{j}").alias("s_j"),
-                    F.col(f"s_{i}_{j}").alias("s_ij"),
-                )
-            )
-    return wide.select(F.inline(F.array(*structs)))
+    aggs = ["COUNT(1) AS n"]
+    aggs += [f"SUM(__q{d}) AS s_{d}" for d in range(dims)]
+    aggs += [
+        f"SUM(__q{i} * __q{j}) AS s_{i}_{j}"
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    wide = quant.selectExpr(*aggs)
+    structs = ", ".join(
+        f"named_struct('i', {i}, 'j', {j}, 'n', n, "
+        f"'s_i', s_{i}, 's_j', s_{j}, 's_ij', s_{i}_{j})"
+        for i in range(dims)
+        for j in range(i, dims)
+    )
+    return wide.selectExpr(f"inline(array({structs}))")
 
 
 def embedding_moments_oracle_sql(

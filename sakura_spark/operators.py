@@ -671,68 +671,64 @@ def hilbert_key_nd(
         raise ValueError("hilbert_key_nd needs at least 2 dimension columns")
     if bits * n > 62:
         raise ValueError("bits * dims must be <= 62 to fit a signed BIGINT")
-    keep = list(df.columns)
+    # Round-13 (session 3): the SAME walk, emitted as selectExpr strings
+    # parsed in the JVM instead of Column-API calls — the (bits-1)*n
+    # chained projections issued one py4j round trip per expression node
+    # (~1000 for bits=8, n=3), so plan BUILD alone cost ~2.5 s of
+    # sort_hilbert_3d's wall time (execution unchanged). Integer-exact
+    # either way: verified bit-identical on exhaustive n=2/3/4 grids and
+    # the published Skilling vectors (tests), and the generated plan is
+    # the same CASE/XOR arithmetic whole-stage codegen compiles.
+    keep = [f"`{c}`" for c in df.columns]
     xs = [f"__hx{i}" for i in range(n)]
-    out = df.select(
-        *keep, *[F.col(c).cast("long").alias(x) for c, x in zip(cols, xs)]
+    out = df.selectExpr(
+        *keep, *[f"CAST(`{c}` AS BIGINT) AS {x}" for c, x in zip(cols, xs)]
     )
 
     def proj(repl: dict):
-        cs = [F.col(c) for c in keep]
-        cs += [repl.get(x, F.col(x)).alias(x) for x in xs]
-        return out.select(*cs)
+        return out.selectExpr(*keep, *[repl.get(x, x) for x in xs])
 
     q = 1 << (bits - 1)
     while q > 1:
         p = q - 1
         for i in range(n):
-            cond = F.col(xs[i]).bitwiseAND(F.lit(q).cast("long")) != 0
+            cond = f"(({xs[i]} & {q}L) != 0)"
             if i == 0:
                 out = proj(
                     {
-                        xs[0]: F.when(
-                            cond, F.col(xs[0]).bitwiseXOR(F.lit(p).cast("long"))
-                        ).otherwise(F.col(xs[0]))
+                        xs[0]: f"CASE WHEN {cond} THEN ({xs[0]} ^ {p}L) "
+                        f"ELSE {xs[0]} END AS {xs[0]}"
                     }
                 )
             else:
-                t = (
-                    F.col(xs[0]).bitwiseXOR(F.col(xs[i]))
-                ).bitwiseAND(F.lit(p).cast("long"))
+                t = f"(({xs[0]} ^ {xs[i]}) & {p}L)"
                 out = proj(
                     {
-                        xs[0]: F.when(
-                            cond, F.col(xs[0]).bitwiseXOR(F.lit(p).cast("long"))
-                        ).otherwise(F.col(xs[0]).bitwiseXOR(t)),
-                        xs[i]: F.when(cond, F.col(xs[i])).otherwise(
-                            F.col(xs[i]).bitwiseXOR(t)
-                        ),
+                        xs[0]: f"CASE WHEN {cond} THEN ({xs[0]} ^ {p}L) "
+                        f"ELSE ({xs[0]} ^ {t}) END AS {xs[0]}",
+                        xs[i]: f"CASE WHEN {cond} THEN {xs[i]} "
+                        f"ELSE ({xs[i]} ^ {t}) END AS {xs[i]}",
                     }
                 )
         q >>= 1
     for i in range(1, n):
-        out = proj({xs[i]: F.col(xs[i]).bitwiseXOR(F.col(xs[i - 1]))})
-    t_fold = F.lit(0).cast("long")
+        out = proj({xs[i]: f"({xs[i]} ^ {xs[i-1]}) AS {xs[i]}"})
+    t_fold = "CAST(0 AS BIGINT)"
     q = 1 << (bits - 1)
     while q > 1:
-        t_fold = t_fold.bitwiseXOR(
-            F.when(
-                F.col(xs[n - 1]).bitwiseAND(F.lit(q).cast("long")) != 0,
-                F.lit(q - 1).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
+        t_fold = (
+            f"({t_fold} ^ CASE WHEN (({xs[n-1]} & {q}L) != 0) "
+            f"THEN {q-1}L ELSE 0L END)"
         )
         q >>= 1
-    out = out.select(*keep, *[F.col(x) for x in xs], t_fold.alias("__ht"))
-    out = out.select(
-        *keep,
-        *[F.col(x).bitwiseXOR(F.col("__ht")).alias(x) for x in xs],
-    )
-    h = F.lit(0).cast("long")
+    out = out.selectExpr(*keep, *xs, f"{t_fold} AS __ht")
+    out = out.selectExpr(*keep, *[f"({x} ^ __ht) AS {x}" for x in xs])
+    h = "CAST(0 AS BIGINT)"
     for lvl in range(bits):
         for i in range(n):
-            bit = F.shiftright(F.col(xs[i]), lvl).bitwiseAND(F.lit(1).cast("long"))
-            h = h.bitwiseOR(F.shiftleft(bit, lvl * n + (n - 1 - i)))
-    return out.select(*keep, h.alias(out_col))
+            bit = f"(shiftright({xs[i]}, {lvl}) & 1L)"
+            h = f"({h} | shiftleft({bit}, {lvl * n + (n - 1 - i)}))"
+    return out.selectExpr(*keep, f"{h} AS `{out_col}`")
 
 
 def hilbert_nd_oracle_ctes(n: int, bits: int = 8) -> str:
