@@ -483,6 +483,37 @@ def probe_md5(mib: int) -> float:
     return round(time.time() - t0, 4)
 
 
+def probe_md5_mt8(mib: int) -> float:
+    """8-thread md5 probe, ``mib`` MiB PER THREAD — the per-query twin of
+    environment()'s cpu_probe_mt8 (hashlib releases the GIL, so with free
+    cores the wall time ~= the single-thread probe over the same per-core
+    bytes). Round-13 session-4 lesson: a headline window ran 6.5x slow
+    (dedup_minhash_pairs 37 s vs 2.8 isolated minutes later) while every
+    per-query SINGLE-thread probe read quiet (median 0.025) — co-tenant
+    steal took most cores but always left one free, so the st-median
+    retry trigger never fired and the contended window went unhealed.
+    The mt8/st ratio per query is the signal that distinguishes the two:
+    ~1.0-1.2 with free cores, >1.35 under multi-core steal, independent
+    of absolute machine speed."""
+    import hashlib
+    import threading
+
+    chunk = b"\x00" * (1 << 20)
+
+    def worker():
+        hh = hashlib.md5()
+        for _ in range(mib):
+            hh.update(chunk)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return round(time.time() - t0, 4)
+
+
 def run_query(fn, spark, sf_dir, noop: bool = False):
     df = fn(spark, sf_dir)
     if noop:
@@ -525,6 +556,7 @@ def main() -> None:
         w_times: dict[str, float] = {}
         w_load: list = []
         w_probe: list = []
+        w_probe_mt: list = []
         for name in HEADLINE:
             fn = qs[name]
             try:
@@ -532,15 +564,16 @@ def main() -> None:
             except OSError:
                 w_load.append(None)
             w_probe.append(probe_md5(16))
+            w_probe_mt.append(probe_md5_mt8(16))
             best = float("inf")
             for _ in range(runs_headline):
                 t0 = time.time()
                 run_query(fn, spark, sf_dir)
                 best = min(best, time.time() - t0)
             w_times[name] = round(best, 3)
-        return w_times, w_load, w_probe
+        return w_times, w_load, w_probe, w_probe_mt
 
-    times1, q_load, q_probe = headline_window()
+    times1, q_load, q_probe, q_probe_mt = headline_window()
     times = dict(times1)
 
     # SELF-HEALING window (round-13, VERDICT r12 item 5): the r11 and r12
@@ -556,11 +589,32 @@ def main() -> None:
     probe_pre = env.get("cpu_probe_md5_64mib_sec")
     ambient16 = probe_pre / 4 if probe_pre else None
     med_probe = sorted(q_probe)[len(q_probe) // 2] if q_probe else None
+    # Round-13 session-4 addition: the mt8/st ratio per query catches
+    # multi-core co-tenant steal that leaves one core free (st probes
+    # all quiet, headline 6.5x slow — the exact shape the r12-item-5
+    # trigger missed when it finally fired in anger). Ratio of medians,
+    # so absolute machine speed cancels; quiet reads ~1.0-1.2.
+    med_probe_mt = (
+        sorted(q_probe_mt)[len(q_probe_mt) // 2] if q_probe_mt else None
+    )
+    mt_ratio = (
+        round(med_probe_mt / med_probe, 3)
+        if med_probe and med_probe_mt
+        else None
+    )
     headline_windows = 1
     window2: dict = {}
     retry_factor = float(os.environ.get("BENCH_RETRY_FACTOR", "1.15"))
-    if ambient16 and med_probe and med_probe > retry_factor * ambient16:
-        times2, q_load2, q_probe2 = headline_window()
+    # 1.25 splits the observed distributions: quiet-window mt8/st medians
+    # on record read 0.93-1.15, while the r12 contended artifact (headline
+    # 1.55x inflated) ran at ~1.24 and session-4's burst at ~1.5. A false
+    # positive merely buys one extra window (per-query best keeps the
+    # faster reading), so the threshold errs toward firing.
+    retry_mt_ratio = float(os.environ.get("BENCH_RETRY_MT_RATIO", "1.25"))
+    st_contended = ambient16 and med_probe and med_probe > retry_factor * ambient16
+    mt_contended = mt_ratio is not None and mt_ratio > retry_mt_ratio
+    if st_contended or mt_contended:
+        times2, q_load2, q_probe2, q_probe_mt2 = headline_window()
         for k in times:
             times[k] = min(times[k], times2[k])
         headline_windows = 2
@@ -574,8 +628,10 @@ def main() -> None:
         window2 = {
             "q_load_w2": q_load2,
             "q_probe16_w2": q_probe2,
+            "q_probe_mt8_w2": q_probe_mt2,
             "headline_times_w1": times1,
             "headline_times_w2": times2,
+            "retry_trigger": "st_median" if st_contended else "mt8_ratio",
         }
 
     total = round(sum(times.values()), 3)
@@ -620,6 +676,8 @@ def main() -> None:
                 "queries": times,
                 "headline_loadavg_per_query": q_load,
                 "headline_probe16_per_query": q_probe,
+                "headline_probe_mt8_per_query": q_probe_mt,
+                "headline_mt8_st_ratio": mt_ratio,
                 "headline_runs": runs_headline,
                 "headline_windows": headline_windows,
                 **window2,
@@ -661,6 +719,16 @@ def main() -> None:
             # attributable to the exact queries it inflated.
             "q_load": q_load,
             "q_probe16": q_probe,
+            # Per-query mt8/st probe ratio (8-thread twin of q_probe16,
+            # 16 MiB/thread; raw array in the full line above): >> 1
+            # means multi-core steal with a free core — the contention
+            # shape the single-thread probe cannot see (session-4 case:
+            # headline 6.5x slow, every q_probe16 quiet, ratio 1.5+).
+            "q_mt8_ratio": [
+                round(m / s, 2) if (m and s) else None
+                for m, s in zip(q_probe_mt, q_probe)
+            ],
+            "mt8_st_ratio": mt_ratio,
             # 2 = the mid-run probes flagged contention and the headline
             # re-ran once, per-query best kept across both windows (the
             # second window's arrays are in the full line above).
