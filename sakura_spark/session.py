@@ -51,6 +51,12 @@ def get_spark(
         # fans out). At cluster scale files dwarf maxPartitionBytes and
         # these floors are no-ops; at bench scale they stop a single small
         # parquet file from pinning expression-heavy pipelines to 1 task.
+        # The floor is the HOST's physical count, not the session's core
+        # budget, and that is deliberate (round-13 A/B at CPUS=8):
+        # tying it to the budget (8 splits on 8 cores) removed the
+        # 4-wave over-decomposition that load-balances expression-heavy
+        # map stages across uneven parquet splits — dedup_minhash_pairs
+        # regressed 2.32 -> 4.04 s while light scans gained ~0.1 s.
         .config("spark.sql.files.minPartitionNum", str(n_cores))
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         # Some sources write TIMESTAMP(NANOS) which Spark's vectorized reader
