@@ -547,9 +547,10 @@ def main() -> None:
     # Warm-up: JVM, parquet footer caches, codegen paths.
     run_query(qs["rel_equijoin"], spark, sf_dir)
 
-    # Headline is best-of-3 by default (round-12 item 8; extended stays
-    # best-of-2) — one more sample per frozen query buys drift immunity
-    # for the number BASELINE.md is compared against.
+    # Headline is best-of-3 by default (round-12 item 8; extended joined
+    # at round 13 session 5 with the best-of-2 twin recorded) — one more
+    # sample per frozen query buys drift immunity for the number
+    # BASELINE.md is compared against.
     runs_headline = int(os.environ.get("BENCH_RUNS_HEADLINE", str(max(runs, 3))))
 
     def headline_window():
@@ -656,15 +657,27 @@ def main() -> None:
             best = min(best, time.time() - t0)
         headline_noop[name] = round(best, 3)
 
+    # Extended is best-of-3 as of round 13 session 5 (declared in
+    # OPTIMIZATION_r13.md, mirroring the round-12 headline hardening):
+    # per-run decay curves show C2 JIT warm-up still cutting entry
+    # times 15-40% between run 2 and run 3 (text_lm_score isolated:
+    # 11.6 -> 3.7 -> 3.1 -> 2.65 s), so best-of-2 timed the JVM's
+    # compiler, not the query, on expression-heavy entries. The OLD
+    # protocol's reading is still recorded per entry — extended_best2 =
+    # min of the FIRST TWO runs, byte-for-byte the r12 methodology —
+    # so cross-round comparisons stay apples-to-apples.
+    runs_extended = int(os.environ.get("BENCH_RUNS_EXTENDED", str(max(runs, 3))))
     extended: dict[str, float] = {}
+    extended_b2: dict[str, float] = {}
     for name in EXTENDED:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(runs):
+        rts: list[float] = []
+        for _ in range(runs_extended):
             t0 = time.time()
             run_query(fn, spark, sf_dir, noop=name in NOOP_SINK)
-            best = min(best, time.time() - t0)
-        extended[name] = round(best, 3)
+            rts.append(time.time() - t0)
+        extended[name] = round(min(rts), 3)
+        extended_b2[name] = round(min(rts[:2]), 3)
 
     print(
         json.dumps(
@@ -683,6 +696,8 @@ def main() -> None:
                 **window2,
                 "headline_noop": headline_noop,
                 "extended": extended,
+                "extended_best2": extended_b2,
+                "extended_runs": runs_extended,
                 "sf": sf,
                 "environment": {
                     **env,
@@ -749,6 +764,10 @@ def main() -> None:
         "metric": "extended_sec",
         "n_extended": len(extended),
         "total_extended_sec": round(sum(extended.values()), 3),
+        # r12-protocol twin (best of the first two runs) for
+        # cross-round comparison; see the full line's extended_best2.
+        "total_extended_best2_sec": round(sum(extended_b2.values()), 3),
+        "extended_runs": runs_extended,
         "note": "watch+slowest subset; full set in the big line above",
     }
     for n in pinned + by_slowest:
