@@ -669,8 +669,32 @@ def main() -> None:
     runs_extended = int(os.environ.get("BENCH_RUNS_EXTENDED", str(max(runs, 3))))
     extended: dict[str, float] = {}
     extended_b2: dict[str, float] = {}
+    # Extended-phase self-heal (round-13 session 5): the headline's
+    # probe-and-retry discipline, applied per extended entry. Motivating
+    # incident: a closing-bench run read dedup_jaccard_selfjoin 20.4 s in
+    # ALL THREE runs (isolated re-measure minutes later: 7.15 s on
+    # identical code) — a sustained co-tenant burst defeats per-entry
+    # best-of-N because the runs are back-to-back, and the r11/r12
+    # driver artifacts were contaminated in exactly this phase. The
+    # 16 MiB st + mt8 probes (outside every timed region) mark entries
+    # whose window was contended; after the full pass those entries get
+    # ONE more run each (bounded, most-expensive-first) on what is by
+    # then usually a recovered machine, and the per-entry best wins.
+    # Same calibrated thresholds as the headline triggers; the b2 twin
+    # stays first-two-of-the-main-pass (the r12 protocol had no reruns).
+    ext_probe: dict[str, float] = {}
+    ext_mt_ratio: dict[str, float] = {}
+    ext_flagged: list[str] = []
     for name in EXTENDED:
         fn = qs[name]
+        st = probe_md5(16)
+        mt = probe_md5_mt8(16)
+        ext_probe[name] = st
+        ext_mt_ratio[name] = round(mt / st, 2) if st else None
+        st_bad = ambient16 and st > retry_factor * ambient16
+        mt_bad = st and (mt / st) > retry_mt_ratio
+        if st_bad or mt_bad:
+            ext_flagged.append(name)
         rts: list[float] = []
         for _ in range(runs_extended):
             t0 = time.time()
@@ -678,6 +702,16 @@ def main() -> None:
             rts.append(time.time() - t0)
         extended[name] = round(min(rts), 3)
         extended_b2[name] = round(min(rts[:2]), 3)
+    ext_reruns: dict[str, float] = {}
+    rerun_max = int(os.environ.get("BENCH_EXT_RERUN_MAX", "24"))
+    for name in sorted(ext_flagged, key=lambda n: extended[n], reverse=True)[
+        :rerun_max
+    ]:
+        fn = qs[name]
+        t0 = time.time()
+        run_query(fn, spark, sf_dir, noop=name in NOOP_SINK)
+        ext_reruns[name] = round(time.time() - t0, 3)
+        extended[name] = min(extended[name], ext_reruns[name])
 
     print(
         json.dumps(
@@ -698,6 +732,10 @@ def main() -> None:
                 "extended": extended,
                 "extended_best2": extended_b2,
                 "extended_runs": runs_extended,
+                "extended_probe16": ext_probe,
+                "extended_mt8_ratio": ext_mt_ratio,
+                "extended_flagged": ext_flagged,
+                "extended_reruns": ext_reruns,
                 "sf": sf,
                 "environment": {
                     **env,
@@ -768,6 +806,11 @@ def main() -> None:
         # cross-round comparison; see the full line's extended_best2.
         "total_extended_best2_sec": round(sum(extended_b2.values()), 3),
         "extended_runs": runs_extended,
+        # Contended-entry self-heal (session 5): how many entries'
+        # probe flagged their window, and how many got the bounded
+        # one-shot re-run (details in the full line's extended_* keys).
+        "ext_flagged": len(ext_flagged),
+        "ext_reruns": len(ext_reruns),
         "note": "watch+slowest subset; full set in the big line above",
     }
     for n in pinned + by_slowest:
