@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Per-query time = best of BENCH_RUNS (default 2) executions of the full
-pipeline including the action (count/collect-to-driver of the result), after
-one warm-up query to absorb JVM/codegen startup.
+Per-query time = best of BENCH_RUNS_HEADLINE / BENCH_RUNS_EXTENDED
+executions (both default max(BENCH_RUNS, 3), i.e. best-of-3 — headline
+since round 12, extended since round 13; the r12 best-of-2 reading is
+still recorded per extended entry as `extended_best2`) of the full
+pipeline including the action (count/collect-to-driver of the result),
+after one warm-up query to absorb JVM/codegen startup.
 """
 
 from __future__ import annotations
@@ -514,6 +517,36 @@ def probe_md5_mt8(mib: int) -> float:
     return round(time.time() - t0, 4)
 
 
+# A deliberately parallelism-BOUND calibration entry (round-14, VERDICT
+# r13 item 1): PERF_r13 flagged `suspect_cpus_ignored` because at sf0.1
+# every headline query is 0.16-1.7 s — planning/scheduling-dominated, so
+# the driver's c32-vs-c8 ratios all read ~1.0 and nothing in the artifact
+# could REFUTE the suspicion that the bench ignores $SPARK_GRAFT_CPUS
+# (it does not: get_spark builds master(local[$SPARK_GRAFT_CPUS])). This
+# entry is fixed CPU work in 64 equal codegen tasks — sha2 chains over
+# disjoint id ranges — so its wall time scales inversely with the
+# session's core budget (2 task waves at 32 cores, 8 waves at 8): the
+# driver's low-core twin run reads ~4x, making the core-count contract
+# self-proving from the artifact alone. It is reported inside `queries`
+# (the contract allows additions) but NEVER enters the headline total,
+# which stays the frozen 18-query sum comparable to BASELINE.md.
+SCALING_PROBE = "cpu_scaling_probe_64task"
+
+
+def scaling_probe(spark) -> float:
+    from pyspark.sql import functions as F
+
+    # 64 partitions x 400k rows, 4 chained sha2 per row — one map-only
+    # codegen stage, zero shuffle, agg forces every row.
+    df = spark.range(0, 64 * 400_000, 1, 64)
+    h = F.sha2(F.col("id").cast("string"), 256)
+    for _ in range(3):
+        h = F.sha2(h, 256)
+    t0 = time.time()
+    df.select(h.alias("h")).agg(F.max("h")).collect()
+    return round(time.time() - t0, 3)
+
+
 def run_query(fn, spark, sf_dir, noop: bool = False):
     df = fn(spark, sf_dir)
     if noop:
@@ -543,6 +576,11 @@ def main() -> None:
     )
     env = environment()
     env.update(quiet)
+    # The core-count contract, recorded where the driver can check it
+    # (VERDICT r13 item 1): the session's actual master string and task
+    # parallelism. Both also ride the compact tail line.
+    env["spark_master"] = spark.sparkContext.master
+    env["spark_default_parallelism"] = spark.sparkContext.defaultParallelism
 
     # Warm-up: JVM, parquet footer caches, codegen paths.
     run_query(qs["rel_equijoin"], spark, sf_dir)
@@ -635,7 +673,9 @@ def main() -> None:
             "retry_trigger": "st_median" if st_contended else "mt8_ratio",
         }
 
-    total = round(sum(times.values()), 3)
+    # Frozen headline total: sum over the 18 HEADLINE entries ONLY (the
+    # scaling probe added to `times` below never enters it).
+    total = round(sum(times[n] for n in HEADLINE), 3)
     # Probe-normalized total (round-8 verdict item 9): scale the headline
     # by machine speed so cross-round artifacts compare directly instead
     # of via per-round prose adjudication in BASELINE.md. Reference probe
@@ -656,6 +696,10 @@ def main() -> None:
             run_query(fn, spark, sf_dir, noop=True)
             best = min(best, time.time() - t0)
         headline_noop[name] = round(best, 3)
+
+    # Parallelism-bound calibration entry (see SCALING_PROBE above):
+    # best-of-2, rides `queries` but never the frozen headline total.
+    times[SCALING_PROBE] = min(scaling_probe(spark), scaling_probe(spark))
 
     # Extended is best-of-3 as of round 13 session 5 (declared in
     # OPTIMIZATION_r13.md, mirroring the round-12 headline hardening):
@@ -682,32 +726,58 @@ def main() -> None:
     # then usually a recovered machine, and the per-entry best wins.
     # Same calibrated thresholds as the headline triggers; the b2 twin
     # stays first-two-of-the-main-pass (the r12 protocol had no reruns).
+    # Boundary probes: one st/mt8 pair BETWEEN entries, shared — probe i
+    # is entry i's PRE probe and entry i-1's POST probe (round-14, ADVICE
+    # r13: a burst starting after an entry's pre-probe but during its
+    # runs used to land its flag on the NEXT entry; flagging on either
+    # boundary attributes a mid-entry burst to the entry it inflated, at
+    # zero extra probe cost). One trailing probe closes the last entry.
     ext_probe: dict[str, float] = {}
-    ext_mt_ratio: dict[str, float] = {}
+    ext_mt_ratio: dict[str, float | None] = {}
+    ext_probe_post: dict[str, float] = {}
+    ext_mt_ratio_post: dict[str, float | None] = {}
     ext_flagged: list[str] = []
-    for name in EXTENDED:
-        fn = qs[name]
+
+    def boundary_probe() -> tuple[float, float | None, bool]:
         st = probe_md5(16)
         mt = probe_md5_mt8(16)
+        ratio = round(mt / st, 2) if st else None
+        bad = bool(ambient16 and st > retry_factor * ambient16) or bool(
+            st and (mt / st) > retry_mt_ratio
+        )
+        return st, ratio, bad
+
+    st, ratio, bad = boundary_probe()
+    for name in EXTENDED:
+        fn = qs[name]
         ext_probe[name] = st
-        ext_mt_ratio[name] = round(mt / st, 2) if st else None
-        st_bad = ambient16 and st > retry_factor * ambient16
-        mt_bad = st and (mt / st) > retry_mt_ratio
-        if st_bad or mt_bad:
-            ext_flagged.append(name)
+        ext_mt_ratio[name] = ratio
+        pre_bad = bad
         rts: list[float] = []
         for _ in range(runs_extended):
             t0 = time.time()
             run_query(fn, spark, sf_dir, noop=name in NOOP_SINK)
             rts.append(time.time() - t0)
         extended[name] = round(min(rts), 3)
-        extended_b2[name] = round(min(rts[:2]), 3)
+        if runs_extended >= 2:
+            extended_b2[name] = round(min(rts[:2]), 3)
+        st, ratio, bad = boundary_probe()
+        ext_probe_post[name] = st
+        ext_mt_ratio_post[name] = ratio
+        if pre_bad or bad:
+            ext_flagged.append(name)
     ext_reruns: dict[str, float] = {}
+    # Each re-run window is itself probed (ADVICE r13): a re-run taken
+    # under persisting contention is recorded WITH the machine state of
+    # its window, so the artifact can adjudicate whether it was clean.
+    ext_rerun_probe: dict[str, list] = {}
     rerun_max = int(os.environ.get("BENCH_EXT_RERUN_MAX", "24"))
     for name in sorted(ext_flagged, key=lambda n: extended[n], reverse=True)[
         :rerun_max
     ]:
         fn = qs[name]
+        st, ratio, _bad = boundary_probe()
+        ext_rerun_probe[name] = [st, ratio]
         t0 = time.time()
         run_query(fn, spark, sf_dir, noop=name in NOOP_SINK)
         ext_reruns[name] = round(time.time() - t0, 3)
@@ -730,12 +800,17 @@ def main() -> None:
                 **window2,
                 "headline_noop": headline_noop,
                 "extended": extended,
-                "extended_best2": extended_b2,
+                # null when runs_extended < 2: a single run cannot carry
+                # the r12 best-of-2 twin's semantics (ADVICE r13).
+                "extended_best2": extended_b2 if runs_extended >= 2 else None,
                 "extended_runs": runs_extended,
                 "extended_probe16": ext_probe,
                 "extended_mt8_ratio": ext_mt_ratio,
+                "extended_probe16_post": ext_probe_post,
+                "extended_mt8_ratio_post": ext_mt_ratio_post,
                 "extended_flagged": ext_flagged,
                 "extended_reruns": ext_reruns,
+                "extended_rerun_probe16": ext_rerun_probe,
                 "sf": sf,
                 "environment": {
                     **env,
@@ -766,6 +841,12 @@ def main() -> None:
             "cpu_probe_md5_64mib_sec": env.get("cpu_probe_md5_64mib_sec"),
             "cpu_probe_mt8_md5_64mib_sec": env.get("cpu_probe_mt8_md5_64mib_sec"),
             "cpu_steal_pct_since_boot": env.get("cpu_steal_pct_since_boot"),
+            # Core-count contract, self-proving (VERDICT r13 item 1): the
+            # session's master and parallelism, plus the fixed-work
+            # 64-task probe inside `queries` whose low-core ratio ~= the
+            # core-budget ratio.
+            "spark_master": env.get("spark_master"),
+            "spark_default_parallelism": env.get("spark_default_parallelism"),
             "loadavg_1m_at_start": env.get("loadavg_1m_at_start"),
             # Per-headline-query machine state, positionally aligned with
             # the queries dict (insertion order): a mid-run burst is
@@ -804,7 +885,10 @@ def main() -> None:
         "total_extended_sec": round(sum(extended.values()), 3),
         # r12-protocol twin (best of the first two runs) for
         # cross-round comparison; see the full line's extended_best2.
-        "total_extended_best2_sec": round(sum(extended_b2.values()), 3),
+        # null when runs_extended < 2 (a single run has no best-of-2).
+        "total_extended_best2_sec": (
+            round(sum(extended_b2.values()), 3) if runs_extended >= 2 else None
+        ),
         "extended_runs": runs_extended,
         # Contended-entry self-heal (session 5): how many entries'
         # probe flagged their window, and how many got the bounded

@@ -449,6 +449,10 @@ class Database:
                 else:
                     os.replace(staged, final)
                     shutil.rmtree(tmp, ignore_errors=True)
+                # Seed the store's per-hash schema cache from the write we
+                # just made, so the read-back below (and every later
+                # reader) skips the parquet schema-inference job.
+                self.store._schema_cache.setdefault(rel.hash, written.schema)
                 # Truncate the lineage: later readers (diff, merge, the
                 # entry's final select) scan the snapshot instead of
                 # re-running the mutation chain — the exact state

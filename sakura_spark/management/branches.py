@@ -104,11 +104,16 @@ class BranchManager:
         for name, tuples in res.merged_relations.items():
             pairs = [tuple(p) for p in res.schemas[name]]
             df = tuples.drop(TUPLE_HASH_COL)
+            # A merged extension that IS an existing snapshot keeps its
+            # known content hash (merge.MergeResult.known_hashes): commit
+            # then skips the write+hash for it — the parquet is already in
+            # the store under that key (round-14 optimization).
+            known = res.known_hashes.get(name)
             if name in base.state.relations:
                 rel = base.state.relations[name]
-                rel.df, rel.hash, rel.schema_pairs = df, None, pairs
+                rel.df, rel.hash, rel.schema_pairs = df, known, pairs
             else:
-                base.state.relations[name] = Relation(name, pairs, df)
+                base.state.relations[name] = Relation(name, pairs, df, hash=known)
         # Merge-commit parents: keep both histories reachable for future LCA.
         base.history = [h for h in [lh, rh] if h] + [
             h for h in base.history if h not in (lh, rh)

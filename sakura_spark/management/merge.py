@@ -44,6 +44,12 @@ class MergeResult:
     merged_relations: dict[str, DataFrame] = field(default_factory=dict)  # name -> tuples df
     schemas: dict[str, list] = field(default_factory=dict)
     dropped: set[str] = field(default_factory=set)
+    # name -> content hash, for merged relations whose tuples are EXACTLY
+    # an existing snapshot (take-as-is, revert, unchanged): the commit can
+    # skip the write+hash entirely — the snapshot is already in the store
+    # under that key (round-14 optimization, guide §1.2: don't recompute
+    # what the Merkle tree already knows).
+    known_hashes: dict[str, str] = field(default_factory=dict)
 
 
 def find_ancestor(store: SnapshotStore, left_hash: str, right_hash: str) -> str:
@@ -86,19 +92,24 @@ def merge_databases(
         ld, rd = ldiff.deltas.get(name), rdiff.deltas.get(name)
         a, l, r = anc.get(name), lm.get(name), rm.get(name)
 
+        def take_as_is(entry) -> None:
+            """Merged extension = an existing snapshot, verbatim: record
+            its known content hash so the merge commit reuses the stored
+            parquet instead of re-writing and re-hashing it."""
+            res.schemas[name] = entry["schema"]
+            res.merged_relations[name] = _tuples_of(spark, store, entry, name)
+            res.known_hashes[name] = entry["hash"]
+
         # Schema conflicts: created/changed differently on the two sides.
         schemas = {tuple(map(tuple, e["schema"])) for e in (l, r) if e is not None}
         if len(schemas) > 1:
             res.conflicts.append(f"{name}: schema_conflict")
             if strategy == PREFER_LEFT and l is not None:
-                res.schemas[name] = l["schema"]
-                res.merged_relations[name] = _tuples_of(spark, store, l, name)
+                take_as_is(l)
             elif strategy == PREFER_RIGHT and r is not None:
-                res.schemas[name] = r["schema"]
-                res.merged_relations[name] = _tuples_of(spark, store, r, name)
+                take_as_is(r)
             elif strategy == REVERT_TO_ANCESTOR and a is not None:
-                res.schemas[name] = a["schema"]
-                res.merged_relations[name] = _tuples_of(spark, store, a, name)
+                take_as_is(a)
             else:
                 res.dropped.add(name)
             continue
@@ -113,17 +124,14 @@ def merge_databases(
             if keep is None:
                 res.dropped.add(name)
             else:
-                res.schemas[name] = keep["schema"]
-                res.merged_relations[name] = _tuples_of(spark, store, keep, name)
+                take_as_is(keep)
             continue
         if l is None and r is None:
             res.dropped.add(name)
             continue
         if a is None and (l is None or r is None):
             # Created on exactly one side: take it as-is.
-            e = l or r
-            res.schemas[name] = e["schema"]
-            res.merged_relations[name] = _tuples_of(spark, store, e, name)
+            take_as_is(l or r)
             continue
         if l is None or r is None:
             # Dropped on one side, untouched on the other: stays dropped.
@@ -133,9 +141,7 @@ def merge_databases(
         # Tuple-level 3-way apply.
         base = _tuples_of(spark, store, a, name) if a is not None else None
         if base is None:
-            e = l if strategy != PREFER_RIGHT else r
-            res.schemas[name] = e["schema"]
-            res.merged_relations[name] = _tuples_of(spark, store, e, name)
+            take_as_is(l if strategy != PREFER_RIGHT else r)
             continue
         l_add = ld.added if ld and ld.kind == "modified" else None
         l_rem = ld.removed if ld and ld.kind == "modified" else None
@@ -143,15 +149,18 @@ def merge_databases(
         r_rem = rd.removed if rd and rd.kind == "modified" else None
 
         # Add/remove conflicts on the same tuple hash
-        # (lib/management/merge.ml:97-157).
-        conflict_hashes = None
-        for add_side, rem_side in ((l_add, r_rem), (r_add, l_rem)):
-            if add_side is not None and rem_side is not None:
-                c = add_side.select(TUPLE_HASH_COL).join(
-                    rem_side.select(TUPLE_HASH_COL), on=TUPLE_HASH_COL, how="left_semi"
-                )
-                conflict_hashes = c if conflict_hashes is None else conflict_hashes.unionByName(c)
-        n_conflicts = conflict_hashes.count() if conflict_hashes is not None else 0
+        # (lib/management/merge.ml:97-157): PROVABLY the empty set for any
+        # pair of diffs, because both sides diff against the SAME ancestor
+        # snapshot right here — ``l_add ⊆ L − A`` (anti-join against A) so
+        # every member is ABSENT from A, while ``r_rem ⊆ A − R`` so every
+        # member is PRESENT in A; their intersection is empty by membership
+        # in A alone, and symmetrically for (r_add, l_rem). The reference's
+        # semi-join + count (a multi-snapshot scan job per merged relation
+        # — the single most expensive job of every DCL merge) therefore
+        # computes a constant, and round 14 replaces it with the identity.
+        # The conflict-resolution strategies below stay for parity with the
+        # reference's shape; with n_conflicts == 0 the apply is exact.
+        n_conflicts = 0
         if n_conflicts:
             res.conflicts.append(f"{name}: {n_conflicts} tuple add/remove conflicts")
             if strategy == REVERT_TO_ANCESTOR:
@@ -166,6 +175,11 @@ def merge_databases(
             merged = _apply(_apply(base, l_add, l_rem), r_add, r_rem)
         res.schemas[name] = a["schema"]
         res.merged_relations[name] = merged
+        if ld is None and rd is None:
+            # Neither side changed the relation: the merged extension IS
+            # the ancestor snapshot — reuse its content hash at commit
+            # (the common case at scale: a merge touches few relations).
+            res.known_hashes[name] = a["hash"]
     return res
 
 

@@ -29,6 +29,14 @@ class SnapshotStore:
         self.root = root or tempfile.mkdtemp(prefix="sakura_store_")
         os.makedirs(os.path.join(self.root, "relations"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        # Per-hash Spark schema cache: a snapshot is content-addressed, so
+        # its schema is immutable — the first read's footer inference is
+        # authoritative for every later read of the same key. Passing the
+        # schema explicitly skips the per-read parquet schema-inference
+        # job (one scheduled Spark job per get_relation: checkout, diff,
+        # merge and time travel all read snapshots repeatedly — round-14
+        # optimization, guide §1.2 scheduler overhead).
+        self._schema_cache: dict = {}
 
     # --- relation snapshots (parquet, content-addressed) -------------------
 
@@ -44,7 +52,12 @@ class SnapshotStore:
         return path
 
     def get_relation(self, spark: SparkSession, rel_hash: str) -> DataFrame:
-        return spark.read.parquet(self.relation_path(rel_hash))
+        schema = self._schema_cache.get(rel_hash)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(self.relation_path(rel_hash))
+        df = spark.read.parquet(self.relation_path(rel_hash))
+        self._schema_cache[rel_hash] = df.schema
+        return df
 
     def has_relation(self, rel_hash: str) -> bool:
         return os.path.exists(self.relation_path(rel_hash))
